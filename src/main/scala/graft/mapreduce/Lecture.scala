@@ -1,0 +1,110 @@
+package graft.mapreduce
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's lecture capabilities (reference
+  * description/MapReduce.cpp, required surface per
+  * description/homework/mapreduce.h:9-10) plus the MapReduce-parity query
+  * inventory entries over the synthetic tables.
+  *
+  *   - sum of squares          (MapReduce.cpp:19-36)
+  *   - count distinct by |x|   (MapReduce.cpp:43-68)
+  *   - word count              (MapReduce.cpp:84-150)
+  *   - min-unique-prefix       (the product query, src/main.cpp)
+  */
+object Lecture {
+
+  /** Sum of squares — `transform(x => x*x)` then fold `+`
+    * (MapReduce.cpp:19-36). */
+  def sumOfSquares(xs: Dataset[Int]): Long =
+    xs.agg(sum((col("value") * col("value")).cast("long"))).head().getLong(0)
+
+  /** Count distinct by absolute value — map abs, shuffle-sort, fold
+    * counting changes (MapReduce.cpp:43-68). */
+  def countDistinctAbs(xs: Dataset[Int]): Long =
+    xs.agg(countDistinct(abs(col("value")))).head().getLong(0)
+
+  /** Word count — lowercase, strip non-alpha, whitespace-split
+    * (MapReduce.cpp:91-102), then group-count (both the `std::map` and the
+    * sort-based variants collapse to the same declarative plan; Spark's
+    * partial+final HashAggregate IS the "combiner" the reference only
+    * sketches at client.cpp:40-43). */
+  def wordCount(lines: DataFrame, column: String): DataFrame =
+    lines
+      .select(explode(split(lower(regexp_replace(col(column), "[^a-zA-Z ]", "")),
+        "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Word count pushed through the generic MapReduce API — the spec's own
+    * acceptance test (mapreduce.h:9-10). */
+  def wordCountViaMapReduce(spark: SparkSession, lines: Dataset[String],
+      mappers: Int = 3, reducers: Int = 2): Map[String, Long] = {
+    import spark.implicits._
+    val job = new MapReduceJob[String, Int, Map[String, Long]](
+      mappers, reducers,
+      mapper = line => line.toLowerCase.replaceAll("[^a-z ]", "")
+        .split("\\s+").toList.filter(_.nonEmpty).map(_ -> 1),
+      reducer = it => {
+        // sorted stream: adjacent-merge fold (MapReduce.cpp:125-150)
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        for ((k, v) <- it) m.updateWith(k) {
+          case Some(c) => Some(c + v)
+          case None    => Some(v.toLong)
+        }
+        m.toMap
+      },
+      merge = _ ++ _)
+    job.run(lines)
+  }
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+
+  val queries: Seq[Q] = Seq(
+
+    Q("mr_min_unique_prefix", Some(
+      """WITH lens AS (SELECT CAST(unnest(range(1,601)) AS INT) AS len),
+        |g AS (SELECT len, substr(text, 1, len) AS p, COUNT(*) AS c
+        |      FROM documents, lens GROUP BY len, p),
+        |per AS (SELECT len, MAX(c) AS mx FROM g GROUP BY len)
+        |SELECT CAST(COALESCE(MIN(len), -1) AS BIGINT) AS min_len
+        |FROM per WHERE mx <= 1""".stripMargin)) { (s, dir) =>
+      MinUniquePrefix.asDF(s, docs(s, dir), "text", 600)
+    },
+
+    Q("mr_prefix_collisions", Some(
+      """SELECT substr(text, 1, 8) AS prefix, COUNT(*) AS n
+        |FROM documents GROUP BY prefix HAVING COUNT(*) > 1
+        |ORDER BY prefix""".stripMargin)) { (s, dir) =>
+      docs(s, dir)
+        .select(substring(col("text"), 1, 8).as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .orderBy("prefix")
+    },
+
+    Q("mr_word_count", Some(
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(
+        |    lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')), '\s+')) AS word
+        |  FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)) { (s, dir) =>
+      wordCount(docs(s, dir), "text").orderBy("word")
+    },
+
+    Q("mr_sum_squares", Some(
+      """SELECT CAST(SUM(l_linenumber * l_linenumber) AS BIGINT) AS sum_sq
+        |FROM lineitem""".stripMargin)) { (s, dir) =>
+      li(s, dir).agg(
+        sum((col("l_linenumber") * col("l_linenumber")).cast("long")).as("sum_sq"))
+    },
+
+    Q("mr_count_distinct_abs", Some(
+      """SELECT COUNT(DISTINCT ABS(l_linenumber - 4)) AS n_distinct
+        |FROM lineitem""".stripMargin)) { (s, dir) =>
+      li(s, dir).agg(countDistinct(abs(col("l_linenumber") - 4)).as("n_distinct"))
+    })
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Cols, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch analytics over `events`: window functions (rank,
+  * running total, lag), event-time bucketing (`window()` / date_trunc),
+  * sessionization (gap-based), and JSON extraction. The streaming
+  * (Structured Streaming) equivalents live in [[graft.streaming.StreamOps]];
+  * these batch forms are the oracle-checkable surface.
+  *
+  * All window specs order by (ts, event_id) so ties are deterministic, and
+  * money-ish double sums go through the exact-cents pattern ([[graft.Cols]]).
+  */
+object EventOps {
+  import Cols._
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Epoch microseconds of the (NTZ) event timestamp; session TZ is UTC so
+    * the cast is wall-clock-preserving, matching DuckDB's `epoch_us`. */
+  private val tsUs = unix_micros(col("ts").cast("timestamp"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- ranking window ----
+    Q("q_window_rank", Some(
+      """SELECT user_id, event_id, value, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+        .orderBy("user_id", "rnk")
+    },
+
+    // ---- running (frame) aggregate ----
+    Q("q_window_running", Some(
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+        |    AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("running_value", sum(cents(col("value"))).over(w) / lit(100.0))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- lag / event-time deltas ----
+    Q("q_lag_gap", Some(
+      """SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, dir)
+        .withColumn("gap_us", tsUs - lag(tsUs, 1).over(w))
+        .select("user_id", "event_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- event-time daily rollup ----
+    Q("q_date_agg", Some(
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY day, event_type
+         |ORDER BY day, event_type""".stripMargin)) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- tumbling event-time window (batch form of the streaming agg) ----
+    Q("q_hour_window", Some(
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY hour ORDER BY hour""".stripMargin)) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("hour"),
+          col("n"), col("sum_value"))
+        .orderBy("hour")
+    },
+
+    // ---- gap-based sessionization (batch; streaming twin in StreamOps) ----
+    Q("q_sessionize", Some(
+      """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, dir)
+        .withColumn("prev_us", lag(tsUs, 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            (tsUs - col("prev_us")) > lit(1800000000L), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("brk").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- JSON extraction ----
+    Q("q_json_kv", Some(
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{Cols, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query inventory over the TPC-H-ish synthetic tables:
+  * aggregation, joins (broadcast / shuffle / semi / anti), rollup, top-k,
+  * set ops, string / math / JSON scalar functions. Everything is a
+  * declarative DataFrame plan — filters and projections reach the parquet
+  * scan, partial aggregation is automatic, and Catalyst/AQE pick join
+  * strategies from stats (we only hint `broadcast` for the genuinely tiny
+  * dimensions `region`/`nation`, which stay broadcast-able at any scale).
+  */
+object Relational {
+  import Cols._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val revenue = "l_extendedprice*(1-l_discount)"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- TPC-H Q1 shape: scan-heavy grouped aggregation ----
+    Q("q1_pricing_summary", Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlMoneySum(revenue)} AS sum_disc_price,
+         |  ${sqlMoneySum(s"($revenue)*(1+l_tax)")} AS sum_charge,
+         |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+         |  (${sqlMoneySum("l_extendedprice")})/COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)) { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(rev).as("sum_disc_price"),
+          moneySum(rev * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- TPC-H Q3 shape: join + group + top-k ----
+    Q("q3_top_unshipped", Some(
+      s"""SELECT o_orderkey, revenue, o_orderdate FROM (
+         |  SELECT o_orderkey, o_orderdate, ${sqlMoneySum(revenue)} AS revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |    AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+         |  GROUP BY o_orderkey, o_orderdate)
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)) { (s, dir) =>
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < lit("1998-07-01"))
+      val line = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1998-07-01"))
+      line.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    },
+
+    // ---- TPC-H Q5 shape: 6-way join, broadcast dims ----
+    Q("q5_region_revenue", Some(
+      s"""SELECT n_name, ${sqlMoneySum(revenue)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1999-01-01"))
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- semi / anti joins ----
+    Q("q_semi_join", Some(
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    Q("q_anti_join", Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ---- rollup (grouping sets) ----
+    Q("q_rollup", Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // ---- order-by + limit (top-k, TakeOrderedAndProject) ----
+    Q("q_topk_orders", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // ---- set operations ----
+    Q("q_except_nations", Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    Q("q_intersect_nations", Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // ---- scalar string functions ----
+    Q("q_string_funcs", Some(
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_up,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  CAST(SUBSTR(p_brand, 7) AS INTEGER) AS brand_no,
+        |  SPLIT_PART(p_type, ' ', 1) AS type_head,
+        |  LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+        |  CONCAT(p_brand, ':', p_type) AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_brand"), 7, 16).cast("int").as("brand_no"),
+        substring_index(col("p_type"), " ", 1).as("type_head"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- scalar math functions (IEEE-exact ops only, so the oracle
+    //      hash-matches bit-for-bit) ----
+    Q("q_math_funcs", Some(
+      """SELECT p_partkey,
+        |  SQRT(p_retailprice) AS price_sqrt,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        |  p_size * p_size AS size_sq,
+        |  p_size % 7 AS size_mod,
+        |  ABS(p_size - 25) AS size_absdev
+        |FROM part ORDER BY p_partkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        sqrt(col("p_retailprice")).as("price_sqrt"),
+        floor(col("p_retailprice")).as("price_floor"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        (col("p_size") * col("p_size")).as("size_sq"),
+        (col("p_size") % 7).as("size_mod"),
+        abs(col("p_size") - 25).as("size_absdev"))
+        .orderBy("p_partkey")
+    })
+}

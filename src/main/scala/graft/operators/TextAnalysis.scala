@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: token/type statistics,
+  * regex tokenization (BPE-ish character-class split), heuristic
+  * language ID (stopword-count argmax), and document fingerprinting
+  * (md5 of whitespace-normalized text). All codegen'd built-ins — no UDFs.
+  *
+  * The integer-only / exact-division output discipline keeps every column
+  * hash-identical to the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def matches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Language-ID stopword patterns; tie-break priority en>de>fr>es>und. */
+  private val langPatterns = Seq(
+    "en" -> "\\b(the|a|of|and|is|to)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|y|es|una)\\b")
+
+  private val sqlLangPatterns = Seq(
+    "en" -> "\\b(the|a|of|and|is|to)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|y|es|una)\\b")
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- token / type / length statistics ----
+    Q("text_stats", Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INTEGER)
+        |    AS n_types,
+        |  CAST(LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_letters,
+        |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) /
+        |    len(string_split_regex(text, '\s+')) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      val letters = length(regexp_replace(col("text"), " ", ""))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"),
+        letters.as("n_letters"),
+        (letters.cast("double") / size(toks)).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- BPE-ish regex tokenizer: character-class split counts ----
+    Q("text_tokens_bpeish", Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER)
+        |    AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS INTEGER)
+        |    AS n_num,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS INTEGER)
+        |    AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val lowered = lower(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        matches(lowered, "[a-z]+").as("n_alpha"),
+        matches(lowered, "[0-9]+").as("n_num"),
+        matches(lowered, "[^a-z0-9\\s]").as("n_other"))
+        .orderBy("doc_id")
+    },
+
+    // ---- heuristic language ID (stopword-count argmax) ----
+    Q("text_langid", Some {
+      val scores = sqlLangPatterns.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS s_$l"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+         |      THEN 'en'
+         |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  $scores
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val scored = docs(s, dir).select(
+        col("doc_id") +: langPatterns.map { case (l, p) =>
+          matches(col("text"), p).as(s"s_$l")
+        }: _*)
+      scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
+        col("s_es"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+            col("s_de") > 0, "de")
+          .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+          .when(col("s_es") > 0, "es")
+          .otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint: digest of normalized text ----
+    Q("text_fingerprint", Some(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(LENGTH(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    AS INTEGER) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(norm).as("fp"),
+        length(norm).as("norm_len"))
+        .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: event-time windowed aggregation with
+  * watermarks, and stateful gap-based sessionization via
+  * `flatMapGroupsWithState`. The batch twins of these live in
+  * [[graft.operators.EventOps]] (`q_hour_window`, `q_sessionize`) and are
+  * what the oracle checks; these streaming forms are exercised by
+  * `StreamingSpec` with `MemoryStream` sources.
+  *
+  * Inputs must carry a `TimestampType` column named `ts` (watermarks
+  * require an instant, not NTZ).
+  */
+object StreamOps {
+
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class SessionState(lastUs: Long, sessions: Int, events: Int)
+  final case class SessionCount(user_id: Long, n_sessions: Int, n_events: Int)
+
+  /** Tumbling 1-hour event-time counts with a 2-hour watermark: late rows
+    * beyond the watermark are dropped, finalized windows are emitted once
+    * (append mode). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Stateful sessionization: a new session starts when a user's gap
+    * exceeds `gapMinutes`. Emits the running per-user totals on every
+    * update (Update output mode). State is one tiny fixed-size record per
+    * user — the shape that scales to 10^9 keys with RocksDB state store. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionCount] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
+          for (e <- sorted) {
+            val us = e.ts.getTime * 1000
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            st = SessionState(us,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          SessionCount(user, st.sessions, st.events)
+      }
+  }
+}
