@@ -85,10 +85,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash over tokens (term-frequency weighted), candidate pairs
-    * via 4×16-bit chunk banding (exact for hamming ≤ 3), verified with
-    * `bit_count(xor)`. */
-  def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** 64-bit SimHash fingerprint per document (term-frequency-weighted
+    * token hashes; bit i set iff the weighted sum of token-hash bit i is
+    * positive). Returns (doc_id, fp: long). */
+  def simhash64(d: DataFrame): DataFrame = {
     val weighted = d
       .select(col("doc_id"), explode(tokensCol).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
@@ -97,12 +97,18 @@ object Dedup {
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("w"))
         .otherwise(-col("w"))).as(s"b$i")
     }
-    val fp = weighted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    weighted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp")) // disjoint bits: + is bitwise OR
-    val chunks = fp.select(col("doc_id"), col("fp"),
+  }
+
+  /** SimHash near-dup candidate pairs via 4×16-bit chunk banding (exact
+    * recall for hamming ≤ 3 by pigeonhole), verified with
+    * `bit_count(xor)`. */
+  def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = simhash64(d).select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("ci", "cv")))

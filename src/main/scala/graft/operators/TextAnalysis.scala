@@ -27,11 +27,38 @@ object TextAnalysis {
     "fr" -> "\\b(le|les|et|est|une)\\b",
     "es" -> "\\b(el|los|y|es|una)\\b")
 
-  private val sqlLangPatterns = Seq(
-    "en" -> "\\b(the|a|of|and|is|to)\\b",
-    "de" -> "\\b(der|die|das|und|ist)\\b",
-    "fr" -> "\\b(le|les|et|est|une)\\b",
-    "es" -> "\\b(el|los|y|es|una)\\b")
+  private val sqlLangPatterns = langPatterns
+
+  /** Heuristic language ID over a (doc_id, text) frame: per-language
+    * stopword hit counts + argmax label (`und` when no language scores). */
+  def langid(df: DataFrame): DataFrame = {
+    val scored = df.select(
+      col("doc_id") +: langPatterns.map { case (l, p) =>
+        matches(col("text"), p).as(s"s_$l")
+      }: _*)
+    scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
+      col("s_es"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+          col("s_de") > 0, "de")
+        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-class token counts (alpha runs / digit runs / other
+    * non-space symbols) over a (doc_id, text) frame. */
+  def bpeishTokens(df: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    df.select(
+      col("doc_id"),
+      matches(lowered, "[a-z]+").as("n_alpha"),
+      matches(lowered, "[0-9]+").as("n_num"),
+      matches(lowered, "[^a-z0-9\\s]").as("n_other"))
+      .orderBy("doc_id")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -66,13 +93,7 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS INTEGER)
         |    AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val lowered = lower(col("text"))
-      docs(s, dir).select(
-        col("doc_id"),
-        matches(lowered, "[a-z]+").as("n_alpha"),
-        matches(lowered, "[0-9]+").as("n_num"),
-        matches(lowered, "[^a-z0-9\\s]").as("n_other"))
-        .orderBy("doc_id")
+      bpeishTokens(docs(s, dir))
     },
 
     // ---- heuristic language ID (stopword-count argmax) ----
@@ -92,20 +113,7 @@ object TextAnalysis {
          |  $scores
          |FROM documents) ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val scored = docs(s, dir).select(
-        col("doc_id") +: langPatterns.map { case (l, p) =>
-          matches(col("text"), p).as(s"s_$l")
-        }: _*)
-      scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
-        col("s_es"),
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_es") && col("s_en") > 0, "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
-            col("s_de") > 0, "de")
-          .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
-          .when(col("s_es") > 0, "es")
-          .otherwise("und").as("lang_pred"))
-        .orderBy("doc_id")
+      langid(docs(s, dir))
     },
 
     // ---- document fingerprint: digest of normalized text ----

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The native Catalyst expression: interpreted eval, codegen path (via a
+  * DataFrame query), SQL registration, and multi-byte correctness.
+  */
+class CommonPrefixLengthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plain-Scala lcp") {
+    assert(CommonPrefixLength.lcp("hello", "help") == 3)
+    assert(CommonPrefixLength.lcp("", "x") == 0)
+    assert(CommonPrefixLength.lcp("same", "same") == 4)
+  }
+
+  test("UTF8String lcp counts characters, not bytes, on multi-byte input") {
+    val a = UTF8String.fromString("héllo")   // é is 2 bytes
+    val b = UTF8String.fromString("hélp")
+    assert(CommonPrefixLength.lcp(a, b) == 3) // h, é, l
+  }
+
+  test("codegen path through a DataFrame query matches Scala impl") {
+    CommonPrefixLength.register(spark)
+    val pairs = Seq(("hello", "help"), ("héllo", "hélp"), ("", "abc"),
+      ("same", "same"), ("ab", "cd"))
+    val out = pairs.toDF("a", "b")
+      .selectExpr("common_prefix_length(a, b) as l")
+      .as[Int].collect().toSeq
+    assert(out == pairs.map { case (x, y) => CommonPrefixLength.lcp(x, y) })
+  }
+
+  test("null-safe: null input yields null") {
+    CommonPrefixLength.register(spark)
+    val r = Seq(("a", Option.empty[String])).toDF("a", "b")
+      .selectExpr("common_prefix_length(a, b) as l").head()
+    assert(r.isNullAt(0))
+  }
+}

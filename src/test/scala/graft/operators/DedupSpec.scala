@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: recall of the approximate methods against exact
+  * Jaccard ground truth on a controlled corpus, plus determinism and
+  * survivor rules.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Small corpus with engineered near-duplicates: pairs (1,2) and (3,4)
+    * are near-identical, 5..10 are mutually distinct. */
+  private lazy val corpus: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "pack my box with five dozen liquor jugs before the long winter comes"),
+    (4L, "pack my box with five dozen liquor jugs before the long winter ends"),
+    (5L, "completely different text about spark and distributed query engines"),
+    (6L, "a totally unrelated sentence mentioning databases and storage layers"),
+    (7L, "yet another unique document discussing compilers and type systems"),
+    (8L, "orthogonal content on sailing boats across the northern atlantic sea"),
+    (9L, "final standalone entry about mountain hiking trails and weather"),
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    .toDF("doc_id", "text")
+
+  /** Exact word-bigram Jaccard >= threshold, brute force. */
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val rows = corpus.collect().map(r => r.getLong(0) -> {
+      val t = r.getString(1).split("\\s+")
+      if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    })
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhash LSH finds all high-Jaccard pairs (recall = 1 here) and " +
+      "estimates within 0.2 of exact") {
+    val got = Dedup.minhashPairs(corpus, numHashes = 64, bands = 16,
+        minEst = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expect = exactPairs(0.7)
+    assert(expect.subsetOf(got.keySet),
+      s"missed pairs: ${expect -- got.keySet}")
+    // identical docs 1 and 10 must estimate 1.0
+    assert(got((1L, 10L)) == 1.0)
+  }
+
+  test("simhash pairs: identical docs at hamming 0; distinct docs never " +
+      "pair at hamming <= 3") {
+    val got = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.get((1L, 10L)).contains(0), s"identical pair: $got")
+    val distinctIds = Set(5L, 6L, 7L, 8L, 9L)
+    assert(got.keySet.forall { case (a, b) =>
+      !(distinctIds.contains(a) && distinctIds.contains(b))
+    })
+  }
+
+  test("simhash fingerprints: near-dups are closer in hamming than " +
+      "unrelated docs") {
+    val fps = Dedup.simhash64(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1L, 10L) == 0)               // identical text
+    assert(ham(1L, 2L) < ham(1L, 5L))       // one-word edit vs unrelated
+    assert(ham(3L, 4L) < ham(3L, 8L))
+  }
+
+  test("minhash is deterministic across runs") {
+    def run() = Dedup.minhashPairs(corpus, 64, 16, 0.5).collect().toSeq
+    assert(run() == run())
+  }
+
+  test("exactKeepMin keeps exactly the min-id row per duplicate group") {
+    val out = Dedup.exactKeepMin(corpus, col("text"), col("doc_id"))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(10L))
+    assert(out.count() == 9) // 10 docs, one exact-dup pair collapsed
+  }
+
+  test("exact dedup drops full duplicates") {
+    assert(Dedup.exact(corpus, Seq("text")).count() == 9)
+  }
+}

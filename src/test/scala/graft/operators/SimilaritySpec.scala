@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search: brute-force top-k against a driver-side oracle on a
+  * small random corpus, and the LSH variant's results must be a subset of
+  * the same-bucket brute-force ranking with identical similarity values.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  private lazy val vectors: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private lazy val corpus: DataFrame =
+    vectors.toDF("vec_id", "embedding")
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0d; var na = 0d; var nb = 0d; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force cosine top-k matches the driver-side oracle") {
+    val queries = corpus.where(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(queries, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val byId = vectors.toMap
+    for (q <- 0L until 3L) {
+      val expect = vectors.filter(_._1 != q)
+        .map { case (id, v) => id -> cosine(byId(q), v) }
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(5).map(_._1)
+      val gotIds = (1 to 5).map(r => got((q, r)))
+      assert(gotIds == expect, s"query $q: got $gotIds expected $expect")
+    }
+  }
+
+  test("LSH top-k similarities agree with brute-force where pairs overlap") {
+    val queries = corpus.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(queries, corpus, 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(queries, corpus, 5, planes = 4, dim = dim)
+      .collect()
+    assert(lsh.nonEmpty, "LSH returned nothing — bucketing broke")
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getDouble(3)) < 1e-9,
+        s"sim mismatch for $key")
+    }
+    // ranks within each query are 1..n without gaps
+    lsh.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"non-contiguous ranks: $ranks")
+    }
+  }
+}

