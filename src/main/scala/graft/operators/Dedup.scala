@@ -41,42 +41,79 @@ object Dedup {
 
   private def tokensCol: Column = split(col("text"), "\\s+")
 
+  /** Spread rows across the session's full parallelism before an
+    * explode/heavy-projection stage. A small corpus parquet arrives as ONE
+    * scan partition (file < maxPartitionBytes), which would serialize all
+    * downstream CPU work onto a single core; at 100 TB the scan is already
+    * wide and the round-robin shuffle of slim (id, text) rows is noise. */
+  private def spread(d: DataFrame): DataFrame =
+    d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Word-bigram shingles, distinct, as one exploded (doc_id, gram) pair
-    * per shingle. Documents with < 2 tokens contribute the whole text. */
+    * per shingle. Documents with < 2 tokens contribute the whole text.
+    *
+    * Shape matters: `explode` is applied DIRECTLY to the gram expression
+    * (one select), not to a pre-projected `grams` column. With the extra
+    * projection step, the Generate's implicit `size(...) > 0` filter gets
+    * substituted with the full gram expression and pushed to the scan
+    * side, where the interpreted higher-order functions re-evaluate per
+    * row ahead of the exchange — a measured 10x slowdown. */
   private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), tokensCol.as("toks"))
-      .select(col("doc_id"),
+    spread(d).select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), explode(
         when(size(col("toks")) >= 2,
           array_distinct(expr(
             "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
-          .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+          .otherwise(array(concat_ws(" ", col("toks"))))).as("g"))
 
-  /** MinHash signatures (numHashes independent hash slots via seeded
-    * xxhash64), then LSH banding: docs sharing any band bucket are
-    * candidates; estimated Jaccard = fraction of equal signature slots. */
+  /** MinHash signatures: each shingle is hashed ONCE (two independent
+    * xxhash64 base hashes), and the `numHashes` slot hashes are derived as
+    * `h1 XOR rotl(h2, i)` — pure bitwise ops (ANSI-safe, no overflow)
+    * instead of 64 string hashes per shingle, keeping the per-slot `min`
+    * aggregate codegen tiny. Returns (doc_id, sig). */
+  def minhashSignatures(d: DataFrame, numHashes: Int = 64): DataFrame = {
+    require(numHashes <= 64, "rotation-derived slots support at most 64")
+    val hashed = shingles(d).select(col("doc_id"),
+      xxhash64(col("g")).as("h1"), xxhash64(col("g"), lit(1)).as("h2"))
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c
+      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"m$i"))
+    hashed.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding over MinHash signatures: docs sharing any band bucket are
+    * candidates; estimated Jaccard = fraction of equal signature slots.
+    * The band-bucket self-join carries only (doc_id, band hash); the wide
+    * signature arrays re-attach after pair dedup, so they never ride
+    * through the candidate shuffle. */
   def minhashPairs(d: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minEst: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
-    val sigs = shingles(d)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // The plan references sigs three times (band explode + two re-attach
+    // joins); cache so the shingle scan + 64-slot aggregate runs once.
+    // Footprint is numDocs × numHashes × 8B — tiny relative to the corpus.
+    val sigs = minhashSignatures(d, numHashes).cache()
     val bandArr = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"),
       posexplode(bandArr).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
       .withColumn("est_jaccard", expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) " +
           s"/ cast($numHashes as double)"))
@@ -89,15 +126,18 @@ object Dedup {
     * token hashes; bit i set iff the weighted sum of token-hash bit i is
     * positive). Returns (doc_id, fp: long). */
   def simhash64(d: DataFrame): DataFrame = {
-    val weighted = d
+    // NB: no explicit TF weighting pass — summing ±1 per token OCCURRENCE
+    // equals weighting distinct tokens by term frequency, so the
+    // groupBy(doc_id, tok) shuffle would be pure overhead. One shuffle
+    // total (the per-doc aggregate), with map-side partial aggregation.
+    val hashed = spread(d)
       .select(col("doc_id"), explode(tokensCol).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"), col("w"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("w"))
-        .otherwise(-col("w"))).as(s"b$i")
+      // branch-free ±1: 2*bit - 1
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
     }
-    weighted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
@@ -108,7 +148,9 @@ object Dedup {
     * recall for hamming ≤ 3 by pigeonhole), verified with
     * `bit_count(xor)`. */
   def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunks = simhash64(d).select(col("doc_id"), col("fp"),
+    // Cached: the self-join below references the fingerprints twice.
+    val fp = simhash64(d).cache()
+    val chunks = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("ci", "cv")))
