@@ -64,6 +64,48 @@ final class MapReduceJob[K, V, R](
     import spark.implicits._
     run(spark.sparkContext.textFile(inputPath, mappers).toDS())
   }
+
+  /** Run with the reference's file-layout sinks (O12, reference
+    * src/runner.cpp:18-19,45-47,65-78): under `outDir`,
+    *
+    *   - `mapper/part-*` — the M sorted pre-shuffle runs as
+    *     `"key value"` text (reference mapper/map.N.txt format,
+    *     src/mapreduce.cpp:51); written only when `debug` (the files are
+    *     an inter-"node" transport in the reference, pure I/O overhead
+    *     here — the real shuffle is Spark's);
+    *   - `reducer/reduce.N.txt` — one formatted result per reduce
+    *     partition (reference reducer/reduce.N.txt);
+    *   - `result.txt` — the merged job result.
+    *
+    * Returns the merged result like [[run]].
+    */
+  def runWithSinks(spark: SparkSession, inputPath: String, outDir: String,
+      debug: Boolean = false)(format: R => String): R = {
+    import spark.implicits._
+    val m = mapper
+    val r = reducer
+    val lines = spark.sparkContext.textFile(inputPath, mappers).toDS()
+    val mapped = lines.repartition(mappers).flatMap(m(_))
+    if (debug) {
+      mapped.sortWithinPartitions("_1")
+        .map { case (k, v) => s"$k $v" }(Encoders.STRING)
+        .write.mode("overwrite").text(s"$outDir/mapper")
+    }
+    val perPartition = mapped
+      .repartitionByRange(reducers, col("_1"))
+      .sortWithinPartitions("_1")
+      .mapPartitions(it => Iterator.single(r(it)))
+      .collect()
+    val dir = java.nio.file.Paths.get(outDir, "reducer")
+    java.nio.file.Files.createDirectories(dir)
+    perPartition.zipWithIndex.foreach { case (res, i) =>
+      java.nio.file.Files.writeString(dir.resolve(s"reduce.$i.txt"), format(res))
+    }
+    val result = perPartition.reduce(merge)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "result.txt"), format(result))
+    result
+  }
 }
 
 object MapReduceJob {
