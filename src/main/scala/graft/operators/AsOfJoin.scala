@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively,
+  * composed from built-ins per the preference order (compose > custom
+  * plan): for each left row, attach the latest right row whose timestamp
+  * is <= the left timestamp, per key.
+  *
+  * Implementation is the single-shuffle union trick: tag both sides,
+  * union, range-partition by key and sort by (ts, side) within the key,
+  * then carry the last non-null right payload forward with a running
+  * `last(_, ignoreNulls)` window. Cost = ONE shuffle of (|L|+|R|) slim
+  * rows + a partition-local sort — contrast with a naive range join
+  * (|L|x|R| per key) or an equi-join + filter + re-aggregate (two
+  * shuffles). At 100 TB both sides stream through the same sort-merge
+  * machinery as any window query; skewed keys follow the same salting
+  * playbook as any windowed op.
+  *
+  * Right rows sort BEFORE left rows at equal timestamps, giving inclusive
+  * (<=) semantics, and ties between right rows resolve to the one latest
+  * in `rightOrder` (deterministic).
+  */
+object AsOfJoin {
+
+  /** @param left       left relation
+    * @param right      right relation
+    * @param key        equi-join key column name (same name both sides)
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param payload    right columns to attach (emitted as `asof_<name>`)
+    * @param rightOrder extra right-side tie-break columns (ascending)
+    * @return left rows that have a match, with `asof_ts` (matched right
+    *         timestamp) and the `asof_<payload>` columns attached
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, payload: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__asof_ts", lit(null).cast(left.schema(leftTs).dataType))
+    val lAligned = payload.foldLeft(l)((d, c) =>
+      d.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
+    val tieBreaks = rightOrder.map(c => col(c))
+    val r0 = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__asof_ts", col(rightTs))
+    val rAligned = leftCols.foldLeft(
+      payload.foldLeft(r0)((d, c) => d.withColumn(s"asof_$c", col(c))))(
+      (d, c) => if (r0.columns.contains(c)) d
+                else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val lWithTies = rightOrder.foldLeft(lAligned)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val cols = (leftCols.filterNot(_ == key) ++ Seq(key, "__ts", "__side",
+      "__asof_ts") ++ payload.map(c => s"asof_$c") ++ rightOrder).distinct
+    val unioned = lWithTies.selectExpr(cols: _*)
+      .unionByName(rAligned.selectExpr(cols: _*))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc +: col("__side").asc +: tieBreaks: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryCols: Seq[(String, Column)] =
+      ("__matched_ts" -> last(col("__asof_ts"), ignoreNulls = true).over(w)) +:
+        payload.map(c =>
+          s"__c_$c" -> last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val carried = carryCols.foldLeft(unioned)((d, nc) =>
+      d.withColumn(nc._1, nc._2))
+    carried
+      .where(col("__side") === 1 && col("__matched_ts").isNotNull)
+      .select((leftCols.map(col) :+ col("__matched_ts").as("asof_ts")) ++
+        payload.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -124,6 +124,47 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // ---- as-of (point-in-time) join: each purchase matched to the
+    //      latest view at-or-before it by the same user ----
+    Q("q_asof_join", Some(
+      """SELECT l.event_id, l.user_id,
+        |  CAST(r.ts AS TIMESTAMP) AS view_ts,
+        |  epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP))
+        |    AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin)) { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_eid"))
+      AsOfJoin.asOf(purchases, views, key = "user_id", leftTs = "ts",
+          rightTs = "ts", payload = Nil, rightOrder = Seq("view_eid"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").cast("timestamp_ntz").as("view_ts"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // ---- range-frame window: trailing 10-minute value sum per user ----
+    Q("q_range_frame", Some(
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    /100.0 AS trailing_10m
+        |FROM events ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(tsUs)
+        .rangeBetween(-600000000L, Window.currentRow)
+      ev(s, dir)
+        .withColumn("trailing_10m", sum(cents(col("value"))).over(w) / lit(100.0))
+        .select("event_id", "user_id", "trailing_10m")
+        .orderBy("event_id")
+    },
+
     // ---- JSON extraction ----
     Q("q_json_kv", Some(
       """SELECT event_type,

@@ -147,6 +147,43 @@ object Relational {
         .orderBy("rf", "ls")
     },
 
+    // ---- cube (full grouping-set lattice) ----
+    Q("q_cube", Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // ---- exact percentiles (interpolated, on exact integer cents) ----
+    Q("q_percentiles", Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)/100.0
+        |    AS p50,
+        |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.9)/100.0
+        |    AS p90,
+        |  CAST(MAX(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0
+        |    AS mx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        val c = cents(col("l_extendedprice"))
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg((percentile(c, lit(0.5)) / 100.0).as("p50"),
+            (percentile(c, lit(0.9)) / 100.0).as("p90"),
+            (max(c) / 100.0).as("mx"))
+          .orderBy("l_returnflag")
+    },
+
     // ---- order-by + limit (top-k, TakeOrderedAndProject) ----
     Q("q_topk_orders", Some(
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
