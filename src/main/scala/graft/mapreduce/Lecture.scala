@@ -60,6 +60,43 @@ object Lecture {
     job.run(lines)
   }
 
+  /** Sum of squares through the generic MapReduce API (the framework must
+    * express every lecture task, mapreduce.h:9-10): constant key, squared
+    * value, per-partition sum, merge +. */
+  def sumOfSquaresViaMapReduce(spark: SparkSession, lines: Dataset[String],
+      mappers: Int = 3, reducers: Int = 2): Long = {
+    import spark.implicits._
+    new MapReduceJob[String, Int, Long](
+      mappers, reducers,
+      mapper = line => List(("x", line.trim.toInt)),
+      reducer = it => it.map { case (_, v) => v.toLong * v }.sum,
+      merge = _ + _).run(lines)
+  }
+
+  /** Count-distinct-by-absolute-value through the generic API: key |x|,
+    * sorted-stream change counting per partition (the lecture's
+    * map_shuffle_reduce shape, MapReduce.cpp:43-68); range partitioning
+    * puts each key in exactly one partition, so per-partition distinct
+    * counts add up to the global count. */
+  def countDistinctAbsViaMapReduce(spark: SparkSession,
+      lines: Dataset[String], mappers: Int = 3, reducers: Int = 2): Long = {
+    import spark.implicits._
+    new MapReduceJob[Int, Int, Long](
+      mappers, reducers,
+      mapper = line => List((math.abs(line.trim.toInt), 1)),
+      reducer = it => {
+        var prev = Integer.MIN_VALUE
+        var first = true
+        var n = 0L
+        for ((k, _) <- it) {
+          if (first || k != prev) n += 1
+          prev = k; first = false
+        }
+        n
+      },
+      merge = _ + _).run(lines)
+  }
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
 

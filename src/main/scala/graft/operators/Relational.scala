@@ -184,6 +184,17 @@ object Relational {
           .orderBy("l_returnflag")
     },
 
+    // ---- HLL sketch: approximate distinct counting (the scale path for
+    //      count-distinct; no oracle — sketch estimates are
+    //      engine-specific; a spec asserts <5% error vs exact) ----
+    Q("q_approx_distinct", None) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- order-by + limit (top-k, TakeOrderedAndProject) ----
     Q("q_topk_orders", Some(
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

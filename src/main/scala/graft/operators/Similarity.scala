@@ -80,6 +80,46 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-style ANN: a fixed coarse quantizer (seeded pseudorandom
+    * centroids standing in for trained k-means — same plan shape), each
+    * vector assigned to its nearest centroid (argmax dot on the literal
+    * centroid matrix), queries probing their `nprobe` nearest centroid
+    * cells. Candidate generation is a cell equijoin — the plan a trained
+    * IVF index would produce, with centroid training swappable later. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Int = 16, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(13)
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(centroids)(Seq.fill(dim)(rnd.nextGaussian()))
+    val cm = typedLit(cents)
+    def cellDots(v: Column): Column = transform(cm, c => dot(c, v))
+    // corpus side: single best cell per vector
+    def bestCell(v: Column): Column = {
+      val dots = cellDots(v)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val c = withVec(corpus).withColumn("cell", bestCell(col("v")))
+    // query side: nprobe best cells via posexplode + rank
+    val q0 = withVec(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        posexplode(cellDots(col("qv"))).as(Seq("cell", "cdot")))
+    val wq = Window.partitionBy("query_id").orderBy(col("cdot").desc)
+    val q = q0.withColumn("cr", row_number().over(wq))
+      .where(col("cr") <= nprobe)
+      .select("query_id", "qv", "qnorm", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), round(col("sim"), 4).as("sim_r"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Shared oracle scaffolding: per-(vec,index) unnest with exact double
     * math, mirroring the Spark `zip_with`/`aggregate` fold. */
   private def sqlUnnest(filter: String): String =
@@ -112,6 +152,11 @@ object Similarity {
     Q("ann_lsh_topk", None) { (s, dir) =>
       val e = emb(s, dir)
       lshTopK(e.where(col("vec_id") % 50 === 0), e, 5)
+    },
+
+    Q("ann_ivf_topk", None) { (s, dir) =>
+      val e = emb(s, dir)
+      ivfTopK(e.where(col("vec_id") % 50 === 0), e, 5)
     },
 
     // Cosine near-duplicate pairs over a deterministic subset; with

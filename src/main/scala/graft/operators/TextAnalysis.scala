@@ -60,7 +60,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heuristic quality score over a (doc_id, text) frame: stopword ratio,
+    * punctuation density, mean token length, and a composite keep/drop
+    * label — the standard pre-training corpus filters. All integer or
+    * exact-ratio outputs so the oracle hash-matches. */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nTokens = size(toks)
+    val nStop = matches(col("text"),
+      "\\b(the|a|an|of|and|or|is|are|to|in|that|it|as|for|with)\\b")
+    val nPunct = matches(col("text"), "[.,;:!?]")
+    val nChars = length(col("text"))
+    df.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      (nStop.cast("double") / nTokens).as("stopword_ratio"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      ((nChars - (nTokens - lit(1))).cast("double") / nTokens)
+        .as("mean_tok_len"),
+      (nTokens >= 5 && nStop > 0 &&
+        (nPunct.cast("double") / nChars) < 0.1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // ---- corpus quality scoring (pre-training filter heuristics) ----
+    Q("text_quality", Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(the|a|an|of|and|or|is|are|to|in|that|it|as|for|with)\b'))
+        |    AS INTEGER) AS n_stopwords,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER)
+        |    AS n_punct,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(the|a|an|of|and|or|is|are|to|in|that|it|as|for|with)\b'))
+        |    AS DOUBLE) / len(string_split_regex(text, '\s+'))
+        |    AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |    LENGTH(text) AS punct_ratio,
+        |  CAST(LENGTH(text) - (len(string_split_regex(text, '\s+')) - 1)
+        |    AS DOUBLE) / len(string_split_regex(text, '\s+')) AS mean_tok_len,
+        |  (len(string_split_regex(text, '\s+')) >= 5
+        |   AND len(regexp_extract_all(text,
+        |     '\b(the|a|an|of|and|or|is|are|to|in|that|it|as|for|with)\b')) > 0
+        |   AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) /
+        |     LENGTH(text) < 0.1) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      qualityScore(docs(s, dir))
+    },
+
+    // ---- end-to-end corpus cleaning: language filter -> quality filter
+    //      -> exact dedup (keep min doc_id) -> summary ----
+    Q("pipeline_clean_corpus", Some(
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b')) AS s_en,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE s_en > 0 AND n_tokens >= 5),
+        |dedup AS (SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |          FROM kept GROUP BY fp)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_copies) AS BIGINT) AS n_before_dedup,
+        |  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removed
+        |FROM dedup""".stripMargin)) { (s, dir) =>
+      val scored = docs(s, dir).select(
+        col("doc_id"),
+        matches(col("text"), "\\b(the|a|of|and|is|to)\\b").as("s_en"),
+        size(split(col("text"), "\\s+")).as("n_tokens"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      val kept = scored.where(col("s_en") > 0 && col("n_tokens") >= 5)
+      kept.groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_copies").cast("long").as("n_before_dedup"),
+          (sum("n_copies") - count(lit(1))).cast("long").as("n_removed"))
+    },
 
     // ---- token / type / length statistics ----
     Q("text_stats", Some(

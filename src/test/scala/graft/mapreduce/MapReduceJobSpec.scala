@@ -34,6 +34,15 @@ class MapReduceJobSpec extends SparkSpec {
       spark.createDataset(Seq(1, -2, 3, -3, 2))) == 3L)
   }
 
+  test("all lecture tasks run through the generic API (mapreduce.h:9-10)") {
+    val nums = Seq(1, -2, 3, -3, 2, 5, -5, 7)
+    val lines = spark.createDataset(nums.map(_.toString))
+    assert(Lecture.sumOfSquaresViaMapReduce(spark, lines) ==
+      nums.map(x => x.toLong * x).sum)
+    assert(Lecture.countDistinctAbsViaMapReduce(spark, lines) ==
+      nums.map(math.abs).distinct.size.toLong)
+  }
+
   test("boolAnd job ANDs per-partition reducer results (runner.cpp:73-78)") {
     // Reducer checks all keys in its partition are unique.
     def uniqueJob = MapReduceJob.boolAnd[String](3, 2) { line =>

@@ -47,6 +47,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: sims agree with brute-force; ranks contiguous") {
+    val queries = corpus.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(queries, corpus, 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(queries, corpus, 5, centroids = 8,
+      nprobe = 2, dim = dim).collect()
+    assert(ivf.nonEmpty, "IVF returned nothing — cell assignment broke")
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getDouble(3)) < 1e-9)
+    }
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+  }
+
   test("LSH top-k similarities agree with brute-force where pairs overlap") {
     val queries = corpus.where(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(queries, corpus, 40).collect()

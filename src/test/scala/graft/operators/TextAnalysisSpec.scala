@@ -32,6 +32,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("qualityScore: hand-computed ratios and keep label") {
+    val tiny = Seq(
+      (1L, "the cat sat on a mat with it"),   // 8 tokens, stopwords, no punct
+      (2L, "x! y! z!")).toDF("doc_id", "text") // 3 tokens, punct-heavy
+    val out = TextAnalysis.qualityScore(tiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_tokens") == 8)
+    assert(r1.getAs[Int]("n_stopwords") == 4) // the, a, with, it
+    assert(r1.getAs[Int]("n_punct") == 0)
+    assert(r1.getAs[Boolean]("keep"))
+    val r2 = out(2L)
+    assert(r2.getAs[Int]("n_punct") == 3)
+    assert(!r2.getAs[Boolean]("keep")) // too short, no stopwords, puncty
+  }
+
+  test("q_approx_distinct: HLL estimate within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("q_approx_distinct").collect().foreach { r =>
+      val rf = r.getString(0); val approx = r.getLong(1)
+      val e = exact(rf)
+      assert(math.abs(approx - e).toDouble / e < 0.05,
+        s"$rf: approx $approx vs exact $e")
+    }
+  }
+
   test("text_fingerprint: identical normalized text => identical digest") {
     val df = run("text_fingerprint")
     assert(df.columns.toSeq == Seq("doc_id", "fp", "norm_len"))
