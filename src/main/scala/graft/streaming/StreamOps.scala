@@ -32,6 +32,16 @@ object StreamOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose id was already seen within
+    * the watermark horizon. State is one entry per id bounded by the
+    * watermark (expired keys are dropped), so state size is
+    * O(arrival rate x horizon), not O(stream length) — the only shape
+    * that survives an unbounded stream. */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Stateful sessionization: a new session starts when a user's gap
     * exceeds `gapMinutes`. Emits the running per-user totals on every
     * update (Update output mode). State is one tiny fixed-size record per

@@ -41,6 +41,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream: duplicate ids within the watermark are dropped " +
+      "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Raw]
+    val query = StreamOps.dedupStream(input.toDF(), "event_id")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Raw(1, 100, ts("10:00"), "click", 1.0),
+        Raw(1, 100, ts("10:01"), "click", 1.0), // same id, same batch
+        Raw(2, 101, ts("10:02"), "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Raw(1, 100, ts("10:10"), "click", 1.0)) // dup, later batch
+      input.addData(Raw(3, 102, ts("10:20"), "view", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq == Seq(100L, 101L, 102L))
+    } finally query.stop()
+  }
+
   test("sessionize: gap over threshold starts a new session; state " +
       "persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
