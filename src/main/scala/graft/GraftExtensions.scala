@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.CommonPrefixLength
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension wiring — the idiomatic injection point for the
+  * engine's native Catalyst expressions, so any session built with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) gets
+  * `common_prefix_length(a, b)` in SQL, with codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("common_prefix_length"),
+      new ExpressionInfo(classOf[CommonPrefixLength].getName,
+        "common_prefix_length"),
+      exprs => CommonPrefixLength(exprs.head, exprs(1))))
+  }
+}

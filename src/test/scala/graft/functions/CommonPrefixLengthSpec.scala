@@ -32,6 +32,16 @@ class CommonPrefixLengthSpec extends SparkSpec {
     assert(out == pairs.map { case (x, y) => CommonPrefixLength.lcp(x, y) })
   }
 
+  test("GraftExtensions injects the function session-wide (survives " +
+      "newSession, unlike temp registration)") {
+    // temp functions don't carry into a new session; extension-injected
+    // built-ins do — this discriminates the injection path
+    val fresh = spark.newSession()
+    val r = fresh.sql("SELECT common_prefix_length('hello', 'help') AS l")
+      .head().getInt(0)
+    assert(r == 3)
+  }
+
   test("null-safe: null input yields null") {
     CommonPrefixLength.register(spark)
     val r = Seq(("a", Option.empty[String])).toDF("a", "b")
