@@ -149,6 +149,32 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- interval/range join: error events within 5 minutes of a
+    //      purchase by the same user (bin-bucketed equijoin, not NL) ----
+    Q("q_range_join", Some(
+      """SELECT p.event_id AS purchase_id, e.event_id AS r_event_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))
+        |    AS dt_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND abs(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+        |         epoch_us(CAST(e.ts AS TIMESTAMP))) <= 300000000
+        |ORDER BY purchase_id, r_event_id""".stripMargin)) { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      RangeJoin.timeProximityJoin(purchases, errors, key = "user_id",
+          leftUs = unix_micros(col("ts").cast("timestamp")),
+          rightUs = unix_micros(col("ts").cast("timestamp")),
+          windowUs = 300000000L, payload = Seq("event_id"))
+        .select(col("event_id").as("purchase_id"),
+          col("r_event_id"), col("dt_us"))
+        .orderBy("purchase_id", "r_event_id")
+    },
+
     // ---- range-frame window: trailing 10-minute value sum per user ----
     Q("q_range_frame", Some(
       """SELECT event_id, user_id,

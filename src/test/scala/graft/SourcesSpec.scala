@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format round-trips beyond parquet: csv (with schema),
+  * json (lines), and text. The engine is format-agnostic by construction
+  * (everything downstream consumes DataFrames); these specs pin the
+  * format plumbing.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val docs =
+    Tables.load(spark, sfDir, "documents").limit(50).cache()
+
+  test("csv round-trip preserves rows (explicit schema, header)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    docs.select("doc_id", "text").write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == 50)
+    val a = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.collect().foreach(r => assert(a(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("json-lines round-trip preserves rows and types") {
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    docs.select("doc_id", "text").write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 50)
+    assert(back.schema("doc_id").dataType == LongType)
+  }
+
+  test("text source: line-oriented read feeds the MapReduce layer") {
+    val dir = java.nio.file.Files.createTempDirectory("txt").toString
+    docs.select(concat_ws("|", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(dir, 3).toDS()
+    assert(lines.count() == 50)
+    assert(lines.collect().forall(_.contains("|")))
+  }
+}
