@@ -146,6 +146,45 @@ object MinUniquePrefix {
     } finally cached.unpersist()
   }
 
+  /** Typed-UDAF surface (SURVEY §7 M4): per-prefix occurrence counting as
+    * an `Aggregator` over `groupByKey`, uniqueness as the `every`
+    * (`bool_and`) of count==1. Mirrors the reference's reducer-as-UDAF
+    * shape (reference src/mapreduce.hpp:27) through Spark's typed
+    * aggregation surface instead of an ordered fold. */
+  object CountOccurrences
+      extends org.apache.spark.sql.expressions.Aggregator[String, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: String): Long = b + 1
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(b: Long): Long = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      Encoders.scalaLong
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      Encoders.scalaLong
+  }
+
+  /** Iterative search using the typed Aggregator + `every` — the M4
+    * variant; must agree with every other implementation. */
+  def findViaAggregator(lines: Dataset[String], maxLen: Int): Int = {
+    import lines.sparkSession.implicits._
+    val cached = lines.cache()
+    try {
+      var l = 1
+      while (l <= maxLen) {
+        val ll = l
+        val counts = cached.map(_.take(ll))
+          .groupByKey(identity)
+          .agg(CountOccurrences.toColumn.name("c"))
+        val allUnique = counts
+          .select(every(col("c") === 1).as("ok"))
+          .head().getBoolean(0)
+        if (allUnique) return l
+        l += 1
+      }
+      -1
+    } finally cached.unpersist()
+  }
+
   /** DataFrame wrapper used by the SparkEntry inventory. */
   def asDF(spark: SparkSession, texts: DataFrame, column: String,
       maxLen: Int): DataFrame = {

@@ -51,6 +51,11 @@ class MinUniquePrefixSpec extends SparkSpec {
     assert(MinUniquePrefix.findViaMapReduce(spark, ds(goldenLines), 3) == 2)
   }
 
+  test("golden: typed-Aggregator variant agrees (M4 UDAF surface)") {
+    assert(MinUniquePrefix.findViaAggregator(ds(goldenLines), 3) == 2)
+    assert(MinUniquePrefix.findViaAggregator(ds(Seq("abc", "abc")), 4) == -1)
+  }
+
   test("duplicate full lines: no L works (reference quirk Q4 -> -1 here)") {
     val lines = Seq("abc", "abc", "xyz")
     assert(MinUniquePrefix.find(ds(lines), 5) == -1)
