@@ -167,6 +167,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate corpus filter: drop every document that has a
+    * near-duplicate with a smaller doc_id (greedy min-id survivor — the
+    * standard single-pass policy; full transitive clustering would need
+    * iterative connected components). Survivors = corpus minus the
+    * distinct doc_b side of [[minhashPairs]]. */
+  def dropNearDuplicates(d: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, minEst: Double = 0.8): DataFrame = {
+    val losers = minhashPairs(d, numHashes, bands, minEst)
+      .select(col("doc_b").as("doc_id")).distinct()
+    d.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("dedup_exact", Some(

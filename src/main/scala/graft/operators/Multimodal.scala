@@ -56,6 +56,51 @@ object Multimodal {
     }.toDF("doc_id", "features")
   }
 
+  /** STUB frame sampler: a real implementation would demux the container
+    * and decode every Nth video frame; this stand-in slices the payload
+    * into `frameSize`-byte pseudo-frames and keeps every `stride`-th one.
+    * The distribution shape is the real thing: one row in, `ceil(n/stride)`
+    * typed frame rows out, partition-parallel, no driver involvement. */
+  def sampleFrames(media: DataFrame, payloadCol: String, frameSize: Int,
+      stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = math.max(1, bytes.length / math.max(1, frameSize))
+        (0 until nFrames by stride).map { f =>
+          val from = f * frameSize
+          val to = math.min(from + frameSize, bytes.length)
+          (id, f, java.util.Arrays.copyOfRange(bytes, from, to))
+        }
+      }.toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** Feature-vector resize (e.g. matching an encoder's expected dim):
+    * average-pool down or zero-pad up. Pure column expression — stays in
+    * codegen, no UDF. */
+  def resizeFeatures(df: DataFrame, featuresCol: String, from: Int,
+      to: Int): DataFrame = {
+    require(from > 0 && to > 0)
+    val c = col(featuresCol)
+    val resized =
+      if (to == from) c
+      else if (to < from) {
+        // average-pool contiguous groups
+        val stride = from.toDouble / to
+        expr(s"transform(sequence(0, ${to - 1}), i -> " +
+          s"aggregate(slice($featuresCol, cast(i * $stride as int) + 1, " +
+          s"cast((i + 1) * $stride as int) - cast(i * $stride as int)), " +
+          s"cast(0.0 as float), (a, x) -> a + x, a -> a / " +
+          s"(cast((i + 1) * $stride as int) - cast(i * $stride as int))))")
+      } else {
+        // zero-pad
+        concat(c, array_repeat(lit(0f), to - from))
+      }
+    df.withColumn(featuresCol, resized)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Binary-column metadata: byte length + content digest. The payload is

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Scale discipline enforced on every registered query's physical plan:
+  * no nested-loop or cartesian joins sneak in, except in the operators
+  * that are intentionally quadratic ground-truth baselines over bounded
+  * subsets.
+  */
+class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  /** Intentionally quadratic (exact baselines over bounded subsets). */
+  private val allowedQuadratic = Set(
+    "dedup_ngram_jaccard",    // exact Jaccard ground truth, doc_id < 300
+    "dedup_embedding_cosine", // exact cosine ground truth, vec_id % 20
+    "ann_cosine_topk")        // brute-force exactness baseline
+
+  test("no accidental nested-loop or cartesian joins in the inventory") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowedQuadratic(name) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val bad = collect(plan) {
+          case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName
+          case j: CartesianProductExec        => j.getClass.getSimpleName
+        }
+        if (bad.nonEmpty) Some(name -> bad.distinct) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes outside the allowlist: $offenders")
+  }
+}

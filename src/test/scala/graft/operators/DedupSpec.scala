@@ -88,4 +88,12 @@ class DedupSpec extends SparkSpec {
   test("exact dedup drops full duplicates") {
     assert(Dedup.exact(corpus, Seq("text")).count() == 9)
   }
+
+  test("dropNearDuplicates keeps min-id survivors of near-dup pairs") {
+    val ids = Dedup.dropNearDuplicates(corpus, minEst = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(10L), "exact dup of doc 1 must drop")
+    assert(ids.contains(1L), "min-id survivor must stay")
+    assert(Set(5L, 6L, 7L, 8L, 9L).subsetOf(ids), "distinct docs stay")
+  }
 }

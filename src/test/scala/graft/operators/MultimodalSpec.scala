@@ -28,6 +28,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.stubDecodeFeatures(Array[Byte](1, 2), 8).length == 8)
   }
 
+  test("sampleFrames: one row per sampled pseudo-frame, typed schema") {
+    val media = Seq((1L, Array.tabulate(100)(_.toByte)))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(media, "payload",
+      frameSize = 10, stride = 3).collect()
+    // 10 frames, strides 0,3,6,9 -> 4 sampled
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
+  }
+
+  test("resizeFeatures: average-pool down and zero-pad up") {
+    val df = Seq((1L, Seq(2f, 4f, 6f, 8f))).toDF("doc_id", "features")
+    val down = Multimodal.resizeFeatures(df, "features", from = 4, to = 2)
+      .head().getSeq[Float](1)
+    assert(down == Seq(3f, 7f)) // avg(2,4), avg(6,8)
+    val up = Multimodal.resizeFeatures(df, "features", from = 4, to = 6)
+      .head().getSeq[Float](1)
+    assert(up == Seq(2f, 4f, 6f, 8f, 0f, 0f))
+  }
+
   test("decodeToFeatures: distributed schema is (doc_id, features[dim])") {
     val media = Seq((1L, "hello".getBytes), (2L, "world!".getBytes))
       .toDF("doc_id", "payload")
