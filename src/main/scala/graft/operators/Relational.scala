@@ -184,6 +184,94 @@ object Relational {
           .orderBy("l_returnflag")
     },
 
+    // ---- explicit grouping sets (beyond rollup/cube) ----
+    Q("q_grouping_sets", Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |       COUNT(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // ---- extended window functions ----
+    Q("q_window_funcs", Some(
+      """SELECT o_orderkey,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prnk,
+        |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- correlated scalar subquery (Catalyst decorrelation) ----
+    Q("q_corr_subquery", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+        |                          FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_cs o
+          |WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+          |                          FROM orders_cs o2
+          |                          WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ---- union all + aggregation over the union ----
+    Q("q_union_all", Some(
+      """SELECT side, COUNT(*) AS n FROM (
+        |  SELECT 'cust' AS side, c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS side, s_nationkey AS nk FROM supplier)
+        |GROUP BY side ORDER BY side""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer").select(lit("cust").as("side"),
+          col("c_nationkey").as("nk"))
+        .unionAll(t(s, dir, "supplier").select(lit("supp").as("side"),
+          col("s_nationkey").as("nk")))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side")
+    },
+
+    // ---- array functions: collect, sort, slice, stringify ----
+    Q("q_array_funcs", Some(
+      """SELECT c_nationkey AS nk,
+        |  COUNT(*) AS n_cust,
+        |  array_to_string(list_sort(list(c_custkey))[1:5], ',') AS first5
+        |FROM customer GROUP BY c_nationkey ORDER BY nk""".stripMargin)) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"),
+            array_join(slice(array_sort(collect_list(col("c_custkey"))),
+              1, 5), ",").as("first5"))
+          .orderBy("nk")
+    },
+
     // ---- HLL sketch: approximate distinct counting (the scale path for
     //      count-distinct; no oracle — sketch estimates are
     //      engine-specific; a spec asserts <5% error vs exact) ----
