@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CommonPrefixLength
+import graft.functions.{CommonPrefixLength, RollingHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CommonPrefixLength].getName,
         "common_prefix_length"),
       exprs => CommonPrefixLength(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      exprs => RollingHash64(exprs.head)))
   }
 }

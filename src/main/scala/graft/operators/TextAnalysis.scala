@@ -196,6 +196,16 @@ object TextAnalysis {
       langid(docs(s, dir))
     },
 
+    // ---- rolling-hash fingerprint (native codegen'd expression; no
+    //      DuckDB equivalent -> rows-only; spec checks hand-computed
+    //      values) ----
+    Q("text_rolling_hash", None) { (s, dir) =>
+      graft.functions.RollingHash64.register(s)
+      docs(s, dir).select(col("doc_id"),
+        expr("rolling_hash64(text)").as("rh"))
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprint: digest of normalized text ----
     Q("text_fingerprint", Some(
       """SELECT doc_id,

@@ -42,6 +42,17 @@ class CommonPrefixLengthSpec extends SparkSpec {
     assert(r == 3)
   }
 
+  test("rolling_hash64: codegen path matches the reference loop, " +
+      "injected session-wide") {
+    def refHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    val inputs = Seq("", "a", "hello world", "héllo", "x" * 1000)
+    val got = inputs.toDF("s")
+      .selectExpr("rolling_hash64(s) as h") // via GraftExtensions
+      .as[Long].collect().toSeq
+    assert(got == inputs.map(refHash))
+  }
+
   test("null-safe: null input yields null") {
     CommonPrefixLength.register(spark)
     val r = Seq(("a", Option.empty[String])).toDF("a", "b")
