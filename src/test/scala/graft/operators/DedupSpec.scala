@@ -78,6 +78,16 @@ class DedupSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("minhash signatures are invariant under repartitioning (min is " +
+      "order-insensitive)") {
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, 32).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val a = sigs(corpus)
+    val b = sigs(corpus.repartition(7))
+    assert(a == b)
+  }
+
   test("exactKeepMin keeps exactly the min-id row per duplicate group") {
     val out = Dedup.exactKeepMin(corpus, col("text"), col("doc_id"))
     val ids = out.select("doc_id").as[Long].collect().toSet
