@@ -50,6 +50,16 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("answer is invariant under M/R parallelism choices") {
+    val tmp = Files.createTempDirectory("mrmain")
+    val in = writeFixture(tmp, goldenLines, trailingNewline = false)
+    for ((m, r) <- Seq((1, 1), (8, 5), (2, 7))) {
+      val result = Main.findIteratively(spark, in.toString,
+        tmp.resolve(s"out_${m}_$r").toString, m, r, 3, debug = false)
+      assert(result == 2, s"M=$m R=$r")
+    }
+  }
+
   test("trailing-newline variant gives the same answer (Q6 boundary)") {
     val tmp = Files.createTempDirectory("mrmain")
     val in = writeFixture(tmp, goldenLines, trailingNewline = true)

@@ -38,6 +38,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(200L) == (ts("09:59:00"), "c"))
   }
 
+  test("property: agrees with a brute-force oracle on seeded random data") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 5) {
+      val leftRows = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, i.toLong, ts(f"${10 + rnd.nextInt(4)}%02d:${rnd.nextInt(60)}%02d:00")))
+      val rightRows = Seq.tabulate(40)(i =>
+        (rnd.nextInt(5).toLong, (1000 + i).toLong,
+          ts(f"${10 + rnd.nextInt(4)}%02d:${rnd.nextInt(60)}%02d:00"), s"t$i"))
+      val left = leftRows.toDF("user_id", "event_id", "ts")
+      val right = rightRows.toDF("user_id", "rid", "ts", "tag")
+      val got = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+          Seq("tag"), Seq("rid")).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("asof_tag"))
+        .toMap
+      val expect = leftRows.flatMap { case (u, eid, lts) =>
+        val cands = rightRows.filter(r => r._1 == u && !r._3.after(lts))
+        if (cands.isEmpty) None
+        else {
+          // latest ts; ties -> largest rid (rightOrder asc, last wins)
+          val best = cands.maxBy(r => (r._3.getTime, r._2))
+          Some(eid -> best._4)
+        }
+      }.toMap
+      assert(got == expect, s"mismatch: got=$got expect=$expect")
+    }
+  }
+
   test("tie between right rows at the same instant resolves to the last " +
       "in rightOrder") {
     val left = Seq((1L, 10L, ts("12:00:00"))).toDF("user_id", "event_id", "ts")

@@ -41,6 +41,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(expect.contains((11L, 92L, -2L)), "cross-bin pair must exist")
   }
 
+  test("property: agrees with brute force on seeded random timestamps") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val window = 50L + rnd.nextInt(200)
+      val leftRows = Seq.tabulate(80)(i =>
+        (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(2000).toLong))
+      val rightRows = Seq.tabulate(80)(i =>
+        (rnd.nextInt(4).toLong, (500 + i).toLong, rnd.nextInt(2000).toLong))
+      val got = RangeJoin.timeProximityJoin(
+          leftRows.toDF("user_id", "event_id", "us"),
+          rightRows.toDF("user_id", "event_id", "us"),
+          "user_id", col("us"), col("us"), window, Seq("event_id"))
+        .select("event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (lu, le, lus) <- leftRows
+        (ru, re, rus) <- rightRows
+        if lu == ru && math.abs(lus - rus) <= window
+      } yield (le, re)).toSet
+      assert(got == expect, s"trial $trial window=$window")
+    }
+  }
+
   test("duplicate right rows both appear (no over-dedup)") {
     val left = Seq((1L, 1L, 50L)).toDF("user_id", "event_id", "us")
     val right = Seq((1L, 7L, 40L), (1L, 7L, 40L))
