@@ -184,6 +184,43 @@ object Relational {
           .orderBy("l_returnflag")
     },
 
+    // ---- pivot (wide aggregation) ----
+    Q("q_pivot", Some(
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+        |  CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- date-part extraction ----
+    Q("q_date_parts", Some(
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+        |  CAST(EXTRACT(hour FROM o_orderdate) AS INTEGER) AS h,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY =
+        |    CAST(o_orderdate AS DATE) + 30 AS add_consistent
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        hour(col("o_orderdate")).as("h"),
+        (date_add(col("o_orderdate").cast("date"), 30) ===
+          col("o_orderdate").cast("date").plus(expr("INTERVAL 30 DAY")))
+          .as("add_consistent"))
+        .orderBy("o_orderkey").limit(1000)
+    },
+
     // ---- explicit grouping sets (beyond rollup/cube) ----
     Q("q_grouping_sets", Some(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
