@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every registered query against
+  * `SPARK_GRAFT_SF_DIR`, one untimed warmup pass then three timed passes
+  * (min per query), and emits ONE metric JSON line.
+  *
+  * The metric JSON is (a) printed bare to stdout, (b) printed bare to
+  * stderr, and (c) written to `bench_metric.json` in the working
+  * directory — sbt prefixes stdout lines with `[info]`, so the file copy
+  * is the machine-parseable source of truth for the driver.
+  *
+  * A query that throws in a timed pass is recorded as +Infinity for that
+  * pass, so a failure can never lower the reported min; queries failing
+  * every pass land in the `failed` array and are excluded from the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,7 +26,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // 36 queries x several codegen stages each overflow the default
+      // 53 queries x several codegen stages each overflow the default
       // 100-entry compiled-class cache; evictions then force random
       // multi-second janino recompiles in the timed pass.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -23,7 +38,7 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     // One untimed pass first: JIT + janino codegen compile are one-time
     // session costs, irrelevant to steady-state throughput (what a 100 TB
-    // run amortizes to); the timed pass then measures actual execution.
+    // run amortizes to); the timed passes then measure actual execution.
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -32,16 +47,20 @@ object Bench {
     // Caches populated by operators during warmup would otherwise let the
     // timed pass skip real work.
     spark.catalog.clearCache()
-    // Two timed passes, min per query: the host VM intermittently stalls
+    // Three timed passes, min per query: the host VM intermittently stalls
     // the guest for seconds at a time (idle-CPU freezes), and min-of-N is
     // the standard way to measure the code rather than the neighbors.
     def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1L
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // A failed run must never feed the min — a fast crash would
+      // otherwise "improve" the benchmark.
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9
+               else Double.PositiveInfinity)
     }.toMap
     val passes = (1 to 3).map { _ =>
       val p = timedPass()
@@ -49,10 +68,21 @@ object Bench {
       p
     }
     val results = selected.keys.map(n => n -> passes.map(_(n)).min).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (okQ, failedQ) = results.partition(_._2.isFinite)
+    val qs = okQ.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = failedQ.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (okQ.nonEmpty) okQ.values.sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // File first (survives any stream prefixing/truncation), then both
+    // streams bare.
+    Files.writeString(Paths.get("bench_metric.json"), json + "\n")
+    println(json)
+    System.err.println(json)
     spark.stop()
+    if (failedQ.nonEmpty) sys.exit(1)
   }
 }

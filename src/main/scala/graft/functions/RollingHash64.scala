@@ -24,9 +24,13 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     RollingHash64.hash(input.asInstanceOf[UTF8String])
 
+  // NB: the companion OBJECT compiles to class `RollingHash64$` — the
+  // generated Java must reference that class's MODULE$ field (the case
+  // class `RollingHash64` has none, and janino would fail to compile the
+  // plan, silently dropping to interpreted eval).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingHash64.MODULE$$.hash($c)")
+      "graft.functions.RollingHash64" + "$" + s".MODULE$$.hash($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHash64 = copy(child = newChild)
@@ -46,8 +50,14 @@ object RollingHash64 {
   }
 
   /** Expose to SQL/expr() as `rolling_hash64(s)` (session-wide injection
-    * lives in [[graft.GraftExtensions]]). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    * lives in [[graft.GraftExtensions]]). Idempotent: sessions built with
+    * the extensions already have the function, and re-registering would
+    * log a replace-warning per call site. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash64")))
+      reg.createOrReplaceTempFunction(
+        "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+  }
 }

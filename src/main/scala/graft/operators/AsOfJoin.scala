@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join — an operator Spark lacks natively,
   * composed from built-ins per the preference order (compose > custom
@@ -39,40 +40,43 @@ object AsOfJoin {
       rightTs: String, payload: Seq[String],
       rightOrder: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
+    // ONE struct column carries (matched ts, payload...) together with a
+    // single last(ignoreNulls) — carrying each payload column through its
+    // own window would let a NULL payload field in the matched right row
+    // backfill from an OLDER right row, silently mixing fields of
+    // different rows in one output row.
+    val packType = StructType(
+      StructField("__asof_ts", right.schema(rightTs).dataType) +:
+        payload.map(c => StructField(c, right.schema(c).dataType)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__asof_ts", lit(null).cast(left.schema(leftTs).dataType))
-    val lAligned = payload.foldLeft(l)((d, c) =>
-      d.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__pack", lit(null).cast(packType))
     val tieBreaks = rightOrder.map(c => col(c))
     val r0 = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__asof_ts", col(rightTs))
-    val rAligned = leftCols.foldLeft(
-      payload.foldLeft(r0)((d, c) => d.withColumn(s"asof_$c", col(c))))(
-      (d, c) => if (r0.columns.contains(c)) d
-                else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val lWithTies = rightOrder.foldLeft(lAligned)((d, c) =>
+      .withColumn("__pack", struct(
+        col(rightTs).as("__asof_ts") +: payload.map(c => col(c)): _*))
+    val rAligned = leftCols.foldLeft(r0)((d, c) =>
+      if (r0.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val lWithTies = rightOrder.foldLeft(l)((d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
     val cols = (leftCols.filterNot(_ == key) ++ Seq(key, "__ts", "__side",
-      "__asof_ts") ++ payload.map(c => s"asof_$c") ++ rightOrder).distinct
-    val unioned = lWithTies.selectExpr(cols: _*)
-      .unionByName(rAligned.selectExpr(cols: _*))
+      "__pack") ++ rightOrder).distinct
+    val unioned = lWithTies.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
     val w = Window.partitionBy(key)
       .orderBy(col("__ts").asc +: col("__side").asc +: tieBreaks: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carryCols: Seq[(String, Column)] =
-      ("__matched_ts" -> last(col("__asof_ts"), ignoreNulls = true).over(w)) +:
-        payload.map(c =>
-          s"__c_$c" -> last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    val carried = carryCols.foldLeft(unioned)((d, nc) =>
-      d.withColumn(nc._1, nc._2))
+    val carried = unioned
+      .withColumn("__m", last(col("__pack"), ignoreNulls = true).over(w))
     carried
-      .where(col("__side") === 1 && col("__matched_ts").isNotNull)
-      .select((leftCols.map(col) :+ col("__matched_ts").as("asof_ts")) ++
-        payload.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
+      .where(col("__side") === 1 && col("__m").isNotNull)
+      .select((leftCols.map(col) :+
+        col("__m").getField("__asof_ts").as("asof_ts")) ++
+        payload.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
   }
 }

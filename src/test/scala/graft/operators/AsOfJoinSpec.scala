@@ -65,6 +65,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("NULL payload field in the matched right row stays NULL (no " +
+      "stale backfill from an older right row)") {
+    val left = Seq((1L, 10L, ts("12:00:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("10:00:00"), Option("old-tag"), Option("old-note")),
+      // matched row: tag is NULL, note present — output must take BOTH
+      // fields from this row, not mix old-tag with new-note
+      (1L, 2L, ts("11:00:00"), Option.empty[String], Option("new-note")))
+      .toDF("user_id", "rid", "ts", "tag", "note")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+      Seq("tag", "note"), Seq("rid")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Timestamp]("asof_ts") == ts("11:00:00"))
+    assert(out.head.getAs[String]("asof_tag") == null,
+      "NULL in the matched row must not backfill from an earlier row")
+    assert(out.head.getAs[String]("asof_note") == "new-note")
+  }
+
   test("tie between right rows at the same instant resolves to the last " +
       "in rightOrder") {
     val left = Seq((1L, 10L, ts("12:00:00"))).toDF("user_id", "event_id", "ts")
