@@ -39,25 +39,37 @@ object Lecture {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Word count pushed through the generic MapReduce API — the spec's own
-    * acceptance test (mapreduce.h:9-10). */
+    * acceptance test (mapreduce.h:9-10). The reducer STREAMS its
+    * adjacent-merge output (one (word, count) at a time off the sorted
+    * run, MapReduce.cpp:125-150) and the counts stay distributed as a
+    * Dataset: nothing vocabulary-sized ever crosses the driver. (Round 1
+    * folded full per-partition Maps through collect() + merge — a driver
+    * bottleneck at corpus scale; `merge` is only for bounded summaries.)
+    */
   def wordCountViaMapReduce(spark: SparkSession, lines: Dataset[String],
-      mappers: Int = 3, reducers: Int = 2): Map[String, Long] = {
+      mappers: Int = 3, reducers: Int = 2): Dataset[(String, Long)] = {
     import spark.implicits._
-    val job = new MapReduceJob[String, Int, Map[String, Long]](
+    val job = new MapReduceJob[String, Int, Long](
       mappers, reducers,
       mapper = line => line.toLowerCase.replaceAll("[^a-z ]", "")
         .split("\\s+").toList.filter(_.nonEmpty).map(_ -> 1),
-      reducer = it => {
-        // sorted stream: adjacent-merge fold (MapReduce.cpp:125-150)
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        for ((k, v) <- it) m.updateWith(k) {
-          case Some(c) => Some(c + v)
-          case None    => Some(v.toLong)
+      // bounded-summary reducer for run(): token count per partition
+      reducer = it => it.map(_._2.toLong).sum,
+      merge = _ + _)
+    job.runStreaming(lines) { it =>
+      // sorted stream: constant-memory adjacent-merge fold — equal keys
+      // are adjacent, so one running (key, count) suffices
+      val buf = it.buffered
+      new Iterator[(String, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (String, Long) = {
+          val k = buf.head._1
+          var c = 0L
+          while (buf.hasNext && buf.head._1 == k) c += buf.next()._2
+          (k, c)
         }
-        m.toMap
-      },
-      merge = _ ++ _)
-    job.run(lines)
+      }
+    }
   }
 
   /** Sum of squares through the generic MapReduce API (the framework must

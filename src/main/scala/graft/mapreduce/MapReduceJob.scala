@@ -56,6 +56,27 @@ final class MapReduceJob[K, V, R](
     perPartition.collect().reduce(merge)           // aggregate (runner.cpp:68-76)
   }
 
+  /** Run with a STREAMING reducer whose output stays distributed: the
+    * same map → range-shuffle → sorted-run pipeline, but the reduce
+    * partition emits an output stream that remains a Dataset instead of
+    * a collect()ed per-partition value. This is the scale path when the
+    * reduce result is data-sized (e.g. a vocabulary of word counts) —
+    * only jobs whose R is a bounded summary should go through [[run]]'s
+    * driver-side merge. The class's `reducer`/`merge` are unused here;
+    * the shuffle guarantees (equal keys co-located, ascending key order
+    * within a partition) are identical.
+    */
+  def runStreaming[O: Encoder](lines: Dataset[String])(
+      streamReducer: Iterator[(K, V)] => Iterator[O]): Dataset[O] = {
+    val m = mapper
+    lines
+      .repartition(mappers)
+      .flatMap(m(_))
+      .repartitionByRange(reducers, col("_1"))
+      .sortWithinPartitions("_1")
+      .mapPartitions(streamReducer)
+  }
+
   /** Run over a newline-delimited text file — the reference's only source
     * (reference src/mapreduce.cpp:19,26-29). Spark's text reader does the
     * line-aligned byte-range splitting (O1) natively.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline, over
@@ -12,8 +13,9 @@ import org.apache.spark.sql.functions._
   *   - exact n-gram Jaccard (oracle-checkable; bounded candidate set);
   *   - MinHash + LSH banding (the 100 TB path: signatures are fixed-size,
   *     candidates come from band-bucket equijoins, never all-pairs);
-  *   - SimHash with chunk-banding (hamming ≤ 3 ⇒ one of 4 16-bit chunks
-  *     equal, so candidate generation is again an equijoin).
+  *   - SimHash (128-bit) with chunk-banding (hamming ≤ 3 ⇒ one of 4
+  *     32-bit chunks equal, so candidate generation is again an equijoin
+  *     with 2³² bucket values — sub-quadratic at 10⁹ docs).
   *
   * All hash functions are Spark-native (`xxhash64`) and therefore
   * deterministic across runs and executors; the LSH/SimHash queries have
@@ -29,14 +31,18 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** Deterministic exact dedup: keep the row with the smallest `idCol`
-    * per duplicate group. Aggregates on a digest of the key, so at scale
-    * the shuffle carries 16-byte hashes, not document bodies. */
+  /** Deterministic exact dedup: keep exactly ONE row per duplicate group
+    * — the smallest `idCol`, ties broken arbitrarily-but-deterministically
+    * by the partition sort. A single row_number window partitioned on a
+    * digest of the key: one shuffle (vs the round-1 min-agg + join, which
+    * was two exchanges AND kept every row tying for min id), and the
+    * 16-byte digest is the partitioning key so group routing never
+    * hashes full document bodies. */
   def exactKeepMin(df: DataFrame, key: Column, idCol: Column): DataFrame = {
-    val keyed = df.withColumn("__k", md5(key))
-    val keep = keyed.groupBy(col("__k")).agg(min(idCol).as("__keep"))
-    keyed.join(keep, keyed("__k") === keep("__k") && idCol === col("__keep"))
-      .drop("__k", "__keep")
+    val w = Window.partitionBy(md5(key)).orderBy(idCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   private def tokensCol: Column = split(col("text"), "\\s+")
@@ -122,46 +128,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash fingerprint per document (term-frequency-weighted
+  /** 128-bit SimHash fingerprint per document (term-frequency-weighted
     * token hashes; bit i set iff the weighted sum of token-hash bit i is
-    * positive). Returns (doc_id, fp: long). */
-  def simhash64(d: DataFrame): DataFrame = {
+    * positive), as two longs (doc_id, fp_lo, fp_hi).
+    *
+    * 128 bits (not 64) is a banding requirement, not extra precision for
+    * its own sake: candidate generation pairs documents sharing one of 4
+    * chunks, and with 16-bit chunks (64-bit fp) a 10⁹-doc corpus packs
+    * ~15k docs into each of the 65 536 chunk values — in-bucket pairing
+    * goes quadratic. 32-bit chunks give 2³² bucket values (~0.25 docs per
+    * bucket at 10⁹), keeping candidate counts linear. See SCALE.md. */
+  def simhash128(d: DataFrame): DataFrame = {
     // NB: no explicit TF weighting pass — summing ±1 per token OCCURRENCE
     // equals weighting distinct tokens by term frequency, so the
     // groupBy(doc_id, tok) shuffle would be pure overhead. One shuffle
     // total (the per-doc aggregate), with map-side partial aggregation.
+    // Two independent 64-bit token hashes give the 128 bit positions.
     val hashed = spread(d)
       .select(col("doc_id"), explode(tokensCol).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      // branch-free ±1: 2*bit - 1
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
-    }
-    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp")) // disjoint bits: + is bitwise OR
+        xxhash64(col("tok")).as("h0"), xxhash64(col("tok"), lit(1)).as("h1"))
+    val bitSums = (0 until 128).map { i =>
+      val h = if (i < 64) col("h0") else col("h1")
+      // branch-free ±1: 2*bit - 1
+      sum(shiftright(h, i % 64).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
+    }
+    def pack(off: Int): Column = (0 until 64).map(i =>
+      when(col(s"b${off + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: + is bitwise OR
+    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), pack(0).as("fp_lo"), pack(64).as("fp_hi"))
   }
 
-  /** SimHash near-dup candidate pairs via 4×16-bit chunk banding (exact
-    * recall for hamming ≤ 3 by pigeonhole), verified with
-    * `bit_count(xor)`. */
+  /** SimHash near-dup candidate pairs via 4×32-bit chunk banding (exact
+    * recall for hamming ≤ 3 by pigeonhole: ≤3 differing bits can touch at
+    * most 3 of the 4 chunks), verified with `bit_count(xor)` over both
+    * halves. */
   def simhashPairs(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for hamming <= 3")
     // Cached: the self-join below references the fingerprints twice.
-    val fp = simhash64(d).cache()
-    val chunks = fp.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("ci", "cv")))
-    val a = chunks.select(col("ci"), col("cv"),
-      col("doc_id").as("doc_a"), col("fp").as("fa"))
-    val b = chunks.select(col("ci"), col("cv"),
-      col("doc_id").as("doc_b"), col("fp").as("fb"))
+    val fp = simhash128(d).cache()
+    val bandCols = Seq(
+      col("fp_lo").bitwiseAND(lit(0xFFFFFFFFL)),
+      shiftrightunsigned(col("fp_lo"), 32),
+      col("fp_hi").bitwiseAND(lit(0xFFFFFFFFL)),
+      shiftrightunsigned(col("fp_hi"), 32))
+    val chunks = fp.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+      posexplode(array(bandCols: _*)).as(Seq("ci", "cv")))
+    val a = chunks.select(col("ci"), col("cv"), col("doc_id").as("doc_a"),
+      col("fp_lo").as("fa_lo"), col("fp_hi").as("fa_hi"))
+    val b = chunks.select(col("ci"), col("cv"), col("doc_id").as("doc_b"),
+      col("fp_lo").as("fb_lo"), col("fp_hi").as("fb_hi"))
     a.join(b, Seq("ci", "cv"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .withColumn("hamming",
+        (bit_count(col("fa_lo").bitwiseXOR(col("fb_lo"))) +
+          bit_count(col("fa_hi").bitwiseXOR(col("fb_hi")))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")

@@ -68,10 +68,14 @@ object Multimodal {
     media.select(col("doc_id"), col(payloadCol).as("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val nFrames = math.max(1, bytes.length / math.max(1, frameSize))
+        val fs = math.max(1, frameSize)
+        // ceiling division: the final partial frame is emitted (flooring
+        // silently dropped up to frameSize-1 trailing bytes while keeping
+        // sub-frame payloads whole — inconsistent)
+        val nFrames = math.max(1, (bytes.length + fs - 1) / fs)
         (0 until nFrames by stride).map { f =>
-          val from = f * frameSize
-          val to = math.min(from + frameSize, bytes.length)
+          val from = f * fs
+          val to = math.min(from + fs, bytes.length)
           (id, f, java.util.Arrays.copyOfRange(bytes, from, to))
         }
       }.toDF("doc_id", "frame_no", "frame")

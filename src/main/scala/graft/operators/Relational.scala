@@ -130,6 +130,29 @@ object Relational {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
+    // ---- salted skew join: orders (salted fact) ⋈ customer (replicated
+    //      dim) through Skew.saltedJoin — salting is result-invariant, so
+    //      a plain SQL join is the oracle. The plan assert that the salt
+    //      actually spreads a hot key across partitions lives in
+    //      SkewSpec; this entry proves the operator end-to-end on real
+    //      tables. ----
+    Q("q_skew_join", Some(
+      s"""SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders,
+         |  ${sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin)) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey")
+      val cust = t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+        .select("custkey", "c_nationkey")
+      Skew.saltedJoin(orders, cust, "custkey", salt = 8)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("nationkey")
+    },
+
     // ---- rollup (grouping sets) ----
     Q("q_rollup", Some(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
@@ -310,14 +333,29 @@ object Relational {
     },
 
     // ---- HLL sketch: approximate distinct counting (the scale path for
-    //      count-distinct; no oracle — sketch estimates are
-    //      engine-specific; a spec asserts <5% error vs exact) ----
-    Q("q_approx_distinct", None) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+    //      count-distinct). Sketch estimates are engine-specific, so the
+    //      sketch itself can't hash-match DuckDB — instead the query
+    //      emits the exact count (oracle-checked) plus `approx_ok`, the
+    //      claim that Spark's HLL landed within 5% of exact; the oracle
+    //      demands TRUE, so a broken sketch now FAILS the gate instead of
+    //      going unchecked. ----
+    Q("q_approx_distinct", Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+            count(lit(1)).as("n"),
+            approx_count_distinct(col("l_partkey")).as("approx"))
+          .withColumn("approx_ok",
+            abs(col("approx") - col("exact_parts")).cast("double") /
+              col("exact_parts") <= 0.05)
+          .select("l_returnflag", "exact_parts", "n", "approx_ok")
+          .orderBy("l_returnflag")
     },
 
     // ---- order-by + limit (top-k, TakeOrderedAndProject) ----

@@ -196,10 +196,24 @@ object TextAnalysis {
       langid(docs(s, dir))
     },
 
-    // ---- rolling-hash fingerprint (native codegen'd expression; no
-    //      DuckDB equivalent -> rows-only; spec checks hand-computed
-    //      values) ----
-    Q("text_rolling_hash", None) { (s, dir) =>
+    // ---- rolling-hash fingerprint (native codegen'd expression). The
+    //      oracle re-derives the base-31 polynomial over the bytes with
+    //      HUGEINT math emulating 64-bit wraparound (valid because the
+    //      synthetic corpus is pure ASCII, where ord(char) == the UTF-8
+    //      byte — checked: 0 non-ASCII docs at every SF). ----
+    Q("text_rolling_hash", Some(
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT
+        |            ELSE h END AS BIGINT) AS rh
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        [ord(c)::HUGEINT for c in string_split(text, '')]),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       graft.functions.RollingHash64.register(s)
       docs(s, dir).select(col("doc_id"),
         expr("rolling_hash64(text)").as("rh"))

@@ -13,8 +13,14 @@ class MapReduceJobSpec extends SparkSpec {
 
   test("word count via MapReduce matches the declarative plan") {
     val lines = Seq("the Cat and the Hat", "the cat! sat.", "and AND And")
-    val viaMr = Lecture.wordCountViaMapReduce(spark,
+    val viaMrDs = Lecture.wordCountViaMapReduce(spark,
       spark.createDataset(lines), mappers = 3, reducers = 2)
+    // result is a distributed Dataset (no driver-side vocabulary merge);
+    // collect here is test-scale only
+    val viaMr = viaMrDs.collect().toMap
+    // one count per word — the streaming adjacent-merge must not emit a
+    // key twice (each key lives in exactly one sorted partition)
+    assert(viaMrDs.collect().length == viaMr.size)
     val viaDf = Lecture.wordCount(
         spark.createDataset(lines).toDF("text"), "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -65,9 +65,11 @@ class DedupSpec extends SparkSpec {
 
   test("simhash fingerprints: near-dups are closer in hamming than " +
       "unrelated docs") {
-    val fps = Dedup.simhash64(corpus).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    val fps = Dedup.simhash128(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(fps(a)._1 ^ fps(b)._1) +
+        java.lang.Long.bitCount(fps(a)._2 ^ fps(b)._2)
     assert(ham(1L, 10L) == 0)               // identical text
     assert(ham(1L, 2L) < ham(1L, 5L))       // one-word edit vs unrelated
     assert(ham(3L, 4L) < ham(3L, 8L))
@@ -88,11 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("simhash128 is invariant under repartitioning (bit sums are " +
+      "order-insensitive)") {
+    def fps(df: DataFrame) = Dedup.simhash128(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fps(corpus) == fps(corpus.repartition(7)))
+  }
+
   test("exactKeepMin keeps exactly the min-id row per duplicate group") {
     val out = Dedup.exactKeepMin(corpus, col("text"), col("doc_id"))
     val ids = out.select("doc_id").as[Long].collect().toSet
     assert(ids.contains(1L) && !ids.contains(10L))
     assert(out.count() == 9) // 10 docs, one exact-dup pair collapsed
+  }
+
+  test("exactKeepMin emits a single survivor even when ids tie") {
+    val tied = Seq((1L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactKeepMin(tied, col("text"), col("doc_id"))
+    assert(out.count() == 2,
+      "duplicate ids in one group must still collapse to one survivor")
   }
 
   test("exact dedup drops full duplicates") {

@@ -38,6 +38,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
   }
 
+  test("sampleFrames: trailing partial frame is emitted (ceil division)") {
+    val media = Seq((1L, Array.tabulate(25)(_.toByte)))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(media, "payload",
+      frameSize = 10, stride = 1).collect().sortBy(_.getInt(1))
+    // ceil(25/10) = 3 frames: 10 + 10 + 5 trailing bytes
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_.getAs[Array[Byte]](2).length).toSeq == Seq(10, 10, 5))
+  }
+
   test("resizeFeatures: average-pool down and zero-pad up") {
     val df = Seq((1L, Seq(2f, 4f, 6f, 8f))).toDF("doc_id", "features")
     val down = Multimodal.resizeFeatures(df, "features", from = 4, to = 2)

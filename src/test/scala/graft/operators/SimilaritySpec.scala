@@ -65,6 +65,65 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Clustered corpus for recall gates: 10 tight clusters × 10 points —
+    * every vector's true top-5 are cluster-mates at cosine ≈ 0.98, so an
+    * ANN method with working pruning must find them. */
+  private lazy val clustered: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val centers = IndexedSeq.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    for (c <- 0 until 10; j <- 0 until 10) yield
+      (c * 10 + j).toLong ->
+        centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+  }
+
+  private lazy val clusteredDF: DataFrame = clustered.toDF("vec_id", "embedding")
+
+  /** Mean recall@5 of `got` (query -> neighbors) vs brute-force top-5. */
+  private def meanRecallAt5(queryIds: Seq[Long],
+      got: Map[Long, Set[Long]]): Double = {
+    val byId = clustered.toMap
+    val recalls = queryIds.map { q =>
+      val truth = clustered.filter(_._1 != q)
+        .map { case (id, v) => id -> cosine(byId(q), v) }
+        .sortBy { case (id, sim) => (-sim, id) }
+        .take(5).map(_._1).toSet
+      got.getOrElse(q, Set.empty).intersect(truth).size / 5.0
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("LSH multi-probe recall@5 >= 0.9 vs brute force on clustered corpus") {
+    val queryIds = (0 until 10).map(c => (c * 10).toLong)
+    val queries = clusteredDF.where(col("vec_id") % 10 === 0)
+    val got = Similarity.lshTopK(queries, clusteredDF, 5, planes = 8,
+        tables = 2, dim = dim).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recall = meanRecallAt5(queryIds, got)
+    assert(recall >= 0.9, s"LSH recall@5 = $recall < 0.9")
+  }
+
+  test("trained IVF recall@5 >= 0.9 vs brute force on clustered corpus") {
+    val queryIds = (0 until 10).map(c => (c * 10).toLong)
+    val queries = clusteredDF.where(col("vec_id") % 10 === 0)
+    val got = Similarity.ivfTopK(queries, clusteredDF, 5, centroids = 12,
+        nprobe = 3, dim = dim).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recall = meanRecallAt5(queryIds, got)
+    assert(recall >= 0.9, s"IVF recall@5 = $recall < 0.9")
+  }
+
+  test("trained centroids are unit-norm and separate a clustered corpus") {
+    val cents = Similarity.trainCentroids(clusteredDF, k = 12, iters = 4,
+      dim = dim)
+    assert(cents.size == 12)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n != 1")
+    }
+  }
+
   test("LSH top-k similarities agree with brute-force where pairs overlap") {
     val queries = corpus.where(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(queries, corpus, 40).collect()

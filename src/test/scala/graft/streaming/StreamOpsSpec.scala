@@ -41,6 +41,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hourlyCounts: a late row beyond the 2h watermark is dropped and " +
+      "a finalized window is never re-emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Raw]
+    val query = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Raw(1, 1, ts("10:05"), "click", 1.0),
+        Raw(1, 2, ts("10:10"), "click", 1.0))
+      query.processAllAvailable()
+      // advance event time to 15:00 => watermark 13:00; the 10:00 window
+      // (ends 11:00 < 13:00) finalizes and is emitted with n=2
+      input.addData(Raw(9, 9, ts("15:00"), "click", 0.0))
+      query.processAllAvailable()
+      // LATE: a 10:20 click arrives after the watermark passed the
+      // window end — it must be discarded, not re-open the window
+      input.addData(Raw(1, 3, ts("10:20"), "click", 7.0))
+      query.processAllAvailable()
+      // push the watermark further so anything buffered would flush
+      input.addData(Raw(9, 10, ts("20:00"), "click", 0.0))
+      query.processAllAvailable()
+      val tenOClock = spark.table("late_drop").collect()
+        .filter(r => r.getTimestamp(0).toString == "2024-01-01 10:00:00.0" &&
+          r.getString(1) == "click")
+        .map(r => (r.getLong(2), r.getDouble(3)))
+      assert(tenOClock.toSeq == Seq((2L, 2.0)),
+        s"late row leaked into a finalized window: ${tenOClock.toSeq}")
+    } finally query.stop()
+  }
+
   test("dedupStream: duplicate ids within the watermark are dropped " +
       "across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
