@@ -130,6 +130,77 @@ object Relational {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
+    // ---- left outer join: preserved-side rows with no match surface as
+    //      NULLs; COUNT(col) counts only matches ----
+    Q("q_left_join", Some(
+      """SELECT n_name, COUNT(s_suppkey) AS n_supp
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"),
+          col("s_nationkey") === col("n_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy("n_name")
+    },
+
+    // ---- full outer join: classify each custkey by which side(s) have
+    //      it. The sides are deliberately asymmetric subsets (custkey
+    //      divisible by 3 vs by 2) so all three outcomes — matched,
+    //      left-only NULL-extension, right-only NULL-extension — actually
+    //      occur (the raw tables are referentially intact, which would
+    //      degenerate the outer join to inner) ----
+    Q("q_full_outer_join", Some(
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN n_orders IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS side,
+        |       COUNT(*) AS n
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+        |           FROM orders WHERE o_custkey % 2 = 0
+        |           GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY side ORDER BY side""".stripMargin)) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .where(col("c_custkey") % 3 === 0).select("c_custkey")
+      val perCust = t(s, dir, "orders")
+        .where(col("o_custkey") % 2 === 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      cust
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("n_orders").isNull, "customer_only")
+            .otherwise("both").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side")
+    },
+
+    // ---- max_by / min_by (argmax aggregates): richest/poorest customer
+    //      per nation. Ordering key is the (acctbal, custkey) struct so
+    //      ties on acctbal break deterministically; the oracle mirrors
+    //      with a window (DuckDB's arg_max has no struct-key form) ----
+    Q("q_argmax", Some(
+      """SELECT nk, MAX(CASE WHEN rnd = 1 THEN c_name END) AS richest,
+        |       MAX(CASE WHEN rna = 1 THEN c_name END) AS poorest
+        |FROM (
+        |  SELECT c_nationkey AS nk, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rnd,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rna
+        |  FROM customer)
+        |GROUP BY nk ORDER BY nk""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(
+          max_by(col("c_name"),
+            struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+          min_by(col("c_name"),
+            struct(col("c_acctbal"), col("c_custkey"))).as("poorest"))
+        .orderBy("nk")
+    },
+
     // ---- salted skew join: orders (salted fact) ⋈ customer (replicated
     //      dim) through Skew.saltedJoin — salting is result-invariant, so
     //      a plain SQL join is the oracle. The plan assert that the salt
