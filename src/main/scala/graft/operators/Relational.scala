@@ -212,8 +212,12 @@ object Relational {
          |  ${sqlMoneySum("o_totalprice")} AS sum_price
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin)) { (s, dir) =>
+      // project BEFORE salting: the scatter hashes every column of its
+      // input, so salting the raw table would pull all 6 order columns
+      // into the scan and defeat column pruning (ReadSchema stays
+      // 2-wide this way — verified in PLANS.md)
       val orders = t(s, dir, "orders")
-        .withColumnRenamed("o_custkey", "custkey")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
       val cust = t(s, dir, "customer")
         .withColumnRenamed("c_custkey", "custkey")
         .select("custkey", "c_nationkey")

@@ -95,9 +95,13 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     c.join(broadcast(q), Seq("t", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      // a (query, candidate) pair can collide in several probes/tables
-      .dropDuplicates("query_id", "vec_id")
+      // score BEFORE deduping collisions: a (query, candidate) pair can
+      // collide in several probes/tables, but deduping slim scored rows
+      // keeps the exchange narrow (deduping the raw join output would
+      // drag both embedding arrays through a SortAggregate)
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+      .select("query_id", "vec_id", "sim")
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -17,7 +17,13 @@ object Skew {
 
   /** Inner equi-join of `left` and `right` on `key`, with the left side
     * salted across `salt` buckets. Result columns = left ++ right
-    * (minus right's join key). */
+    * (minus right's join key).
+    *
+    * Project `left` down to the columns you need BEFORE calling: the
+    * deterministic scatter hashes every left column, so an unprojected
+    * table drags its full width into the scan (defeating column
+    * pruning). Uniformity doesn't need row uniqueness — hash collisions
+    * just co-locate a few rows. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1")
