@@ -42,6 +42,31 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream inner join: attribute each purchase to a prior click
+    * by the same user within `withinMinutes`. Both sides carry watermarks
+    * and the join condition bounds event time in BOTH directions, so
+    * Spark can expire per-side join state — the only configuration that
+    * survives unbounded streams (an unbounded-state stream join is a
+    * memory leak by construction). Inputs shaped like the `events` table
+    * (`ts` must be TimestampType). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+  }
+
   /** Stateful sessionization: a new session starts when a user's gap
     * exceeds `gapMinutes`. Emits the running per-user totals on every
     * update (Update output mode). State is one tiny fixed-size record per

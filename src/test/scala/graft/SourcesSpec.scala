@@ -34,6 +34,38 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("doc_id").dataType == LongType)
   }
 
+  test("orc round-trip preserves rows and types") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    docs.select("doc_id", "text").write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 50)
+    assert(back.schema("doc_id").dataType == LongType)
+    val a = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.collect().foreach(r => assert(a(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("partitioned parquet sink: partition pruning reaches the file " +
+      "index (a filtered read touches only matching directories)") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    Tables.load(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    // layout: one directory per status value
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("o_orderstatus=")).map(_.getName).sorted
+    assert(parts.nonEmpty, "expected hive-style partition directories")
+    val pruned = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    // the partition filter must show up as such in the scan, NOT as a
+    // post-scan data filter
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_orderstatus"),
+      s"partition filter not pushed to the file index:\n$scan")
+    val expect = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "F").count()
+    assert(pruned.count() == expect)
+  }
+
   test("text source: line-oriented read feeds the MapReduce layer") {
     val dir = java.nio.file.Files.createTempDirectory("txt").toString
     docs.select(concat_ws("|", col("doc_id"), col("text")).as("value"))

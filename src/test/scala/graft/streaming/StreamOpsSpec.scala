@@ -94,6 +94,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join: purchase attributes to a prior click within " +
+      "the window; outside-window purchase never joins") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Raw]
+    val purchases = MemoryStream[Raw]
+    val query = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF(),
+        withinMinutes = 30)
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Raw(1, 10, ts("10:00"), "click", 0.0),
+        Raw(2, 11, ts("10:00"), "click", 0.0))
+      // user 1 purchases 20 min after the click (inside window);
+      // user 2 purchases 2h later (outside) — must not join
+      purchases.addData(
+        Raw(1, 50, ts("10:20"), "purchase", 9.99),
+        Raw(2, 51, ts("12:00"), "purchase", 5.00))
+      query.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      clicks.addData(Raw(9, 98, ts("18:00"), "click", 0.0))
+      purchases.addData(Raw(9, 99, ts("18:00"), "purchase", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 10L, 50L)),
+        s"in-window purchase must attribute: $rows")
+      assert(!rows.exists(_._3 == 51L),
+        s"out-of-window purchase must not join: $rows")
+    } finally query.stop()
+  }
+
   test("sessionize: gap over threshold starts a new session; state " +
       "persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
