@@ -130,6 +130,69 @@ object Relational {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
+    // ---- uncorrelated scalar subquery, through the SQL entry path (the
+    //      one inventory query exercising spark.sql + the parser; the
+    //      threshold is computed in exact integer cents with DIV so both
+    //      engines agree bit-for-bit — avg-of-doubles would put
+    //      borderline rows at the mercy of summation order) ----
+    Q("q_scalar_subquery", Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_above
+        |FROM orders
+        |WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+        |  (SELECT SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // COUNT(*)
+        |   FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
+      (s, dir) =>
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS n_above
+            |FROM orders_v
+            |WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+            |  (SELECT SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) DIV COUNT(*)
+            |   FROM orders_v)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ---- conditional aggregation: count_if / FILTER clause ----
+    Q("q_conditional_agg", Some(
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_big"),
+            count_if(col("l_discount") === 0).as("n_nodisc"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    },
+
+    // ---- null semantics: nullif/coalesce derivation + null-safe
+    //      equality (<=> / IS NOT DISTINCT FROM) + COUNT(col) skipping
+    //      nulls (the base tables are null-free, so nulls are derived) ----
+    Q("q_null_semantics", Some(
+      """SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st,
+        |  COUNT(*) AS n,
+        |  COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_nonurgent,
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'O')
+        |                     IS NOT DISTINCT FROM NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin)) { (s, dir) =>
+      val nulled = nullif(col("o_orderstatus"), lit("O"))
+      t(s, dir, "orders")
+        .groupBy(coalesce(nulled, lit("OPEN")).as("st"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(nullif(col("o_orderpriority"), lit("1-URGENT")))
+            .as("n_nonurgent"),
+          sum(when(nulled <=> lit(null), 1).otherwise(0)).cast("long")
+            .as("n_nulled"))
+        .orderBy("st")
+    },
+
     // ---- left outer join: preserved-side rows with no match surface as
     //      NULLs; COUNT(col) counts only matches ----
     Q("q_left_join", Some(
