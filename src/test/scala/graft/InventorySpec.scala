@@ -29,7 +29,8 @@ class InventorySpec extends SparkSpec {
     // and at sf0.001 every customer has an order (empty anti-join);
     // everything else must produce rows.
     val allowedEmpty = Set("dedup_minhash_lsh", "dedup_simhash",
-      "dedup_ngram_jaccard", "dedup_embedding_cosine", "q_anti_join")
+      "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
+      "q_anti_join")
     assert(empties.toSet.subsetOf(allowedEmpty),
       s"unexpectedly empty results: ${empties.filterNot(allowedEmpty)}")
   }

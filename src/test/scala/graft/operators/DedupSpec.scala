@@ -116,6 +116,46 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(corpus, Seq("text")).count() == 9)
   }
 
+  test("connectedComponents: transitive closure over disjoint groups") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("connectedComponents: converges on a long chain (multi-iteration " +
+      "label propagation)") {
+    // path 0-1-2-...-12: min label must travel the full diameter
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 13 && got.values.forall(_ == 0L),
+      s"all chain nodes must label 0: $got")
+  }
+
+  test("connectedComponents agrees with brute-force closure on the " +
+      "engineered corpus's exact pairs") {
+    val pairs = Dedup.exactJaccardPairs(corpus, maxId = 100, threshold = 0.6)
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: union-find over the same pairs
+    val es = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("dropNearDuplicates keeps min-id survivors of near-dup pairs") {
     val ids = Dedup.dropNearDuplicates(corpus, minEst = 0.6)
       .select("doc_id").as[Long].collect().toSet
