@@ -345,6 +345,30 @@ object Relational {
           .orderBy("l_returnflag")
     },
 
+    // ---- quantile sketch (the scale path for percentiles). Same
+    //      discipline as q_approx_distinct: the exact interpolated
+    //      percentile hash-matches the oracle, and approx_ok asserts the
+    //      KLL-style sketch (percentile_approx) landed within 2% — the
+    //      oracle demands TRUE, so a broken sketch fails the gate. ----
+    Q("q_approx_percentile", Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)/100.0
+        |    AS p50_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        val c = cents(col("l_extendedprice"))
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg((percentile(c, lit(0.5)) / 100.0).as("p50_exact"),
+            (percentile_approx(c, lit(0.5), lit(10000)) / 100.0).as("p50_approx"))
+          .withColumn("approx_ok",
+            abs(col("p50_approx") - col("p50_exact")) /
+              col("p50_exact") <= 0.02)
+          .select("l_returnflag", "p50_exact", "approx_ok")
+          .orderBy("l_returnflag")
+    },
+
     // ---- pivot (wide aggregation) ----
     Q("q_pivot", Some(
       """SELECT l_returnflag,
