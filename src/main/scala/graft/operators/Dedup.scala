@@ -222,17 +222,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
+      // the change flag is computed IN the update projection (a second
+      // labels-vs-updated join per iteration would double the shuffles)
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"))
+            .as("comp"),
+          (col("nbr_comp") < col("comp")).as("chg"))
         .localCheckpoint() // eager: materializes + truncates lineage
-      val changed = updated
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .where(col("comp") =!= col("old"))
-        .limit(1).count() // bounded driver scalar (0 or 1)
-      labels = updated
-      converged = changed == 0
+      // bounded driver scalar (0 or 1) over the checkpointed partitions
+      converged = updated.where(col("chg")).limit(1).count() == 0
+      labels = updated.select("id", "comp")
       i += 1
     }
     edges.unpersist()
