@@ -67,8 +67,13 @@ object Bench {
       spark.catalog.clearCache()
       p
     }
+    // A query counts as ok only when EVERY timed pass succeeded — an
+    // intermittent crasher (2 of 3 passes throwing) still has a finite
+    // min and would otherwise be silently credited as healthy.
     val results = selected.keys.map(n => n -> passes.map(_(n)).min).toMap
-    val (okQ, failedQ) = results.partition(_._2.isFinite)
+    val (okQ, failedQ) = results.partition { case (n, _) =>
+      passes.forall(_(n).isFinite)
+    }
     val qs = okQ.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

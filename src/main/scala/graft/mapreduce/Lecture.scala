@@ -49,14 +49,10 @@ object Lecture {
   def wordCountViaMapReduce(spark: SparkSession, lines: Dataset[String],
       mappers: Int = 3, reducers: Int = 2): Dataset[(String, Long)] = {
     import spark.implicits._
-    val job = new MapReduceJob[String, Int, Long](
+    MapReduceJob.streaming[String, Int, (String, Long)](
       mappers, reducers,
       mapper = line => line.toLowerCase.replaceAll("[^a-z ]", "")
-        .split("\\s+").toList.filter(_.nonEmpty).map(_ -> 1),
-      // bounded-summary reducer for run(): token count per partition
-      reducer = it => it.map(_._2.toLong).sum,
-      merge = _ + _)
-    job.runStreaming(lines) { it =>
+        .split("\\s+").toList.filter(_.nonEmpty).map(_ -> 1)) { it =>
       // sorted stream: constant-memory adjacent-merge fold — equal keys
       // are adjacent, so one running (key, count) suffices
       val buf = it.buffered
@@ -69,7 +65,7 @@ object Lecture {
           (k, c)
         }
       }
-    }
+    }(lines)
   }
 
   /** Sum of squares through the generic MapReduce API (the framework must

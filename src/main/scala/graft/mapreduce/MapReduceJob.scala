@@ -56,27 +56,6 @@ final class MapReduceJob[K, V, R](
     perPartition.collect().reduce(merge)           // aggregate (runner.cpp:68-76)
   }
 
-  /** Run with a STREAMING reducer whose output stays distributed: the
-    * same map → range-shuffle → sorted-run pipeline, but the reduce
-    * partition emits an output stream that remains a Dataset instead of
-    * a collect()ed per-partition value. This is the scale path when the
-    * reduce result is data-sized (e.g. a vocabulary of word counts) —
-    * only jobs whose R is a bounded summary should go through [[run]]'s
-    * driver-side merge. The class's `reducer`/`merge` are unused here;
-    * the shuffle guarantees (equal keys co-located, ascending key order
-    * within a partition) are identical.
-    */
-  def runStreaming[O: Encoder](lines: Dataset[String])(
-      streamReducer: Iterator[(K, V)] => Iterator[O]): Dataset[O] = {
-    val m = mapper
-    lines
-      .repartition(mappers)
-      .flatMap(m(_))
-      .repartitionByRange(reducers, col("_1"))
-      .sortWithinPartitions("_1")
-      .mapPartitions(streamReducer)
-  }
-
   /** Run over a newline-delimited text file — the reference's only source
     * (reference src/mapreduce.cpp:19,26-29). Spark's text reader does the
     * line-aligned byte-range splitting (O1) natively.
@@ -130,6 +109,31 @@ final class MapReduceJob[K, V, R](
 }
 
 object MapReduceJob {
+
+  /** STREAMING-reduce job: the same map → range-shuffle → sorted-run
+    * pipeline as [[MapReduceJob.run]], but the reduce partition emits an
+    * output stream that remains a distributed Dataset instead of a
+    * collect()ed per-partition value. This is the scale path when the
+    * reduce result is data-sized (e.g. a vocabulary of word counts);
+    * only jobs whose result is a bounded summary belong in [[run]]'s
+    * driver-side merge. Deliberately NOT a method on [[MapReduceJob]]:
+    * a streaming job has no `reducer`/`merge`, and forcing callers to
+    * supply dummies whose `run()` would compute something different is
+    * a trap. Shuffle guarantees (equal keys co-located, ascending key
+    * order within each partition) are identical.
+    */
+  def streaming[K, V, O](mappers: Int, reducers: Int,
+      mapper: String => IterableOnce[(K, V)])(
+      streamReducer: Iterator[(K, V)] => Iterator[O])(
+      lines: Dataset[String])(
+      implicit kvEnc: Encoder[(K, V)], oEnc: Encoder[O]): Dataset[O] =
+    lines
+      .repartition(mappers)
+      .flatMap(mapper(_))
+      .repartitionByRange(reducers, col("_1"))
+      .sortWithinPartitions("_1")
+      .mapPartitions(streamReducer)
+
   /** Boolean-AND job — the exact shape of the reference's
     * `PrefixFindRunner::run` (bool reducer outputs AND-folded,
     * reference src/runner.cpp:73-78).

@@ -53,7 +53,12 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__pack", lit(null).cast(packType))
     val tieBreaks = rightOrder.map(c => col(c))
+    // A right row with a NULL timestamp can never satisfy `rightTs <=
+    // leftTs` — drop it up front. (NULLs sort FIRST ascending, and the
+    // struct pack of such a row would be non-null, so without this
+    // filter a NULL-ts row could masquerade as an earliest match.)
     val r0 = right
+      .where(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__pack", struct(

@@ -32,12 +32,15 @@ object Dedup {
     df.dropDuplicates(keys)
 
   /** Deterministic exact dedup: keep exactly ONE row per duplicate group
-    * — the smallest `idCol`, ties broken arbitrarily-but-deterministically
-    * by the partition sort. A single row_number window partitioned on a
-    * digest of the key: one shuffle (vs the round-1 min-agg + join, which
-    * was two exchanges AND kept every row tying for min id), and the
-    * 16-byte digest is the partitioning key so group routing never
-    * hashes full document bodies. */
+    * — the one with the smallest `idCol`. Deterministic WHICH-row choice
+    * requires `idCol` to be unique within a group (the normal case:
+    * doc_id is a key); among rows tying on BOTH key and id, exactly one
+    * survives but which physical row is shuffle-order-dependent. A single
+    * row_number window partitioned on a digest of the key: one shuffle
+    * (vs the round-1 min-agg + join, which was two exchanges AND kept
+    * every row tying for min id), and the 16-byte digest is the
+    * partitioning key so group routing never hashes full document
+    * bodies. */
   def exactKeepMin(df: DataFrame, key: Column, idCol: Column): DataFrame = {
     val w = Window.partitionBy(md5(key)).orderBy(idCol.asc)
     df.withColumn("__rn", row_number().over(w))
@@ -203,10 +206,12 @@ object Dedup {
     * bounded has-anything-changed scalar. Converges in O(graph diameter)
     * iterations — near-dup graphs are unions of near-cliques (LSH bands
     * connect all members of a dup group directly), so diameter is tiny in
-    * practice. At 10⁹+ nodes the same loop runs with the alternating
-    * small-star/large-star optimization; the plan shape per iteration is
-    * identical. Returns (doc_id, component). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * practice; a pathological chain-of-edits corpus with diameter >
+    * `maxIter` FAILS LOUDLY rather than returning partially-propagated
+    * labels (the fix there is raising maxIter, or switching the loop body
+    * to pointer-jumping / small-star-large-star for O(log n) rounds — the
+    * per-iteration plan shape is unchanged). Returns (doc_id, component). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
@@ -235,6 +240,11 @@ object Dedup {
       labels = updated.select("id", "comp")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(graph diameter exceeds maxIter); labels would be wrong — " +
+          "raise maxIter or use a pointer-jumping variant")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }

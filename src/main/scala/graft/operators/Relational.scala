@@ -510,9 +510,12 @@ object Relational {
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
+          // rsd 0.01 so the 5% gate sits at ~5 sigma — the default rsd
+          // of 0.05 would make a one-sigma (routine) estimate breach the
+          // gate on roughly a third of (data, group) combinations
           .agg(countDistinct(col("l_partkey")).as("exact_parts"),
             count(lit(1)).as("n"),
-            approx_count_distinct(col("l_partkey")).as("approx"))
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
           .withColumn("approx_ok",
             abs(col("approx") - col("exact_parts")).cast("double") /
               col("exact_parts") <= 0.05)

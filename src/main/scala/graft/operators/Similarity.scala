@@ -28,7 +28,10 @@ object Similarity {
 
   /** Trained IVF index per data dir (training is seeded-deterministic, so
     * the memo only skips redundant Lloyd jobs across bench/verify sweeps;
-    * k×dim doubles per entry — bounded). */
+    * k×dim doubles per entry — bounded). ASSUMES input dirs are immutable
+    * for the JVM lifetime (true in this harness: /root/testdata is
+    * read-only); data regenerated in place at the same path would need an
+    * explicit eviction here, or stale centroids degrade recall silently. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 

@@ -83,6 +83,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getAs[String]("asof_note") == "new-note")
   }
 
+  test("right rows with NULL timestamp never match (NULL <= ts is " +
+      "never true)") {
+    val left = Seq((1L, 10L, ts("12:00:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 1L, Option.empty[Timestamp], "ghost"), // NULL ts: must not match
+      (2L, 2L, Option(ts("11:00:00")), "other-key"))
+      .toDF("user_id", "rid", "ts", "tag")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+      Seq("tag"), Seq("rid")).collect()
+    assert(out.isEmpty,
+      s"NULL-ts right row must not produce a match: ${out.toSeq}")
+  }
+
   test("tie between right rows at the same instant resolves to the last " +
       "in rightOrder") {
     val left = Seq((1L, 10L, ts("12:00:00"))).toDF("user_id", "event_id", "ts")
