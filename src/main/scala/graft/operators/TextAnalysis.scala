@@ -220,6 +220,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic hash sampling: reproducible 1/16 corpus sample
+    //      by first hex digit of the content digest — the pipeline-safe
+    //      alternative to TABLESAMPLE (restart-stable, engine-agnostic,
+    //      and pushes down as an ordinary filter) ----
+    Q("text_hash_sample", Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_id
+        |FROM documents WHERE substr(md5(text), 1, 1) = '0'""".stripMargin)) {
+      (s, dir) =>
+        docs(s, dir).where(substring(md5(col("text")), 1, 1) === "0")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(length(col("text"))).cast("long").as("sum_len"),
+            min("doc_id").as("first_id"))
+    },
+
+    // ---- bounded edit-distance pairs (exact quadratic baseline, like
+    //      dedup_ngram_jaccard: doc_id < 30 both sides, 120-char
+    //      prefixes). Validates near-dup candidates at the character
+    //      level — the standard post-LSH verification step. ----
+    Q("text_levenshtein", Some(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120))
+        |    AS INTEGER) AS dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 30 AND b.doc_id < 30
+        |  AND levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) <= 60
+        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      val sub = docs(s, dir).where(col("doc_id") < 30)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      val a = sub.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+      val b = sub.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .where(col("dist") <= 60)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- document fingerprint: digest of normalized text ----
     Q("text_fingerprint", Some(
       """SELECT doc_id,

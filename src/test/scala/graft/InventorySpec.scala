@@ -30,7 +30,7 @@ class InventorySpec extends SparkSpec {
     // everything else must produce rows.
     val allowedEmpty = Set("dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_components", "dedup_embedding_cosine",
-      "q_anti_join")
+      "text_levenshtein", "q_anti_join")
     assert(empties.toSet.subsetOf(allowedEmpty),
       s"unexpectedly empty results: ${empties.filterNot(allowedEmpty)}")
   }

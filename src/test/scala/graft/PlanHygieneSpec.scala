@@ -14,7 +14,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val allowedQuadratic = Set(
     "dedup_ngram_jaccard",    // exact Jaccard ground truth, doc_id < 300
     "dedup_embedding_cosine", // exact cosine ground truth, vec_id % 20
-    "ann_cosine_topk")        // brute-force exactness baseline
+    "ann_cosine_topk",        // brute-force exactness baseline
+    "text_levenshtein")       // exact edit-distance baseline, doc_id < 30
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
