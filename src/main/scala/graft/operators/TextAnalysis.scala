@@ -220,6 +220,87 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- intra-document repetition (the Gopher-style repetition
+    //      filter): duplicate-bigram fraction per doc, all integers plus
+    //      one exact division ----
+    Q("text_repetition", Some(
+      """SELECT doc_id,
+        |  CAST(n_bigrams AS INTEGER) AS n_bigrams,
+        |  CAST(n_distinct AS INTEGER) AS n_distinct,
+        |  CAST(n_bigrams - n_distinct AS INTEGER) AS n_repeated,
+        |  CAST(n_distinct AS DOUBLE) / n_bigrams AS uniq_ratio
+        |FROM (
+        |  SELECT doc_id, len(bg) AS n_bigrams,
+        |         len(list_distinct(bg)) AS n_distinct
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) AS bg
+        |    FROM (SELECT doc_id,
+        |            string_split_regex(text, '\s+') AS toks
+        |          FROM documents)))
+        |WHERE n_bigrams > 0 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // explode + groupBy, NOT size()/size(array_distinct()) over a
+      // projected bigram column: projection collapse inlines `toks` into
+      // the transform lambda and re-runs the regex split PER SEQUENCE
+      // ELEMENT — measured 5x slower. The generator evaluates the bigram
+      // expression exactly once per row.
+      val toks = split(col("text"), "\\s+")
+      val d = docs(s, dir)
+      d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          countDistinct(col("g")).cast("int").as("n_distinct"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          (col("n_bigrams") - col("n_distinct")).as("n_repeated"),
+          (col("n_distinct").cast("double") / col("n_bigrams"))
+            .as("uniq_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus-level boilerplate detection: per-doc count of distinct
+    //      bigrams whose document frequency is >= 20 (bigrams shared by
+    //      many docs = template/boilerplate text). The docfreq table is
+    //      bigram-cardinality — a keyed shuffle join, NOT broadcast, by
+    //      design: at corpus scale it exceeds any broadcast threshold. ----
+    Q("text_common_bigrams", Some(
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM documents)),
+        |df AS (SELECT g, COUNT(*) AS dfreq FROM bg GROUP BY g)
+        |SELECT bg.doc_id,
+        |  CAST(SUM(CASE WHEN df.dfreq >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM bg JOIN df USING (g)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val toks = split(col("text"), "\\s+")
+      // small single-file corpus arrives as ONE scan partition — spread
+      // before the explode-heavy stage (same discipline as Dedup.spread;
+      // noise at real scale where the scan is already wide)
+      val d = docs(s, dir)
+      val bg = d
+        .repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
+          .as("g"))
+      val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
+      bg.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(sum(when(col("dfreq") >= 20, 1).otherwise(0)).cast("long")
+          .as("n_common"),
+          count(lit(1)).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic hash sampling: reproducible 1/16 corpus sample
     //      by first hex digit of the content digest — the pipeline-safe
     //      alternative to TABLESAMPLE (restart-stable, engine-agnostic,
