@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: token/type statistics,
@@ -338,6 +339,90 @@ object TextAnalysis {
         .where(col("dist") <= 60)
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- PII-style scrubbing: URL/email pattern counts + digest of the
+    //      scrubbed text (the standard pre-training redaction pass; the
+    //      synthetic corpus is pattern-free, so counts are zero and the
+    //      digest equals the raw one — the oracle still pins the full
+    //      regex pipeline cell-exactly) ----
+    Q("text_scrub", Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS INTEGER)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'))
+        |    AS scrubbed_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val urlRe = "https?://\\S+"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      docs(s, dir).select(
+        col("doc_id"),
+        matches(col("text"), urlRe).as("n_urls"),
+        matches(col("text"), emailRe).as("n_emails"),
+        md5(regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
+          emailRe, "<EMAIL>")).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- context-window chunking: split each doc into 50-token chunks
+    //      (training-sample packing). One generator row per chunk,
+    //      partition-parallel; integers + first-token string keep the
+    //      oracle exact ----
+    Q("text_chunks", Some(
+      """SELECT doc_id, CAST(c AS INTEGER) AS chunk_no,
+        |  CAST(LEAST(50, n - c*50) AS INTEGER) AS n_toks,
+        |  toks[c*50 + 1] AS first_tok
+        |FROM (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, CAST(CEIL(len(toks)/50.0) AS BIGINT))) AS c
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_no""".stripMargin)) { (s, dir) =>
+      val d = docs(s, dir)
+      d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+          explode(expr("sequence(0, cast(ceil(size(toks)/50.0) as int) - 1)"))
+            .as("chunk_no"))
+        .select(col("doc_id"), col("chunk_no"),
+          least(lit(50), col("n") - col("chunk_no") * 50).as("n_toks"),
+          expr("toks[chunk_no*50]").as("first_tok"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
+    // ---- token-budget shard packing: assign docs to bins of ~10k
+    //      tokens within each shard group (running-sum window per
+    //      group). Grouped — NOT one global ordered window, which would
+    //      serialize the whole corpus through a single partition at
+    //      scale; the group key is the unit of parallelism ----
+    Q("pipeline_pack_bins", Some(
+      """SELECT shard_group, bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM (
+        |  SELECT doc_id % 8 AS shard_group, n_tokens,
+        |    (SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 10000 AS bin
+        |  FROM (SELECT doc_id,
+        |          len(string_split_regex(text, '\s+')) AS n_tokens
+        |        FROM documents))
+        |GROUP BY shard_group, bin ORDER BY shard_group, bin""".stripMargin)) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("shard_group")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard_group"),
+            size(split(col("text"), "\\s+")).as("n_tokens"))
+          .withColumn("bin",
+            floor((sum("n_tokens").over(w) - col("n_tokens")) / 10000))
+          .groupBy("shard_group", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("bin_tokens"))
+          .orderBy("shard_group", "bin")
     },
 
     // ---- document fingerprint: digest of normalized text ----
