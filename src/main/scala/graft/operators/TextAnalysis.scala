@@ -265,9 +265,11 @@ object TextAnalysis {
 
     // ---- corpus-level boilerplate detection: per-doc count of distinct
     //      bigrams whose document frequency is >= 20 (bigrams shared by
-    //      many docs = template/boilerplate text). The docfreq table is
-    //      bigram-cardinality — a keyed shuffle join, NOT broadcast, by
-    //      design: at corpus scale it exceeds any broadcast threshold. ----
+    //      many docs = template/boilerplate text). The docfreq join side
+    //      is left to Catalyst/AQE: it broadcasts while the corpus is
+    //      small and becomes a keyed shuffle join once bigram cardinality
+    //      exceeds the broadcast threshold at scale — no hint needed in
+    //      either regime. ----
     Q("text_common_bigrams", Some(
       """WITH bg AS (
         |  SELECT doc_id, unnest(list_distinct(
