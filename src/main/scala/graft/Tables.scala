@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -19,6 +19,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Spread rows across the session's full parallelism before an
+    * explode/heavy-projection stage: a small single-file parquet arrives
+    * as ONE scan partition (file < maxPartitionBytes), which would
+    * serialize all downstream CPU work onto a single core; at 100 TB the
+    * scan is already wide and this slim-row shuffle is noise. With
+    * `keys`, spread by hash of those columns so a downstream per-key
+    * aggregate reuses the partitioning instead of adding a second
+    * exchange of the (much wider) exploded rows. */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*)
   }
 
   /** ns-long `ts` → TimestampType(µs); floor semantics match DuckDB's

@@ -50,13 +50,8 @@ object Dedup {
 
   private def tokensCol: Column = split(col("text"), "\\s+")
 
-  /** Spread rows across the session's full parallelism before an
-    * explode/heavy-projection stage. A small corpus parquet arrives as ONE
-    * scan partition (file < maxPartitionBytes), which would serialize all
-    * downstream CPU work onto a single core; at 100 TB the scan is already
-    * wide and the round-robin shuffle of slim (id, text) rows is noise. */
-  private def spread(d: DataFrame): DataFrame =
-    d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+  /** See [[Tables.spread]] — single-file-input mitigation. */
+  private def spread(d: DataFrame): DataFrame = Tables.spread(d)
 
   /** Word-bigram shingles, distinct, as one exploded (doc_id, gram) pair
     * per shingle. Documents with < 2 tokens contribute the whole text.

@@ -21,6 +21,25 @@ object TextAnalysis {
   private def matches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
+  /** One exploded (doc_id, g) word-bigram row per occurrence (or per
+    * distinct bigram with `distinctPerDoc`). Short-doc-safe: documents
+    * under 2 tokens are filtered BEFORE the transform — `sequence(0,-1)`
+    * evaluates to `[0,-1]` and `toks[i+1]` would throw under ANSI mode,
+    * where the DuckDB oracle's end-exclusive `range(1,1)` is quietly
+    * empty. Spread is keyed on doc_id so downstream per-doc aggregates
+    * reuse the partitioning (see [[graft.Tables.spread]]). */
+  private[operators] def bigramRows(d: DataFrame,
+      distinctPerDoc: Boolean): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val bgExpr = expr(
+      "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
+    val arr = if (distinctPerDoc) array_distinct(bgExpr) else bgExpr
+    Tables.spread(d, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arr).as("g"))
+  }
+
   /** Language-ID stopword patterns; tie-break priority en>de>fr>es>und. */
   private val langPatterns = Seq(
     "en" -> "\\b(the|a|of|and|is|to)\\b",
@@ -244,15 +263,9 @@ object TextAnalysis {
       // explode + groupBy, NOT size()/size(array_distinct()) over a
       // projected bigram column: projection collapse inlines `toks` into
       // the transform lambda and re-runs the regex split PER SEQUENCE
-      // ELEMENT — measured 5x slower. The generator evaluates the bigram
+      // ELEMENT — measured 8x slower. The generator evaluates the bigram
       // expression exactly once per row.
-      val toks = split(col("text"), "\\s+")
-      val d = docs(s, dir)
-      d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-          .as("g"))
+      bigramRows(docs(s, dir), distinctPerDoc = false)
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_bigrams"),
           countDistinct(col("g")).cast("int").as("n_distinct"))
@@ -284,17 +297,7 @@ object TextAnalysis {
         |  CAST(COUNT(*) AS BIGINT) AS n_distinct
         |FROM bg JOIN df USING (g)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val toks = split(col("text"), "\\s+")
-      // small single-file corpus arrives as ONE scan partition — spread
-      // before the explode-heavy stage (same discipline as Dedup.spread;
-      // noise at real scale where the scan is already wide)
-      val d = docs(s, dir)
-      val bg = d
-        .repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
-          .as("g"))
+      val bg = bigramRows(docs(s, dir), distinctPerDoc = true)
       val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
       bg.join(dfreq, "g")
         .groupBy("doc_id")
@@ -384,8 +387,7 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |        FROM documents))
         |ORDER BY doc_id, chunk_no""".stripMargin)) { (s, dir) =>
-      val d = docs(s, dir)
-      d.repartition(d.sparkSession.sessionState.conf.numShufflePartitions)
+      Tables.spread(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
           explode(expr("sequence(0, cast(ceil(size(toks)/50.0) as int) - 1)"))

@@ -68,6 +68,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("bigramRows is short-doc-safe: empty and 1-token docs produce no " +
+      "rows instead of an ANSI array-index error") {
+    val tiny = Seq((1L, ""), (2L, "solo"), (3L, "two words"),
+      (4L, "a b a b")).toDF("doc_id", "text")
+    val occ = TextAnalysis.bigramRows(tiny, distinctPerDoc = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(!occ.exists(r => r._1 == 1L || r._1 == 2L),
+      "sub-2-token docs must contribute nothing")
+    assert(occ.count(_._1 == 3L) == 1 && occ.count(_._1 == 4L) == 3)
+    val dist = TextAnalysis.bigramRows(tiny, distinctPerDoc = true)
+      .collect().filter(_.getLong(0) == 4L).map(_.getString(1)).sorted
+    assert(dist.toSeq == Seq("a b", "b a"))
+  }
+
   test("text_tokens_bpeish counts character classes correctly on a " +
       "hand-computed line") {
     val tiny = Seq((1L, "Abc de-12 f!")).toDF("doc_id", "text")
