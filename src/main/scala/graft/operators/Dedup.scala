@@ -50,8 +50,12 @@ object Dedup {
 
   private def tokensCol: Column = split(col("text"), "\\s+")
 
-  /** See [[Tables.spread]] — single-file-input mitigation. */
-  private def spread(d: DataFrame): DataFrame = Tables.spread(d)
+  /** See [[Tables.spread]] — single-file-input mitigation, keyed on
+    * doc_id: every downstream signature/fingerprint aggregate groups by
+    * doc_id, so the exploded shingle/token rows (the widest data in
+    * those plans) are already co-partitioned and never re-shuffled. */
+  private def spread(d: DataFrame): DataFrame =
+    Tables.spread(d, col("doc_id"))
 
   /** Word-bigram shingles, distinct, as one exploded (doc_id, gram) pair
     * per shingle. Documents with < 2 tokens contribute the whole text.
