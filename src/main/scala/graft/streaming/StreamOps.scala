@@ -20,6 +20,9 @@ object StreamOps {
       value: Double)
   final case class SessionState(lastUs: Long, sessions: Int, events: Int)
   final case class SessionCount(user_id: Long, n_sessions: Int, n_events: Int)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Int)
 
   /** Tumbling 1-hour event-time counts with a 2-hour watermark: late rows
     * beyond the watermark are dropped, finalized windows are emitted once
@@ -41,6 +44,58 @@ object StreamOps {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Timeout-driven session EMISSION (vs [[sessionize]]'s running
+    * totals): a session row is emitted exactly once, when it closes —
+    * either because a same-batch event arrived past the gap, or because
+    * the event-time watermark overtook `last + gap` with no successor
+    * (`GroupStateTimeout.EventTimeTimeout`). Append-mode output of
+    * finalized facts, O(1) state per key, state removed on timeout — the
+    * shape that runs indefinitely against 10⁹ keys. Inputs shaped like
+    * [[Ev]]; the 2-hour event-time watermark is applied here. */
+  def completedSessions(events: Dataset[Ev], gapMinutes: Int)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no successor: close out
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user,
+              new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.Buffer.empty[ClosedSession]
+            var st = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              st = st match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  // gap crossed within the batch: emit, start fresh
+                  out += ClosedSession(user, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.n)
+                  Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Stream-stream inner join: attribute each purchase to a prior click
     * by the same user within `withinMinutes`. Both sides carry watermarks

@@ -94,6 +94,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("completedSessions: in-batch gap closes a session immediately; " +
+      "the final session closes via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.completedSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events 10:00 + 10:10 (one session), then 11:30 — the
+      // >30 min in-batch gap must emit session 1 right away
+      input.addData(
+        StreamOps.Ev(1, 1, ts("10:00"), 1.0),
+        StreamOps.Ev(1, 2, ts("10:10"), 1.0),
+        StreamOps.Ev(1, 3, ts("11:30"), 1.0))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("closed_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getInt(3)))
+      assert(afterBatch1.toSet == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2)),
+        s"in-batch gap must close session 1: ${afterBatch1.toSeq}")
+      // advance the watermark well past 11:30 + gap (2h watermark delay:
+      // event at 18:00 => watermark 16:00 > 12:00 timeout) so the open
+      // session times out and emits
+      input.addData(StreamOps.Ev(9, 9, ts("18:00"), 0.0))
+      query.processAllAvailable()
+      // one more batch so the timeout fires after the watermark update
+      input.addData(StreamOps.Ev(9, 10, ts("18:01"), 0.0))
+      query.processAllAvailable()
+      val all = spark.table("closed_sessions").collect()
+        .map(r => (r.getLong(0), r.getInt(3))).filter(_._1 == 1L)
+      assert(all.toSet == Set((1L, 2), (1L, 1)),
+        s"timeout must close the trailing session: ${all.toSeq}")
+    } finally query.stop()
+  }
+
   test("stream-stream join: purchase attributes to a prior click within " +
       "the window; outside-window purchase never joins") {
     implicit val sqlCtx = spark.sqlContext
