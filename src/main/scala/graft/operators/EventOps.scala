@@ -24,6 +24,28 @@ object EventOps {
     * the cast is wall-clock-preserving, matching DuckDB's `epoch_us`. */
   private val tsUs = unix_micros(col("ts").cast("timestamp"))
 
+  /** One row per (user, gap-delimited session): (user_id, session_no,
+    * s_start, s_end, n_events). The batch ground truth for
+    * [[graft.streaming.StreamOps.completedSessions]] — both window specs
+    * and the final aggregate share the user_id partitioning, so the plan
+    * carries ONE exchange. Requires a `(user_id, event_id, ts)` frame. */
+  def sessionSpans(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || (tsUs - col("prev_us")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("ts")).cast("timestamp_ntz").as("s_start"),
+        max(col("ts")).cast("timestamp_ntz").as("s_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- ranking window ----
@@ -122,6 +144,37 @@ object EventOps {
         .groupBy("user_id")
         .agg(sum("brk").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // ---- per-session spans (batch twin of the streaming
+    //      StreamOps.completedSessions): break flags via lag, session
+    //      numbering via running sum over the same window (one exchange
+    //      serves both windows and the final aggregate), then one row
+    //      per session. StreamOpsSpec asserts the streaming operator
+    //      emits exactly these rows. ----
+    Q("q_session_spans", Some(
+      """SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS s_start,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_us IS NULL
+        |             OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+        |           THEN 1 ELSE 0 END AS brk
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM events)))
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin)) { (s, dir) =>
+      sessionSpans(ev(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_no")
     },
 
     // ---- as-of (point-in-time) join: each purchase matched to the

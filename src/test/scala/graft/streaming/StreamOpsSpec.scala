@@ -130,6 +130,56 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("completedSessions agrees with the batch sessionSpans ground " +
+      "truth on the same events (streaming/batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    // 3 users x ~12 events over 6 hours: random gaps straddle the 30-min
+    // threshold, so sessions of several shapes occur
+    val evs = for {
+      u <- 1L to 3L
+      i <- 0 until 12
+    } yield StreamOps.Ev(u, u * 100 + i,
+      ts(f"${9 + (i * 27 + rnd.nextInt(20)) / 60}%02d:${(i * 27 + rnd.nextInt(20)) % 60}%02d"),
+      1.0)
+    val input = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.completedSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two CHRONOLOGICAL batches (split by event time, so no row in
+      // batch 2 falls behind the watermark batch 1 establishes — an
+      // id-based split made user 3's early events legitimately late and
+      // the engine correctly dropped them) + advancers that close every
+      // session via timeout
+      val (b1, b2) = evs.sortBy(_.ts.getTime).splitAt(18)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      input.addData(StreamOps.Ev(9, 999, ts("23:00"), 0.0))
+      query.processAllAvailable()
+      input.addData(StreamOps.Ev(9, 998, ts("23:30"), 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("parity_sessions").collect()
+        .filter(_.getLong(0) <= 3L)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getInt(3))).toSet
+      // s_start/s_end are timestamp_ntz -> LocalDateTime; session TZ is
+      // UTC so epoch millis are directly comparable
+      def ntzMs(r: org.apache.spark.sql.Row, i: Int): Long =
+        r.getAs[java.time.LocalDateTime](i)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val batch = graft.operators.EventOps.sessionSpans(
+          evs.toDF("user_id", "event_id", "ts", "value"), gapMinutes = 30)
+        .collect()
+        .map(r => (r.getLong(0), ntzMs(r, 2), ntzMs(r, 3),
+          r.getLong(4).toInt)).toSet
+      assert(streamed == batch,
+        s"streaming=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
+    } finally query.stop()
+  }
+
   test("stream-stream join: purchase attributes to a prior click within " +
       "the window; outside-window purchase never joins") {
     implicit val sqlCtx = spark.sqlContext
