@@ -83,10 +83,17 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // File first (survives any stream prefixing/truncation), then both
-    // streams bare.
+    // streams bare. A compact total-only line FOLLOWS the full line on
+    // each stream: log tails keep the end, so even if the full per-query
+    // line is truncated mid-JSON the headline total survives parseable
+    // (BENCH_r02 lost its head exactly this way).
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${okQ.size},"n_failed":${failedQ.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_metric.json"), json + "\n")
     println(json)
+    println(compact)
     System.err.println(json)
+    System.err.println(compact)
     spark.stop()
     if (failedQ.nonEmpty) sys.exit(1)
   }

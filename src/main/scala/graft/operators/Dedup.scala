@@ -74,20 +74,57 @@ object Dedup {
             "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
           .otherwise(array(concat_ws(" ", col("toks"))))).as("g"))
 
+  /** Pluggable hashing for MinHash/LSH: `hashes` maps one shingle to two
+    * independent base hashes, `rotl` rotates within the hash width (slot
+    * hash i = h1 XOR rotl(h2, i)), `bandHash` buckets one signature band
+    * slice. [[xxhash64Scheme]] (default) uses the full 64-bit native
+    * hash; [[md5Scheme]] derives 60-bit hashes from md5 prefixes with
+    * algebra DuckDB can replicate bit-for-bit — the oracle-pinned twin. */
+  final case class MinHashScheme(
+      hashes: Column => (Column, Column),
+      rotl: (Column, Int) => Column,
+      bandHash: (Column, Int) => Column)
+
+  /** Fast native scheme: xxhash64 base hashes, true 64-bit rotation,
+    * xxhash64 band buckets. No SQL oracle (DuckDB lacks xxhash64). */
+  val xxhash64Scheme: MinHashScheme = MinHashScheme(
+    g => (xxhash64(g), xxhash64(g, lit(1))),
+    (c, i) =>
+      if (i == 0) c
+      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i)),
+    (sl, b) => xxhash64(sl, lit(b)))
+
+  /** Oracle-computable scheme: base hashes are the first 15 hex chars of
+    * md5 (60 bits — always non-negative, so shifts/compares behave
+    * identically in Spark and DuckDB), rotation stays inside 60 bits by
+    * masking BEFORE the left shift (DuckDB's `<<` errors on BIGINT
+    * overflow), and band buckets are md5 over the decimal-rendered slot
+    * slice. Slower than xxhash64 (string md5 per shingle) — it exists to
+    * hash-match the complete banding algebra against DuckDB, not as the
+    * scale path. */
+  val md5Scheme: MinHashScheme = MinHashScheme(
+    g => (conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+      conv(substring(md5(concat(g, lit("#"))), 1, 15), 16, 10).cast("long")),
+    (c, i) =>
+      if (i == 0) c
+      else shiftleft(c.bitwiseAND(lit((1L << (60 - i)) - 1)), i)
+        .bitwiseOR(shiftrightunsigned(c, 60 - i)),
+    (sl, b) => md5(concat(lit(s"$b:"),
+      array_join(transform(sl, _.cast("string")), ","))))
+
   /** MinHash signatures: each shingle is hashed ONCE (two independent
-    * xxhash64 base hashes), and the `numHashes` slot hashes are derived as
+    * base hashes), and the `numHashes` slot hashes are derived as
     * `h1 XOR rotl(h2, i)` — pure bitwise ops (ANSI-safe, no overflow)
     * instead of 64 string hashes per shingle, keeping the per-slot `min`
     * aggregate codegen tiny. Returns (doc_id, sig). */
-  def minhashSignatures(d: DataFrame, numHashes: Int = 64): DataFrame = {
+  def minhashSignatures(d: DataFrame, numHashes: Int = 64,
+      scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
     require(numHashes <= 64, "rotation-derived slots support at most 64")
+    val (h1, h2) = scheme.hashes(col("g"))
     val hashed = shingles(d).select(col("doc_id"),
-      xxhash64(col("g")).as("h1"), xxhash64(col("g"), lit(1)).as("h2"))
-    def rotl(c: Column, i: Int): Column =
-      if (i == 0) c
-      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+      h1.as("h1"), h2.as("h2"))
     val aggs = (0 until numHashes).map(i =>
-      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"m$i"))
+      min(col("h1").bitwiseXOR(scheme.rotl(col("h2"), i))).as(s"m$i"))
     hashed.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -100,15 +137,16 @@ object Dedup {
     * signature arrays re-attach after pair dedup, so they never ride
     * through the candidate shuffle. */
   def minhashPairs(d: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      minEst: Double = 0.8): DataFrame = {
+      minEst: Double = 0.8,
+      scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The plan references sigs three times (band explode + two re-attach
     // joins); cache so the shingle scan + 64-slot aggregate runs once.
     // Footprint is numDocs × numHashes × 8B — tiny relative to the corpus.
-    val sigs = minhashSignatures(d, numHashes).cache()
+    val sigs = minhashSignatures(d, numHashes, scheme).cache()
     val bandArr = array((0 until bands).map(b =>
-      xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
+      scheme.bandHash(slice(col("sig"), b * rows + 1, rows), b)): _*)
     val banded = sigs.select(col("doc_id"),
       posexplode(bandArr).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
@@ -248,17 +286,23 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
-  /** Near-duplicate corpus filter: drop every document that has a
-    * near-duplicate with a smaller doc_id (greedy min-id survivor — the
-    * standard single-pass policy; [[connectedComponents]] provides the
-    * full transitive-clustering alternative). Survivors = corpus minus
-    * the distinct doc_b side of [[minhashPairs]]. */
-  def dropNearDuplicates(d: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, minEst: Double = 0.8): DataFrame = {
-    val losers = minhashPairs(d, numHashes, bands, minEst)
-      .select(col("doc_b").as("doc_id")).distinct()
+  /** Near-duplicate corpus filter over an arbitrary near-dup pair list
+    * (doc_a < doc_b): drop every document that has a near-duplicate with
+    * a smaller doc_id (greedy min-id survivor — the standard single-pass
+    * policy; [[connectedComponents]] provides the full
+    * transitive-clustering alternative). Survivors = corpus anti-joined
+    * against the distinct doc_b side — the loser list is slim ids, so
+    * the anti-join never shuttles document bodies. */
+  def dropNearDuplicates(d: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
     d.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** [[dropNearDuplicates]] with the MinHash+LSH candidate generator —
+    * the 100 TB default. */
+  def dropNearDuplicates(d: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, minEst: Double = 0.8): DataFrame =
+    dropNearDuplicates(d, minhashPairs(d, numHashes, bands, minEst))
 
   /** Exact distinct-token Jaccard pairs over a bounded id range — the
     * quadratic ground-truth operator (deliberately NOT the scale path;
@@ -289,6 +333,54 @@ object Dedup {
       |  JOIN (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
       |        FROM documents WHERE doc_id < 300) b
       |    ON a.doc_id < b.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[minhashPairs]] under [[md5Scheme]] — the SAME
+    * shingle → base-hash → rotated-slot-min → band-bucket → candidate →
+    * estimate algebra, generated for the given parameters so Spark and
+    * DuckDB agree bit-for-bit (60-bit non-negative hashes; masked-shift
+    * rotation because DuckDB `<<` errors on BIGINT overflow). */
+  private def sqlMinhashMd5(numHashes: Int, bands: Int, minEst: Double,
+      maxId: Long): String = {
+    val rows = numHashes / bands
+    def rotl(i: Int): String =
+      if (i == 0) "h2"
+      else s"(((h2 & ${(1L << (60 - i)) - 1}) << $i) | (h2 >> ${60 - i}))"
+    val slotMins = (0 until numHashes)
+      .map(i => s"MIN(xor(h1, ${rotl(i)})) AS m$i").mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val slots = (0 until rows)
+        .map(i => s"CAST(m${b * rows + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5('$b:' || $slots) AS bh FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val eq = (0 until numHashes)
+      .map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |      THEN list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1]))
+       |      ELSE [array_to_string(toks, ' ')] END) AS g
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |        FROM documents WHERE doc_id < $maxId)),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(g || '#'), 1, 15) AS BIGINT) AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, $slotMins
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |    $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+       |         FROM banded a JOIN banded bb
+       |           ON a.band = bb.band AND a.bh = bb.bh
+       |             AND a.doc_id < bb.doc_id),
+       |est AS (SELECT doc_a, doc_b, ($eq) / $numHashes.0 AS est_jaccard
+       |        FROM cand JOIN sig sa ON sa.doc_id = doc_a
+       |                  JOIN sig sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= $minEst ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -342,6 +434,34 @@ object Dedup {
     },
 
     Q("dedup_minhash_lsh", None) { (s, dir) => minhashPairs(docs(s, dir)) },
+
+    // The SAME MinHash banding algebra under the md5 scheme, end-to-end
+    // hash-matched against a generated DuckDB mirror: pins the
+    // signature/rotation/banding/estimate logic itself, not just
+    // statistical properties of it (the xxhash64 flavor above stays the
+    // no-oracle scale path).
+    Q("dedup_minhash_md5",
+      Some(sqlMinhashMd5(numHashes = 16, bands = 4, minEst = 0.6,
+        maxId = 300))) { (s, dir) =>
+      minhashPairs(docs(s, dir).where(col("doc_id") < 300),
+        numHashes = 16, bands = 4, minEst = 0.6, scheme = md5Scheme)
+    },
+
+    // The flagship corpus-filter operation end-to-end: survivors after
+    // dropping every doc with a smaller-id near-duplicate. Driven by the
+    // exact-Jaccard pair graph so the whole operation is SQL-oracle-able
+    // (the LSH-driven flavor is exercised by DedupSpec).
+    Q("pipeline_drop_near_dups", Some(
+      s"""SELECT d.doc_id, md5(d.text) AS digest FROM documents d
+         |WHERE d.doc_id < 300 AND d.doc_id NOT IN (
+         |  SELECT DISTINCT doc_b FROM ($sqlJaccardPairs)
+         |  WHERE jaccard >= 0.9)
+         |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      val d = docs(s, dir).where(col("doc_id") < 300)
+      dropNearDuplicates(d, exactJaccardPairs(docs(s, dir), 300, 0.9))
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
 
     Q("dedup_simhash", None) { (s, dir) => simhashPairs(docs(s, dir)) })
 }

@@ -409,8 +409,8 @@ object TextAnalysis {
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM (
         |  SELECT doc_id % 8 AS shard_group, n_tokens,
-        |    (SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
-        |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 10000 AS bin
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 10000 AS BIGINT) AS bin
         |  FROM (SELECT doc_id,
         |          len(string_split_regex(text, '\s+')) AS n_tokens
         |        FROM documents))
