@@ -248,16 +248,37 @@ object Dedup {
     * labels (the fix there is raising maxIter, or switching the loop body
     * to pointer-jumping / small-star-large-star for O(log n) rounds — the
     * per-iteration plan shape is unchanged). Returns (doc_id, component). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      pointerJump: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("doc_b").cast("long").as("src"),
         col("doc_a").cast("long").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    // Labels are materialized through an explicit localCheckpointed RDD
+    // handle (not Dataset.localCheckpoint, whose pinned blocks have no
+    // public release path): once iteration i+1 is live, iteration i's
+    // blocks are unpersisted. Without this every superseded checkpoint
+    // stayed pinned in executor storage for the life of the query —
+    // O(iterations × |labels|) blocks at 10⁹ nodes. Only the FINAL
+    // iteration's slim (id, comp) blocks outlive the loop (released by
+    // the ContextCleaner when the result goes out of scope). Lineage
+    // still truncates: each round's plan starts from the checkpointed
+    // RDD, never the full iteration history.
+    var pinned: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // eager: runs the job that persists + truncates
+      val out = spark.createDataFrame(rdd, df.schema)
+      if (pinned != null) pinned.unpersist(blocking = false)
+      pinned = rdd
+      out
+    }
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -266,12 +287,28 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr_comp"))
       // the change flag is computed IN the update projection (a second
       // labels-vs-updated join per iteration would double the shuffles)
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val hashMin = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"),
           (col("nbr_comp") < col("comp")).as("chg"))
-        .localCheckpoint() // eager: materializes + truncates lineage
+      // Optional pointer-jumping (comp := label(comp), one extra
+      // materialization + self-join per round): squares the propagation
+      // distance, so rounds drop from O(diameter) to O(log diameter).
+      // Near-dup graphs are near-cliques (diameter 2-3) where the extra
+      // shuffle only adds fixed cost — hence default off; it pays on
+      // high-diameter graphs (chains of successive edits).
+      val updated =
+        if (!pointerJump) materialize(hashMin)
+        else {
+          val h = materialize(hashMin)
+          val jump = h.select(col("id").as("comp"), col("comp").as("jcomp"))
+          materialize(h.join(jump, Seq("comp"), "left")
+            .select(col("id"),
+              coalesce(col("jcomp"), col("comp")).as("comp"),
+              (col("chg") ||
+                coalesce(col("jcomp") < col("comp"), lit(false))).as("chg")))
+        }
       // bounded driver scalar (0 or 1) over the checkpointed partitions
       converged = updated.where(col("chg")).limit(1).count() == 0
       labels = updated.select("id", "comp")
@@ -281,7 +318,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
           "(graph diameter exceeds maxIter); labels would be wrong — " +
-          "raise maxIter or use a pointer-jumping variant")
+          "raise maxIter or enable pointerJump for O(log n) rounds")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }

@@ -158,6 +158,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents pointerJump: a 40-node chain converges within " +
+      "O(log n) rounds where plain propagation exceeds the same maxIter") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxIter = 10,
+        pointerJump = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L),
+      s"all chain nodes must label 0: $got")
+    // the same budget without jumping must fail loudly, not mislabel
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 10)
+    }
+  }
+
+  test("connectedComponents pointerJump property: agrees with union-find " +
+      "on seeded random graphs") {
+    val rnd = new scala.util.Random(321)
+    for (trial <- 1 to 2) {
+      val edges = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+          pointerJump = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == expect, s"trial $trial: got=$got expect=$expect")
+    }
+  }
+
   test("connectedComponents agrees with brute-force closure on the " +
       "engineered corpus's exact pairs") {
     val pairs = Dedup.exactJaccardPairs(corpus, maxId = 100, threshold = 0.6)
