@@ -124,6 +124,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Recall on the REAL testdata distribution (sf0.01 embeddings: seeded
+    * isotropic gaussians). This is the adversarial shape for ANN: with no
+    * cluster structure, a query's true top-5 sit at cosine ≈ 0.3 — barely
+    * above the bulk — so bucket collision probability, and therefore
+    * recall, is bound by the candidate-scan fraction (measured sweep:
+    * recall ≈ 1.5× scan fraction across LSH/IVF settings; e.g. 8-plane
+    * 2-table multi-probe scans ~14% of the corpus → recall 0.24). The
+    * clustered-corpus gates above verify the pruning logic; these pin the
+    * real-distribution operating points so a regression on the actual
+    * data shape fails the suite. Everything is seeded/deterministic, so
+    * the gates sit just under the measured values (0.24 / 0.48 / 0.88 /
+    * 0.78), tight enough that any bucketing or probe regression trips. */
+  private def realRecallAt5(
+      run: (DataFrame, DataFrame) => DataFrame): Double = {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.where(col("vec_id") % 50 === 0)
+    val truth = Similarity.bruteForceTopK(q, e, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val got = run(q, e).collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val rs = truth.map { case (k, t) =>
+      got.getOrElse(k, Set.empty[Long]).intersect(t).size / 5.0 }
+    rs.sum / rs.size
+  }
+
+  test("real-distribution recall@5 at the registered operating points " +
+      "(LSH 8 planes x 2 tables; IVF 16 cells nprobe 4)") {
+    val lsh = realRecallAt5(Similarity.lshTopK(_, _, 5))
+    assert(lsh >= 0.2, s"LSH real-data recall@5 = $lsh < 0.2 " +
+      "(measured 0.24 at these params — bucketing/probe regression)")
+    val ivf = realRecallAt5(Similarity.ivfTopK(_, _, 5))
+    assert(ivf >= 0.44, s"IVF real-data recall@5 = $ivf < 0.44 " +
+      "(measured 0.48 at these params — training/probe regression)")
+  }
+
+  test("real-distribution recall@5 recovers with index budget " +
+      "(LSH 6 planes x 8 tables; IVF nprobe 8)") {
+    val lsh = realRecallAt5(
+      Similarity.lshTopK(_, _, 5, planes = 6, tables = 8))
+    assert(lsh >= 0.8, s"high-budget LSH real-data recall@5 = $lsh < 0.8 " +
+      "(measured 0.88 — OR'd-table union or multi-probe regression)")
+    val ivf = realRecallAt5(Similarity.ivfTopK(_, _, 5, nprobe = 8))
+    assert(ivf >= 0.7, s"high-budget IVF real-data recall@5 = $ivf < 0.7 " +
+      "(measured 0.78 — nprobe cell-union regression)")
+  }
+
   test("LSH top-k similarities agree with brute-force where pairs overlap") {
     val queries = corpus.where(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(queries, corpus, 40).collect()
