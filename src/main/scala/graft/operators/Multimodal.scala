@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata travelling beside them. The Spark-side machinery —
   * schema, batching, partition-parallel decode, feature columns — is real
-  * and tested; the actual image/audio codec is STUBBED (no media libraries
-  * in this environment) behind [[stubDecodeFeatures]], a deterministic
+  * and tested. IMAGE decode is real: [[decodeImageToFeatures]] decodes
+  * PNG/BMP/GIF/JPEG payloads through the JDK's `javax.imageio` (no
+  * external dependency) and pools per-pixel luminance into a fixed-width
+  * feature vector. Audio/video stay STUBBED (no codec libraries in this
+  * environment) behind [[stubDecodeFeatures]], a deterministic
   * byte-stripe featurizer with the exact signature a real decoder would
   * have (`Array[Byte] => Array[Float]`).
   *
-  * Since the synthetic corpus has no real media, the `documents.text`
-  * bytes stand in as payloads.
+  * Since the synthetic corpus has no real media, image payloads are
+  * synthesized per row from `documents.text` (pixels = ASCII codes,
+  * PNG-encoded), then decoded back through the REAL ImageIO path — the
+  * decode operates on actual pixels of an actual PNG container.
   */
 object Multimodal {
 
@@ -39,6 +44,75 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** REAL image decode: parse the payload with `javax.imageio` (PNG/BMP/
+    * GIF/JPEG — whatever the JDK's registered readers handle), compute
+    * integer-exact per-pixel luminance, and average row-major pixel
+    * stripes into `dim` features (same stripe geometry as
+    * [[stubDecodeFeatures]], over decoded pixels instead of raw bytes).
+    *
+    * Single-band (grayscale) images read raw raster samples — NOT
+    * `getRGB`, whose linear-gray → sRGB conversion would gamma-distort
+    * the values; multi-band images use `getRGB` with lum = (r+g+b)/3.
+    * Accumulation is in doubles; a 64-pixel 8-stripe layout divides by a
+    * power of two, so features are bit-exact against an integer oracle. */
+  def decodeImageToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w * h
+    val raster = img.getRaster
+    val gray = raster.getNumBands == 1
+    val lum = new Array[Double](n)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        lum(y * w + x) =
+          if (gray) raster.getSample(x, y, 0).toDouble
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    val stripe = math.max(1, n / dim)
+    var i = 0
+    while (i < dim) {
+      val from = math.min(i * stripe, n)
+      val to = if (i == dim - 1) n else math.min(from + stripe, n)
+      var s = 0d
+      var j = from
+      while (j < to) { s += lum(j); j += 1 }
+      out(i) = if (to > from) (s / (to - from)).toFloat else 0f
+      i += 1
+    }
+    out
+  }
+
+  /** 8-bit grayscale PNG encoder (JDK-only): `pixels(i)` in 0..255,
+    * row-major w×h. Used to synthesize real image payloads from tabular
+    * data — PNG gray is lossless, so [[decodeImageToFeatures]] sees the
+    * exact samples written here. */
+  def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"expected ${w * h} pixels")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixels(y * w + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Partition-parallel "decode": binary payload column → fixed-width
@@ -132,6 +206,47 @@ object Multimodal {
         .select(col("doc_id"), size(col("features")).as("feat_dim"),
           round(element_at(col("features"), 1) * 1000, 0).cast("long")
             .as("f0_x1000"))
+        .orderBy("doc_id")
+    },
+
+    // REAL image decode end-to-end: per row, the first 64 printable chars
+    // of the text become an 8×8 grayscale PNG (ASCII code = pixel value),
+    // which ImageIO then actually parses back to pixels; features are
+    // 8-pixel stripe means. Features × 8 are integer pixel sums (÷8 is
+    // exact in binary float), so DuckDB recomputes them exactly from the
+    // characters — the oracle pins the whole encode → real-decode →
+    // pool path, partition-parallel with no driver involvement.
+    Q("mm_image_features", Some {
+      val stripes = (0 until 8).map { j =>
+        val terms = (1 to 8).map { i =>
+          val p = j * 8 + i
+          s"CASE WHEN len(s) >= $p THEN ord(substr(s, $p, 1)) ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST($terms AS BIGINT) AS sum$j"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $stripes
+         |FROM (SELECT doc_id,
+         |        substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS s
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val feats = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val px = new Array[Int](64)
+          var i = 0
+          while (i < 64 && i < ascii.length) {
+            px(i) = ascii.charAt(i).toInt; i += 1
+          }
+          (id, decodeImageToFeatures(encodeGrayPng(px, 8, 8), 8))
+        }.toDF("doc_id", "features")
+      feats.select(col("doc_id") +: (0 until 8).map(j =>
+          round(element_at(col("features"), j + 1) * 8, 0).cast("long")
+            .as(s"sum$j")): _*)
         .orderBy("doc_id")
     })
 }

@@ -58,6 +58,36 @@ class MultimodalSpec extends SparkSpec {
     assert(up == Seq(2f, 4f, 6f, 8f, 0f, 0f))
   }
 
+  test("decodeImageToFeatures: hand-computed stripe means from a real " +
+      "PNG roundtrip (gray samples, no gamma distortion)") {
+    // 8×8 gray PNG, pixel i = i: stripe j holds pixels 8j..8j+7, so its
+    // mean is 8j + 3.5 — computed by hand, pinned exactly.
+    val png = Multimodal.encodeGrayPng(Array.tabulate(64)(identity), 8, 8)
+    assert(png.take(8).toSeq ==
+      Seq[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload must be a real PNG container")
+    val f = Multimodal.decodeImageToFeatures(png, 8)
+    assert(f.toSeq == (0 until 8).map(j => 8 * j + 3.5f),
+      s"stripe means: ${f.toSeq}")
+  }
+
+  test("decodeImageToFeatures: multi-band images pool (r+g+b)/3 luminance") {
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x604020) // (0x60+0x40+0x20)/3 = 64
+    img.setRGB(1, 0, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImageToFeatures(bos.toByteArray, 2)
+    assert(f.toSeq == Seq(64f, 0f), s"got ${f.toSeq}")
+  }
+
+  test("decodeImageToFeatures rejects non-image payloads loudly") {
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeImageToFeatures("not a png".getBytes, 4)
+    }
+  }
+
   test("decodeToFeatures: distributed schema is (doc_id, features[dim])") {
     val media = Seq((1L, "hello".getBytes), (2L, "world!".getBytes))
       .toDF("doc_id", "payload")
