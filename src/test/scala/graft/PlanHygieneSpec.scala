@@ -13,6 +13,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   /** Intentionally quadratic (exact baselines over bounded subsets). */
   private val allowedQuadratic = Set(
     "dedup_ngram_jaccard",    // exact Jaccard ground truth, doc_id < 300
+    "dedup_components",       // clusters the same bounded exact-pair graph
+    "pipeline_drop_near_dups", // corpus filter over the same bounded graph
     "dedup_embedding_cosine", // exact cosine ground truth, vec_id % 20
     "ann_cosine_topk",        // brute-force exactness baseline
     "text_levenshtein")       // exact edit-distance baseline, doc_id < 30
