@@ -268,17 +268,36 @@ object Dedup {
     // still truncates: each round's plan starts from the checkpointed
     // RDD, never the full iteration history.
     var pinned: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    def materialize(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
+    // Materializes a (id, comp[, chg]) plan into a fresh checkpoint and,
+    // when a `chg` column is present, counts changed rows DURING the same
+    // job through an accumulator — the convergence signal costs zero
+    // extra jobs (the round-2 shape ran a second limit(1).count() job per
+    // iteration; at tiny per-iteration data the fixed job overhead was
+    // the dominant cost). Task retries can only inflate the count, never
+    // zero it, so the `== 0` convergence test is retry-safe.
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val hasChg = df.schema.size > 2
+      val acc = spark.sparkContext.longAccumulator
+      val rdd =
+        if (!hasChg) df.rdd
+        else df.rdd.map { r =>
+          if (!r.isNullAt(2) && r.getBoolean(2)) acc.add(1L)
+          r
+        }
       rdd.localCheckpoint()
       rdd.count() // eager: runs the job that persists + truncates
       val out = spark.createDataFrame(rdd, df.schema)
       if (pinned != null) pinned.unpersist(blocking = false)
       pinned = rdd
-      out
+      (out, acc.value)
     }
-    var labels = materialize(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    // Round 0 for free: the node-set aggregation that would initialize
+    // comp = id costs the same shuffle as folding the first hash-min step
+    // into it (comp = min(id, min neighbor)) — one propagation round
+    // fewer, which on near-clique dup graphs is a third of the rounds.
+    var labels = materialize(edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp")))._1
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -298,10 +317,10 @@ object Dedup {
       // Near-dup graphs are near-cliques (diameter 2-3) where the extra
       // shuffle only adds fixed cost — hence default off; it pays on
       // high-diameter graphs (chains of successive edits).
-      val updated =
+      val (updated, changed) =
         if (!pointerJump) materialize(hashMin)
         else {
-          val h = materialize(hashMin)
+          val h = materialize(hashMin)._1
           val jump = h.select(col("id").as("comp"), col("comp").as("jcomp"))
           materialize(h.join(jump, Seq("comp"), "left")
             .select(col("id"),
@@ -309,8 +328,7 @@ object Dedup {
               (col("chg") ||
                 coalesce(col("jcomp") < col("comp"), lit(false))).as("chg")))
         }
-      // bounded driver scalar (0 or 1) over the checkpointed partitions
-      converged = updated.where(col("chg")).limit(1).count() == 0
+      converged = changed == 0
       labels = updated.select("id", "comp")
       i += 1
     }
