@@ -26,7 +26,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // 53 queries x several codegen stages each overflow the default
+      // 70+ queries x several codegen stages each overflow the default
       // 100-entry compiled-class cache; evictions then force random
       // multi-second janino recompiles in the timed pass.
       .config("spark.sql.codegen.cache.maxEntries", "2000")

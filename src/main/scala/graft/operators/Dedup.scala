@@ -135,7 +135,14 @@ object Dedup {
     * candidates; estimated Jaccard = fraction of equal signature slots.
     * The band-bucket self-join carries only (doc_id, band hash); the wide
     * signature arrays re-attach after pair dedup, so they never ride
-    * through the candidate shuffle. */
+    * through the candidate shuffle.
+    *
+    * Cache lifecycle: the signature DataFrame is `.cache()`d because the
+    * returned plan references it three times; the entries live until
+    * `spark.catalog.clearCache()` (the Verify/Bench harnesses clear after
+    * every query) or session end. Long-lived sessions composing many
+    * corpora should clear between corpora — the footprint is
+    * numDocs × numHashes × 8 B per call site. */
   def minhashPairs(d: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minEst: Double = 0.8,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
