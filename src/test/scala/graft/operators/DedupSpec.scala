@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(3L, 4L) < ham(3L, 8L))
   }
 
+  test("md5 scheme preserves banding semantics: identical docs pair at " +
+      "estimate 1.0, near-dups are found, with 60-bit non-negative hashes") {
+    val got = Dedup.minhashPairs(corpus, numHashes = 16, bands = 4,
+        minEst = 0.6, scheme = Dedup.md5Scheme).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.get((1L, 10L)).contains(1.0), s"identical pair: $got")
+    val sigs = Dedup.minhashSignatures(corpus, 16, Dedup.md5Scheme)
+      .collect().flatMap(_.getSeq[Long](1))
+    assert(sigs.forall(s => s >= 0 && s < (1L << 60)),
+      "md5-scheme slot hashes must stay in the non-negative 60-bit range " +
+        "DuckDB replicates")
+  }
+
   test("minhash is deterministic across runs") {
     def run() = Dedup.minhashPairs(corpus, 64, 16, 0.5).collect().toSeq
     assert(run() == run())
