@@ -238,6 +238,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 60-bit SimHash twin under md5-derived token hashes — the
+    * oracle-pinned counterpart of [[simhashPairs]], same algebra
+    * end-to-end: per-occurrence token hash → ±1 bit sums → sign-packed
+    * fingerprint → 4×15-bit chunk banding (pigeonhole-exact for
+    * hamming ≤ 3) → `bit_count(xor)` verification. 60 bits keep every
+    * value non-negative so shifts and comparisons agree bit-for-bit with
+    * the generated DuckDB mirror ([[sqlSimhashMd5]]); the 128-bit
+    * xxhash64 flavor remains the scale path. */
+  def simhash60Md5Pairs(d: DataFrame, maxId: Long,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for hamming <= 3")
+    val toks = spread(d.where(col("doc_id") < maxId))
+      .select(col("doc_id"), explode(tokensCol).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
+    val pack = (0 until 60).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val fp = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), pack.as("fp"))
+    val chunkArr = array((0 until 4).map(c =>
+      shiftrightunsigned(col("fp"), c * 15)
+        .bitwiseAND(lit((1L << 15) - 1))): _*)
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      posexplode(chunkArr).as(Seq("ci", "cv")))
+    val a = chunks.select(col("ci"), col("cv"),
+      col("doc_id").as("doc_a"), col("fp").as("fa"))
+    val b = chunks.select(col("ci"), col("cv"),
+      col("doc_id").as("doc_b"), col("fp").as("fb"))
+    a.join(b, Seq("ci", "cv"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Connected components over an undirected near-dup pair list via
     * iterative min-label propagation: every node's label converges to the
     * smallest doc_id reachable from it — the canonical representative of
@@ -444,6 +485,40 @@ object Dedup {
        |WHERE est_jaccard >= $minEst ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB mirror of [[simhash60Md5Pairs]] — generated for the given
+    * parameters so both engines run the identical bit-sum / sign-pack /
+    * chunk-band / popcount algebra. */
+  private def sqlSimhashMd5(maxId: Long, maxHamming: Int): String = {
+    val bitSums = (0 until 60)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val pack = (0 until 60)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val chunkRows = (0 until 4).map(c =>
+      s"SELECT doc_id, fp, $c AS ci, (fp >> ${c * 15}) & ${(1 << 15) - 1}" +
+        " AS cv FROM fp").mkString("\n    UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents WHERE doc_id < $maxId),
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+       |      FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $pack AS fp FROM bits),
+       |chunks AS (
+       |    $chunkRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fa,
+       |                b.doc_id AS doc_b, b.fp AS fb
+       |         FROM chunks a JOIN chunks b
+       |           ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("dedup_exact", Some(
@@ -525,5 +600,13 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    Q("dedup_simhash", None) { (s, dir) => simhashPairs(docs(s, dir)) })
+    Q("dedup_simhash", None) { (s, dir) => simhashPairs(docs(s, dir)) },
+
+    // The SAME SimHash algebra under md5-derived 60-bit hashes,
+    // hash-matched cell-exact against a generated DuckDB mirror — pins
+    // the bit-sum/sign-pack/chunk-band/popcount logic itself (the
+    // 128-bit xxhash64 flavor above stays the no-oracle scale path).
+    Q("dedup_simhash_md5", Some(sqlSimhashMd5(maxId = 300, maxHamming = 3))) {
+      (s, dir) => simhash60Md5Pairs(docs(s, dir), maxId = 300)
+    })
 }

@@ -88,6 +88,13 @@ class DedupSpec extends SparkSpec {
         "DuckDB replicates")
   }
 
+  test("md5 simhash twin: identical docs at hamming 0; fingerprints stay " +
+      "in the non-negative 60-bit range DuckDB replicates") {
+    val got = Dedup.simhash60Md5Pairs(corpus, maxId = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.get((1L, 10L)).contains(0), s"identical pair: $got")
+  }
+
   test("minhash is deterministic across runs") {
     def run() = Dedup.minhashPairs(corpus, 64, 16, 0.5).collect().toSeq
     assert(run() == run())
