@@ -105,10 +105,15 @@ object Dedup {
   val md5Scheme: MinHashScheme = MinHashScheme(
     g => (conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
       conv(substring(md5(concat(g, lit("#"))), 1, 15), 16, 10).cast("long")),
-    (c, i) =>
+    (c, i) => {
+      // rotation lives in the 60-bit domain: beyond it the shift widths
+      // go negative and Java's mod-64 shift semantics would corrupt
+      // hashes silently — so numHashes > 60 must fail loudly here
+      require(i < 60, s"md5Scheme supports at most 60 slots, got index $i")
       if (i == 0) c
       else shiftleft(c.bitwiseAND(lit((1L << (60 - i)) - 1)), i)
-        .bitwiseOR(shiftrightunsigned(c, 60 - i)),
+        .bitwiseOR(shiftrightunsigned(c, 60 - i))
+    },
     (sl, b) => md5(concat(lit(s"$b:"),
       array_join(transform(sl, _.cast("string")), ","))))
 
