@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *     32-bit chunks equal, so candidate generation is again an equijoin
   *     with 2³² bucket values — sub-quadratic at 10⁹ docs).
   *
-  * All hash functions are Spark-native (`xxhash64`) and therefore
-  * deterministic across runs and executors; the LSH/SimHash queries have
-  * no SQL oracle (DuckDB has no xxhash64) and get rows-only checks.
+  * The scale-path hash functions are Spark-native (`xxhash64`) and
+  * deterministic across runs and executors; those queries have no SQL
+  * oracle (DuckDB has no xxhash64) and get rows-only checks. Each hash
+  * family additionally registers an oracle-pinned TWIN under md5-derived
+  * 60-bit hashes (`dedup_minhash_md5`, `dedup_simhash_md5`) whose entire
+  * algebra a generated DuckDB mirror replicates bit-for-bit.
   */
 object Dedup {
 
@@ -102,9 +105,15 @@ object Dedup {
     * slice. Slower than xxhash64 (string md5 per shingle) — it exists to
     * hash-match the complete banding algebra against DuckDB, not as the
     * scale path. */
+  /** First 15 hex chars of md5 as a non-negative 60-bit long — THE
+    * parity-critical definition every md5-scheme call site and every
+    * generated DuckDB mirror (`CAST('0x' || substr(md5(x), 1, 15) AS
+    * BIGINT)`) must agree on; keep it in exactly one place. */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   val md5Scheme: MinHashScheme = MinHashScheme(
-    g => (conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-      conv(substring(md5(concat(g, lit("#"))), 1, 15), 16, 10).cast("long")),
+    g => (md5Hash60(g), md5Hash60(concat(g, lit("#")))),
     (c, i) => {
       // rotation lives in the 60-bit domain: beyond it the shift widths
       // go negative and Java's mod-64 shift semantics would corrupt
@@ -257,8 +266,7 @@ object Dedup {
       "4-chunk banding guarantees recall only for hamming <= 3")
     val toks = spread(d.where(col("doc_id") < maxId))
       .select(col("doc_id"), explode(tokensCol).as("t"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
     val bitSums = (0 until 60).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
     val pack = (0 until 60).map(i =>
@@ -348,10 +356,11 @@ object Dedup {
     // comp = id costs the same shuffle as folding the first hash-min step
     // into it (comp = min(id, min neighbor)) — one propagation round
     // fewer, which on near-clique dup graphs is a third of the rounds.
+    var converged = false
+    try {
     var labels = materialize(edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("m"))
       .select(col("id"), least(col("id"), col("m")).as("comp")))._1
-    var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
@@ -390,8 +399,15 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter iterations " +
           "(graph diameter exceeds maxIter); labels would be wrong — " +
           "raise maxIter or enable pointerJump for O(log n) rounds")
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    } finally {
+      // error paths (non-convergence, a failed iteration job) must not
+      // leak the cached edge set; on failure the last pinned label
+      // checkpoint is dead weight too, so release both. On success the
+      // final labels stay pinned — they back the returned plan.
+      edges.unpersist()
+      if (!converged && pinned != null) pinned.unpersist(blocking = false)
+    }
   }
 
   /** Near-duplicate corpus filter over an arbitrary near-dup pair list

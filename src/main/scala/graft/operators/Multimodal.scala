@@ -64,21 +64,33 @@ object Multimodal {
     val h = img.getHeight
     val n = w * h
     val raster = img.getRaster
-    val gray = raster.getNumBands == 1
+    // True grayscale only: a 1-band raster with an INDEXED color model
+    // (GIF, palette PNG/BMP) stores palette indices, not luminance —
+    // those must resolve through the palette via getRGB.
+    val gray = raster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
     val lum = new Array[Double](n)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        lum(y * w + x) =
-          if (gray) raster.getSample(x, y, 0).toDouble
-          else {
-            val rgb = img.getRGB(x, y)
-            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-          }
-        x += 1
+    if (gray) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          lum(y * w + x) = raster.getSample(x, y, 0).toDouble
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      // one bulk fetch — per-pixel getRGB redoes color-model dispatch
+      // and bounds checks per call
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < n) {
+        val rgb = rgbs(i)
+        lum(i) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        i += 1
+      }
     }
     val out = new Array[Float](dim)
     val stripe = math.max(1, n / dim)
@@ -101,6 +113,10 @@ object Multimodal {
     * exact samples written here. */
   def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
     require(pixels.length == w * h, s"expected ${w * h} pixels")
+    // setSample would silently keep only the low 8 bits of an
+    // out-of-range value — fail loudly instead, like the length check
+    require(pixels.forall(p => p >= 0 && p <= 255),
+      "gray pixel values must be in 0..255")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster

@@ -82,6 +82,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f.toSeq == Seq(64f, 0f), s"got ${f.toSeq}")
   }
 
+  test("decodeImageToFeatures resolves palette-indexed images through " +
+      "the palette, not raw indices") {
+    // 2-entry palette: index 0 -> white, index 1 -> black. A 1-band
+    // raster read would yield [0, 1]; correct luminance is [255, 0].
+    val icm = new java.awt.image.IndexColorModel(1, 2,
+      Array(0xFFFFFF, 0x000000), 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImageToFeatures(bos.toByteArray, 2)
+    assert(f.toSeq == Seq(255f, 0f), s"got ${f.toSeq}")
+  }
+
+  test("encodeGrayPng rejects out-of-range pixel values loudly") {
+    assertThrows[IllegalArgumentException] {
+      Multimodal.encodeGrayPng(Array(256), 1, 1)
+    }
+  }
+
   test("decodeImageToFeatures rejects non-image payloads loudly") {
     assertThrows[IllegalArgumentException] {
       Multimodal.decodeImageToFeatures("not a png".getBytes, 4)
