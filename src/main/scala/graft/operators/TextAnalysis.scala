@@ -40,6 +40,21 @@ object TextAnalysis {
       .select(col("doc_id"), explode(arr).as("g"))
   }
 
+  /** One exploded (doc_id, g) row per DISTINCT word 5-gram — the
+    * decontamination shingle: 5-grams are rare enough that sharing
+    * several across documents signals copied text, not common phrasing.
+    * Same short-doc filter / keyed-spread discipline as [[bigramRows]]. */
+  private def fivegramRows(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    Tables.spread(d, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks)-5), i -> concat_ws(' ', " +
+          "toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))")))
+        .as("g"))
+  }
+
   /** Language-ID stopword patterns; tie-break priority en>de>fr>es>und. */
   private val langPatterns = Seq(
     "en" -> "\\b(the|a|of|and|is|to)\\b",
@@ -427,6 +442,57 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"),
             sum("n_tokens").cast("long").as("bin_tokens"))
           .orderBy("shard_group", "bin")
+    },
+
+    // ---- train/eval decontamination: flag training docs sharing >= 3
+    //      RARE word 5-grams with any eval-split doc (docfreq <= 20
+    //      bounds per-gram join fan-out — the standard trick that keeps
+    //      the gram equijoin linear at corpus scale; common phrasing
+    //      never generates candidates). Every stage is a keyed shuffle;
+    //      the docfreq join side is left to Catalyst/AQE like
+    //      text_common_bigrams ----
+    Q("pipeline_decontaminate", Some(
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 5),
+        |rare AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 20),
+        |bgr AS (SELECT bg.doc_id, bg.g FROM bg JOIN rare USING (g))
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+        |  CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared
+        |FROM bgr t JOIN bgr e ON t.g = e.g
+        |  AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+        |GROUP BY train_doc, eval_doc
+        |HAVING COUNT(DISTINCT t.g) >= 3
+        |ORDER BY train_doc, eval_doc""".stripMargin)) { (s, dir) =>
+      // NOT a gram self-join (which re-evaluates the 5-gram explode per
+      // side and shuffles gram strings twice): docfreq-filter first via
+      // a safe partial-agg count (a universal boilerplate gram never
+      // materializes a giant buffer, unlike collect_set-before-filter),
+      // then gather each surviving gram's train/eval doc sets — bounded
+      // <= 20 ids by the rarity filter — and explode the cross pairs.
+      // The join-then-groupBy on g reuses the join's partitioning: the
+      // whole query is three keyed exchanges plus the oracle sort.
+      val bg = fivegramRows(docs(s, dir))
+      val rare = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
+        .where(col("dfreq") <= 20).select("g")
+      bg.join(rare, "g")
+        .groupBy("g").agg(
+          collect_set(when(col("doc_id") % 10 === 0, col("doc_id")))
+            .as("evals"),
+          collect_set(when(col("doc_id") % 10 =!= 0, col("doc_id")))
+            .as("trains"))
+        .where(size(col("evals")) > 0 && size(col("trains")) > 0)
+        .select(explode(col("trains")).as("train_doc"), col("evals"))
+        .select(col("train_doc"), explode(col("evals")).as("eval_doc"))
+        .groupBy("train_doc", "eval_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("train_doc", "eval_doc")
     },
 
     // ---- document fingerprint: digest of normalized text ----
