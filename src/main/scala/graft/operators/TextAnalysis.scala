@@ -475,8 +475,11 @@ object TextAnalysis {
       // materializes a giant buffer, unlike collect_set-before-filter),
       // then gather each surviving gram's train/eval doc sets — bounded
       // <= 20 ids by the rarity filter — and explode the cross pairs.
-      // The join-then-groupBy on g reuses the join's partitioning: the
-      // whole query is three keyed exchanges plus the oracle sort.
+      // Plan (verified via Explain): at this SF the slim rare-gram list
+      // broadcasts, so the sets aggregate pays its own Exchange(g); past
+      // the broadcast threshold AQE turns the join into a g-keyed
+      // shuffle join whose partitioning the sets aggregate then reuses.
+      // Either way no gram self-join and no unbounded buffers anywhere.
       val bg = fivegramRows(docs(s, dir))
       val rare = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
         .where(col("dfreq") <= 20).select("g")
