@@ -97,14 +97,6 @@ object Dedup {
       else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i)),
     (sl, b) => xxhash64(sl, lit(b)))
 
-  /** Oracle-computable scheme: base hashes are the first 15 hex chars of
-    * md5 (60 bits — always non-negative, so shifts/compares behave
-    * identically in Spark and DuckDB), rotation stays inside 60 bits by
-    * masking BEFORE the left shift (DuckDB's `<<` errors on BIGINT
-    * overflow), and band buckets are md5 over the decimal-rendered slot
-    * slice. Slower than xxhash64 (string md5 per shingle) — it exists to
-    * hash-match the complete banding algebra against DuckDB, not as the
-    * scale path. */
   /** First 15 hex chars of md5 as a non-negative 60-bit long — THE
     * parity-critical definition every md5-scheme call site and every
     * generated DuckDB mirror (`CAST('0x' || substr(md5(x), 1, 15) AS
@@ -112,6 +104,14 @@ object Dedup {
   private def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Oracle-computable scheme: base hashes are [[md5Hash60]] values
+    * (60 bits — always non-negative, so shifts/compares behave
+    * identically in Spark and DuckDB), rotation stays inside 60 bits by
+    * masking BEFORE the left shift (DuckDB's `<<` errors on BIGINT
+    * overflow), and band buckets are md5 over the decimal-rendered slot
+    * slice. Slower than xxhash64 (string md5 per shingle) — it exists to
+    * hash-match the complete banding algebra against DuckDB, not as the
+    * scale path. */
   val md5Scheme: MinHashScheme = MinHashScheme(
     g => (md5Hash60(g), md5Hash60(concat(g, lit("#")))),
     (c, i) => {
@@ -405,8 +405,12 @@ object Dedup {
       // leak the cached edge set; on failure the last pinned label
       // checkpoint is dead weight too, so release both. On success the
       // final labels stay pinned — they back the returned plan.
-      edges.unpersist()
-      if (!converged && pinned != null) pinned.unpersist(blocking = false)
+      // Best-effort: if the context is already dying, the unpersist's
+      // own failure must not mask the root-cause exception.
+      try {
+        edges.unpersist()
+        if (!converged && pinned != null) pinned.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -29,30 +29,23 @@ object TextAnalysis {
     * empty. Spread is keyed on doc_id so downstream per-doc aggregates
     * reuse the partitioning (see [[graft.Tables.spread]]). */
   private[operators] def bigramRows(d: DataFrame,
-      distinctPerDoc: Boolean): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    val bgExpr = expr(
-      "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
-    val arr = if (distinctPerDoc) array_distinct(bgExpr) else bgExpr
-    Tables.spread(d, col("doc_id"))
-      .select(col("doc_id"), toks.as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(arr).as("g"))
-  }
+      distinctPerDoc: Boolean): DataFrame = ngramRows(d, 2, distinctPerDoc)
 
-  /** One exploded (doc_id, g) row per DISTINCT word 5-gram — the
-    * decontamination shingle: 5-grams are rare enough that sharing
-    * several across documents signals copied text, not common phrasing.
-    * Same short-doc filter / keyed-spread discipline as [[bigramRows]]. */
-  private def fivegramRows(d: DataFrame): DataFrame = {
+  /** Generalized word n-gram explode — the single place the shingle
+    * pipeline's disciplines live (ANSI short-doc pre-filter, keyed
+    * spread, generator-safe explode-of-expression shape). */
+  private[operators] def ngramRows(d: DataFrame, n: Int,
+      distinctPerDoc: Boolean): DataFrame = {
+    require(n >= 2)
     val toks = split(col("text"), "\\s+")
+    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+    val ngExpr = expr(
+      s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', $terms))")
+    val arr = if (distinctPerDoc) array_distinct(ngExpr) else ngExpr
     Tables.spread(d, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
-      .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(toks)-5), i -> concat_ws(' ', " +
-          "toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))")))
-        .as("g"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(arr).as("g"))
   }
 
   /** Language-ID stopword patterns; tie-break priority en>de>fr>es>und. */
@@ -469,10 +462,13 @@ object TextAnalysis {
         |GROUP BY train_doc, eval_doc
         |HAVING COUNT(DISTINCT t.g) >= 3
         |ORDER BY train_doc, eval_doc""".stripMargin)) { (s, dir) =>
-      // NOT a gram self-join (which re-evaluates the 5-gram explode per
-      // side and shuffles gram strings twice): docfreq-filter first via
+      // NOT a gram self-join (whose pair fan-out shuffles gram strings
+      // twice and was measured 2.9x slower): docfreq-filter first via
       // a safe partial-agg count (a universal boilerplate gram never
       // materializes a giant buffer, unlike collect_set-before-filter),
+      // accepting that the n-gram explode evaluates twice (docfreq
+      // branch + join probe side — same deliberate trade-off as
+      // text_common_bigrams),
       // then gather each surviving gram's train/eval doc sets — bounded
       // <= 20 ids by the rarity filter — and explode the cross pairs.
       // Plan (verified via Explain): at this SF the slim rare-gram list
@@ -480,7 +476,7 @@ object TextAnalysis {
       // the broadcast threshold AQE turns the join into a g-keyed
       // shuffle join whose partitioning the sets aggregate then reuses.
       // Either way no gram self-join and no unbounded buffers anywhere.
-      val bg = fivegramRows(docs(s, dir))
+      val bg = ngramRows(docs(s, dir), 5, distinctPerDoc = true)
       val rare = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
         .where(col("dfreq") <= 20).select("g")
       bg.join(rare, "g")
