@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight through to this process's stdout/stderr.
+// sbt's default LoggedOutput prefixes every forked line with "[info] ",
+// which breaks machine parsing of the bare JSON metric lines Bench/Verify
+// print (the driver tails stdout and parses the last JSON line).
+outputStrategy := Some(StdoutOutput)
+// Also drop the trailing "[success] Total time: ..." line so the metric
+// JSON stays the last thing on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

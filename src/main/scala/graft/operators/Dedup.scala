@@ -86,7 +86,12 @@ object Dedup {
   final case class MinHashScheme(
       hashes: Column => (Column, Column),
       rotl: (Column, Int) => Column,
-      bandHash: (Column, Int) => Column)
+      bandHash: (Column, Int) => Column,
+      /** Widest rotation domain the scheme supports; [[minhashSignatures]]
+        * validates `numHashes` against this at the API boundary so the
+        * error names the caller's parameter instead of surfacing from a
+        * require buried inside `rotl` mid-plan-construction. */
+      maxSlots: Int)
 
   /** Fast native scheme: xxhash64 base hashes, true 64-bit rotation,
     * xxhash64 band buckets. No SQL oracle (DuckDB lacks xxhash64). */
@@ -95,7 +100,8 @@ object Dedup {
     (c, i) =>
       if (i == 0) c
       else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i)),
-    (sl, b) => xxhash64(sl, lit(b)))
+    (sl, b) => xxhash64(sl, lit(b)),
+    maxSlots = 64)
 
   /** First 15 hex chars of md5 as a non-negative 60-bit long — THE
     * parity-critical definition every md5-scheme call site and every
@@ -124,7 +130,8 @@ object Dedup {
         .bitwiseOR(shiftrightunsigned(c, 60 - i))
     },
     (sl, b) => md5(concat(lit(s"$b:"),
-      array_join(transform(sl, _.cast("string")), ","))))
+      array_join(transform(sl, _.cast("string")), ","))),
+    maxSlots = 60)
 
   /** MinHash signatures: each shingle is hashed ONCE (two independent
     * base hashes), and the `numHashes` slot hashes are derived as
@@ -133,7 +140,9 @@ object Dedup {
     * aggregate codegen tiny. Returns (doc_id, sig). */
   def minhashSignatures(d: DataFrame, numHashes: Int = 64,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
-    require(numHashes <= 64, "rotation-derived slots support at most 64")
+    require(numHashes <= scheme.maxSlots,
+      s"numHashes=$numHashes exceeds the scheme's rotation domain " +
+        s"(maxSlots=${scheme.maxSlots})")
     val (h1, h2) = scheme.hashes(col("g"))
     val hashed = shingles(d).select(col("doc_id"),
       h1.as("h1"), h2.as("h2"))
@@ -337,12 +346,17 @@ object Dedup {
     // the dominant cost). Task retries can only inflate the count, never
     // zero it, so the `== 0` convergence test is retry-safe.
     def materialize(df: DataFrame): (DataFrame, Long) = {
-      val hasChg = df.schema.size > 2
+      // the change flag is resolved BY NAME — a positional read (r2 shape:
+      // schema.size > 2 + getBoolean(2)) would silently flip convergence
+      // semantics if a caller projection ever reordered/added columns
+      val chgIdx =
+        if (df.schema.fieldNames.contains("chg")) df.schema.fieldIndex("chg")
+        else -1
       val acc = spark.sparkContext.longAccumulator
       val rdd =
-        if (!hasChg) df.rdd
+        if (chgIdx < 0) df.rdd
         else df.rdd.map { r =>
-          if (!r.isNullAt(2) && r.getBoolean(2)) acc.add(1L)
+          if (!r.isNullAt(chgIdx) && r.getBoolean(chgIdx)) acc.add(1L)
           r
         }
       rdd.localCheckpoint()

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Upper bound on decoded image area (width × height). */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -62,6 +65,11 @@ object Multimodal {
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
+    // w*h is Int math and feeds two O(n) allocations — a corrupt/hostile
+    // header advertising huge dimensions would overflow or OOM before a
+    // single pixel is read. 64 Mpx ≈ 512 MB of doubles, already generous.
+    require(w > 0 && h > 0 && w.toLong * h <= MaxPixels,
+      s"image dimensions ${w}x$h out of bounds (max $MaxPixels pixels)")
     val n = w * h
     val raster = img.getRaster
     // True grayscale only: a 1-band raster with an INDEXED color model

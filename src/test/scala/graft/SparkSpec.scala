@@ -21,8 +21,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Testdata root; override via GRAFT_TESTDATA on hosts with a
+    * different data layout. */
+  val testdataRoot: String =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
+
   /** sf0.001 fixture dir (smallest, fastest; ~6k lineitem rows). */
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir = s"$testdataRoot/sf0.001"
+
+  /** sf0.01 fixture dir (~60k lineitem rows; the oracle scale — used by
+    * suites that need the real data distribution, not just tiny rows). */
+  val sf01Dir = s"$testdataRoot/sf0.01"
 
   override def afterAll(): Unit = {
     // Session is shared across suites in one JVM (getOrCreate); don't stop.

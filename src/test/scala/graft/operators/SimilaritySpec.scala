@@ -138,7 +138,7 @@ class SimilaritySpec extends SparkSpec {
     * 0.78), tight enough that any bucketing or probe regression trips. */
   private def realRecallAt5(
       run: (DataFrame, DataFrame) => DataFrame): Double = {
-    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val e = graft.Tables.load(spark, sf01Dir, "embeddings")
     val q = e.where(col("vec_id") % 50 === 0)
     val truth = Similarity.bruteForceTopK(q, e, 5).collect()
       .groupBy(_.getLong(0))
