@@ -244,6 +244,36 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // ---- gaps and islands: consecutive active-day runs per user ----
+    // The row_number trick: day - rn is constant within a consecutive run,
+    // so islands fall out of one distinct + one window + one group-by, all
+    // partitioned on user_id (a single exchange end-to-end).
+    Q("q_gaps_islands", Some(
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |           FROM events),
+        |g AS (SELECT user_id, d,
+        |        (d - DATE '1970-01-01')
+        |          - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |          AS grp
+        |      FROM d)
+        |SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+        |  CAST(COUNT(*) AS BIGINT) AS days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("d")
+      ev(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+        .withColumn("grp",
+          datediff(col("d"), lit("1970-01-01").cast("date"))
+            - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("d").as("island_start"), max("d").as("island_end"),
+          count(lit(1)).as("days"))
+        .select("user_id", "island_start", "island_end", "days")
+        .orderBy("user_id", "island_start")
+    },
+
     // ---- JSON extraction ----
     Q("q_json_kv", Some(
       """SELECT event_type,

@@ -25,6 +25,13 @@ object Multimodal {
   /** Upper bound on decoded image area (width × height). */
   val MaxPixels: Long = 64L * 1024 * 1024
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates a temp file, and with 32 decode threads per executor the
+  // temp-dir churn + synchronized cache bookkeeping dominates the actual
+  // decode (measured 3× slower than single-threaded). Payloads here are
+  // in-memory byte arrays — heap-backed streams need no cache at all.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -224,7 +231,9 @@ object Multimodal {
 
     // Stubbed decode → feature extraction; deterministic, rows-only check.
     Q("mm_stub_features", None) { (s, dir) =>
-      val media = docs(s, dir)
+      // single-file parquet arrives as ONE scan partition; without a
+      // spread every per-row decode below runs on a single core
+      val media = Tables.spread(docs(s, dir))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       decodeToFeatures(media, "payload", 8)
         .select(col("doc_id"), size(col("features")).as("feat_dim"),
@@ -257,7 +266,10 @@ object Multimodal {
     }) { (s, dir) =>
       val spark = s
       import spark.implicits._
-      val feats = docs(s, dir).select(col("doc_id"), col("text"))
+      // spread first: the PNG encode + ImageIO decode per row is the
+      // expensive stage, and the single-file scan would pin it to 1 core
+      val feats = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
           val ascii = text.replaceAll("[^ -~]", "")

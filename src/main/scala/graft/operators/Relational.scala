@@ -595,5 +595,166 @@ object Relational {
         (col("p_size") % 7).as("size_mod"),
         abs(col("p_size") - 25).as("size_absdev"))
         .orderBy("p_partkey")
+    },
+
+    // ---- ordered string aggregation (listagg / string_agg) ----
+    // collect_list order is partition-dependent, so the list is sorted
+    // before joining — the only deterministic form at any parallelism.
+    Q("q_string_agg", Some(
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list("n_name")), ",")
+            .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    },
+
+    // ---- EXISTS / NOT EXISTS correlated predicates (decorrelated by
+    //      Catalyst into semi/anti joins) ----
+    Q("q_exists_subquery", Some(
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice < 10000)
+        |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_ex")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      s.sql(
+        """SELECT c_custkey FROM customer_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_totalprice < 10000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---- value-picking window functions over explicit ROWS frames ----
+    // (q_range_frame covers RANGE; this pins first/last/nth semantics,
+    // where last_value needs the UNBOUNDED FOLLOWING frame to mean
+    // "partition last" rather than "current row".)
+    Q("q_first_last_window", Some(
+      """SELECT o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val byDate = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w = byDate.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = byDate.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        first("o_totalprice").over(w).as("first_price"),
+        last("o_totalprice").over(wAll).as("last_price"),
+        nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- bitwise aggregates ----
+    Q("q_bitwise_agg", Some(
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS k_and,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS k_or,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS k_xor,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).as("k_and"),
+          bit_or(col("l_orderkey")).as("k_or"),
+          bit_xor(col("l_orderkey")).as("k_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- correlation/covariance moments, exactly ----
+    // The five sufficient statistics of corr/covar as exact BIGINT sums
+    // (quantity <= 50 and whole-dollar prices keep every sum far inside
+    // 2^63 at any sf) — the fp corr() itself is pinned by a spec against
+    // these moments, while the oracle stays bit-exact.
+    Q("q_corr_moments", Some(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |    AS BIGINT) AS sxx,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+        |    * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)
+        |    * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      val x = col("l_quantity").cast("long")
+      val y = round(col("l_extendedprice")).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- null-on-error arithmetic (try_* family) ----
+    // try_divide yields NULL where the divisor hits zero instead of
+    // failing the job under ANSI semantics — the behavior a long pipeline
+    // over dirty data wants. IEEE double division is deterministic, so
+    // the non-null quotients hash-match without rounding.
+    Q("q_try_arith", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity = 50 THEN NULL
+        |       ELSE l_extendedprice / (l_quantity - 50) END AS div_to_cap,
+        |  CASE WHEN l_quantity = 1 THEN NULL
+        |       ELSE l_extendedprice / (l_quantity - 1) END AS div_from_one
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - 50)
+            .as("div_to_cap"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - 1)
+            .as("div_from_one"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- regexp_extract_all as a generator-ish scalar ----
+    // (`get` is the OOB-null element accessor — element_at throws under
+    // ANSI when a doc has no match.)
+    Q("q_regexp_extract_all", Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bs[a-z]+')) AS INTEGER)
+        |    AS n_s_words,
+        |  regexp_extract_all(text, '\bs[a-z]+')[1] AS first_s_word
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val hits = regexp_extract_all(col("text"), lit("\\bs[a-z]+"), lit(0))
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(hits).as("n_s_words"),
+        get(hits, lit(0)).as("first_s_word"))
+        .orderBy("doc_id")
     })
 }

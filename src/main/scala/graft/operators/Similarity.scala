@@ -266,5 +266,43 @@ object Similarity {
         .where(col("sim") >= 0.25)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim_r"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Nearest-centroid assignment (the k-means E-step / cluster-labeling
+    // pass a corpus-clustering pipeline runs at scale): fixed centroids
+    // (vec_id < 8 — deterministic, engine-independent) broadcast against
+    // one corpus scan, argmax cosine per vector with centroid-id
+    // tie-break. The oracle recomputes every assignment in DuckDB, so the
+    // whole broadcast-join + window-argmax path is hash-pinned.
+    Q("emb_centroid_assign", Some(
+      s"""WITH ${sqlUnnest("")},
+         |c AS (SELECT * FROM u WHERE vec_id < 8),
+         |d AS (SELECT c.vec_id AS cid, u.vec_id AS vid, SUM(c.x * u.x) AS dot
+         |      FROM c JOIN u ON c.i = u.i GROUP BY cid, vid),
+         |s AS (SELECT cid, vid, dot / (sqrt(nc.nsq) * sqrt(nv.nsq)) AS sim
+         |      FROM d JOIN n nc ON nc.vec_id = cid
+         |             JOIN n nv ON nv.vec_id = vid),
+         |a AS (SELECT vid, cid,
+         |        ROW_NUMBER() OVER (PARTITION BY vid
+         |          ORDER BY sim DESC, cid) AS rk FROM s)
+         |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         |  MIN(vid) AS min_vec
+         |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin)) {
+      (s, dir) =>
+      val e = emb(s, dir)
+      val c = withVec(e.where(col("vec_id") < 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("norm").as("cnorm"))
+      val v = withVec(e)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cid"))
+      v.crossJoin(broadcast(c))
+        .withColumn("sim",
+          dot(col("cv"), col("v")) / (col("cnorm") * col("norm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .groupBy(col("cid").as("centroid_id"))
+        .agg(count(lit(1)).as("n_assigned"), min("vec_id").as("min_vec"))
+        .orderBy("centroid_id")
     })
 }
