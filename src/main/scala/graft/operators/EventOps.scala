@@ -288,5 +288,89 @@ object EventOps {
         .groupBy("event_type")
         .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // ---- forward fill (last-observation-carried-forward): the standard
+    //      sparse-to-dense time-series repair. Only purchase events carry
+    //      an observed price here; every other event inherits the user's
+    //      most recent one. One window, one exchange on user_id; values
+    //      are raw table doubles carried (not recomputed), so no rounding
+    //      is needed. ----
+    Q("q_forward_fill", Some(
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS observed,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled
+        |FROM events ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val obs = when(col("event_type") === "purchase", col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), obs.as("observed"),
+          last(obs, ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    },
+
+    // ---- rolling event-time window (RANGE frame over epoch seconds):
+    //      per-user trailing-1h event count + spend. A RANGE frame is
+    //      defined by the ORDER BY *value*, so tied timestamps share one
+    //      frame and the result is order-deterministic; the epoch-seconds
+    //      BIGINT key keeps the frame arithmetic integer-exact in both
+    //      engines. Money goes through the exact-cents pattern. ----
+    Q("q_rolling_1h", Some(
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT)/100.0
+        |    AS spend_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .rangeBetween(-3600, Window.currentRow)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("long").as("n_1h"),
+          (sum(cents(col("value"))).over(w).cast("long") / lit(100.0))
+            .as("spend_1h"))
+        .orderBy("event_id")
+    },
+
+    // ---- calendar zero-fill (resample-to-daily): generate the full
+    //      min..max day spine with sequence()/explode, left-join the
+    //      daily aggregate, land 0 on silent days. The spine is one
+    //      broadcast row exploded — at any scale the aggregate side
+    //      carries the data and the join is broadcast. ----
+    Q("q_calendar_fill", Some(
+      """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        |             CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+        |cal AS (SELECT d0 + CAST(i AS INTEGER) AS day
+        |        FROM (SELECT d0,
+        |                unnest(range(0, date_diff('day', d0, d1) + 1)) AS i
+        |              FROM b)),
+        |agg AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+        |          CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |            AS BIGINT)/100.0 AS revenue
+        |        FROM orders GROUP BY day)
+        |SELECT cal.day, COALESCE(agg.n, 0) AS n,
+        |  COALESCE(agg.revenue, 0.0) AS revenue
+        |FROM cal LEFT JOIN agg ON cal.day = agg.day
+        |ORDER BY cal.day""".stripMargin)) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val spine = o
+        .agg(min(col("o_orderdate").cast("date")).as("d0"),
+          max(col("o_orderdate").cast("date")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val agg = o.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+      spine.join(agg, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("day")
     })
 }

@@ -756,5 +756,61 @@ object Relational {
         size(hits).as("n_s_words"),
         get(hits, lit(0)).as("first_s_word"))
         .orderBy("doc_id")
+    },
+
+    // ---- unpivot (wide -> long): per-nation entity counts melted to
+    //      (nation, metric, cnt) rows via Dataset.unpivot — the Spark
+    //      relational form of melt; the oracle states the same reshape as
+    //      plain-ANSI UNION ALL. Both join sides pre-aggregate to 25 rows
+    //      before the melt, so the wide frame is broadcast-tiny. ----
+    Q("q_unpivot", Some(
+      """WITH w AS (
+        |  SELECT n.n_name,
+        |    (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |      AS customers,
+        |    (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        |      AS suppliers
+        |  FROM nation n)
+        |SELECT n_name, 'customers' AS metric, customers AS cnt FROM w
+        |UNION ALL
+        |SELECT n_name, 'suppliers' AS metric, suppliers AS cnt FROM w
+        |ORDER BY n_name, metric""".stripMargin)) { (s, dir) =>
+      val cust = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("customers"))
+      val supp = t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("suppliers"))
+      t(s, dir, "nation")
+        .join(cust, col("n_nationkey") === col("c_nationkey"), "left")
+        .join(supp, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_name"), coalesce(col("customers"), lit(0L)).as("customers"),
+          coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+        .unpivot(Array(col("n_name")),
+          Array(col("customers"), col("suppliers")), "metric", "cnt")
+        .orderBy("n_name", "metric")
+    },
+
+    // ---- fixed-bound histogram (data profiling): bucket arithmetic is
+    //      spelled out as identical double ops in both engines (the
+    //      built-in width_bucket's internal formula is engine-specific at
+    //      boundary ulps, so the oracle-exact form owns the math). One
+    //      scan, one 20-group aggregate. ----
+    Q("q_histogram", Some(
+      s"""WITH h AS (SELECT
+         |  CAST(FLOOR((o_totalprice - 0) * 20 / 600000.0) AS BIGINT)
+         |    AS bucket, o_totalprice
+         |  FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 600000)
+         |SELECT bucket, bucket * 30000.0 AS lo, (bucket+1) * 30000.0 AS hi,
+         |  COUNT(*) AS n, ${sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, dir) =>
+      val bucket = floor((col("o_totalprice") - lit(0)) * lit(20)
+        / lit(600000.0)).cast("long")
+      t(s, dir, "orders")
+        .where(col("o_totalprice") >= 0 && col("o_totalprice") < 600000)
+        .select(bucket.as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg((col("bucket") * lit(30000.0)).as("lo"),
+          ((col("bucket") + 1) * lit(30000.0)).as("hi"),
+          count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")
     })
 }

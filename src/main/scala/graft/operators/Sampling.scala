@@ -125,5 +125,37 @@ object Sampling {
       topHalfByScore(docs(s, dir), "lang", "n_chars")
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- domain-mix reweighting: compute the per-source sampling
+    //      weight that moves the corpus toward a uniform source mix,
+    //      capped at 2x upsampling (the DoReMi-style "mixture weights"
+    //      pre-pass, computed from corpus counts, no RNG). Two tiny
+    //      aggregates + a broadcast of one total row; the expected doc
+    //      budget is floored to integer so every column but the display
+    //      ratios is exact. ----
+    Q("pipeline_mix_weights", Some(
+      """WITH a AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |           GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |        COUNT(*) AS n_sources FROM a)
+        |SELECT source, n_docs,
+        |  ROUND(n_docs / CAST(total AS DOUBLE), 6) AS share_r,
+        |  ROUND(LEAST(CAST(total AS DOUBLE) / (n_sources * n_docs), 2.0), 6)
+        |    AS weight_r,
+        |  CAST(FLOOR(n_docs * LEAST(CAST(total AS DOUBLE)
+        |    / (n_sources * n_docs), 2.0)) AS BIGINT) AS exp_docs
+        |FROM a, t ORDER BY source""".stripMargin)) { (s, dir) =>
+      val a = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val t = a.agg(sum("n_docs").cast("long").as("total"),
+        count(lit(1)).as("n_sources"))
+      val weight = least(col("total").cast("double")
+        / (col("n_sources") * col("n_docs")), lit(2.0))
+      a.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs") / col("total").cast("double"), 6).as("share_r"),
+          round(weight, 6).as("weight_r"),
+          floor(col("n_docs") * weight).cast("long").as("exp_docs"))
+        .orderBy("source")
     })
 }

@@ -304,5 +304,70 @@ object Similarity {
         .groupBy(col("cid").as("centroid_id"))
         .agg(count(lit(1)).as("n_assigned"), min("vec_id").as("min_vec"))
         .orderBy("centroid_id")
+    },
+
+    // Symmetric int8 quantization (the memory-compression pass an ANN
+    // index runs before serving: 64 floats -> 64 bytes + one scale).
+    // Per vector: scale = max|x|/127, q_i = floor(x/scale + 0.5). Every
+    // step is elementwise double math (no accumulation-order drift), so
+    // the integer summaries hash-match exactly and only the scale needs
+    // display rounding. floor(x+0.5) rounds halves up in both engines —
+    // unlike round(), whose half mode differs for negatives.
+    Q("emb_norm_quantize", Some(
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM u
+        |      GROUP BY vec_id HAVING MAX(ABS(x)) > 0),
+        |q AS (SELECT u.vec_id, scale,
+        |        CAST(FLOOR(x / scale + 0.5) AS BIGINT) AS qx
+        |      FROM u JOIN m ON u.vec_id = m.vec_id)
+        |SELECT vec_id, CAST(SUM(qx) AS BIGINT) AS q_sum,
+        |  MIN(qx) AS q_min, MAX(qx) AS q_max,
+        |  CAST(COUNT(*) FILTER (WHERE ABS(qx) = 127) AS BIGINT) AS n_sat,
+        |  ROUND(ANY_VALUE(scale), 6) AS scale_r
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+      // explode + window-max + groupBy, all on the vec_id key from one
+      // keyed spread — one exchange. (A transform-lambda referencing a
+      // projected per-vector scale would let CollapseProject inline the
+      // max-fold into the lambda and recompute it per element.)
+      val w = Window.partitionBy("vec_id")
+      Tables.spread(emb(s, dir), col("vec_id"))
+        .select(col("vec_id"),
+          explode(expr("transform(embedding, x -> cast(x as double))"))
+            .as("x"))
+        .withColumn("scale", max(abs(col("x"))).over(w) / 127d)
+        .where(col("scale") > 0)
+        .withColumn("qx", floor(col("x") / col("scale") + 0.5).cast("long"))
+        .groupBy("vec_id")
+        .agg(sum("qx").as("q_sum"), min("qx").as("q_min"),
+          max("qx").as("q_max"),
+          sum(when(abs(col("qx")) === 127, 1L).otherwise(0L)).as("n_sat"),
+          round(first("scale"), 6).as("scale_r"))
+        .orderBy("vec_id")
+    },
+
+    // Per-dimension corpus statistics (the feature-normalization /
+    // whitening pre-pass): one explode + one 64-group aggregate. min/max
+    // are elementwise-exact; mean/std accumulate in engine-specific order
+    // so they carry display rounding. Group key = dimension — 64-way
+    // parallel, map-side partial aggregation, one exchange.
+    Q("emb_dim_stats", Some(
+      """WITH u AS (SELECT CAST(generate_subscripts(embedding, 1) - 1
+        |             AS INTEGER) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings)
+        |SELECT dim, COUNT(*) AS n, ROUND(AVG(x), 4) AS mean_r,
+        |  ROUND(STDDEV_SAMP(x), 4) AS std_r, MIN(x) AS x_min,
+        |  MAX(x) AS x_max
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin)) { (s, dir) =>
+      Tables.spread(emb(s, dir))
+        .select(posexplode(
+          expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), round(avg("x"), 4).as("mean_r"),
+          round(stddev_samp("x"), 4).as("std_r"),
+          min("x").as("x_min"), max("x").as("x_max"))
+        .orderBy("dim")
     })
 }

@@ -507,5 +507,44 @@ object TextAnalysis {
         md5(norm).as("fp"),
         length(norm).as("norm_len"))
         .orderBy("doc_id")
+    },
+
+    // ---- character-level Shannon entropy (quality signal: gibberish /
+    //      binary-junk docs sit far from natural-language ~4 bits/char).
+    //      Explode-to-chars + two keyed aggregates, both reusing the
+    //      doc_id spread partitioning — one exchange total. Spark splits
+    //      on the empty pattern (trailing "" filtered); the oracle
+    //      side-steps split-on-empty semantics entirely via a lateral
+    //      generate_series + substring. Entropy sums ~30 double terms in
+    //      engine order -> display-rounded; counts are exact. ----
+    Q("text_char_entropy", Some(
+      """WITH c AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+        |           FROM (SELECT doc_id, text,
+        |                   unnest(range(1, length(text) + 1)) AS i
+        |                 FROM documents)),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |        COUNT(*) AS n_distinct FROM f GROUP BY doc_id)
+        |SELECT f.doc_id, ANY_VALUE(n_chars) AS n_chars,
+        |  ANY_VALUE(n_distinct) AS n_distinct,
+        |  ROUND(-SUM((cnt / CAST(n_chars AS DOUBLE))
+        |    * ln(cnt / CAST(n_chars AS DOUBLE))) / ln(2), 4) AS entropy_r
+        |FROM f JOIN n ON f.doc_id = n.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)) { (s, dir) =>
+      val freq = Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      val nw = Window.partitionBy("doc_id")
+      freq
+        .withColumn("n_chars", sum("cnt").over(nw).cast("long"))
+        .withColumn("n_distinct", count(lit(1)).over(nw))
+        .groupBy("doc_id")
+        .agg(first("n_chars").as("n_chars"),
+          first("n_distinct").as("n_distinct"),
+          round(-sum((col("cnt") / col("n_chars").cast("double"))
+            * log(col("cnt") / col("n_chars").cast("double"))) / log(lit(2d)),
+            4).as("entropy_r"))
+        .orderBy("doc_id")
     })
 }

@@ -19,9 +19,20 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "ann_cosine_topk",        // brute-force exactness baseline
     "text_levenshtein")       // exact edit-distance baseline, doc_id < 30
 
+  /** NOT quadratic: a crossJoin whose broadcast side is a constant-size
+    * frame (a grand-total row, a k-centroid table) plans as
+    * BroadcastNestedLoopJoin but is O(k·n) with tiny fixed k — the
+    * standard Spark shape for attaching global scalars / small fixed
+    * dimensions. Listed separately so a genuinely unbounded NL join can
+    * never hide behind the "baseline" excuse. */
+  private val allowedBoundedBroadcast = Set(
+    "emb_centroid_assign",    // 8 fixed centroid rows broadcast (E-step)
+    "pipeline_mix_weights")   // one grand-total row broadcast
+
   test("no accidental nested-loop or cartesian joins in the inventory") {
+    val allowed = allowedQuadratic ++ allowedBoundedBroadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !allowedQuadratic(name) =>
+      case (name, fn) if !allowed(name) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         val bad = collect(plan) {
           case j: BroadcastNestedLoopJoinExec => j.getClass.getSimpleName

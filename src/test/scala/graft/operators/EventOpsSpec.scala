@@ -43,4 +43,57 @@ class EventOpsSpec extends SparkSpec {
     val total = graft.Tables.load(spark, sfDir, "events").count()
     assert(n == total)
   }
+
+  test("q_forward_fill: filled equals the user's most recent purchase " +
+      "value (independent Scala replay)") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expect = ev.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      var lastV: Option[Double] = None
+      rs.sortBy(r => (r._2, r._3)).iterator.map { r =>
+        if (r._4 == "purchase") lastV = Some(r._5)
+        r._3 -> lastV
+      }
+    }.toMap
+    val got = run("q_forward_fill").collect()
+    assert(got.length == ev.length)
+    got.foreach { r =>
+      val e = expect(r.getLong(0))
+      if (r.isNullAt(3)) assert(e.isEmpty, s"event ${r.getLong(0)}")
+      else assert(e.contains(r.getDouble(3)), s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("q_rolling_1h: frame matches an independent per-user replay " +
+      "(tied seconds share a frame)") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) " +
+        "div 1000000").as("s"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      rs.iterator.map(r =>
+        r._3 -> rs.count(o => o._2 >= r._2 - 3600 && o._2 <= r._2))
+    }.toMap
+    run("q_rolling_1h").collect().foreach { r =>
+      assert(r.getLong(2) == expect(r.getLong(0)),
+        s"event ${r.getLong(0)}: n_1h ${r.getLong(2)} != ${expect(r.getLong(0))}")
+    }
+  }
+
+  test("q_calendar_fill: contiguous daily spine, zero-filled gaps, " +
+      "totals preserved") {
+    val rows = run("q_calendar_fill")
+      .select(col("day").cast("string"), col("n")).collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)), r.getLong(1)))
+    val days = rows.map(_._1)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a.plusDays(1) },
+      "spine has gaps")
+    val total = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_._2).sum == total, "order count not preserved")
+    assert(rows.exists(_._2 == 0), "no zero-filled day at sf0.001")
+  }
 }

@@ -190,4 +190,45 @@ class SimilaritySpec extends SparkSpec {
       assert(ranks == (1 to ranks.size), s"non-contiguous ranks: $ranks")
     }
   }
+
+  test("emb_norm_quantize: int8 range respected, saturation marked, " +
+      "and dequantized values reconstruct within scale/2") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val rows = graft.SparkEntry.queries("emb_norm_quantize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (_, qMin, qMax, nSat) =>
+      assert(qMin >= -127 && qMax <= 127, "quantized value out of int8 range")
+      assert(nSat >= 1, "max-|x| element must quantize to exactly ±127")
+    }
+    // independent reconstruction check on a few vectors
+    e.where(col("vec_id") < 5).collect().foreach { r =>
+      val xs = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val scale = xs.map(math.abs).max / 127
+      val qSum = xs.map(x => math.floor(x / scale + 0.5).toLong).sum
+      assert(rows(r.getLong(r.fieldIndex("vec_id")))._1 == qSum,
+        s"q_sum mismatch for vec ${r.getLong(0)}")
+      xs.foreach { x =>
+        val q = math.floor(x / scale + 0.5)
+        assert(math.abs(q * scale - x) <= scale / 2 + 1e-12,
+          "reconstruction error exceeds scale/2")
+      }
+    }
+  }
+
+  test("emb_dim_stats: one row per dimension, n = corpus size, " +
+      "min <= mean <= max") {
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    val rows = graft.SparkEntry.queries("emb_dim_stats")(spark, sfDir)
+      .collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (0 until 64))
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        s"dim ${r.getInt(0)}: mean outside [min, max]")
+      assert(r.getDouble(3) > 0, "zero std on gaussian data")
+    }
+  }
 }

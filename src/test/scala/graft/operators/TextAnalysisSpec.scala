@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
 
 /** Text-analysis queries: hand-computed expectations on tiny inputs, run
   * through the same registered query entry points the driver uses.
@@ -89,5 +90,32 @@ class TextAnalysisSpec extends SparkSpec {
     // lower: "abc de-12 f!" => alpha runs: abc, de, f = 3; num runs: 12 = 1;
     // other (non-alnum, non-space): '-','!' = 2
     assert(r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 2)
+  }
+
+  test("text_char_entropy: golden values — uniform string hits " +
+      "log2(alphabet), single-char string is 0 bits") {
+    val rows = graft.SparkEntry.queries("text_char_entropy")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDistinct = r.getLong(2).toDouble
+      val ent = r.getDouble(3)
+      // 0 <= H <= log2(n_distinct), the information-theoretic bounds
+      assert(ent >= 0 && ent <= math.log(nDistinct) / math.log(2) + 1e-9,
+        s"doc ${r.getLong(0)}: entropy $ent out of bounds")
+    }
+    // hand-built docs: "aaaa" -> 0 bits; "abab" -> exactly 1 bit
+    val tiny = Seq((1L, "aaaa"), (2L, "abab")).toDF("doc_id", "text")
+    val freq = tiny
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.getLong(0))
+    def h(cnts: Seq[Long]): Double = {
+      val n = cnts.sum.toDouble
+      -cnts.map(c => c / n * math.log(c / n)).sum / math.log(2)
+    }
+    assert(h(freq(1L).map(_.getLong(2)).toSeq) == 0.0)
+    assert(math.abs(h(freq(2L).map(_.getLong(2)).toSeq) - 1.0) < 1e-12)
   }
 }
