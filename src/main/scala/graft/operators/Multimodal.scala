@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
   * and tested. IMAGE decode is real: [[decodeImageToFeatures]] decodes
   * PNG/BMP/GIF/JPEG payloads through the JDK's `javax.imageio` (no
   * external dependency) and pools per-pixel luminance into a fixed-width
-  * feature vector. Audio/video stay STUBBED (no codec libraries in this
-  * environment) behind [[stubDecodeFeatures]], a deterministic
+  * feature vector. AUDIO decode is real: [[decodeWavToFeatures]] parses
+  * WAV containers through `javax.sound.sampled.AudioSystem` and pools
+  * 16-bit PCM amplitudes the same way. Only VIDEO stays STUBBED (no
+  * demuxer in the JDK) behind [[stubDecodeFeatures]], a deterministic
   * byte-stripe featurizer with the exact signature a real decoder would
   * have (`Array[Byte] => Array[Float]`).
   *
-  * Since the synthetic corpus has no real media, image payloads are
-  * synthesized per row from `documents.text` (pixels = ASCII codes,
-  * PNG-encoded), then decoded back through the REAL ImageIO path — the
-  * decode operates on actual pixels of an actual PNG container.
+  * Since the synthetic corpus has no real media, image/audio payloads are
+  * synthesized per row from `documents.text` (pixels / PCM samples =
+  * functions of ASCII codes, PNG-/WAVE-encoded), then decoded back
+  * through the REAL ImageIO / AudioSystem paths — the decodes operate on
+  * actual pixels and samples of actual containers.
   */
 object Multimodal {
 
@@ -144,6 +147,78 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Upper bound on decoded PCM frame count (~32 MB of 16-bit mono). */
+  val MaxSamples: Long = 16L * 1024 * 1024
+
+  /** 16-bit signed PCM mono WAV encoder (JDK-only): samples are written
+    * little-endian through `javax.sound.sampled.AudioSystem`'s own WAVE
+    * writer, so [[decodeWavToFeatures]] exercises a genuine
+    * header-parse + PCM-read round trip. Lossless: PCM is the samples. */
+  def encodePcmWav(samples: Array[Int], sampleRate: Float = 8000f)
+      : Array[Byte] = {
+    require(samples.forall(v => v >= Short.MinValue && v <= Short.MaxValue),
+      "samples must fit signed 16-bit PCM")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: parse the WAV container with
+    * `javax.sound.sampled.AudioSystem` (header, format, frame count all
+    * come from the payload), read the PCM frames, and average sample
+    * amplitudes into `dim` stripes — same pooling geometry as the image
+    * path. Only 16-bit mono PCM is accepted; anything else fails loudly
+    * rather than producing silently-wrong features. */
+  def decodeWavToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"expected 16-bit mono signed PCM, got $fmt")
+    // frame count comes from an untrusted header and feeds an O(n)
+    // allocation — bound it before reading (same discipline as MaxPixels)
+    require(ais.getFrameLength >= 0 && ais.getFrameLength <= MaxSamples,
+      s"frame count ${ais.getFrameLength} out of bounds (max $MaxSamples)")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val amp = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val b0 = raw(2 * i) & 0xff
+      val b1 = raw(2 * i + 1) & 0xff
+      amp(i) = (if (fmt.isBigEndian) (b0 << 8) | b1
+                else (b1 << 8) | b0).toShort.toDouble
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    val stripe = math.max(1, n / dim)
+    var j = 0
+    while (j < dim) {
+      val from = math.min(j * stripe, n)
+      val to = if (j == dim - 1) n else math.min(from + stripe, n)
+      var s = 0d
+      var k = from
+      while (k < to) { s += amp(k); k += 1 }
+      out(j) = if (to > from) (s / (to - from)).toFloat else 0f
+      j += 1
+    }
+    out
   }
 
   /** Partition-parallel "decode": binary payload column → fixed-width
@@ -279,6 +354,49 @@ object Multimodal {
             px(i) = ascii.charAt(i).toInt; i += 1
           }
           (id, decodeImageToFeatures(encodeGrayPng(px, 8, 8), 8))
+        }.toDF("doc_id", "features")
+      feats.select(col("doc_id") +: (0 until 8).map(j =>
+          round(element_at(col("features"), j + 1) * 8, 0).cast("long")
+            .as(s"sum$j")): _*)
+        .orderBy("doc_id")
+    },
+
+    // REAL audio decode end-to-end: per row, the first 64 printable chars
+    // become 64 signed 16-bit PCM samples ((ascii - 80) * 256), written
+    // through AudioSystem's WAVE encoder and parsed back through its
+    // WAVE reader — a genuine container round trip. Features × 8 are
+    // integer sample sums (÷8 exact in binary float), so DuckDB
+    // recomputes them exactly from the characters. Same oracle discipline
+    // as mm_image_features; with this, only VIDEO remains stubbed.
+    Q("mm_audio_features", Some {
+      val stripes = (0 until 8).map { j =>
+        val terms = (1 to 8).map { i =>
+          val p = j * 8 + i
+          s"CASE WHEN len(s) >= $p THEN (ord(substr(s, $p, 1)) - 80) * 256 " +
+            s"ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST($terms AS BIGINT) AS sum$j"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $stripes
+         |FROM (SELECT doc_id,
+         |        substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS s
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val feats = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val samples = new Array[Int](64)
+          var i = 0
+          while (i < 64 && i < ascii.length) {
+            samples(i) = (ascii.charAt(i).toInt - 80) * 256; i += 1
+          }
+          (id, decodeWavToFeatures(encodePcmWav(samples), 8))
         }.toDF("doc_id", "features")
       feats.select(col("doc_id") +: (0 until 8).map(j =>
           round(element_at(col("features"), j + 1) * 8, 0).cast("long")
