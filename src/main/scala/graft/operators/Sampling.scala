@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,25 +12,61 @@ import org.apache.spark.sql.functions._
   * cluster re-run must pick the same sample, so "random" is a hash
   * order), no floating-point aggregation, every query oracle-checked.
   *
-  * Scale notes: each query is one shuffle on its natural key (`lang` /
-  * histogram bucket). Per-stratum windows parallelize across strata —
-  * the partition-by key is the parallelism unit, same discipline as
-  * `pipeline_pack_bins`. Nothing here collects to the driver.
+  * Scale notes: a stratum key like `lang` has ~5 values, so a naive
+  * `Window.partitionBy(lang)` serializes each stratum's full sort
+  * through one task — fine at sf0.1, a 20 TB single-partition sort at
+  * the 100 TB target. Both per-stratum operators here therefore avoid
+  * full-stratum windows: the quota sample is a two-phase top-K (salted
+  * partial top-K, then a final rank over the ≤ K·fanOut survivors) and
+  * the median split routes the bulk of the data through a keyed
+  * aggregation, running an exact rank only over the score histogram and
+  * the boundary-score ties. Nothing here collects to the driver.
   */
 object Sampling {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Salt fan-out for two-phase per-stratum top-K: phase 1 runs over
+    * (stratum, xxhash64(doc_id) mod FanOut) so each stratum's partial
+    * sort spreads across up to FanOut tasks, independent of stratum
+    * cardinality. Raise for bigger clusters — correctness is invariant. */
+  val FanOut = 64
+
+  /** Phase 1 of the two-phase top-K: per (stratum, salt-bucket) partial
+    * top-`k` in `orderCols` order. The global per-stratum top-k is a
+    * subset of the union of bucket top-ks (each element of the true
+    * top-k lands in SOME bucket and is top-k there too), so phase 2 only
+    * ever ranks ≤ k·fanOut rows per stratum. */
+  private[operators] def partialTopK(d: DataFrame, stratumCol: String,
+      orderCols: Seq[Column], k: Int, fanOut: Int): DataFrame = {
+    val salted = d.withColumn("__salt",
+      pmod(xxhash64(col("doc_id")), lit(fanOut)))
+    val w = Window.partitionBy(col(stratumCol), col("__salt"))
+      .orderBy(orderCols: _*)
+    salted.withColumn("__prn", row_number().over(w))
+      .where(col("__prn") <= k)
+      .drop("__salt", "__prn")
+  }
+
   /** Deterministic stratified sample: `perStratum` docs per stratum,
     * ranked by (md5(text), doc_id) — a content hash as the shuffle-stable
     * "random" order, so the sample is reproducible run-over-run and
-    * engine-over-engine (the seed is the corpus itself). */
+    * engine-over-engine (the seed is the corpus itself).
+    *
+    * Two-phase for scale: the salted partial top-K bounds what reaches
+    * the final per-stratum rank to ≤ perStratum·FanOut rows, so no task
+    * ever sorts a whole stratum (SkewSpec-style spread assert in
+    * SamplingSpec). Result is identical to the single-window form. */
   def stratifiedSample(d: DataFrame, stratumCol: String, perStratum: Int)
       : DataFrame = {
+    val keyed = d.select(col(stratumCol), col("doc_id"),
+      md5(col("text")).as("__h"))
+    val survivors = partialTopK(keyed, stratumCol,
+      Seq(col("__h"), col("doc_id")), perStratum, FanOut)
     val w = Window.partitionBy(stratumCol)
-      .orderBy(md5(col("text")), col("doc_id"))
-    d.withColumn("rn", row_number().over(w))
+      .orderBy(col("__h"), col("doc_id"))
+    survivors.withColumn("rn", row_number().over(w))
       .where(col("rn") <= perStratum)
       .select(col(stratumCol), col("doc_id"), col("rn"))
   }
@@ -38,15 +74,43 @@ object Sampling {
   /** Per-stratum top-fraction filter on an integer score column: keeps
     * rows whose rank from the top satisfies `2*rank <= n+1` (the top half
     * including the median element) — exact integer logic, no percentile
-    * interpolation to drift between engines. */
+    * interpolation to drift between engines.
+    *
+    * Scale shape: the bulk data passes only through a map-side-combined
+    * `groupBy(stratum, score)` histogram and a semi join back; the exact
+    * rank runs (a) over the histogram (|strata| × |distinct scores| rows
+    * — metadata-sized) to find each stratum's boundary score, and (b) by
+    * doc_id over just the boundary-score ties, the residual serial unit
+    * (vastly smaller than a stratum). Equivalent to, and hash-matching,
+    * the single-window rank form. */
   def topHalfByScore(d: DataFrame, stratumCol: String, scoreCol: String)
       : DataFrame = {
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(col(scoreCol).desc, col("doc_id"))
-    val cw = Window.partitionBy(stratumCol)
-    d.withColumn("rnk", row_number().over(w))
-      .withColumn("n_in_stratum", count(lit(1)).over(cw))
-      .where(col("rnk") * 2 <= col("n_in_stratum") + 1)
+    val hist = d.groupBy(col(stratumCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(stratumCol).orderBy(col(scoreCol).desc)
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(stratumCol)))
+      .withColumn("__k", expr("(__n + 1) div 2"))
+      .withColumn("__before", col("__cum") - col("__c"))
+    // score groups entirely inside the top half: keep every row
+    val fullKeep = cum.where(col("__cum") <= col("__k"))
+      .select(col(stratumCol), col(scoreCol))
+    // the one score group per stratum straddling the cut: keep the first
+    // (k - before) ties by doc_id — same order the single-window rank uses
+    val boundary = cum
+      .where(col("__before") < col("__k") && col("__cum") > col("__k"))
+      .select(col(stratumCol), col(scoreCol),
+        (col("__k") - col("__before")).as("__m"))
+    val keptFull = d.join(fullKeep, Seq(stratumCol, scoreCol), "left_semi")
+    val wTie = Window.partitionBy(col(stratumCol), col(scoreCol))
+      .orderBy(col("doc_id"))
+    val keptTies = d
+      .join(broadcast(boundary), Seq(stratumCol, scoreCol))
+      .withColumn("__trn", row_number().over(wTie))
+      .where(col("__trn") <= col("__m"))
+      .drop("__trn", "__m")
+    keptFull.unionByName(keptTies)
   }
 
   val queries: Seq[Q] = Seq(

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two per-stratum sampling operators must (a) return exactly what
+  * the naive single-window-per-stratum form returns — that form IS the
+  * oracle semantics — while (b) never pushing a whole stratum through
+  * one task: the stratum key is low-cardinality (~5 langs), so at the
+  * 100 TB target a `Window.partitionBy(lang)` is a single-partition sort
+  * of ~20 TB. SkewSpec-style spread asserts pin the parallel shape.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hot-stratum fixture: one stratum dominating + a tail, score ties on
+    * purpose (score = i % 7) so the median cut lands inside a tie group. */
+  private def fixture(n: Int): DataFrame =
+    ((1 to n).map(i => (i.toLong, s"text body $i", "hot", i % 7)) ++
+      (1 to 41).map(i => (100000L + i, s"tail $i", s"s${i % 3}", i % 5)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+
+  /** The naive forms the judge's oracle SQL encodes — used as the
+    * semantic reference the scale-safe forms must match exactly. */
+  private def naiveSample(d: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    d.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
+  private def naiveTopHalf(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    val cw = Window.partitionBy("lang")
+    d.withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .where(col("rnk") * 2 <= col("n") + 1)
+      .select("lang", "doc_id", "n_chars")
+  }
+
+  test("stratifiedSample: two-phase top-K equals the single-window form " +
+      "(hot stratum, several partition layouts)") {
+    for (parts <- Seq(1, 3, 8)) {
+      val d = fixture(2000).repartition(parts)
+      val got = Sampling.stratifiedSample(d, "lang", 20)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val want = naiveSample(d, 20)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"mismatch at $parts input partitions")
+      assert(got.count(_._1 == "hot") == 20)
+    }
+  }
+
+  test("stratifiedSample: k larger than some strata keeps whole stratum") {
+    val d = fixture(5) // strata s0..s2 have ~14 rows, hot has 5
+    val got = Sampling.stratifiedSample(d, "lang", 50)
+    assert(got.count() == d.count())
+  }
+
+  test("topHalfByScore: histogram split equals the single-window rank " +
+      "form, including boundary ties and 1-row strata") {
+    val d = fixture(1001) // odd hot stratum; heavy ties at every score
+      .unionByName(Seq((999999L, "solo", "zz", 3))
+        .toDF("doc_id", "text", "lang", "n_chars"))
+    val got = Sampling.topHalfByScore(d, "lang", "n_chars")
+      .select("lang", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = naiveTopHalf(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "zz") == 1, "1-row stratum keeps its row")
+    assert(got.count(_._1 == "hot") == 501, "odd stratum keeps (n+1)/2")
+  }
+
+  test("topHalfByScore: all-ties stratum cuts inside the tie group by doc_id") {
+    val d = (1 to 10).map(i => (i.toLong, s"t$i", "en", 42))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Sampling.topHalfByScore(d, "lang", "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (1L to 5L).toSet)
+  }
+
+  test("per-stratum work spans multiple partitions (the 100 TB shape): " +
+      "no single task owns a stratum") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val d = s.createDataFrame(fixture(4000).rdd, fixture(1).schema)
+
+    // phase 1 of the quota sample: the hot stratum's partial sorts land
+    // on many tasks (salted key), where the naive window uses exactly one
+    val phase1Spread = Sampling.partialTopK(
+        d.select(col("lang"), col("doc_id"), md5(col("text")).as("__h")),
+        "lang", Seq(col("__h"), col("doc_id")), 20, Sampling.FanOut)
+      .where(col("lang") === "hot")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(phase1Spread > 1,
+      s"salted partial top-K must spread the hot stratum, got $phase1Spread")
+
+    val naiveSpread = naiveSample(d, 20).where(col("lang") === "hot")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(naiveSpread == 1, "naive window serializes the stratum (control)")
+
+    // median split: the bulk path shuffles on (stratum, score), so the
+    // hot stratum's kept rows flow through multiple tasks
+    val splitSpread = Sampling.topHalfByScore(d, "lang", "n_chars")
+      .where(col("lang") === "hot")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(splitSpread > 1,
+      s"histogram median split must spread the hot stratum, got $splitSpread")
+  }
+}
