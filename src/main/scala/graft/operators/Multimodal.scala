@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * external dependency) and pools per-pixel luminance into a fixed-width
   * feature vector. AUDIO decode is real: [[decodeWavToFeatures]] parses
   * WAV containers through `javax.sound.sampled.AudioSystem` and pools
-  * 16-bit PCM amplitudes the same way. Only VIDEO stays STUBBED (no
-  * demuxer in the JDK) behind [[stubDecodeFeatures]], a deterministic
-  * byte-stripe featurizer with the exact signature a real decoder would
-  * have (`Array[Byte] => Array[Float]`).
+  * 16-bit PCM amplitudes the same way. VIDEO decode is real too: the JDK
+  * has no demuxer, so [[decodeAviFrames]] implements the RIFF container
+  * walk itself (LIST/`movi`/`00dc` chunk grammar) and ImageIO decodes
+  * each MJPEG frame — [[decodeVideoToFeatures]] pools per-frame mean
+  * luminance across the frame sequence. [[stubDecodeFeatures]] remains
+  * as the generic opaque-binary featurizer (the shape a codec-less
+  * modality plugs into), no longer standing in for any modality.
   *
   * Since the synthetic corpus has no real media, image/audio payloads are
   * synthesized per row from `documents.text` (pixels / PCM samples =
@@ -149,6 +152,46 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Flat (single-value) grayscale JPEG encoder at explicit quality 1.0
+    * (JDK-only). A constant w×h block survives JPEG bit-exactly when w,h
+    * divide the 8×8 MCU: every AC coefficient is 0, the quality-1.0
+    * luminance quantizer for DC is 1, and the IDCT of a pure-DC block is
+    * the constant itself — MultimodalSpec pins the round trip for all
+    * 256 values. Used to synthesize MJPEG frames whose decoded means an
+    * integer oracle can recompute. */
+  def encodeFlatJpeg(value: Int, w: Int, h: Int): Array[Byte] = {
+    require(value >= 0 && value <= 255, "gray value must be in 0..255")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, value); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Memoized 8×8 flat JPEGs — the only frame shape the registered video
+    * query synthesizes, and there are exactly 256 of them per JVM. */
+  private lazy val flatJpeg8x8: Array[Array[Byte]] =
+    Array.tabulate(256)(v => encodeFlatJpeg(v, 8, 8))
+
   /** Upper bound on decoded PCM frame count (~32 MB of 16-bit mono). */
   val MaxSamples: Long = 16L * 1024 * 1024
 
@@ -217,6 +260,193 @@ object Multimodal {
       while (k < to) { s += amp(k); k += 1 }
       out(j) = if (to > from) (s / (to - from)).toFloat else 0f
       j += 1
+    }
+    out
+  }
+
+  /** Upper bound on demuxed frame count per container. */
+  val MaxFrames: Int = 65536
+
+  private def u16le(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+
+  private def u32le(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+    b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+  }
+
+  private def fcc(b: java.io.ByteArrayOutputStream, s: String): Unit = {
+    require(s.length == 4); s.foreach(c => b.write(c.toInt & 0xff))
+  }
+
+  /** Minimal MJPEG-in-AVI muxer (JDK-only): a well-formed RIFF `AVI `
+    * container — `hdrl` (avih + one `vids`/`MJPG` strl), `movi` with one
+    * `00dc` chunk per JPEG frame (even-padded, per the RIFF grammar), and
+    * an `idx1` index. Exists so [[decodeAviFrames]] exercises a genuine
+    * container walk on genuine container bytes.
+    * Layout per the public AVI RIFF spec (also what ffmpeg/VLC write). */
+  def encodeMjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.size <= MaxFrames)
+    val maxSz = frames.map(_.length).max
+    def list(typ: String)(body: java.io.ByteArrayOutputStream => Unit)
+        : Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      val inner = b.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      fcc(out, "LIST"); u32le(out, inner.length + 4L); fcc(out, typ)
+      out.write(inner); out.toByteArray
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      fcc(out, id); u32le(out, data.length.toLong); out.write(data)
+      if ((data.length & 1) == 1) out.write(0) // RIFF chunks are even-aligned
+      out.toByteArray
+    }
+    val avih = { // MainAVIHeader: 14 DWORDs
+      val b = new java.io.ByteArrayOutputStream()
+      u32le(b, 100000L) // µs/frame (10 fps)
+      u32le(b, 0L); u32le(b, 0L)
+      u32le(b, 0x10L) // AVIF_HASINDEX
+      u32le(b, frames.size.toLong); u32le(b, 0L); u32le(b, 1L)
+      u32le(b, maxSz.toLong); u32le(b, w.toLong); u32le(b, h.toLong)
+      (0 until 4).foreach(_ => u32le(b, 0L))
+      b.toByteArray
+    }
+    val strh = { // AVIStreamHeader for the single video stream
+      val b = new java.io.ByteArrayOutputStream()
+      fcc(b, "vids"); fcc(b, "MJPG")
+      u32le(b, 0L); u16le(b, 0); u16le(b, 0); u32le(b, 0L)
+      u32le(b, 1L); u32le(b, 10L) // scale/rate = 10 fps
+      u32le(b, 0L); u32le(b, frames.size.toLong)
+      u32le(b, maxSz.toLong); u32le(b, 0xffffffffL); u32le(b, 0L)
+      u16le(b, 0); u16le(b, 0); u16le(b, w); u16le(b, h) // rcFrame
+      b.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = new java.io.ByteArrayOutputStream()
+      u32le(b, 40L); u32le(b, w.toLong); u32le(b, h.toLong)
+      u16le(b, 1); u16le(b, 24); fcc(b, "MJPG")
+      u32le(b, w.toLong * h * 3)
+      u32le(b, 0L); u32le(b, 0L); u32le(b, 0L); u32le(b, 0L)
+      b.toByteArray
+    }
+    val hdrl = list("hdrl") { b =>
+      b.write(chunk("avih", avih))
+      b.write(list("strl") { s =>
+        s.write(chunk("strh", strh)); s.write(chunk("strf", strf))
+      })
+    }
+    val moviChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi")(b => moviChunks.foreach(b.write))
+    val idx1 = { // offsets relative to the 'movi' list-type fourcc
+      val b = new java.io.ByteArrayOutputStream()
+      var off = 4L
+      for (f <- frames) {
+        fcc(b, "00dc"); u32le(b, 0x10L) // AVIIF_KEYFRAME
+        u32le(b, off); u32le(b, f.length.toLong)
+        off += 8 + f.length + (f.length & 1)
+      }
+      b.toByteArray
+    }
+    val riffBody = {
+      val b = new java.io.ByteArrayOutputStream()
+      fcc(b, "AVI ")
+      b.write(hdrl); b.write(movi); b.write(chunk("idx1", idx1))
+      b.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    fcc(out, "RIFF"); u32le(out, riffBody.length.toLong); out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** REAL video demux: a RIFF/AVI chunk walk in plain JVM code (the JDK
+    * ships no demuxer). Validates the `RIFF`/`AVI ` signature, finds the
+    * `movi` LIST, and collects every video stream-data chunk (`##dc` /
+    * `##db`, recursing into `rec ` groups), honoring the grammar's
+    * even-byte chunk alignment. Every chunk size comes from an untrusted
+    * header and is bounds-checked against the payload before any copy;
+    * frame count is capped at [[MaxFrames]] (MaxPixels discipline). */
+  def decodeAviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "payload is not a RIFF AVI container")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isVideoData(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    // walk one chunk sequence in [from, to); collect video data chunks,
+    // recursing into LIST bodies ('movi' at top level, 'rec ' inside it)
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = tag(off)
+        val size = u32(off + 4)
+        require(size <= Int.MaxValue && off + 8 + size <= to,
+          s"chunk $id at $off overruns container (size $size)")
+        val dataFrom = off + 8
+        val dataTo = dataFrom + size.toInt
+        if (id == "LIST") {
+          require(size >= 4, "LIST chunk too short for a list type")
+          val typ = tag(dataFrom)
+          if (typ == "movi" || (inMovi && typ == "rec "))
+            walk(dataFrom + 4, dataTo, inMovi = true)
+        } else if (inMovi && isVideoData(id) && size > 0) {
+          require(frames.size < MaxFrames,
+            s"container advertises more than $MaxFrames frames")
+          frames += java.util.Arrays.copyOfRange(bytes, dataFrom, dataTo)
+        }
+        off = dataTo + (size.toInt & 1) // even alignment
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    frames.toSeq
+  }
+
+  /** Demuxed-frame sampler on REAL containers: one AVI payload row in,
+    * one typed row per kept frame out (every `stride`-th), partition-
+    * parallel, no driver involvement — [[sampleFrames]]' real twin, the
+    * shape a frame-level vision pipeline consumes. */
+  def sampleAviFrames(media: DataFrame, payloadCol: String, stride: Int)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(stride >= 1)
+    media.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeAviFrames(bytes).zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => (id, i, f)
+        }
+      }.toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** REAL video decode: demux the AVI ([[decodeAviFrames]]), decode each
+    * MJPEG frame through ImageIO ([[decodeImageToFeatures]] with dim=1 =
+    * exact mean luminance), and pool the per-frame means into `dim`
+    * temporal stripes — the same stripe geometry as the image/audio
+    * paths, applied across frames instead of within one. */
+  def decodeVideoToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val frames = decodeAviFrames(bytes)
+    require(frames.nonEmpty, "container has no video frames")
+    val means = frames.map(f => decodeImageToFeatures(f, 1)(0).toDouble)
+    val n = means.length
+    val out = new Array[Float](dim)
+    val stripe = math.max(1, n / dim)
+    var i = 0
+    while (i < dim) {
+      val from = math.min(i * stripe, n)
+      val to = if (i == dim - 1) n else math.min(from + stripe, n)
+      var s = 0d
+      var j = from
+      while (j < to) { s += means(j); j += 1 }
+      out(i) = if (to > from) (s / (to - from)).toFloat else 0f
+      i += 1
     }
     out
   }
@@ -304,7 +534,9 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Stubbed decode → feature extraction; deterministic, rows-only check.
+    // Generic opaque-binary featurizer (codec-less modality shape);
+    // deterministic, rows-only check. All three media modalities have
+    // real decode paths below — this keeps the no-codec plumbing tested.
     Q("mm_stub_features", None) { (s, dir) =>
       // single-file parquet arrives as ONE scan partition; without a
       // spread every per-row decode below runs on a single core
@@ -397,6 +629,59 @@ object Multimodal {
             samples(i) = (ascii.charAt(i).toInt - 80) * 256; i += 1
           }
           (id, decodeWavToFeatures(encodePcmWav(samples), 8))
+        }.toDF("doc_id", "features")
+      feats.select(col("doc_id") +: (0 until 8).map(j =>
+          round(element_at(col("features"), j + 1) * 8, 0).cast("long")
+            .as(s"sum$j")): _*)
+        .orderBy("doc_id")
+    },
+
+    // REAL video decode end-to-end: per row, the first 64 printable chars
+    // become 64 flat 8x8 grayscale MJPEG frames (pixel value = ascii-32,
+    // JPEG q=1.0 — a flat block round-trips bit-exactly: only the DC
+    // coefficient is nonzero and its quantizer is 1, MultimodalSpec pins
+    // all 256 values) muxed into a RIFF AVI, then demuxed back by the
+    // hand-rolled container walk and frame-decoded through ImageIO.
+    // Features pool per-FRAME means across time, so a demux that
+    // reordered, dropped, or misaligned chunks breaks the hash. Features
+    // x 8 are integer char sums (/8 exact in binary float) — DuckDB
+    // recomputes them from the characters, pinning the whole
+    // mux -> demux -> JPEG-decode -> temporal-pool path. With this, all
+    // three media modalities (image, audio, video) decode for real.
+    Q("mm_video_features", Some {
+      val stripes = (0 until 8).map { j =>
+        val terms = (1 to 8).map { i =>
+          val p = j * 8 + i
+          s"CASE WHEN len(s) >= $p THEN ord(substr(s, $p, 1)) - 32 ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST($terms AS BIGINT) AS sum$j"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $stripes
+         |FROM (SELECT doc_id,
+         |        substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS s
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      // spread first: 64 JPEG encodes + an AVI mux/demux + 64 ImageIO
+      // decodes per row is the expensive stage (same discipline as the
+      // image/audio legs)
+      // only 256 distinct flat frames exist — encode each once per
+      // executor JVM instead of 64× per row (the decode side still runs
+      // the full demux + 64 ImageIO JPEG decodes per row; that's the
+      // feature, the encode is just payload synthesis)
+      val feats = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val frames = (0 until 64).map { i =>
+            val v = if (i < ascii.length) ascii.charAt(i).toInt - 32 else 0
+            flatJpeg8x8(v)
+          }
+          (id, decodeVideoToFeatures(encodeMjpegAvi(frames, 8, 8), 8))
         }.toDF("doc_id", "features")
       feats.select(col("doc_id") +: (0 until 8).map(j =>
           round(element_at(col("features"), j + 1) * 8, 0).cast("long")

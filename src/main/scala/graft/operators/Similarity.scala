@@ -72,12 +72,17 @@ object Similarity {
     * had an unquantified recall hole (7 of 50 expected rows at sf0.1);
     * multi-probe closes it and SimilaritySpec now pins recall@5 >= 0.9 on
     * a clustered corpus. Hyperplanes are generated from a fixed seed
-    * (deterministic across runs). */
+    * (deterministic across runs), or supplied explicitly via
+    * `hyperplanes` — `ann_lsh_md5` routes [[intPlanes]] through here so
+    * the oracle twin exercises this exact bucket/probe/union path. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 8, tables: Int = 2, dim: Int = 64): DataFrame = {
+      planes: Int = 8, tables: Int = 2, dim: Int = 64,
+      hyperplanes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     val rnd = new scala.util.Random(7)
-    val mats: Seq[Seq[Seq[Double]]] =
-      Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+    val mats: Seq[Seq[Seq[Double]]] = hyperplanes.getOrElse(
+      Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))))
+    require(mats.size == tables && mats.forall(_.size == planes),
+      "hyperplane matrix shape must be tables x planes x dim")
     def bucketIn(t: Int, v: Column): Column =
       aggregate(
         transform(typedLit(mats(t)), p => when(dot(p, v) > 0, 1).otherwise(0)),
@@ -111,6 +116,25 @@ object Similarity {
         col("rnk"), round(col("sim"), 4).as("sim_r"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Deterministic INTEGER hyperplanes for the oracle-pinned LSH twin:
+    * coefficient(t, p, d) = ((1 + 7t + 11p + 13d) mod 19) - 9, a small
+    * full-period affine residue pattern in -9..9 — trivially replicable
+    * in SQL, no RNG, no floats. Combined with integer-quantized inputs
+    * ([[quantized1000]]) every plane dot is an exact integer sum, so the
+    * sign test can never drift between engines' accumulation orders. */
+  def intPlanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(tables)(t => Seq.tabulate(planes)(p =>
+      Seq.tabulate(dim)(d => (((1 + 7 * t + 11 * p + 13 * d) % 19) - 9).toDouble)))
+
+  /** Embeddings with each float quantized to an integer-valued double,
+    * floor(x*1000 + 0.5) — half-up in both engines. |x| <= ~4 so terms
+    * stay tiny; 64-term integer sums are exact in doubles, making every
+    * downstream dot/norm bit-identical regardless of fold order. */
+  private def quantized1000(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as double))")
+      .as("embedding"))
 
   /** Spherical k-means coarse quantizer for [[ivfTopK]]: a few Lloyd
     * iterations, fully distributed — the per-vector assignment and the
@@ -187,7 +211,10 @@ object Similarity {
         col("norm").as("qnorm"))
       .select(col("query_id"), col("qv"), col("qnorm"),
         posexplode(cellDots(col("qv"))).as(Seq("cell", "cdot")))
-    val wq = Window.partitionBy("query_id").orderBy(col("cdot").desc)
+    // cell asc tie-break: exact-tie cell dots (possible under the
+    // integer-quantized twin) must rank identically in both engines
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cdot").desc, col("cell"))
     val q = q0.withColumn("cr", row_number().over(wq))
       .where(col("cr") <= nprobe)
       .select("query_id", "qv", "qnorm", "cell")
@@ -201,6 +228,101 @@ object Similarity {
         col("rnk"), round(col("sim"), 4).as("sim_r"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Generated DuckDB mirror of the FULL [[lshTopK]] algebra under
+    * [[intPlanes]] + [[quantized1000]]: per-table sign-bit buckets (bit
+    * p weighted 2^(planes-1-p), matching the Spark fold's acc*2+bit),
+    * the query's own bucket plus every single-bit-flip probe, the
+    * (t, bucket) candidate equijoin, DISTINCT collision dedup, and the
+    * cosine rank — the same mirror discipline as Dedup's sqlMinhashMd5.
+    * All plane dots and norms are integer sums (exact in doubles), so
+    * no accumulation-order drift can flip a sign between engines. */
+  private def sqlLshInt(planes: Int, tables: Int, k: Int): String = {
+    def coeff(t: Int, p: Int) =
+      s"(((1 + ${7 * t} + ${11 * p} + 13*(i-1)) % 19) - 9)"
+    val bucketCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map(p =>
+        s"CASE WHEN SUM(${coeff(t, p)} * x) > 0 " +
+          s"THEN ${1 << (planes - 1 - p)} ELSE 0 END").mkString(" + ")
+      s"CAST($bits AS INTEGER) AS bt$t"
+    }.mkString(",\n        ")
+    val btUnion = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS t, bt$t AS bucket FROM b")
+      .mkString("\n      UNION ALL ")
+    val probeUnion = (0 to planes).map(j =>
+      if (j == 0) "SELECT query_id, t, bucket FROM q0"
+      else s"SELECT query_id, t, xor(bucket, ${1 << (j - 1)}) FROM q0")
+      .mkString("\n      UNION ALL ")
+    s"""WITH u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS DOUBLE) AS x,
+       |        generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, SUM(x*x) AS nsq FROM u GROUP BY vec_id),
+       |b AS (SELECT vec_id,
+       |        $bucketCols
+       |      FROM u GROUP BY vec_id),
+       |bt AS ($btUnion),
+       |q0 AS (SELECT vec_id AS query_id, t, bucket FROM bt
+       |       WHERE vec_id % 50 = 0),
+       |qp AS ($probeUnion),
+       |cand AS (SELECT DISTINCT qp.query_id, bt.vec_id AS nid
+       |      FROM qp JOIN bt ON qp.t = bt.t AND qp.bucket = bt.bucket
+       |      WHERE bt.vec_id <> qp.query_id),
+       |d AS (SELECT c.query_id AS qid, c.nid, SUM(qu.x * cu.x) AS dot
+       |      FROM cand c JOIN u qu ON qu.vec_id = c.query_id
+       |        JOIN u cu ON cu.vec_id = c.nid AND cu.i = qu.i
+       |      GROUP BY qid, nid),
+       |s AS (SELECT qid, nid, dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS sim
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |        JOIN n nn ON nn.vec_id = nid),
+       |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS INTEGER) AS rnk,
+       |        ROUND(sim, 4) AS sim_r FROM s)
+       |SELECT query_id, neighbor_id, rnk, sim_r FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Generated DuckDB mirror of the FULL [[ivfTopKTrained]] algebra under
+    * fixed integer-quantized centroids (corpus vectors vec_id < 8):
+    * corpus cell assignment (argmax dot, first-max/lowest-cell on ties —
+    * Spark's array_position), the query's top-`nprobe` cell probes
+    * ((dot desc, cell) rank), the cell candidate equijoin, and the
+    * cosine rank. Integer dots/norms — no accumulation-order drift. */
+  private def sqlIvfInt(nprobe: Int, k: Int): String =
+    s"""WITH u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS DOUBLE) AS x,
+       |        generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, SUM(x*x) AS nsq FROM u GROUP BY vec_id),
+       |c AS (SELECT vec_id AS cid, x, i FROM u WHERE vec_id < 8),
+       |ad AS (SELECT c.cid, u.vec_id AS vid, SUM(c.x * u.x) AS dot
+       |      FROM c JOIN u ON c.i = u.i GROUP BY cid, vid),
+       |asn AS (SELECT vid, cell FROM (
+       |      SELECT vid, cid AS cell, ROW_NUMBER() OVER (PARTITION BY vid
+       |        ORDER BY dot DESC, cid) AS rk FROM ad) WHERE rk = 1),
+       |qp AS (SELECT vid AS query_id, cell FROM (
+       |      SELECT vid, cid AS cell, ROW_NUMBER() OVER (PARTITION BY vid
+       |        ORDER BY dot DESC, cid) AS rk FROM ad WHERE vid % 50 = 0)
+       |      WHERE rk <= $nprobe),
+       |cand AS (SELECT qp.query_id, asn.vid AS nid FROM qp
+       |      JOIN asn ON asn.cell = qp.cell
+       |      WHERE asn.vid <> qp.query_id),
+       |d AS (SELECT cd.query_id AS qid, cd.nid, SUM(qu.x * cu.x) AS dot
+       |      FROM cand cd JOIN u qu ON qu.vec_id = cd.query_id
+       |        JOIN u cu ON cu.vec_id = cd.nid AND cu.i = qu.i
+       |      GROUP BY qid, nid),
+       |s AS (SELECT qid, nid, dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS sim
+       |      FROM d JOIN n nq ON nq.vec_id = qid
+       |        JOIN n nn ON nn.vec_id = nid),
+       |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS INTEGER) AS rnk,
+       |        ROUND(sim, 4) AS sim_r FROM s)
+       |SELECT query_id, neighbor_id, rnk, sim_r FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** Shared oracle scaffolding: per-(vec,index) unnest with exact double
     * math, mirroring the Spark `zip_with`/`aggregate` fold. */
@@ -236,11 +358,42 @@ object Similarity {
       lshTopK(e.where(col("vec_id") % 50 === 0), e, 5)
     },
 
+    // The SAME lshTopK bucket/probe/union code path under deterministic
+    // integer hyperplanes and integer-quantized inputs, hash-matched
+    // cell-exact against a generated DuckDB mirror — pins the bucketing
+    // algebra itself (sign bits, bit packing, Hamming-1 probes, OR'd
+    // tables, collision dedup, cosine rank). The Gaussian-plane flavor
+    // above stays the no-oracle scale path, recall-gated in
+    // SimilaritySpec.
+    Q("ann_lsh_int", Some(sqlLshInt(planes = 8, tables = 2, k = 5))) {
+      (s, dir) =>
+      val eq = quantized1000(emb(s, dir))
+      lshTopK(eq.where(col("vec_id") % 50 === 0), eq, 5,
+        planes = 8, tables = 2, dim = 64,
+        hyperplanes = Some(intPlanes(tables = 2, planes = 8, dim = 64)))
+    },
+
     Q("ann_ivf_topk", None) { (s, dir) =>
       val e = emb(s, dir)
       val cents = centroidCache.computeIfAbsent(dir,
         _ => trainCentroids(e, k = 16, iters = 4, dim = 64))
       ivfTopKTrained(cents, e.where(col("vec_id") % 50 === 0), e, 5)
+    },
+
+    // The SAME ivfTopKTrained cell-assign/probe/union code path under
+    // fixed deterministic centroids (the 8 integer-quantized corpus
+    // vectors vec_id < 8 — the build-once/query-many split with the
+    // k-means training swapped for an engine-independent matrix),
+    // hash-matched against a generated DuckDB mirror. Pins the IVF
+    // query algebra itself; trainCentroids stays the no-oracle trained
+    // path, recall-gated in SimilaritySpec. The 8x64 centroid collect is
+    // the documented bounded driver sync (same as trainCentroids').
+    Q("ann_ivf_int", Some(sqlIvfInt(nprobe = 3, k = 5))) { (s, dir) =>
+      val eq = quantized1000(emb(s, dir))
+      val cents = eq.where(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      ivfTopKTrained(cents, eq.where(col("vec_id") % 50 === 0), eq, 5,
+        nprobe = 3)
     },
 
     // Cosine near-duplicate pairs over a deterministic subset; with

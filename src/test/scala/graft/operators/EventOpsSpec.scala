@@ -69,18 +69,24 @@ class EventOpsSpec extends SparkSpec {
   }
 
   test("q_rolling_1h: frame matches an independent per-user replay " +
-      "(tied seconds share a frame)") {
+      "(tied seconds share a frame; count AND exact-cents sum)") {
     val ev = graft.Tables.load(spark, sfDir, "events")
       .select(col("user_id"), expr("unix_micros(cast(ts as timestamp)) " +
-        "div 1000000").as("s"), col("event_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        "div 1000000").as("s"), col("event_id"),
+        graft.Cols.cents(col("value")).as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val expect = ev.groupBy(_._1).iterator.flatMap { case (_, rs) =>
-      rs.iterator.map(r =>
-        r._3 -> rs.count(o => o._2 >= r._2 - 3600 && o._2 <= r._2))
+      rs.iterator.map { r =>
+        val frame = rs.filter(o => o._2 >= r._2 - 3600 && o._2 <= r._2)
+        r._3 -> ((frame.length, frame.map(_._4).sum))
+      }
     }.toMap
     run("q_rolling_1h").collect().foreach { r =>
-      assert(r.getLong(2) == expect(r.getLong(0)),
-        s"event ${r.getLong(0)}: n_1h ${r.getLong(2)} != ${expect(r.getLong(0))}")
+      val (n, cSum) = expect(r.getLong(0))
+      assert(r.getLong(2) == n,
+        s"event ${r.getLong(0)}: n_1h ${r.getLong(2)} != $n")
+      assert(r.getDouble(3) == cSum / 100.0,
+        s"event ${r.getLong(0)}: spend_1h ${r.getDouble(3)} != ${cSum / 100.0}")
     }
   }
 

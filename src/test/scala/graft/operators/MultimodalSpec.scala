@@ -111,6 +111,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- video: flat-JPEG exactness, AVI mux/demux, temporal pooling ----
+
+  test("encodeFlatJpeg round-trips bit-exactly for ALL 256 gray values " +
+      "(the invariant mm_video_features' oracle rests on)") {
+    for (v <- 0 to 255) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeFlatJpeg(v, 8, 8)))
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(img.getRaster.getSample(x, y, 0) == v,
+          s"value $v drifted at ($x,$y)")
+    }
+  }
+
+  test("encodeMjpegAvi -> decodeAviFrames returns the exact frame bytes " +
+      "in order (odd sizes exercise RIFF even-padding)") {
+    val frames = Seq(
+      Array.tabulate(101)(_.toByte), // odd -> pad byte after chunk
+      Array.tabulate(64)(i => (i * 3).toByte),
+      Array[Byte](7))
+    val avi = Multimodal.encodeMjpegAvi(frames, 8, 8)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val back = Multimodal.decodeAviFrames(avi)
+    assert(back.size == 3)
+    for ((f, b) <- frames.zip(back)) assert(f.toSeq == b.toSeq)
+  }
+
+  test("decodeAviFrames walks 'rec ' groups inside movi") {
+    // hand-build: RIFF(AVI  LIST(movi LIST(rec  00dc) 00dc))
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      id.foreach(c => b.write(c.toInt))
+      val n = data.length
+      b.write(n & 0xff); b.write((n >> 8) & 0xff)
+      b.write((n >> 16) & 0xff); b.write((n >> 24) & 0xff)
+      b.write(data); if ((n & 1) == 1) b.write(0)
+      b.toByteArray
+    }
+    def list(typ: String, body: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body.flatten)
+    val f1 = Array[Byte](1, 2, 3)
+    val f2 = Array[Byte](4, 5)
+    val movi = list("movi", list("rec ", chunk("00dc", f1)), chunk("00dc", f2))
+    val riff = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val back = Multimodal.decodeAviFrames(riff)
+    assert(back.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq))
+  }
+
+  test("decodeAviFrames rejects non-AVI payloads and header overruns loudly") {
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeAviFrames("not an avi container".getBytes)
+    }
+    // valid signature but a chunk whose size runs past the buffer
+    val avi = Multimodal.encodeMjpegAvi(Seq(Array[Byte](1, 2, 3, 4)), 8, 8)
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(avi.take(avi.length - 2))
+    }
+  }
+
+  test("decodeVideoToFeatures: per-frame means pooled across time match " +
+      "hand math (frame k is a flat block of value 2k)") {
+    val frames = (0 until 16).map(k => Multimodal.encodeFlatJpeg(2 * k, 8, 8))
+    val avi = Multimodal.encodeMjpegAvi(frames, 8, 8)
+    val f = Multimodal.decodeVideoToFeatures(avi, 4)
+    // stripe j = frames 4j..4j+3, mean of (8j, 8j+2, 8j+4, 8j+6) = 8j+3
+    assert(f.toSeq == (0 until 4).map(j => 8 * j + 3f), s"got ${f.toSeq}")
+  }
+
+  test("sampleAviFrames: one typed row per kept demuxed frame") {
+    val frames = (0 until 10).map(k => Multimodal.encodeFlatJpeg(k, 8, 8))
+    val media = Seq((7L, Multimodal.encodeMjpegAvi(frames, 8, 8)))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.sampleAviFrames(media, "payload", stride = 3)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    // each kept frame is itself a decodable JPEG of the right flat value
+    for (r <- rows) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getRaster.getSample(0, 0, 0) == r.getInt(1))
+    }
+  }
+
   test("decodeToFeatures: distributed schema is (doc_id, features[dim])") {
     val media = Seq((1L, "hello".getBytes), (2L, "world!".getBytes))
       .toDF("doc_id", "payload")

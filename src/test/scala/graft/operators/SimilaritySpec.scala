@@ -171,6 +171,31 @@ class SimilaritySpec extends SparkSpec {
       "(measured 0.78 — nprobe cell-union regression)")
   }
 
+  test("oracle-pinned integer-plane LSH (ann_lsh_int) carries a recall " +
+      "floor at its registered operating point") {
+    // mirror the registered query exactly: quantized inputs, intPlanes
+    val e = graft.Tables.load(spark, sf01Dir, "embeddings")
+    val eq = e.select(col("vec_id"), expr("transform(embedding, " +
+      "x -> cast(floor(cast(x as double) * 1000 + 0.5) as double))")
+      .as("embedding"))
+    val q = eq.where(col("vec_id") % 50 === 0)
+    val truth = Similarity.bruteForceTopK(q, eq, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val got = Similarity.lshTopK(q, eq, 5, planes = 8, tables = 2,
+        dim = 64, hyperplanes = Some(
+          Similarity.intPlanes(tables = 2, planes = 8, dim = 64)))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val rs = truth.map { case (k, t) =>
+      got.getOrElse(k, Set.empty[Long]).intersect(t).size / 5.0 }
+    val recall = rs.sum / rs.size
+    info(s"int-plane LSH real-data recall@5 = $recall")
+    assert(recall >= 0.2, s"int-plane LSH recall@5 = $recall < 0.2 " +
+      "(measured 0.26 at these params) — the oracle-pinned path " +
+      "regressed on the recall axis, not just the algebra one")
+  }
+
   test("LSH top-k similarities agree with brute-force where pairs overlap") {
     val queries = corpus.where(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(queries, corpus, 40).collect()
@@ -202,10 +227,14 @@ class SimilaritySpec extends SparkSpec {
       assert(qMin >= -127 && qMax <= 127, "quantized value out of int8 range")
       assert(nSat >= 1, "max-|x| element must quantize to exactly ±127")
     }
-    // independent reconstruction check on a few vectors
+    // independent reconstruction check on a few vectors; skip all-zero
+    // vectors (the query's scale > 0 filter drops them, and dividing by
+    // their zero scale would NaN the replay if fixtures ever change)
     e.where(col("vec_id") < 5).collect().foreach { r =>
       val xs = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
       val scale = xs.map(math.abs).max / 127
+      if (scale == 0) ()
+      else {
       val qSum = xs.map(x => math.floor(x / scale + 0.5).toLong).sum
       assert(rows(r.getLong(r.fieldIndex("vec_id")))._1 == qSum,
         s"q_sum mismatch for vec ${r.getLong(0)}")
@@ -213,6 +242,7 @@ class SimilaritySpec extends SparkSpec {
         val q = math.floor(x / scale + 0.5)
         assert(math.abs(q * scale - x) <= scale / 2 + 1e-12,
           "reconstruction error exceeds scale/2")
+      }
       }
     }
   }
