@@ -313,13 +313,21 @@ object Dedup {
     * bounded has-anything-changed scalar. Converges in O(graph diameter)
     * iterations — near-dup graphs are unions of near-cliques (LSH bands
     * connect all members of a dup group directly), so diameter is tiny in
-    * practice; a pathological chain-of-edits corpus with diameter >
-    * `maxIter` FAILS LOUDLY rather than returning partially-propagated
-    * labels (the fix there is raising maxIter, or switching the loop body
-    * to pointer-jumping / small-star-large-star for O(log n) rounds — the
-    * per-iteration plan shape is unchanged). Returns (doc_id, component). */
+    * practice. Rounds past `autoJumpAfter` switch to pointer-jumping
+    * (comp := label(comp), one extra materialization + self-join per
+    * round), squaring the propagation distance — O(log diameter) rounds
+    * from there. The cutover is evidence-based: still-changing labels
+    * after 3 rounds MEANS the graph isn't the near-clique fast path, so
+    * cliquey corpora never pay the extra shuffle (bench: the two modes
+    * are within VM noise at sf0.1 — 2.1–2.9 s overlapping across runs —
+    * precisely because dup graphs converge before the switch; a
+    * 120-chain spec converges in far fewer rounds than its diameter
+    * only via the auto-switch). `pointerJump = true` forces jumping
+    * from round 1. A graph that STILL exceeds `maxIter` FAILS LOUDLY
+    * rather than returning partially-propagated labels. Returns
+    * (doc_id, component). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      pointerJump: Boolean = false): DataFrame = {
+      pointerJump: Boolean = false, autoJumpAfter: Int = 3): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"),
@@ -387,14 +395,10 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"),
           (col("nbr_comp") < col("comp")).as("chg"))
-      // Optional pointer-jumping (comp := label(comp), one extra
-      // materialization + self-join per round): squares the propagation
-      // distance, so rounds drop from O(diameter) to O(log diameter).
-      // Near-dup graphs are near-cliques (diameter 2-3) where the extra
-      // shuffle only adds fixed cost — hence default off; it pays on
-      // high-diameter graphs (chains of successive edits).
+      // Pointer-jumping: forced on by the caller, or auto-engaged once
+      // the loop outlives the near-clique fast path (see scaladoc).
       val (updated, changed) =
-        if (!pointerJump) materialize(hashMin)
+        if (!pointerJump && i < autoJumpAfter) materialize(hashMin)
         else {
           val h = materialize(hashMin)._1
           val jump = h.select(col("id").as("comp"), col("comp").as("jcomp"))

@@ -76,6 +76,13 @@ object Multimodal {
   def decodeImageToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "payload is not a decodable image")
+    val lum = luminances(img)
+    poolStripes(lum, 0, lum.length, dim)
+  }
+
+  /** Bounds-checked per-pixel luminance of a decoded image, row-major —
+    * the shared second half of every image-bearing decode path. */
+  private def luminances(img: java.awt.image.BufferedImage): Array[Double] = {
     val w = img.getWidth
     val h = img.getHeight
     // w*h is Int math and feeds two O(n) allocations — a corrupt/hostile
@@ -113,19 +120,7 @@ object Multimodal {
         i += 1
       }
     }
-    val out = new Array[Float](dim)
-    val stripe = math.max(1, n / dim)
-    var i = 0
-    while (i < dim) {
-      val from = math.min(i * stripe, n)
-      val to = if (i == dim - 1) n else math.min(from + stripe, n)
-      var s = 0d
-      var j = from
-      while (j < to) { s += lum(j); j += 1 }
-      out(i) = if (to > from) (s / (to - from)).toFloat else 0f
-      i += 1
-    }
-    out
+    lum
   }
 
   /** 8-bit grayscale PNG encoder (JDK-only): `pixels(i)` in 0..255,
@@ -220,13 +215,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL audio decode: parse the WAV container with
+  /** REAL audio parse: the WAV container through
     * `javax.sound.sampled.AudioSystem` (header, format, frame count all
-    * come from the payload), read the PCM frames, and average sample
-    * amplitudes into `dim` stripes — same pooling geometry as the image
-    * path. Only 16-bit mono PCM is accepted; anything else fails loudly
-    * rather than producing silently-wrong features. */
-  def decodeWavToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    * come from the payload) to raw PCM amplitudes. Only 16-bit mono PCM
+    * is accepted; anything else fails loudly rather than producing
+    * silently-wrong values. */
+  def decodeWavAmplitudes(bytes: Array[Byte]): Array[Double] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = ais.getFormat
@@ -249,19 +243,34 @@ object Multimodal {
                 else (b1 << 8) | b0).toShort.toDouble
       i += 1
     }
+    amp
+  }
+
+  /** Stripe-mean pooling over `vals(from until to)` — the one pooling
+    * geometry every modality shares. */
+  private[operators] def poolStripes(vals: Array[Double], from: Int,
+      to: Int, dim: Int): Array[Float] = {
+    val n = to - from
     val out = new Array[Float](dim)
     val stripe = math.max(1, n / dim)
     var j = 0
     while (j < dim) {
-      val from = math.min(j * stripe, n)
-      val to = if (j == dim - 1) n else math.min(from + stripe, n)
+      val f = from + math.min(j * stripe, n)
+      val t = if (j == dim - 1) to else math.min(f + stripe, to)
       var s = 0d
-      var k = from
-      while (k < to) { s += amp(k); k += 1 }
-      out(j) = if (to > from) (s / (to - from)).toFloat else 0f
+      var k = f
+      while (k < t) { s += vals(k); k += 1 }
+      out(j) = if (t > f) (s / (t - f)).toFloat else 0f
       j += 1
     }
     out
+  }
+
+  /** REAL audio decode: [[decodeWavAmplitudes]] + stripe-mean pooling
+    * into `dim` features — same pooling geometry as the image path. */
+  def decodeWavToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val amp = decodeWavAmplitudes(bytes)
+    poolStripes(amp, 0, amp.length, dim)
   }
 
   /** Upper bound on demuxed frame count per container. */
@@ -427,28 +436,29 @@ object Multimodal {
   }
 
   /** REAL video decode: demux the AVI ([[decodeAviFrames]]), decode each
-    * MJPEG frame through ImageIO ([[decodeImageToFeatures]] with dim=1 =
-    * exact mean luminance), and pool the per-frame means into `dim`
-    * temporal stripes — the same stripe geometry as the image/audio
-    * paths, applied across frames instead of within one. */
+    * MJPEG frame through ImageIO (one jpeg ImageReader reused across the
+    * container's frames — per-frame `ImageIO.read` would redo the
+    * provider-registry scan and stream setup 64× per row), take each
+    * frame's exact mean luminance, and pool the per-frame means into
+    * `dim` temporal stripes — the same stripe geometry as the
+    * image/audio paths, applied across frames instead of within one. */
   def decodeVideoToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val frames = decodeAviFrames(bytes)
     require(frames.nonEmpty, "container has no video frames")
-    val means = frames.map(f => decodeImageToFeatures(f, 1)(0).toDouble)
-    val n = means.length
-    val out = new Array[Float](dim)
-    val stripe = math.max(1, n / dim)
-    var i = 0
-    while (i < dim) {
-      val from = math.min(i * stripe, n)
-      val to = if (i == dim - 1) n else math.min(from + stripe, n)
-      var s = 0d
-      var j = from
-      while (j < to) { s += means(j); j += 1 }
-      out(i) = if (to > from) (s / (to - from)).toFloat else 0f
-      i += 1
-    }
-    out
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("jpeg").next()
+    val means =
+      try frames.map { f =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(f))
+        try {
+          reader.setInput(iis)
+          val lum = luminances(reader.read(0))
+          poolStripes(lum, 0, lum.length, 1)(0).toDouble
+        } finally iis.close()
+      } finally reader.dispose()
+    val m = means.toArray
+    poolStripes(m, 0, m.length, dim)
   }
 
   /** Partition-parallel "decode": binary payload column → fixed-width
@@ -618,17 +628,33 @@ object Multimodal {
     }) { (s, dir) =>
       val spark = s
       import spark.implicits._
+      // Rows are packed 64-per-container (the shape real audio arrives
+      // in: one file holds many fixed-size windows): ONE AudioSystem
+      // write + parse per batch instead of per row cuts the per-call
+      // provider-registry and stream-setup overhead ~64x, while each
+      // row's 64-sample window still round-trips through the genuine
+      // WAVE codec. Per-row features are byte-identical to the
+      // row-per-container form (stripe pooling over each row's slice).
       val feats = Tables.spread(docs(s, dir))
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .map { case (id, text) =>
-          val ascii = text.replaceAll("[^ -~]", "")
-          val samples = new Array[Int](64)
-          var i = 0
-          while (i < 64 && i < ascii.length) {
-            samples(i) = (ascii.charAt(i).toInt - 80) * 256; i += 1
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            val all = new Array[Int](batch.size * 64)
+            batch.iterator.zipWithIndex.foreach { case ((_, text), bi) =>
+              val ascii = text.replaceAll("[^ -~]", "")
+              var i = 0
+              while (i < 64 && i < ascii.length) {
+                all(bi * 64 + i) = (ascii.charAt(i).toInt - 80) * 256
+                i += 1
+              }
+            }
+            val amp = decodeWavAmplitudes(encodePcmWav(all))
+            require(amp.length == all.length, "batch container lost samples")
+            batch.iterator.zipWithIndex.map { case ((id, _), bi) =>
+              (id, poolStripes(amp, bi * 64, bi * 64 + 64, 8))
+            }
           }
-          (id, decodeWavToFeatures(encodePcmWav(samples), 8))
         }.toDF("doc_id", "features")
       feats.select(col("doc_id") +: (0 until 8).map(j =>
           round(element_at(col("features"), j + 1) * 8, 0).cast("long")

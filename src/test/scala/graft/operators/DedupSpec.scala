@@ -186,9 +186,24 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 41 && got.values.forall(_ == 0L),
       s"all chain nodes must label 0: $got")
-    // the same budget without jumping must fail loudly, not mislabel
+    // the same budget with jumping disabled must fail loudly, not
+    // mislabel (autoJumpAfter > maxIter turns the auto-switch off)
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 10)
+      Dedup.connectedComponents(chain, maxIter = 10, autoJumpAfter = 11)
+    }
+  }
+
+  test("connectedComponents auto-switches to pointer jumping when the " +
+      "graph outlives the near-clique fast path") {
+    // diameter 120 >> maxIter 20: plain propagation can't converge, so
+    // success in 20 rounds proves the auto-switch engaged
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxIter = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 121 && got.values.forall(_ == 0L),
+      s"all chain nodes must label 0: $got")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 20, autoJumpAfter = 21)
     }
   }
 
