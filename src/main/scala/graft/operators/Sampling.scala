@@ -88,11 +88,17 @@ object Sampling {
     val hist = d.groupBy(col(stratumCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(stratumCol).orderBy(col(scoreCol).desc)
+    // cached: both the keep-all branch and the boundary branch derive
+    // from this frame, and without the cache each re-runs the full-data
+    // histogram aggregate (two corpus scans instead of one at 100 TB);
+    // it is metadata-sized (|strata| x |distinct scores|). Verify/Bench
+    // clear per-query caches between runs.
     val cum = hist
       .withColumn("__cum", sum("__c").over(wCum))
       .withColumn("__n", sum("__c").over(Window.partitionBy(stratumCol)))
       .withColumn("__k", expr("(__n + 1) div 2"))
       .withColumn("__before", col("__cum") - col("__c"))
+      .cache()
     // score groups entirely inside the top half: keep every row
     val fullKeep = cum.where(col("__cum") <= col("__k"))
       .select(col(stratumCol), col(scoreCol))
