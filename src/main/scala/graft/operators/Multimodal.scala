@@ -390,8 +390,12 @@ object Multimodal {
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.substring(2) == "dc" || id.substring(2) == "db")
     // walk one chunk sequence in [from, to); collect video data chunks,
-    // recursing into LIST bodies ('movi' at top level, 'rec ' inside it)
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+    // recursing into LIST bodies ('movi' at top level, 'rec ' inside
+    // it). Depth-capped: a hostile payload nesting LISTs 12 bytes deep
+    // each would otherwise drive the recursion to a StackOverflowError
+    // long before any size check trips (real AVIs nest 2 deep).
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+      require(depth <= 16, "LIST nesting exceeds container grammar depth")
       var off = from
       while (off + 8 <= to) {
         val id = tag(off)
@@ -404,7 +408,7 @@ object Multimodal {
           require(size >= 4, "LIST chunk too short for a list type")
           val typ = tag(dataFrom)
           if (typ == "movi" || (inMovi && typ == "rec "))
-            walk(dataFrom + 4, dataTo, inMovi = true)
+            walk(dataFrom + 4, dataTo, inMovi = true, depth + 1)
         } else if (inMovi && isVideoData(id) && size > 0) {
           require(frames.size < MaxFrames,
             s"container advertises more than $MaxFrames frames")
@@ -413,7 +417,7 @@ object Multimodal {
         off = dataTo + (size.toInt & 1) // even alignment
       }
     }
-    walk(12, bytes.length, inMovi = false)
+    walk(12, bytes.length, inMovi = false, depth = 0)
     frames.toSeq
   }
 

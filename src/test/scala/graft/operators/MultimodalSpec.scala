@@ -170,6 +170,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAviFrames caps hostile LIST nesting instead of blowing " +
+      "the stack") {
+    // 10k nested LISTs, 12 bytes each: RIFF(AVI  LIST(movi LIST(rec
+    // LIST(rec ...)))) — must reject via the depth require, not
+    // StackOverflowError
+    val depth = 10000
+    val innermost = Array.emptyByteArray
+    def enc32(n: Int): Array[Byte] =
+      Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    val nested = (1 to depth).foldLeft(innermost) { (body, i) =>
+      val typ = if (i == depth) "movi" else "rec "
+      "LIST".getBytes("US-ASCII") ++ enc32(body.length + 4) ++
+        typ.getBytes("US-ASCII") ++ body
+    }
+    val riff = "RIFF".getBytes("US-ASCII") ++ enc32(nested.length + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ nested
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(riff)
+    }
+  }
+
+  test("decodeAviFrames under seeded random corruption: throws or " +
+      "returns, never hangs or crashes the JVM") {
+    val frames = (0 until 6).map(k => Multimodal.encodeFlatJpeg(k, 8, 8))
+    val good = Multimodal.encodeMjpegAvi(frames, 8, 8)
+    val rnd = new scala.util.Random(99)
+    var threw = 0
+    for (_ <- 1 to 200) {
+      val mutated = good.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { Multimodal.decodeAviFrames(mutated); () }
+      catch { case _: IllegalArgumentException => threw += 1 }
+    }
+    // some mutations hit padding and survive; corrupted sizes must
+    // surface as the demuxer's own bounds error, nothing else
+    assert(threw > 0, "no mutation tripped the bounds checks (suspicious)")
+  }
+
   test("decodeVideoToFeatures: per-frame means pooled across time match " +
       "hand math (frame k is a flat block of value 2k)") {
     val frames = (0 until 16).map(k => Multimodal.encodeFlatJpeg(2 * k, 8, 8))
