@@ -120,6 +120,29 @@ object EventOps {
         .orderBy("hour")
     },
 
+    // ---- sliding windows (batch twin of StreamOps.slidingCounts) ----
+    // 1-hour windows every 30 minutes: each event belongs to exactly
+    // size/slide = 2 epoch-aligned windows. The oracle replicates
+    // Spark's alignment arithmetic directly (starts at
+    // floor(t/slide)*slide - k*slide), and window starts are emitted as
+    // epoch SECONDS (BIGINT) so no tz-aware timestamp can drift between
+    // engines. Scale: one map-side 2x expand + a keyed aggregate.
+    Q("q_sliding_window", Some(
+      s"""SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 1800
+         |         - k.k) * 1800 AS w_start_s,
+         |  COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
+         |FROM events, (SELECT UNNEST([0, 1]) AS k) k
+         |GROUP BY w_start_s ORDER BY w_start_s""".stripMargin)) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour",
+          "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value"))
+          .as("sum_value"))
+        .select(expr("unix_micros(w.start) div 1000000").as("w_start_s"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start_s")
+    },
+
     // ---- gap-based sessionization (batch; streaming twin in StreamOps) ----
     Q("q_sessionize", Some(
       """SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,

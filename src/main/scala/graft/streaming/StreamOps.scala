@@ -35,6 +35,18 @@ object StreamOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Sliding 1-hour windows advancing every 30 minutes (the standard
+    * rate-monitoring shape): each event lands in size/slide = 2 open
+    * windows, so in-flight state is 2× the tumbling case and still
+    * bounded by the watermark horizon. Batch twin: `q_sliding_window`
+    * (oracle-checked); StreamOpsSpec pins overlap + batch parity. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup: drop events whose id was already seen within
     * the watermark horizon. State is one entry per id bounded by the
     * watermark (expired keys are dropped), so state size is

@@ -41,6 +41,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("slidingCounts: each event lands in exactly two overlapping " +
+      "1h/30m windows, and finalized counts match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Raw]
+    val query = StreamOps.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Raw(1, 1, ts("10:05"), "click", 1.0), // windows 09:30 + 10:00
+        Raw(1, 2, ts("10:40"), "click", 2.0), // windows 10:00 + 10:30
+        Raw(2, 3, ts("10:59"), "view", 4.0))  // windows 10:00 + 10:30
+      query.processAllAvailable()
+      input.addData(Raw(9, 9, ts("15:00"), "click", 0.0)) // finalize
+      query.processAllAvailable()
+      // only windows ending before the 13:00 watermark are finalized —
+      // exactly the three covering the first batch of events
+      val got = spark.table("sliding").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got("2024-01-01 09:30:00.0") == 1)
+      assert(got("2024-01-01 10:00:00.0") == 3)
+      assert(got("2024-01-01 10:30:00.0") == 2)
+      assert(got.size == 3, s"unexpected finalized windows: $got")
+
+      // batch parity: groupBy(window(size, slide)) over the same rows
+      val batch = Seq(
+        (1L, 1L, ts("10:05"), "click", 1.0),
+        (1L, 2L, ts("10:40"), "click", 2.0),
+        (2L, 3L, ts("10:59"), "view", 4.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("n")).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(batch == got, s"stream/batch divergence: $batch vs $got")
+    } finally query.stop()
+  }
+
   test("hourlyCounts: a late row beyond the 2h watermark is dropped and " +
       "a finalized window is never re-emitted") {
     implicit val sqlCtx = spark.sqlContext
