@@ -227,5 +227,60 @@ object Sampling {
           round(weight, 6).as("weight_r"),
           floor(col("n_docs") * weight).cast("long").as("exp_docs"))
         .orderBy("source")
+    },
+
+    // ---- apply the mix weights: deterministic weighted resampling ----
+    // The MATERIALIZATION step after `pipeline_mix_weights`: every doc
+    // emits floor(w) copies plus one more iff its content-hash uniform
+    // falls under frac(w) — so a source with weight 1.4 keeps every doc
+    // and duplicates a deterministic 40%. The uniform is the first 4
+    // md5 hex chars of (text, doc_id) compared lexicographically against
+    // the hex-encoded threshold floor(frac(w)*65536): fixed-width hex
+    // compare IS numeric compare, and both engines spell it with the
+    // same string functions — no RNG, restart-stable, engine-exact.
+    // Scale: per-source weights are a tiny broadcast; the explode is a
+    // narrow per-row generator (≤ ceil(w) ≤ 2 rows out per doc).
+    Q("pipeline_apply_mix", Some(
+      """WITH a AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |           GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |        COUNT(*) AS n_sources FROM a),
+        |w AS (SELECT source, LEAST(CAST(total AS DOUBLE)
+        |        / (n_sources * n_docs), 2.0) AS wt FROM a, t),
+        |d AS (SELECT doc_id, dd.source,
+        |        CAST(FLOOR(wt) AS INTEGER) +
+        |        CASE WHEN upper(substr(md5(text || '|' ||
+        |                 CAST(doc_id AS VARCHAR)), 1, 4)) <
+        |               upper(lpad(to_hex(CAST(FLOOR((wt - FLOOR(wt))
+        |                 * 65536) AS BIGINT)), 4, '0'))
+        |             THEN 1 ELSE 0 END AS copies
+        |      FROM documents dd JOIN w ON dd.source = w.source),
+        |e AS (SELECT doc_id, source
+        |      FROM d, UNNEST(generate_series(1, copies)))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_out,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_unique
+        |FROM e GROUP BY source ORDER BY source""".stripMargin)) {
+      (s, dir) =>
+      val a = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val t = a.agg(sum("n_docs").cast("long").as("total"),
+        count(lit(1)).as("n_sources"))
+      val w = a.crossJoin(broadcast(t))
+        .select(col("source"), least(col("total").cast("double")
+          / (col("n_sources") * col("n_docs")), lit(2.0)).as("wt"))
+      val tHex = upper(lpad(hex(floor((col("wt") - floor(col("wt")))
+        * 65536).cast("long")), 4, "0"))
+      val uHex = upper(substring(md5(concat(col("text"), lit("|"),
+        col("doc_id").cast("string"))), 1, 4))
+      docs(s, dir).join(broadcast(w), "source")
+        .withColumn("copies", floor(col("wt")).cast("int") +
+          when(uHex < tHex, 1).otherwise(0))
+        // array_repeat, not sequence(1, copies): Spark's sequence steps
+        // BACKWARD when start > stop, so copies=0 would emit 2 rows
+        .select(col("doc_id"), col("source"),
+          explode(array_repeat(lit(1), col("copies"))).as("__one"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_out"),
+          countDistinct("doc_id").as("n_unique"))
+        .orderBy("source")
     })
 }

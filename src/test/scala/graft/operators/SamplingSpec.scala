@@ -81,6 +81,33 @@ class SamplingSpec extends SparkSpec {
     assert(got == (1L to 5L).toSet)
   }
 
+  test("pipeline_apply_mix: resampled counts respect the weight algebra " +
+      "(floor(w)..ceil(w) copies; no dups when downsampling; full " +
+      "coverage when upsampling)") {
+    val weights = graft.SparkEntry.queries("pipeline_mix_weights")(
+        spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val out = graft.SparkEntry.queries("pipeline_apply_mix")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet == weights.keySet)
+    for ((src, (nOut, nUnique)) <- out) {
+      val (nDocs, w) = weights(src)
+      assert(nOut >= math.floor(w).toLong * nDocs &&
+        nOut <= math.ceil(w).toLong * nDocs,
+        s"$src: n_out $nOut outside [floor(w)*n, ceil(w)*n] for w=$w n=$nDocs")
+      if (w <= 1.0) assert(nOut == nUnique,
+        s"$src: downsampling must never duplicate ($nOut != $nUnique)")
+      if (w >= 1.0) assert(nUnique == nDocs,
+        s"$src: upsampling must keep every doc ($nUnique != $nDocs)")
+    }
+    // deterministic: a second run is byte-identical
+    val again = graft.SparkEntry.queries("pipeline_apply_mix")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(again == out)
+  }
+
   test("per-stratum work spans multiple partitions (the 100 TB shape): " +
       "no single task owns a stratum") {
     val s = spark.newSession()
