@@ -119,6 +119,33 @@ object Sampling {
     keptFull.unionByName(keptTies)
   }
 
+  /** EXACT rank-based quantiles per stratum WITHOUT a full-stratum sort:
+    * the value at ascending (score, doc_id)-rank ceil(q·n/d) for each
+    * requested q/d. Bulk data passes one map-side-combined
+    * (stratum, score) histogram aggregate; the rank arithmetic runs on
+    * the metadata-sized histogram (same discipline as
+    * [[topHalfByScore]], generalized from the median to any quantile —
+    * and unlike `approx_percentile` there is no sketch error for the
+    * oracle to disagree with). Ties only permute equal scores, so the
+    * rank-k VALUE is tie-order-independent and engine-exact. */
+  def rankQuantiles(d: DataFrame, stratumCol: String, scoreCol: String,
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    val hist = d.groupBy(col(stratumCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val wAsc = Window.partitionBy(stratumCol).orderBy(col(scoreCol).asc)
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(wAsc))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(stratumCol)))
+    val aggs = quantiles.map { case (name, num, den) =>
+      // k = ceil(num*n/den); the quantile is the least score whose
+      // cumulative count reaches k
+      val k = expr(s"($num * __n + ${den - 1}) div $den")
+      min(when(col("__cum") >= k, col(scoreCol))).as(name)
+    }
+    cum.groupBy(col(stratumCol))
+      .agg(first("__n").as("n"), aggs: _*)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- deterministic per-language quota sample (stratified) ----
@@ -227,6 +254,27 @@ object Sampling {
           round(weight, 6).as("weight_r"),
           floor(col("n_docs") * weight).cast("long").as("exp_docs"))
         .orderBy("source")
+    },
+
+    // ---- exact per-language score quartiles (curriculum planner /
+    //      quality-threshold input). The oracle states the semantics
+    //      naively (rank-k value over a per-stratum window); the Spark
+    //      side computes the identical values from the score histogram
+    //      — one corpus aggregate, no stratum-wide sort anywhere. ----
+    Q("pipeline_score_quantiles", Some(
+      """SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rk = (1*n + 3) // 4 THEN n_chars END) AS q1_chars,
+        |  MAX(CASE WHEN rk = (2*n + 3) // 4 THEN n_chars END) AS med_chars,
+        |  MAX(CASE WHEN rk = (3*n + 3) // 4 THEN n_chars END) AS q3_chars
+        |FROM (SELECT lang, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY n_chars, doc_id) AS rk,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      rankQuantiles(docs(s, dir), "lang", "n_chars",
+        Seq(("q1_chars", 1, 4), ("med_chars", 2, 4), ("q3_chars", 3, 4)))
+        .orderBy("lang")
     },
 
     // ---- apply the mix weights: deterministic weighted resampling ----

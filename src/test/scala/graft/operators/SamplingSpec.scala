@@ -81,6 +81,24 @@ class SamplingSpec extends SparkSpec {
     assert(got == (1L to 5L).toSet)
   }
 
+  test("rankQuantiles: exact rank-k values from the histogram equal a " +
+      "local sorted-rank replay, heavy ties included") {
+    val d = fixture(1001)
+    val got = Sampling.rankQuantiles(d, "lang", "n_chars",
+        Seq(("q1", 1, 4), ("med", 2, 4), ("q3", 3, 4)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val local = d.select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (lang, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val n = sorted.length
+        def at(q: Int) = sorted(((q * n + 3) / 4) - 1)
+        lang -> ((n.toLong, at(1), at(2), at(3)))
+      }
+    assert(got == local)
+  }
+
   test("pipeline_apply_mix: resampled counts respect the weight algebra " +
       "(floor(w)..ceil(w) copies; no dups when downsampling; full " +
       "coverage when upsampling)") {
