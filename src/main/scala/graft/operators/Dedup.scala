@@ -450,6 +450,44 @@ object Dedup {
       bands: Int = 16, minEst: Double = 0.8): DataFrame =
     dropNearDuplicates(d, minhashPairs(d, numHashes, bands, minEst))
 
+  /** Incremental-ingestion near-dup candidates: MinHash band collisions
+    * BETWEEN a new batch and the existing corpus only (the per-crawl
+    * dedup pattern — the corpus is already internally deduped, and
+    * new-new pairs belong to the batch's own intra-pass). The band join
+    * is new-side × old-side, so candidate volume is bounded by
+    * cross-side bucket collisions and the old corpus is never
+    * self-joined. At 100 TB the old side's signatures/bands are a
+    * precomputed index the new batch probes — exactly this plan with
+    * the old-side aggregate read from storage. Returns
+    * (doc_new, doc_old, est_jaccard). */
+  def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, minEst: Double = 0.8,
+      scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigN = minhashSignatures(newDocs, numHashes, scheme).cache()
+    val sigO = minhashSignatures(oldDocs, numHashes, scheme).cache()
+    def bandArr = array((0 until bands).map(b =>
+      scheme.bandHash(slice(col("sig"), b * rows + 1, rows), b)): _*)
+    val bn = sigN.select(col("doc_id").as("doc_new"),
+      posexplode(bandArr).as(Seq("band", "bh")))
+    val bo = sigO.select(col("doc_id").as("doc_old"),
+      posexplode(bandArr).as(Seq("band", "bh")))
+    val cand = bn.join(bo, Seq("band", "bh"))
+      .select("doc_new", "doc_old")
+      .dropDuplicates("doc_new", "doc_old")
+    cand
+      .join(sigN.select(col("doc_id").as("doc_new"), col("sig").as("sig_n")),
+        "doc_new")
+      .join(sigO.select(col("doc_id").as("doc_old"), col("sig").as("sig_o")),
+        "doc_old")
+      .withColumn("est_jaccard", expr(
+        "size(filter(zip_with(sig_n, sig_o, (x, y) -> x = y), v -> v)) " +
+          s"/ cast($numHashes as double)"))
+      .where(col("est_jaccard") >= minEst)
+      .select("doc_new", "doc_old", "est_jaccard")
+  }
+
   /** Exact distinct-token Jaccard pairs over a bounded id range — the
     * quadratic ground-truth operator (deliberately NOT the scale path;
     * MinHash is). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
@@ -526,6 +564,55 @@ object Dedup {
        |                  JOIN sig sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, est_jaccard FROM est
        |WHERE est_jaccard >= $minEst ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB mirror of [[crossCorpusPairs]] + the anti-join survivor
+    * select, under [[md5Scheme]] — same slot/band algebra as
+    * [[sqlMinhashMd5]], with the candidate join restricted to
+    * new-side × old-side (doc_id >= split vs < split). */
+  private def sqlCrossMinhashMd5(numHashes: Int, bands: Int,
+      minEst: Double, split: Long, maxId: Long): String = {
+    val rows = numHashes / bands
+    def rotl(i: Int): String =
+      if (i == 0) "h2"
+      else s"(((h2 & ${(1L << (60 - i)) - 1}) << $i) | (h2 >> ${60 - i}))"
+    val slotMins = (0 until numHashes)
+      .map(i => s"MIN(xor(h1, ${rotl(i)})) AS m$i").mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val slots = (0 until rows)
+        .map(i => s"CAST(m${b * rows + i} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5('$b:' || $slots) AS bh FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val eq = (0 until numHashes)
+      .map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |      THEN list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1]))
+       |      ELSE [array_to_string(toks, ' ')] END) AS g
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |        FROM documents WHERE doc_id < $maxId)),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(g || '#'), 1, 15) AS BIGINT) AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, $slotMins
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |    $bandRows),
+       |cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |         FROM banded n JOIN banded o
+       |           ON n.band = o.band AND n.bh = o.bh
+       |         WHERE n.doc_id >= $split AND o.doc_id < $split),
+       |est AS (SELECT doc_new, doc_old, ($eq) / $numHashes.0 AS ej
+       |        FROM cand JOIN sig sa ON sa.doc_id = doc_new
+       |                  JOIN sig sb ON sb.doc_id = doc_old)
+       |SELECT d.doc_id, md5(d.text) AS digest FROM documents d
+       |WHERE d.doc_id >= $split AND d.doc_id < $maxId
+       |  AND d.doc_id NOT IN (SELECT doc_new FROM est WHERE ej >= $minEst)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** DuckDB mirror of [[simhash60Md5Pairs]] — generated for the given
@@ -639,6 +726,27 @@ object Dedup {
          |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
       val d = docs(s, dir).where(col("doc_id") < 300)
       dropNearDuplicates(d, exactJaccardPairs(docs(s, dir), 300, 0.9))
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
+
+    // Incremental-ingestion dedup end-to-end: the new batch (doc_id in
+    // [300, 600)) survives unless a MinHash band collision with the
+    // EXISTING corpus (doc_id < 300) verifies at est_jaccard >= 0.6 —
+    // the per-crawl-snapshot operation. md5 scheme so the full
+    // cross-side band algebra + anti-join hash-matches DuckDB; the
+    // xxhash64 flavor of crossCorpusPairs is the scale path
+    // (DedupSpec pins its recall on engineered cross-side near-dups).
+    Q("pipeline_incremental_dedup", Some(
+      sqlCrossMinhashMd5(numHashes = 16, bands = 4, minEst = 0.6,
+        split = 300, maxId = 600))) { (s, dir) =>
+      val all = docs(s, dir)
+      val old = all.where(col("doc_id") < 300)
+      val fresh = all.where(col("doc_id") >= 300 && col("doc_id") < 600)
+      val losers = crossCorpusPairs(fresh, old, numHashes = 16, bands = 4,
+          minEst = 0.6, scheme = md5Scheme)
+        .select(col("doc_new").as("doc_id")).distinct()
+      fresh.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), md5(col("text")).as("digest"))
         .orderBy("doc_id")
     },

@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 10L)) == 1.0)
   }
 
+  test("crossCorpusPairs: finds every engineered cross-side near-dup, " +
+      "emits ONLY new-x-old pairs, and ignores same-side dups") {
+    // old corpus: 1, 3, 5, 6 — new batch: 2 (near-dup of 1), 4 (of 3),
+    // 7..9 (unique), 10 (identical to 1); 7-9 also deliberately lack
+    // any old-side partner
+    val old = corpus.where(col("doc_id").isin(1L, 3L, 5L, 6L))
+    val fresh = corpus.where(col("doc_id").isin(2L, 4L, 7L, 8L, 9L, 10L))
+    val got = Dedup.crossCorpusPairs(fresh, old, numHashes = 64,
+        bands = 16, minEst = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((2L, 1L), (4L, 3L), (10L, 1L)),
+      s"cross-side pairs: $got")
+    assert(got((10L, 1L)) == 1.0, "identical cross-side pair estimates 1.0")
+    // survivors after the anti-join = the genuinely new documents
+    val kept = Dedup.dropNearDuplicates(fresh,
+        Dedup.crossCorpusPairs(fresh, old, 64, 16, 0.6)
+          .select(col("doc_old").as("doc_a"), col("doc_new").as("doc_b")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 8L, 9L), s"survivors: $kept")
+  }
+
   test("simhash pairs: identical docs at hamming 0; distinct docs never " +
       "pair at hamming <= 3") {
     val got = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
