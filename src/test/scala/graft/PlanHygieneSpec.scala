@@ -27,7 +27,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     * never hide behind the "baseline" excuse. */
   private val allowedBoundedBroadcast = Set(
     "emb_centroid_assign",    // 8 fixed centroid rows broadcast (E-step)
-    "pipeline_mix_weights")   // one grand-total row broadcast
+    "pipeline_mix_weights",   // one grand-total row broadcast
+    "pipeline_apply_mix")     // the same grand-total row, feeding weights
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast
