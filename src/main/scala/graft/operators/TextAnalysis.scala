@@ -406,6 +406,35 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // ---- STRIDED overlapping chunks (window 50, stride 32): the
+    //      context-window shape most training prep actually uses, so
+    //      boundary tokens appear in two windows and no span is ever
+    //      split across samples without overlap. Windows start at
+    //      multiples of the stride while any token remains; the last
+    //      window may be short. Same narrow generator shape as
+    //      text_chunks — one row out per window, partition-parallel. ----
+    Q("text_chunks_overlap", Some(
+      """SELECT doc_id, CAST(c AS INTEGER) AS chunk_no,
+        |  CAST(LEAST(50, n - c*32) AS INTEGER) AS n_toks,
+        |  toks[c*32 + 1] AS first_tok
+        |FROM (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, CAST(CEIL(GREATEST(len(toks) - 50 + 32, 1)
+        |      / 32.0) AS BIGINT))) AS c
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_no""".stripMargin)) { (s, dir) =>
+      Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+          explode(expr("sequence(0, cast(ceil(greatest(size(toks) - 50 " +
+            "+ 32, 1) / 32.0) as int) - 1)")).as("chunk_no"))
+        .select(col("doc_id"), col("chunk_no"),
+          least(lit(50), col("n") - col("chunk_no") * 32).as("n_toks"),
+          expr("toks[chunk_no*32]").as("first_tok"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // ---- token-budget shard packing: assign docs to bins of ~10k
     //      tokens within each shard group (running-sum window per
     //      group). Grouped — NOT one global ordered window, which would

@@ -109,6 +109,19 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment: join each streaming event against a
+    * static dimension table (broadcast — the dimension is loaded once
+    * per micro-batch plan, no state store involved, unlike
+    * stream-stream joins). The standard lookup/enrichment shape: at
+    * scale the static side is a small dim (broadcast) or a pre-bucketed
+    * table; either way the stream side never shuffles on the join key
+    * here. Left join so events with no dimension row pass through with
+    * nulls rather than silently dropping. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String)
+      : DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Stream-stream inner join: attribute each purchase to a prior click
     * by the same user within `withinMinutes`. Both sides carry watermarks
     * and the join condition bounds event time in BOTH directions, so

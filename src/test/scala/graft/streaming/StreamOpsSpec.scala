@@ -79,6 +79,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("enrichStream: static dimension broadcast-joins onto the stream; " +
+      "unmatched events pass through with nulls (left join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val input = MemoryStream[Raw]
+    val query = StreamOps.enrichStream(input.toDF(), dim, "event_type")
+      .select("event_id", "event_type", "category")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Raw(1, 1, ts("10:00"), "click", 1.0),
+        Raw(1, 2, ts("10:01"), "view", 1.0),
+        Raw(2, 3, ts("10:02"), "purchase", 1.0)) // no dim row
+      query.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(rows == Map(1L -> Some("engagement"),
+        2L -> Some("impression"), 3L -> None))
+    } finally query.stop()
+  }
+
   test("hourlyCounts: a late row beyond the 2h watermark is dropped and " +
       "a finalized window is never re-emitted") {
     implicit val sqlCtx = spark.sqlContext
