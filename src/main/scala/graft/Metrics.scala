@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Post-execution plan observability: per-query shuffle volumes read
+  * straight off the executed plan's SQLMetrics — the numbers an operator
+  * of a 1000-executor job actually watches (a plan that "works" but
+  * shuffles the corpus twice shows up here, not in row counts).
+  *
+  * Usage: run an action on the DataFrame, then call [[shuffleSummary]] on
+  * the SAME DataFrame instance (metrics live on its executed plan).
+  * `graft.Explain` prints this after each plan when run with a second
+  * `--metrics` style invocation isn't needed — tests assert on it
+  * directly (MetricsSpec).
+  */
+object Metrics {
+
+  final case class ShuffleSummary(exchanges: Int, recordsWritten: Long,
+      bytesWritten: Long)
+
+  /** All physical nodes including those hidden inside AQE's re-planned
+    * stages (`collect` on an adaptive plan stops at stage boundaries —
+    * without unwrapping, every post-AQE Exchange is invisible). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case other                    => other.children
+    }
+    p +: children.flatMap(allNodes)
+  }
+
+  /** Total shuffle write across every exchange in the executed plan.
+    * Call AFTER an action; metrics on an unexecuted plan are zero. */
+  def shuffleSummary(df: DataFrame): ShuffleSummary = {
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case e: ShuffleExchangeLike => e }
+    def metric(e: SparkPlan, name: String): Long =
+      e.metrics.get(name).map(_.value).getOrElse(0L)
+    ShuffleSummary(
+      exchanges = exchanges.size,
+      recordsWritten = exchanges.map(metric(_, "shuffleRecordsWritten")).sum,
+      bytesWritten = exchanges.map(metric(_, "shuffleBytesWritten")).sum)
+  }
+}
