@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan audit tool: `runMain graft.Explain <query…>` prints each query's
+  * formatted physical plan; `runMain graft.Explain --run <query…>` also
+  * executes it against a noop sink and prints measured shuffle volumes
+  * (exchanges / records / bytes via [[Metrics.shuffleSummary]]) — the
+  * plan you'd want AND the volumes proving it. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -8,9 +14,18 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- args) {
+    val (run, names) = args.partition(_ == "--run")
+    for (n <- names) {
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").explain("formatted")
+      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
+      df.explain("formatted")
+      if (run.nonEmpty) {
+        // execute THIS DataFrame's own QueryExecution: df.write would
+        // build a fresh one and the metrics would land on that copy
+        df.queryExecution.toRdd.foreach(_ => ())
+        println(s"measured: ${Metrics.shuffleSummary(df)}")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
