@@ -99,6 +99,48 @@ class SamplingSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("seeded property: all three per-stratum operators equal their " +
+      "naive forms on random corpora (skew, ties, tiny strata)") {
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val nStrata = 1 + rnd.nextInt(6)
+      val rows = (0 until 300 + rnd.nextInt(700)).map { i =>
+        // zipf-ish stratum sizes + heavy score ties
+        val s = s"s${(math.sqrt(rnd.nextInt(nStrata * nStrata)).toInt)}"
+        (i.toLong, s"doc $i ${rnd.nextInt(1000)}", s,
+          rnd.nextInt(1 + rnd.nextInt(12)))
+      } :+ ((999999L, "solo", "lonely", 5)) // 1-row stratum always present
+      val d = rows.toDF("doc_id", "text", "lang", "n_chars")
+        .repartition(1 + rnd.nextInt(7))
+
+      val k = 1 + rnd.nextInt(40)
+      val sGot = Sampling.stratifiedSample(d, "lang", k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val sWant = naiveSample(d, k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(sGot == sWant, s"stratifiedSample mismatch seed=$seed k=$k")
+
+      val hGot = Sampling.topHalfByScore(d, "lang", "n_chars")
+        .select("lang", "doc_id", "n_chars").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val hWant = naiveTopHalf(d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(hGot == hWant, s"topHalfByScore mismatch seed=$seed")
+
+      val qGot = Sampling.rankQuantiles(d, "lang", "n_chars",
+          Seq(("q1", 1, 4), ("med", 2, 4), ("q3", 3, 4))).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+      val qWant = rows.groupBy(_._3).map { case (lang, rs) =>
+        val sorted = rs.map(_._4).sorted
+        val n = sorted.length
+        def at(q: Int) = sorted(((q * n + 3) / 4) - 1)
+        lang -> ((n.toLong, at(1), at(2), at(3)))
+      }
+      assert(qGot == qWant, s"rankQuantiles mismatch seed=$seed")
+    }
+  }
+
   test("pipeline_apply_mix: resampled counts respect the weight algebra " +
       "(floor(w)..ceil(w) copies; no dups when downsampling; full " +
       "coverage when upsampling)") {
