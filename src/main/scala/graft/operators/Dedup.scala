@@ -700,6 +700,38 @@ object Dedup {
           .orderBy("component")
     },
 
+    // Cluster-size distribution of the transitive dup graph — how much
+    // corpus mass sits in 2-clusters vs long chains decides banding
+    // thresholds and survivor policy; same bounded pair graph as
+    // dedup_components, one extra metadata-sized aggregate.
+    Q("dedup_cluster_sizes", Some(
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($sqlJaccardPairs)
+         |      WHERE jaccard >= 0.9),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach
+         |  JOIN edges ON reach.r = edges.src),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, COUNT(*) AS sz FROM comp
+         |          GROUP BY component)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin)) {
+      (s, dir) =>
+        val pairs = exactJaccardPairs(docs(s, dir), maxId = 300,
+          threshold = 0.9)
+        connectedComponents(pairs)
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+          .orderBy("cluster_size")
+    },
+
     Q("dedup_minhash_lsh", None) { (s, dir) => minhashPairs(docs(s, dir)) },
 
     // The SAME MinHash banding algebra under the md5 scheme, end-to-end

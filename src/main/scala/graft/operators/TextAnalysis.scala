@@ -284,6 +284,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- duplicate-SEGMENT fraction (the Gopher-style duplicate-line
+    //      signal, complementing the bigram repetition above: catches
+    //      copy-pasted sentences that bigram stats dilute). Segments are
+    //      '. '-delimited; all integers plus one exact division. ----
+    Q("text_dup_segments", Some(
+      """SELECT doc_id,
+        |  CAST(n_segs AS INTEGER) AS n_segs,
+        |  CAST(n_distinct AS INTEGER) AS n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / n_segs AS uniq_ratio
+        |FROM (
+        |  SELECT doc_id, len(segs) AS n_segs,
+        |         len(list_distinct(segs)) AS n_distinct
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(text, '\. ') AS segs
+        |        FROM documents))
+        |WHERE n_segs > 0 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // same explode + groupBy discipline as text_repetition: the
+      // generator evaluates the split exactly once per row
+      Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), "\\. "))
+          .as("seg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_segs"),
+          countDistinct(col("seg")).cast("int").as("n_distinct"))
+        .select(col("doc_id"), col("n_segs"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_segs"))
+            .as("uniq_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-level boilerplate detection: per-doc count of distinct
     //      bigrams whose document frequency is >= 20 (bigrams shared by
     //      many docs = template/boilerplate text). The docfreq join side
