@@ -66,6 +66,35 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("dynamic partition overwrite: rewriting one partition leaves the " +
+      "others intact (the incremental-output sink contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("dynpart").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import s.implicits._
+    Seq((1, "a"), (2, "a"), (3, "b"), (4, "c"))
+      .toDF("v", "p").write.mode("overwrite").partitionBy("p").parquet(dir)
+    // overwrite ONLY partition b with new content; a and c must survive
+    Seq((30, "b"), (31, "b"))
+      .toDF("v", "p").write.mode("overwrite").partitionBy("p").parquet(dir)
+    val back = s.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back == Set((1, "a"), (2, "a"), (30, "b"), (31, "b"), (4, "c")),
+      s"got $back")
+    // control: STATIC overwrite mode drops the untouched partitions
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    import s2.implicits.{localSeqToDatasetHolder => h2}
+    val dir2 = java.nio.file.Files.createTempDirectory("statpart").toString
+    h2(Seq((1, "a"), (3, "b"))).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir2)
+    h2(Seq((30, "b"))).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir2)
+    val back2 = s2.read.parquet(dir2).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back2 == Set((30, "b")), s"static overwrite keeps only b: $back2")
+  }
+
   test("text source: line-oriented read feeds the MapReduce layer") {
     val dir = java.nio.file.Files.createTempDirectory("txt").toString
     docs.select(concat_ws("|", col("doc_id"), col("text")).as("value"))
