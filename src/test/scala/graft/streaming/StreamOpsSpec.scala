@@ -79,6 +79,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful ops run on the RocksDB state store provider (the " +
+      "10^9-key deployment configuration, not just the in-memory default)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Raw]
+    val query = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("rocks_hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Raw(1, 1, ts("10:05"), "click", 1.0),
+        Raw(1, 2, ts("10:55"), "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Raw(9, 9, ts("15:00"), "click", 0.0))
+      query.processAllAvailable()
+      val rows = s.table("rocks_hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)),
+        s"RocksDB-backed aggregation lost state: ${rows.toSeq}")
+      // the provider actually engaged (fails loudly if it fell back)
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("enrichStream: static dimension broadcast-joins onto the stream; " +
       "unmatched events pass through with nulls (left join)") {
     implicit val sqlCtx = spark.sqlContext
