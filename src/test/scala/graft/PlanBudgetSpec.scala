@@ -1,0 +1,32 @@
+package graft
+
+/** Shuffle-budget regression pins: each headline query's executed plan
+  * must not grow new exchanges (the scale discipline, enforced
+  * mechanically — a future refactor that adds a shuffle fails here, not
+  * in a 100 TB run). Budgets are the measured round-6 counts at
+  * sf0.001; the final output sort exchange is included.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val budgets: Map[String, Int] = Map(
+    "q1_pricing_summary" -> 2,          // agg + output sort
+    "q5_region_revenue" -> 1,           // broadcast dims, one agg
+    "dedup_exact" -> 2,                 // digest window + sort
+    "text_char_entropy" -> 2,           // doc_id spread reused throughout
+    "emb_norm_quantize" -> 2,           // vec_id spread reused throughout
+    "pipeline_stratified_sample" -> 3,  // salted + final rank + sort
+    "pipeline_quality_filter" -> 1,     // histogram only; joins broadcast
+    "pipeline_score_quantiles" -> 3,    // histogram + hist windows + sort
+    "q_sliding_window" -> 2,            // window agg + sort
+    "pipeline_token_histogram" -> 2)    // bucket agg + sort
+
+  for ((name, budget) <- budgets.toSeq.sortBy(_._1))
+    test(s"$name stays within its exchange budget ($budget)") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val m = Metrics.shuffleSummary(df)
+      info(s"$name: $m")
+      assert(m.exchanges <= budget,
+        s"$name grew a shuffle: ${m.exchanges} exchanges > budget $budget")
+    }
+}
