@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Post-execution plan observability: per-query shuffle volumes read
@@ -12,9 +13,8 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   *
   * Usage: run an action on the DataFrame, then call [[shuffleSummary]] on
   * the SAME DataFrame instance (metrics live on its executed plan).
-  * `graft.Explain` prints this after each plan when run with a second
-  * `--metrics` style invocation isn't needed — tests assert on it
-  * directly (MetricsSpec).
+  * `graft.Explain --run <query>` executes the audited plan and prints
+  * this summary; tests assert on it directly (MetricsSpec).
   */
 object Metrics {
 
@@ -23,21 +23,32 @@ object Metrics {
 
   /** All physical nodes including those hidden inside AQE's re-planned
     * stages (`collect` on an adaptive plan stops at stage boundaries —
-    * without unwrapping, every post-AQE Exchange is invisible). */
+    * without unwrapping, every post-AQE Exchange is invisible) and inside
+    * cached subplans (`InMemoryTableScanExec` is a leaf whose
+    * `relation.cachedPlan` holds the exchanges that populate the cache —
+    * without descending, every shuffle behind a `.cache()` is invisible
+    * and a query's measured volume understates what actually ran). */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val children = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case s: QueryStageExec        => Seq(s.plan)
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
       case other                    => other.children
     }
     p +: children.flatMap(allNodes)
   }
 
   /** Total shuffle write across every exchange in the executed plan.
-    * Call AFTER an action; metrics on an unexecuted plan are zero. */
+    * Call AFTER an action; metrics on an unexecuted plan are zero.
+    * Exchanges are deduped by node identity: a cached subplan scanned
+    * from two branches reaches `allNodes` twice but its populating
+    * shuffle ran (and is counted) once. */
   def shuffleSummary(df: DataFrame): ShuffleSummary = {
     val nodes = allNodes(df.queryExecution.executedPlan)
     val exchanges = nodes.collect { case e: ShuffleExchangeLike => e }
+      .foldLeft(Vector.empty[ShuffleExchangeLike]) { (acc, e) =>
+        if (acc.exists(_ eq e)) acc else acc :+ e
+      }
     def metric(e: SparkPlan, name: String): Long =
       e.metrics.get(name).map(_.value).getOrElse(0L)
     ShuffleSummary(

@@ -166,6 +166,25 @@ object Dedup {
     * every query) or session end. Long-lived sessions composing many
     * corpora should clear between corpora — the footprint is
     * numDocs × numHashes × 8 B per call site. */
+  /** Per-document band-bucket array: band b's hash over its `rows`-slot
+    * slice of the signature. THE banding algebra — [[minhashPairs]]
+    * (intra-corpus) and [[crossCorpusPairs]] (incremental) must bucket
+    * identically or a doc deduped one way escapes the other, and the
+    * generated DuckDB mirrors ([[sqlMinhashMd5]], [[sqlCrossMinhashMd5]])
+    * mirror this one definition. */
+  private def bandBuckets(scheme: MinHashScheme, bands: Int, rows: Int)
+      : Column =
+    array((0 until bands).map(b =>
+      scheme.bandHash(slice(col("sig"), b * rows + 1, rows), b)): _*)
+
+  /** Estimated Jaccard from two aligned signatures: matching-slot
+    * fraction. Shared by both pair generators for the same lockstep
+    * reason as [[bandBuckets]]. */
+  private def estJaccard(sigA: String, sigB: String, numHashes: Int)
+      : Column =
+    expr(s"size(filter(zip_with($sigA, $sigB, (x, y) -> x = y), v -> v)) " +
+      s"/ cast($numHashes as double)")
+
   def minhashPairs(d: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minEst: Double = 0.8,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
@@ -175,10 +194,8 @@ object Dedup {
     // joins); cache so the shingle scan + 64-slot aggregate runs once.
     // Footprint is numDocs × numHashes × 8B — tiny relative to the corpus.
     val sigs = minhashSignatures(d, numHashes, scheme).cache()
-    val bandArr = array((0 until bands).map(b =>
-      scheme.bandHash(slice(col("sig"), b * rows + 1, rows), b)): _*)
     val banded = sigs.select(col("doc_id"),
-      posexplode(bandArr).as(Seq("band", "bh")))
+      posexplode(bandBuckets(scheme, bands, rows)).as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band", "bh"))
@@ -190,9 +207,7 @@ object Dedup {
         "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
-      .withColumn("est_jaccard", expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) " +
-          s"/ cast($numHashes as double)"))
+      .withColumn("est_jaccard", estJaccard("sig_a", "sig_b", numHashes))
       .where(col("est_jaccard") >= minEst)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
@@ -467,8 +482,7 @@ object Dedup {
     val rows = numHashes / bands
     val sigN = minhashSignatures(newDocs, numHashes, scheme).cache()
     val sigO = minhashSignatures(oldDocs, numHashes, scheme).cache()
-    def bandArr = array((0 until bands).map(b =>
-      scheme.bandHash(slice(col("sig"), b * rows + 1, rows), b)): _*)
+    val bandArr = bandBuckets(scheme, bands, rows)
     val bn = sigN.select(col("doc_id").as("doc_new"),
       posexplode(bandArr).as(Seq("band", "bh")))
     val bo = sigO.select(col("doc_id").as("doc_old"),
@@ -481,9 +495,7 @@ object Dedup {
         "doc_new")
       .join(sigO.select(col("doc_id").as("doc_old"), col("sig").as("sig_o")),
         "doc_old")
-      .withColumn("est_jaccard", expr(
-        "size(filter(zip_with(sig_n, sig_o, (x, y) -> x = y), v -> v)) " +
-          s"/ cast($numHashes as double)"))
+      .withColumn("est_jaccard", estJaccard("sig_n", "sig_o", numHashes))
       .where(col("est_jaccard") >= minEst)
       .select("doc_new", "doc_old", "est_jaccard")
   }

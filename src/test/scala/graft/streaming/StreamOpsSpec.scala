@@ -102,8 +102,17 @@ class StreamOpsSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
       assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)),
         s"RocksDB-backed aggregation lost state: ${rows.toSeq}")
-      // the provider actually engaged (fails loudly if it fell back)
-      assert(query.lastProgress.stateOperators.nonEmpty)
+      // the provider actually engaged, not a silent fallback to the
+      // HDFS-backed default: RocksDB publishes provider-specific custom
+      // metrics (rocksdbGetLatency etc.) that the default never emits,
+      // so their presence pins the provider class
+      val ops = query.lastProgress.stateOperators
+      assert(ops.nonEmpty)
+      val customMetricKeys = ops.flatMap(_.customMetrics.keySet().toArray())
+        .map(_.toString)
+      assert(customMetricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb custom metrics — provider fell back to the default " +
+          s"(saw: ${customMetricKeys.toSeq})")
     } finally query.stop()
   }
 
