@@ -37,11 +37,15 @@ object Sampling {
     * top-`k` in `orderCols` order. The global per-stratum top-k is a
     * subset of the union of bucket top-ks (each element of the true
     * top-k lands in SOME bucket and is top-k there too), so phase 2 only
-    * ever ranks ≤ k·fanOut rows per stratum. */
+    * ever ranks ≤ k·fanOut rows per stratum. `saltCol` is any column
+    * that spreads rows evenly (defaults to doc_id for document frames;
+    * token frames salt on the token — correctness only needs
+    * determinism, not uniformity). */
   private[operators] def partialTopK(d: DataFrame, stratumCol: String,
-      orderCols: Seq[Column], k: Int, fanOut: Int): DataFrame = {
+      orderCols: Seq[Column], k: Int, fanOut: Int,
+      saltCol: Column = col("doc_id")): DataFrame = {
     val salted = d.withColumn("__salt",
-      pmod(xxhash64(col("doc_id")), lit(fanOut)))
+      pmod(xxhash64(saltCol), lit(fanOut)))
     val w = Window.partitionBy(col(stratumCol), col("__salt"))
       .orderBy(orderCols: _*)
     salted.withColumn("__prn", row_number().over(w))

@@ -605,5 +605,92 @@ object TextAnalysis {
             * log(col("cnt") / col("n_chars").cast("double"))) / log(lit(2d)),
             4).as("entropy_r"))
         .orderBy("doc_id")
+    },
+
+    // ---- corpus-derived stopword strip (CCNet-style frequency prune,
+    //      MATERIALIZED): drop every token present in >= 80% of
+    //      documents and reassemble each document's text in original
+    //      token order. The vocabulary filter is computed FROM the
+    //      corpus (no fixed list), the threshold is integer math
+    //      (df*10 >= n_docs*8 — no fp ratio to drift), and the rebuild
+    //      is an order-pinned aggregate: collect (pos, tok) survivors,
+    //      sort by position, join with spaces.
+    //      Scale shape: per-occurrence rows carry (doc_id, pos, tok)
+    //      only; the docfreq side is vocab-sized metadata (AQE
+    //      broadcasts it here and skew-splits a shuffle at BPE-vocab
+    //      scale — same docfreq-join discipline as
+    //      `text_common_bigrams`); the grand-total row is a 1-row
+    //      broadcast (allow-listed); the rebuild aggregate reuses the
+    //      doc_id spread. Per-doc state is the doc's own token list —
+    //      the same per-doc working set every reassembly op carries. ----
+    Q("pipeline_strip_stopwords", Some(
+      """WITH s AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+        |         unnest(range(1, len(string_split_regex(text, '\s+'))+1))
+        |           AS pos
+        |  FROM documents),
+        |f AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY tok),
+        |t AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN df*10 < n_docs*8 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_kept,
+        |  CAST(SUM(CASE WHEN df*10 >= n_docs*8 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN df*10 < n_docs*8 THEN tok END,
+        |    ' ' ORDER BY pos), '') AS clean_text
+        |FROM s JOIN f USING (tok), t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val d = docs(s, dir)
+      val toks = Tables.spread(d, col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      val dfreq = toks.groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"))
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      val keep = col("df") * 10 < col("n_docs") * 8
+      toks.join(dfreq, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(keep, 1).otherwise(0)).cast("int").as("n_kept"),
+          sum(when(keep, 0).otherwise(1)).cast("int").as("n_dropped"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(keep,
+                struct(col("pos"), col("tok"))))),
+              x => x.getField("tok")),
+            " ").as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- per-language top-k corpus tokens (the vocabulary report a
+    //      tokenizer-training pass starts from). Two-phase top-K over
+    //      the (lang, tok) counts: the aggregated count frame is
+    //      vocab×langs-sized — far smaller than the corpus but still
+    //      too big for a per-lang single-task sort at BPE-vocab scale —
+    //      so the same salted partial-rank discipline as
+    //      `pipeline_stratified_sample` applies, salting on the token.
+    //      Result provably equals the naive single-window form. ----
+    Q("text_top_tokens_by_lang", Some(
+      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+'))
+        |             AS tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok)
+        |SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT lang, tok, n,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY n DESC, tok) AS rnk
+        |      FROM c)
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin)) { (s, dir) =>
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val survivors = Sampling.partialTopK(counts, "lang",
+        Seq(col("n").desc, col("tok")), 10, Sampling.FanOut,
+        saltCol = col("tok"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+      survivors.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select(col("lang"), col("tok"), col("n"), col("rnk"))
+        .orderBy("lang", "rnk")
     })
 }

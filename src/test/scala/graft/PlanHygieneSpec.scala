@@ -28,7 +28,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private val allowedBoundedBroadcast = Set(
     "emb_centroid_assign",    // 8 fixed centroid rows broadcast (E-step)
     "pipeline_mix_weights",   // one grand-total row broadcast
-    "pipeline_apply_mix")     // the same grand-total row, feeding weights
+    "pipeline_apply_mix",     // the same grand-total row, feeding weights
+    "pipeline_strip_stopwords") // one grand-total row (docfreq threshold)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

@@ -118,4 +118,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h(freq(1L).map(_.getLong(2)).toSeq) == 0.0)
     assert(math.abs(h(freq(2L).map(_.getLong(2)).toSeq) - 1.0) < 1e-12)
   }
+
+  test("pipeline_strip_stopwords: kept+dropped = token count, clean_text " +
+      "is the in-order subsequence of non-stopword tokens") {
+    val rows = run("pipeline_strip_stopwords").collect()
+    assert(rows.nonEmpty)
+    // independent replay: recompute docfreq and the threshold driver-side
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val nDocs = docs.length
+    val docfreq = docs.flatMap { case (_, t) => t.split("\\s+").distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    def stop(tok: String) = docfreq(tok) * 10 >= nDocs * 8
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val (id, nKept, nDropped, clean) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      val toks = byId(id).split("\\s+")
+      assert(nKept + nDropped == toks.length, s"doc $id: count mismatch")
+      val expected = toks.filterNot(stop).mkString(" ")
+      assert(clean == expected, s"doc $id: reassembly diverges")
+    }
+    // the filter must actually fire on this corpus (non-degenerate)
+    assert(rows.exists(_.getInt(2) > 0), "no stopwords were stripped")
+    assert(rows.forall(_.getInt(1) > 0), "a document lost every token")
+  }
+
+  test("text_top_tokens_by_lang: two-phase top-K equals the naive " +
+      "single-window rank, and ranks are contiguous from 1") {
+    val rows = run("text_top_tokens_by_lang").collect()
+    assert(rows.nonEmpty)
+    // naive single-window form over the same counts
+    val naive = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("tok"))))
+      .where(col("rnk") <= 10)
+      .select("lang", "tok", "n", "rnk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getInt(3))).toSet
+    assert(got == naive, "two-phase top-K diverges from the naive form")
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"$lang: ranks not contiguous")
+    }
+  }
 }
