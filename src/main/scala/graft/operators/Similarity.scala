@@ -374,9 +374,11 @@ object Similarity {
     },
 
     Q("ann_ivf_topk", None) { (s, dir) =>
-      val e = emb(s, dir)
+      // training runs its jobs on its OWN read — see ann_ivf_int's
+      // comment on shared-fragment execution corrupting the main QE
       val cents = centroidCache.computeIfAbsent(dir,
-        _ => trainCentroids(e, k = 16, iters = 4, dim = 64))
+        _ => trainCentroids(emb(s, dir), k = 16, iters = 4, dim = 64))
+      val e = emb(s, dir)
       ivfTopKTrained(cents, e.where(col("vec_id") % 50 === 0), e, 5)
     },
 
@@ -389,14 +391,21 @@ object Similarity {
     // path, recall-gated in SimilaritySpec. The 8x64 centroid collect is
     // the documented bounded driver sync (same as trainCentroids').
     Q("ann_ivf_int", Some(sqlIvfInt(nprobe = 3, k = 5))) { (s, dir) =>
-      val eq = quantized1000(emb(s, dir))
       // memoized like ann_ivf_topk's trained centroids (distinct cache
       // key — same dir, different matrix): without it every query
       // CONSTRUCTION re-runs a scan+sort job for an identical 8x64
-      // constant, polluting each bench iteration's measured cost
+      // constant, polluting each bench iteration's measured cost.
+      // The collect runs on its OWN read (not the `eq` instance the
+      // main query is built from): executing a plan fragment shared
+      // with a to-be-returned DataFrame corrupts that DataFrame's own
+      // QueryExecution under Spark 4.1's attribute dedup
+      // (ATTRIBUTE_NOT_FOUND on the self-join; write-path re-analysis
+      // masks it, collect()/toRdd on the original QE hits it).
       val cents = centroidCache.computeIfAbsent(s"$dir#int8",
-        _ => eq.where(col("vec_id") < 8).orderBy("vec_id")
+        _ => quantized1000(emb(s, dir)).where(col("vec_id") < 8)
+          .orderBy("vec_id")
           .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+      val eq = quantized1000(emb(s, dir))
       ivfTopKTrained(cents, eq.where(col("vec_id") % 50 === 0), eq, 5,
         nprobe = 3)
     },
