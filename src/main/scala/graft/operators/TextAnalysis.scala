@@ -663,6 +663,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- bigram LM score (perplexity-filter signal): each document's
+    //      mean log2 P(w2|w1) under the corpus's own bigram counts —
+    //      the KenLM-style quality filter's statistical core, with the
+    //      LM trained on (and scored against) the corpus itself.
+    //      P(w2|w1) = c(w1 w2) / c(w1·), both counts exact integers;
+    //      only the final mean-of-logs is fp and display-rounded (the
+    //      repo's entropy_r convention). Scale shape: bigram explode
+    //      off the doc_id spread, one g-keyed count aggregate, the
+    //      count join left to AQE (broadcast now, skew-split shuffle at
+    //      web-corpus bigram cardinality), per-doc aggregate reusing
+    //      the spread. ----
+    Q("text_bigram_logprob", Some(
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT g, COUNT(*) AS n2 FROM b GROUP BY g),
+        |c1 AS (SELECT string_split(g, ' ')[1] AS w1,
+        |         CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+        |  ROUND(SUM(ln(n2 / CAST(n1 AS DOUBLE)) / ln(2)) / COUNT(*), 4)
+        |    AS avg_logp_r
+        |FROM b JOIN c2 USING (g)
+        |  JOIN c1 ON string_split(g, ' ')[1] = c1.w1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val bg = bigramRows(docs(s, dir), distinctPerDoc = false)
+      val cnt2 = bg.groupBy("g").agg(count(lit(1)).as("n2"))
+      val cnt1 = cnt2
+        .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+        .agg(sum("n2").cast("long").as("n1"))
+      bg.join(cnt2, "g")
+        .join(cnt1, substring_index(col("g"), " ", 1) === col("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          round(sum(log(col("n2") / col("n1").cast("double")) / log(lit(2d)))
+            / count(lit(1)), 4).as("avg_logp_r"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-language top-k corpus tokens (the vocabulary report a
     //      tokenizer-training pass starts from). Two-phase top-K over
     //      the (lang, tok) counts: the aggregated count frame is

@@ -144,6 +144,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.forall(_.getInt(1) > 0), "a document lost every token")
   }
 
+  test("text_bigram_logprob: driver-side LM replay agrees, scores are " +
+      "negative log-probs bounded by the vocabulary information content") {
+    val rows = run("text_bigram_logprob").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val allBigrams = docs.flatMap { case (id, t) =>
+      val toks = t.split("\\s+")
+      toks.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val c2 = allBigrams.groupBy(b => (b._2, b._3)).map { case (k, xs) =>
+      k -> xs.length }
+    val c1 = allBigrams.groupBy(_._2).map { case (k, xs) => k -> xs.length }
+    val byDoc = allBigrams.groupBy(_._1)
+    rows.foreach { r =>
+      val (id, n, avg) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      val bs = byDoc(id)
+      assert(n == bs.length, s"doc $id: bigram count mismatch")
+      val replay = bs.map { case (_, a, b) =>
+        math.log(c2((a, b)).toDouble / c1(a)) / math.log(2)
+      }.sum / bs.length
+      // engines fold the log terms in different orders; the repo rounds
+      // to 4 decimals for display, so allow one ulp at that precision
+      assert(math.abs(replay - avg) <= 1e-4 + 1e-9,
+        s"doc $id: avg_logp $avg vs replay $replay")
+      assert(avg <= 0.0, s"doc $id: a log-probability must be <= 0")
+    }
+  }
+
   test("text_top_tokens_by_lang: two-phase top-K equals the naive " +
       "single-window rank, and ranks are contiguous from 1") {
     val rows = run("text_top_tokens_by_lang").collect()
