@@ -536,5 +536,47 @@ object Similarity {
           round(stddev_samp("x"), 4).as("std_r"),
           min("x").as("x_min"), max("x").as("x_max"))
         .orderBy("dim")
+    },
+
+    // ---- per-dimension min-max scaling to uint8, MATERIALIZED (the
+    //      apply step paired with emb_dim_stats, like mix_weights →
+    //      apply_mix). Min-max (not mean/std) deliberately: MIN/MAX are
+    //      accumulation-order-INDEPENDENT, so the scaled byte is the
+    //      same IEEE double in both engines and the output is exact
+    //      integers — no display-rounding tolerance anywhere. Stats
+    //      come from the FULL corpus; the materialized slice is the
+    //      deterministic vec_id % 20 subset (bounded output, pushed
+    //      to the scan). Scale shape: one 64-way keyed aggregate; the
+    //      64-row stats frame broadcast-joins back; half-up quantize
+    //      matches quantized1000's floor(v + 0.5). ----
+    Q("emb_minmax_quantize", Some(
+      """WITH u AS (SELECT vec_id,
+        |             CAST(generate_subscripts(embedding, 1) - 1
+        |               AS INTEGER) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |s AS (SELECT dim, MIN(x) AS xmin, MAX(x) AS xmax
+        |      FROM u GROUP BY dim)
+        |SELECT vec_id, u.dim,
+        |  CAST(FLOOR(CASE WHEN xmax > xmin
+        |    THEN (x - xmin) / (xmax - xmin) * 255 ELSE 0 END + 0.5)
+        |    AS INTEGER) AS q
+        |FROM u JOIN s ON u.dim = s.dim
+        |WHERE vec_id % 20 = 0
+        |ORDER BY vec_id, u.dim""".stripMargin)) { (s, dir) =>
+      def unnested(d: DataFrame): DataFrame =
+        d.select(col("vec_id"), posexplode(
+          expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "x")))
+      val stats = unnested(Tables.spread(emb(s, dir)))
+        .groupBy("dim")
+        .agg(min("x").as("xmin"), max("x").as("xmax"))
+      unnested(emb(s, dir).where(col("vec_id") % 20 === 0))
+        .join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          floor(when(col("xmax") > col("xmin"),
+            (col("x") - col("xmin")) / (col("xmax") - col("xmin")) * 255)
+            .otherwise(0d) + 0.5).cast("int").as("q"))
+        .orderBy("vec_id", "dim")
     })
 }

@@ -261,4 +261,27 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) > 0, "zero std on gaussian data")
     }
   }
+
+  test("emb_minmax_quantize: bytes in [0,255], driver replay of the " +
+      "exact min-max scaling agrees bit-for-bit") {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val rows = graft.SparkEntry.queries("emb_minmax_quantize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(q => q >= 0 && q <= 255))
+    // exact replay: min/max are order-independent, the scale chain is a
+    // fixed IEEE op sequence — equality is exact, no tolerance
+    val all = e.collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+    val dims = all.head._2.length
+    val mins = (0 until dims).map(d => all.map(_._2(d)).min)
+    val maxs = (0 until dims).map(d => all.map(_._2(d)).max)
+    for ((id, xs) <- all if id % 20 == 0; d <- 0 until dims) {
+      val expect =
+        if (maxs(d) > mins(d))
+          math.floor((xs(d) - mins(d)) / (maxs(d) - mins(d)) * 255 + 0.5).toInt
+        else 0
+      assert(rows((id, d)) == expect, s"vec $id dim $d")
+    }
+  }
 }
