@@ -35,6 +35,17 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
+  /** embedding (array<float>) → one (dim, x) double row per element
+    * (vec_id retained when present) — THE unnest shape shared by the
+    * per-dimension stats pass and its paired materialization, so the
+    * cast/indexing discipline cannot diverge between them. */
+  private def unnestDims(df: DataFrame): DataFrame = {
+    val keep = df.columns.filter(_ == "vec_id").map(col).toSeq
+    df.select(keep :+ posexplode(
+      expr("transform(embedding, x -> cast(x as double))"))
+      .as(Seq("dim", "x")): _*)
+  }
+
   /** embedding (array<float>) → array<double> plus its L2 norm. */
   private def withVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
@@ -189,6 +200,14 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Int = 16, nprobe: Int = 4, dim: Int = 64,
       trainIters: Int = 4): DataFrame =
+    // NB: training runs Spark jobs against `corpus` DURING construction.
+    // Callers that will execute the returned Dataset's own
+    // QueryExecution (collect/toRdd, not a write) should pass an
+    // independently constructed corpus DataFrame, the way the
+    // registered queries re-read per side: executing a shared plan
+    // fragment can corrupt the main QE under Spark 4.1 attribute dedup
+    // (observed on the quantized twin — see ann_ivf_int; the float
+    // path here has not reproduced it).
     ivfTopKTrained(trainCentroids(corpus, centroids, trainIters, dim),
       queries, corpus, k, nprobe)
 
@@ -527,10 +546,7 @@ object Similarity {
         |  ROUND(STDDEV_SAMP(x), 4) AS std_r, MIN(x) AS x_min,
         |  MAX(x) AS x_max
         |FROM u GROUP BY dim ORDER BY dim""".stripMargin)) { (s, dir) =>
-      Tables.spread(emb(s, dir))
-        .select(posexplode(
-          expr("transform(embedding, x -> cast(x as double))"))
-          .as(Seq("dim", "x")))
+      unnestDims(Tables.spread(emb(s, dir)))
         .groupBy(col("dim"))
         .agg(count(lit(1)).as("n"), round(avg("x"), 4).as("mean_r"),
           round(stddev_samp("x"), 4).as("std_r"),
@@ -564,14 +580,10 @@ object Similarity {
         |FROM u JOIN s ON u.dim = s.dim
         |WHERE vec_id % 20 = 0
         |ORDER BY vec_id, u.dim""".stripMargin)) { (s, dir) =>
-      def unnested(d: DataFrame): DataFrame =
-        d.select(col("vec_id"), posexplode(
-          expr("transform(embedding, x -> cast(x as double))"))
-          .as(Seq("dim", "x")))
-      val stats = unnested(Tables.spread(emb(s, dir)))
+      val stats = unnestDims(Tables.spread(emb(s, dir)))
         .groupBy("dim")
         .agg(min("x").as("xmin"), max("x").as("xmax"))
-      unnested(emb(s, dir).where(col("vec_id") % 20 === 0))
+      unnestDims(emb(s, dir).where(col("vec_id") % 20 === 0))
         .join(broadcast(stats), "dim")
         .select(col("vec_id"), col("dim"),
           floor(when(col("xmax") > col("xmin"),

@@ -722,7 +722,10 @@ object TextAnalysis {
         |          ORDER BY n DESC, tok) AS rnk
         |      FROM c)
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin)) { (s, dir) =>
-      val counts = docs(s, dir)
+      // keyless spread: the explode + map-side partial aggregation is
+      // the heavy stage, and a small single-file scan would otherwise
+      // run it on one core (downstream re-keys on (lang, tok) anyway)
+      val counts = Tables.spread(docs(s, dir))
         .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
       val survivors = Sampling.partialTopK(counts, "lang",

@@ -30,7 +30,8 @@ class PlanBudgetSpec extends SparkSpec {
     "ann_ivf_int" -> 3,                 // cell join + rank + sort
     "dedup_simhash_md5" -> 2,           // fp agg + chunk join
     "pipeline_strip_stopwords" -> 4,    // spread + docfreq + total + sort
-    "text_top_tokens_by_lang" -> 4,     // count agg + salted + final + sort
+    "text_top_tokens_by_lang" -> 5,     // spread + count agg + salted +
+                                        // final rank + sort
     "text_bigram_logprob" -> 4,         // spread + bigram counts + sort
     "emb_minmax_quantize" -> 3)         // spread + stats agg + sort
 

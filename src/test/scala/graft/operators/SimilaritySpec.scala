@@ -281,7 +281,9 @@ class SimilaritySpec extends SparkSpec {
         if (maxs(d) > mins(d))
           math.floor((xs(d) - mins(d)) / (maxs(d) - mins(d)) * 255 + 0.5).toInt
         else 0
-      assert(rows((id, d)) == expect, s"vec $id dim $d")
+      val got = rows.get((id, d))
+      assert(got.contains(expect),
+        s"vec $id dim $d: ${got.fold("row missing")(_.toString)} != $expect")
     }
   }
 }
