@@ -113,6 +113,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-derived stopword strip over a (doc_id, text) frame: drop
+    * every token whose document frequency reaches `num/den` of the
+    * corpus (integer threshold — df·den ≥ n_docs·num) and reassemble
+    * each document's surviving tokens in original order. Returns
+    * (doc_id, n_kept, n_dropped, clean_text). The docfreq join is left
+    * to AQE (broadcast at vocab scale that fits, skew-split shuffle
+    * beyond); the rebuild aggregate reuses the doc_id spread. */
+  def stripCorpusStopwords(d: DataFrame, num: Int, den: Int): DataFrame = {
+    val toks = Tables.spread(d, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+    val dfreq = toks.groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"))
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val keep = col("df") * den < col("n_docs") * num
+    toks.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(keep, 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(keep, 0).otherwise(1)).cast("int").as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep,
+              struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("clean_text"))
+  }
+
+  /** Per-document mean log2 P(w2|w1) under the corpus's own bigram
+    * counts, over a (doc_id, text) frame. Prefix counts derive from the
+    * aggregated bigram counts (no second corpus pass). Returns
+    * (doc_id, n_bigrams, avg_logp_r) — the mean display-rounded to 4
+    * decimals (the entropy_r convention). Documents under 2 tokens
+    * produce no row (they have no bigrams). */
+  def bigramLogprob(d: DataFrame): DataFrame = {
+    val bg = bigramRows(d, distinctPerDoc = false)
+    val cnt2 = bg.groupBy("g").agg(count(lit(1)).as("n2"))
+    val cnt1 = cnt2
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum("n2").cast("long").as("n1"))
+    bg.join(cnt2, "g")
+      .join(cnt1, substring_index(col("g"), " ", 1) === col("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(sum(log(col("n2") / col("n1").cast("double")) / log(lit(2d)))
+          / count(lit(1)), 4).as("avg_logp_r"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- corpus quality scoring (pre-training filter heuristics) ----
@@ -640,26 +689,7 @@ object TextAnalysis {
         |    ' ' ORDER BY pos), '') AS clean_text
         |FROM s JOIN f USING (tok), t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val d = docs(s, dir)
-      val toks = Tables.spread(d, col("doc_id"))
-        .select(col("doc_id"),
-          posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
-      val dfreq = toks.groupBy("tok")
-        .agg(countDistinct("doc_id").as("df"))
-      val total = d.agg(count(lit(1)).as("n_docs"))
-      val keep = col("df") * 10 < col("n_docs") * 8
-      toks.join(dfreq, "tok")
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-          sum(when(keep, 1).otherwise(0)).cast("int").as("n_kept"),
-          sum(when(keep, 0).otherwise(1)).cast("int").as("n_dropped"),
-          array_join(
-            transform(
-              array_sort(collect_list(when(keep,
-                struct(col("pos"), col("tok"))))),
-              x => x.getField("tok")),
-            " ").as("clean_text"))
+      stripCorpusStopwords(docs(s, dir), num = 8, den = 10)
         .orderBy("doc_id")
     },
 
@@ -690,18 +720,7 @@ object TextAnalysis {
         |FROM b JOIN c2 USING (g)
         |  JOIN c1 ON string_split(g, ' ')[1] = c1.w1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val bg = bigramRows(docs(s, dir), distinctPerDoc = false)
-      val cnt2 = bg.groupBy("g").agg(count(lit(1)).as("n2"))
-      val cnt1 = cnt2
-        .groupBy(substring_index(col("g"), " ", 1).as("w1"))
-        .agg(sum("n2").cast("long").as("n1"))
-      bg.join(cnt2, "g")
-        .join(cnt1, substring_index(col("g"), " ", 1) === col("w1"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_bigrams"),
-          round(sum(log(col("n2") / col("n1").cast("double")) / log(lit(2d)))
-            / count(lit(1)), 4).as("avg_logp_r"))
-        .orderBy("doc_id")
+      bigramLogprob(docs(s, dir)).orderBy("doc_id")
     },
 
     // ---- per-language top-k corpus tokens (the vocabulary report a

@@ -180,6 +180,56 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("stripCorpusStopwords / bigramLogprob: edge-case corpora " +
+      "(trailing whitespace, empty text, single tokens, all-stopword " +
+      "docs) agree with a limit(-1)-split driver replay") {
+    // hand-built corpus hitting the seams: trailing space (SQL split
+    // keeps the empty token), empty text (one empty token), 1-token doc
+    // (no bigrams), a doc made entirely of the dominant token
+    val corpus = Seq(
+      (1L, "x xx y"), (2L, "x z "), (3L, ""), (4L, "x"),
+      (5L, "x x x"), (6L, "x w y x"))
+      .toDF("doc_id", "text")
+    val n = 6
+    val docfreq = Seq("x xx y", "x z ", "", "x", "x x x", "x w y x")
+      .flatMap(_.split("\\s+", -1).distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    def stop(t: String) = docfreq(t) * 2 >= n * 1 // num=1, den=2: df>=50%
+    val stripped = TextAnalysis.stripCorpusStopwords(corpus, 1, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(stripped.keySet == (1L to 6L).toSet)
+    for ((id, text) <- Seq(1L -> "x xx y", 2L -> "x z ", 3L -> "",
+        4L -> "x", 5L -> "x x x", 6L -> "x w y x")) {
+      val toks = text.split("\\s+", -1)
+      val kept = toks.filterNot(stop)
+      val (nk, nd, clean) = stripped(id)
+      assert(nk == kept.length && nd == toks.length - kept.length,
+        s"doc $id counts")
+      assert(clean == kept.mkString(" "), s"doc $id: '$clean'")
+    }
+    // doc 5 is all-x (dominant token): correctly loses everything
+    assert(stripped(5L)._1 == 0 && stripped(5L)._3 == "")
+
+    val lm = TextAnalysis.bigramLogprob(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // docs 3 ("" -> one empty token) and 4 (one token) have no bigrams
+    assert(lm.keySet == Set(1L, 2L, 5L, 6L))
+    val allBg = Seq("x xx y", "x z ", "x x x", "x w y x")
+      .map(_.split("\\s+", -1)).flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val c2 = allBg.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = allBg.groupBy(_._1).map { case (k, v) => k -> v.size }
+    for ((id, text) <- Seq(1L -> "x xx y", 2L -> "x z ", 5L -> "x x x",
+        6L -> "x w y x")) {
+      val bs = text.split("\\s+", -1).sliding(2).map(p => (p(0), p(1))).toSeq
+      val replay = bs.map { b =>
+        math.log(c2(b).toDouble / c1(b._1)) / math.log(2) }.sum / bs.size
+      val (nb, avg) = lm(id)
+      assert(nb == bs.size, s"doc $id bigram count")
+      assert(math.abs(avg - replay) <= 1e-4 + 1e-9, s"doc $id: $avg vs $replay")
+    }
+  }
+
   test("text_top_tokens_by_lang: two-phase top-K equals the naive " +
       "single-window rank, and ranks are contiguous from 1") {
     val rows = run("text_top_tokens_by_lang").collect()
