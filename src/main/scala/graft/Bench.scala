@@ -37,6 +37,18 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // Parsed defensively BEFORE the warmup pass: a garbage or
+    // non-positive value would otherwise surface only after the full
+    // warmup has already run (as a NumberFormatException or a bogus
+    // zero-pass metric).
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 5
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= 1 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$v'")
+      }
+    }
     // One untimed pass first: JIT + janino codegen compile are one-time
     // session costs, irrelevant to steady-state throughput (what a 100 TB
     // run amortizes to); the timed passes then measure actual execution.
@@ -54,7 +66,6 @@ object Bench {
     // Five passes (was three through round 6): observed stall rates still
     // produced ±30% round-over-round swings on untouched queries at N=3;
     // two more passes halve the odds a stall survives into the min.
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -85,8 +96,19 @@ object Bench {
     val failed = failedQ.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (okQ.nonEmpty) okQ.values.sum else 0.0
+    // Per-query [min, median, max] across the timed passes: the host VM's
+    // intermittent multi-second stalls make single min-vs-min
+    // round-over-round comparison ambiguous (a 1.3x "regression" can be
+    // pure stall luck); the spread lets a reader separate host noise
+    // (wide spread, stable min) from a code regression (shifted min)
+    // mechanically.
+    val spread = okQ.toSeq.sortBy(_._1).map { case (k, _) =>
+      val ts = passes.map(_(k)).sorted
+      val med = ts(ts.size / 2)
+      s"\"$k\":[${ts.head},$med,${ts.last}]"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     // File first (survives any stream prefixing/truncation), then both
     // streams bare. A compact total-only line FOLLOWS the full line on
     // each stream: log tails keep the end, so even if the full per-query

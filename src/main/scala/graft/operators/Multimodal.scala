@@ -41,25 +41,59 @@ object Multimodal {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Stripe geometry [from, to) shared by [[stubDecodeFeatures]] and
+    * [[stubDecodeStripes]] — one definition so the float-mean path and
+    * the oracle-pinned integer path cannot diverge (and so the DuckDB
+    * mirror in `mm_stub_features` mirrors exactly one formula):
+    * stripe = max(1, len/dim); stripe i covers [min(i·stripe, len),
+    * min((i+1)·stripe, len)), with the LAST stripe extended to len. */
+  private[operators] def stripeBounds(len: Int, dim: Int)
+      : Array[(Int, Int)] = {
+    val stripe = math.max(1, len / dim)
+    Array.tabulate(dim) { i =>
+      val from = math.min(i * stripe, len)
+      val to = if (i == dim - 1) len else math.min(from + stripe, len)
+      (from, to)
+    }
+  }
+
   /** STUB decoder: a real implementation would decode the media container
     * and pool pixel/sample values; this deterministic stand-in averages
     * each of `dim` byte stripes. Keeps plumbing, schema and tests honest
     * without a codec. */
   def stubDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    if (bytes.isEmpty) return out
-    val stripe = math.max(1, bytes.length / dim)
+    val (sums, lens) = stubDecodeStripes(bytes, dim)
     var i = 0
     while (i < dim) {
-      val from = math.min(i * stripe, bytes.length)
-      val to = if (i == dim - 1) bytes.length else math.min(from + stripe, bytes.length)
-      var s = 0L
-      var j = from
-      while (j < to) { s += (bytes(j) & 0xff); j += 1 }
-      out(i) = if (to > from) s.toFloat / (to - from) else 0f
+      out(i) = if (lens(i) > 0) sums(i).toFloat / lens(i) else 0f
       i += 1
     }
     out
+  }
+
+  /** The integer core of [[stubDecodeFeatures]]: per byte stripe, the
+    * exact byte sum and stripe length (the float feature is sum/len).
+    * Emitting these integers instead of the mean is what makes the stub
+    * featurizer SQL-oracle-checkable — the non-power-of-2 stripe
+    * division was the only ulp risk keeping `mm_stub_features`
+    * rows-only through round 6. */
+  def stubDecodeStripes(bytes: Array[Byte], dim: Int)
+      : (Array[Long], Array[Int]) = {
+    val sums = new Array[Long](dim)
+    val lens = new Array[Int](dim)
+    val bounds = stripeBounds(bytes.length, dim)
+    var i = 0
+    while (i < dim) {
+      val (from, to) = bounds(i)
+      var s = 0L
+      var j = from
+      while (j < to) { s += (bytes(j) & 0xff); j += 1 }
+      sums(i) = s
+      lens(i) = to - from
+      i += 1
+    }
+    (sums, lens)
   }
 
   /** REAL image decode: parse the payload with `javax.imageio` (PNG/BMP/
@@ -490,6 +524,22 @@ object Multimodal {
     }.toDF("doc_id", "features")
   }
 
+  /** [[decodeToFeatures]]'s oracle-checkable sibling: same Dataset.map
+    * plumbing shape, emitting each stripe's integer byte sum and length
+    * ([[stubDecodeStripes]]) instead of the float mean. Returns
+    * (doc_id, sums array<long>, lens array<int>). */
+  def decodeToStripes(media: DataFrame, payloadCol: String, dim: Int)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (sums, lens) = stubDecodeStripes(bytes, dim)
+        (id, sums, lens)
+      }.toDF("doc_id", "sums", "lens")
+  }
+
   /** STUB frame sampler: a real implementation would demux the container
     * and decode every Nth video frame; this stand-in slices the payload
     * into `frameSize`-byte pseudo-frames and keeps every `stride`-th one.
@@ -558,18 +608,39 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Generic opaque-binary featurizer (codec-less modality shape);
-    // deterministic, rows-only check. All three media modalities have
-    // real decode paths below — this keeps the no-codec plumbing tested.
-    Q("mm_stub_features", None) { (s, dir) =>
+    // Generic opaque-binary featurizer (codec-less modality shape),
+    // oracle-pinned: the stub's stripe features are byte-stripe MEANS,
+    // whose non-power-of-2 division carried ulp risk — so the query
+    // emits each stripe's integer byte SUM and LENGTH instead (the mean
+    // is sum/len), and DuckDB recomputes both exactly from ord()
+    // arithmetic (the corpus is pure ASCII, so codepoint == UTF-8
+    // byte — same precondition mm_image_features pins). The mirror
+    // replicates stripeBounds' one geometry formula. All three media
+    // modalities have real decode paths below — this keeps the
+    // no-codec plumbing tested, now cell-exactly.
+    Q("mm_stub_features", Some {
+      val cols = (0 until 8).map { j =>
+        val f = s"LEAST($j * st, n)"
+        val t = if (j == 7) "n" else s"LEAST($j * st + st, n)"
+        s"CAST(COALESCE(list_sum([ord(substr(s, p, 1)) " +
+          s"for p in range($f + 1, $t + 1)]), 0) AS BIGINT) AS sum$j,\n" +
+          s"  CAST($t - $f AS INTEGER) AS len$j"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $cols
+         |FROM (SELECT doc_id, text AS s, STRLEN(text) AS n,
+         |        GREATEST(1, STRLEN(text) // 8) AS st
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
       // single-file parquet arrives as ONE scan partition; without a
       // spread every per-row decode below runs on a single core
       val media = Tables.spread(docs(s, dir))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      decodeToFeatures(media, "payload", 8)
-        .select(col("doc_id"), size(col("features")).as("feat_dim"),
-          round(element_at(col("features"), 1) * 1000, 0).cast("long")
-            .as("f0_x1000"))
+      decodeToStripes(media, "payload", 8)
+        .select(col("doc_id") +: (0 until 8).flatMap(j => Seq(
+          element_at(col("sums"), j + 1).as(s"sum$j"),
+          element_at(col("lens"), j + 1).as(s"len$j"))): _*)
         .orderBy("doc_id")
     },
 

@@ -75,10 +75,41 @@ object Sampling {
       .select(col(stratumCol), col("doc_id"), col("rn"))
   }
 
+  /** Cardinality contract shared by [[topHalfByScore]] and
+    * [[rankQuantiles]]: the scale story of both operators is that the
+    * `(stratum, score)` histogram is METADATA-sized, which holds for
+    * integral scores (len/count-style signals have bounded distinct
+    * values) but silently fails for a continuous double score — every
+    * row's score is distinct, the histogram is corpus-sized, and the
+    * cumulative window over it becomes the per-stratum serial sort the
+    * design exists to avoid. Enforced loudly at the API boundary:
+    * continuous scores must be bucketized FIRST (e.g.
+    * `floor(score * 1000).cast("long")` — the caller picks the
+    * resolution, which IS the histogram-size bound), then passed here. */
+  private def requireHistogramScore(d: DataFrame, scoreCol: String)
+      : Unit = {
+    import org.apache.spark.sql.types._
+    val dt = d.schema(scoreCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+        BooleanType => true
+      case _ => false
+    }
+    require(ok,
+      s"$scoreCol is ${dt.simpleString}: histogram-quantile operators " +
+        "require a bounded-cardinality (integral) score column — a " +
+        "continuous score makes the (stratum, score) histogram " +
+        "corpus-sized and its rank window a serial stratum sort. " +
+        "Bucketize first, e.g. floor(score * 1000) cast to long.")
+  }
+
   /** Per-stratum top-fraction filter on an integer score column: keeps
     * rows whose rank from the top satisfies `2*rank <= n+1` (the top half
     * including the median element) — exact integer logic, no percentile
     * interpolation to drift between engines.
+    *
+    * Score-cardinality contract: see [[requireHistogramScore]] —
+    * integral scores only; bucketize continuous scores first.
     *
     * Scale shape: the bulk data passes only through a map-side-combined
     * `groupBy(stratum, score)` histogram and a semi join back; the exact
@@ -89,6 +120,7 @@ object Sampling {
     * the single-window rank form. */
   def topHalfByScore(d: DataFrame, stratumCol: String, scoreCol: String)
       : DataFrame = {
+    requireHistogramScore(d, scoreCol)
     val hist = d.groupBy(col(stratumCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(stratumCol).orderBy(col(scoreCol).desc)
@@ -131,9 +163,13 @@ object Sampling {
     * [[topHalfByScore]], generalized from the median to any quantile —
     * and unlike `approx_percentile` there is no sketch error for the
     * oracle to disagree with). Ties only permute equal scores, so the
-    * rank-k VALUE is tie-order-independent and engine-exact. */
+    * rank-k VALUE is tie-order-independent and engine-exact.
+    *
+    * Score-cardinality contract: see [[requireHistogramScore]] —
+    * integral scores only; bucketize continuous scores first. */
   def rankQuantiles(d: DataFrame, stratumCol: String, scoreCol: String,
       quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    requireHistogramScore(d, scoreCol)
     val hist = d.groupBy(col(stratumCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
     val wAsc = Window.partitionBy(stratumCol).orderBy(col(scoreCol).asc)

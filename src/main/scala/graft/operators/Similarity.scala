@@ -92,7 +92,8 @@ object Similarity {
     val rnd = new scala.util.Random(7)
     val mats: Seq[Seq[Seq[Double]]] = hyperplanes.getOrElse(
       Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))))
-    require(mats.size == tables && mats.forall(_.size == planes),
+    require(mats.size == tables && mats.forall(_.size == planes) &&
+      mats.forall(_.forall(_.size == dim)),
       "hyperplane matrix shape must be tables x planes x dim")
     def bucketIn(t: Int, v: Column): Column =
       aggregate(

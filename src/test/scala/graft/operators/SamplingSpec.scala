@@ -168,6 +168,35 @@ class SamplingSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("histogram operators reject a continuous (double) score loudly — " +
+      "the cardinality contract that keeps the histogram metadata-sized") {
+    // a double quality score: every row distinct, so the (stratum, score)
+    // histogram would be corpus-sized and the rank window a serial sort
+    val d = (1 to 100).map(i => (i.toLong, s"t$i", "en", i / 7.0))
+      .toDF("doc_id", "text", "lang", "score")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.topHalfByScore(d, "lang", "score")
+    }
+    assert(e1.getMessage.contains("Bucketize"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.rankQuantiles(d, "lang", "score", Seq(("med", 2, 4)))
+    }
+    assert(e2.getMessage.contains("Bucketize"))
+
+    // the documented recipe — caller-bucketized long score — is accepted
+    // and equals the naive rank form on the bucketized values
+    val b = d.withColumn("score", floor(col("score") * 1000).cast("long"))
+    val got = Sampling.topHalfByScore(b, "lang", "score")
+      .select("doc_id").as[Long].collect().toSet
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    val want = b.withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rnk") * 2 <= col("n") + 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("per-stratum work spans multiple partitions (the 100 TB shape): " +
       "no single task owns a stratum") {
     val s = spark.newSession()
