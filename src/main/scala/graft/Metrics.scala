@@ -38,6 +38,13 @@ object Metrics {
     p +: children.flatMap(allNodes)
   }
 
+  /** Every executed-plan node, with AQE stages and cached subplans
+    * unwrapped — the same walk [[shuffleSummary]] uses, exposed so specs
+    * can assert on plan SHAPE (e.g. "this join ran with skew=true",
+    * "this side broadcast") rather than only on exchange counts. */
+  def executedNodes(df: DataFrame): Seq[SparkPlan] =
+    allNodes(df.queryExecution.executedPlan)
+
   /** Total shuffle write across every exchange in the executed plan.
     * Call AFTER an action; metrics on an unexecuted plan are zero.
     * Exchanges are deduped by node identity: a cached subplan scanned

@@ -117,9 +117,23 @@ object TextAnalysis {
     * every token whose document frequency reaches `num/den` of the
     * corpus (integer threshold — df·den ≥ n_docs·num) and reassemble
     * each document's surviving tokens in original order. Returns
-    * (doc_id, n_kept, n_dropped, clean_text). The docfreq join is left
-    * to AQE (broadcast at vocab scale that fits, skew-split shuffle
-    * beyond); the rebuild aggregate reuses the doc_id spread. */
+    * (doc_id, n_kept, n_dropped, clean_text).
+    *
+    * Skew-proof by construction (rewritten round 7): the occurrence
+    * stream is Zipf-keyed, and its round-6 `join(dfreq, "tok")` relied
+    * on a "left to AQE" comment that turned out to be FALSE at
+    * vocab-beyond-broadcast scale — `OptimizeSkewedJoin` cannot fire on
+    * an aggregate-fed join side (see [[Skew]]'s scaladoc), so the hot
+    * token's occurrences would have serialized through one task. The
+    * fix exploits the operator's own semantics: tokens at df ≥
+    * (num/den)·n_docs number AT MOST avgDocLen·den/num — each doc has
+    * finitely many distinct tokens, so the drop set is bounded by mean
+    * document length REGARDLESS of corpus size — and therefore
+    * broadcasts at any scale. The corpus-scale stream now never
+    * shuffles on the token key at all: the docfreq aggregate is
+    * skew-safe (map-side partial aggregation — hot keys combine before
+    * the exchange), the drop test is a broadcast-hash probe, and the
+    * rebuild aggregate reuses the doc_id spread. */
   def stripCorpusStopwords(d: DataFrame, num: Int, den: Int): DataFrame = {
     val toks = Tables.spread(d, col("doc_id"))
       .select(col("doc_id"),
@@ -127,9 +141,11 @@ object TextAnalysis {
     val dfreq = toks.groupBy("tok")
       .agg(countDistinct("doc_id").as("df"))
     val total = d.agg(count(lit(1)).as("n_docs"))
-    val keep = col("df") * den < col("n_docs") * num
-    toks.join(dfreq, "tok")
-      .crossJoin(broadcast(total))
+    val dropSet = dfreq.crossJoin(broadcast(total))
+      .where(col("df") * den >= col("n_docs") * num)
+      .select(col("tok"), lit(true).as("__drop"))
+    val keep = col("__drop").isNull
+    toks.join(broadcast(dropSet), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(
         sum(when(keep, 1).otherwise(0)).cast("int").as("n_kept"),
@@ -147,19 +163,42 @@ object TextAnalysis {
     * aggregated bigram counts (no second corpus pass). Returns
     * (doc_id, n_bigrams, avg_logp_r) — the mean display-rounded to 4
     * decimals (the entropy_r convention). Documents under 2 tokens
-    * produce no row (they have no bigrams). */
+    * produce no row (they have no bigrams).
+    *
+    * Skew handling (rewritten round 7): the round-6 form joined the
+    * corpus-scale occurrence stream TWICE on Zipf-distributed keys ("of
+    * the"; "of") with a "left to AQE" comment — but the count sides
+    * outgrow broadcast at web-corpus bigram cardinality and AQE's skew
+    * split structurally cannot fire on aggregate-fed joins (see
+    * [[Skew]]). Now each DISTINCT bigram is scored once on the VOCAB
+    * plane (`cnt2 ⋈ cnt1` on w1 — per-key fan bounded by distinct
+    * continuations, vocab-scale not corpus-scale), and the occurrence
+    * stream pays ONE attach, routed through [[Skew.hotSaltedJoin]] with
+    * the self-scaling bounded hot set (count ≥ total div 2²⁰). The
+    * count aggregates themselves are skew-safe (map-side partial
+    * aggregation). `cnt2` is `.cache()`d — referenced by the prefix
+    * counts, the scored vocab, the grand total, and the hot set — under
+    * the same clear-between-queries policy as the MinHash signature
+    * caches. */
   def bigramLogprob(d: DataFrame): DataFrame = {
     val bg = bigramRows(d, distinctPerDoc = false)
-    val cnt2 = bg.groupBy("g").agg(count(lit(1)).as("n2"))
+    val cnt2 = bg.groupBy("g").agg(count(lit(1)).as("n2")).cache()
     val cnt1 = cnt2
       .groupBy(substring_index(col("g"), " ", 1).as("w1"))
       .agg(sum("n2").cast("long").as("n1"))
-    bg.join(cnt2, "g")
-      .join(cnt1, substring_index(col("g"), " ", 1) === col("w1"))
+    val scored = cnt2
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(cnt1, "w1")
+      .select(col("g"),
+        (log(col("n2") / col("n1").cast("double")) / log(lit(2d))).as("lp"))
+    val tot = cnt2.agg(sum("n2").cast("long").as("__t"))
+    val hot = cnt2.crossJoin(broadcast(tot))
+      .where(col("n2") >= expr(s"__t div ${Skew.HotKeyFanout}"))
+      .select("g")
+    Skew.hotSaltedJoin(bg, scored, "g", hot, col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        round(sum(log(col("n2") / col("n1").cast("double")) / log(lit(2d)))
-          / count(lit(1)), 4).as("avg_logp_r"))
+        round(sum(col("lp")) / count(lit(1)), 4).as("avg_logp_r"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -365,11 +404,13 @@ object TextAnalysis {
 
     // ---- corpus-level boilerplate detection: per-doc count of distinct
     //      bigrams whose document frequency is >= 20 (bigrams shared by
-    //      many docs = template/boilerplate text). The docfreq join side
-    //      is left to Catalyst/AQE: it broadcasts while the corpus is
-    //      small and becomes a keyed shuffle join once bigram cardinality
-    //      exceeds the broadcast threshold at scale — no hint needed in
-    //      either regime. ----
+    //      many docs = template/boilerplate text). The docfreq attach
+    //      runs through Skew.hotSaltedJoin (round 7): the bigram key is
+    //      Zipf-distributed, the docfreq side outgrows broadcast at
+    //      web-corpus cardinality, and AQE's skew split cannot fire on
+    //      an aggregate-fed join (see Skew's scaladoc) — the bounded
+    //      hot set (df >= total div 2^20) spreads exactly the keys that
+    //      could dominate a partition. ----
     Q("text_common_bigrams", Some(
       """WITH bg AS (
         |  SELECT doc_id, unnest(list_distinct(
@@ -385,8 +426,14 @@ object TextAnalysis {
         |FROM bg JOIN df USING (g)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       val bg = bigramRows(docs(s, dir), distinctPerDoc = true)
-      val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
-      bg.join(dfreq, "g")
+      // cached: referenced by the grand total, the hot set, and the
+      // salted join's small side (clear-between-queries policy)
+      val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
+      val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
+      val hot = dfreq.crossJoin(broadcast(tot))
+        .where(col("dfreq") >= expr(s"__t div ${Skew.HotKeyFanout}"))
+        .select("g")
+      Skew.hotSaltedJoin(bg, dfreq, "g", hot, col("doc_id"))
         .groupBy("doc_id")
         .agg(sum(when(col("dfreq") >= 20, 1).otherwise(0)).cast("long")
           .as("n_common"),
@@ -579,15 +626,23 @@ object TextAnalysis {
       // text_common_bigrams),
       // then gather each surviving gram's train/eval doc sets — bounded
       // <= 20 ids by the rarity filter — and explode the cross pairs.
-      // Plan (verified via Explain): at this SF the slim rare-gram list
-      // broadcasts, so the sets aggregate pays its own Exchange(g); past
-      // the broadcast threshold AQE turns the join into a g-keyed
-      // shuffle join whose partitioning the sets aggregate then reuses.
-      // Either way no gram self-join and no unbounded buffers anywhere.
+      // The rarity join runs through Skew.hotSaltedJoin (round 7): a
+      // boilerplate 5-gram's occurrences would otherwise serialize
+      // through one shuffle partition on the probe side even though
+      // they match nothing (hot grams are by definition not rare), and
+      // AQE's skew split cannot fire on this shape (see Skew). Hot keys
+      // salt; the surviving rare-gram rows are <= 20 per key, so every
+      // downstream aggregate is balanced by construction.
       val bg = ngramRows(docs(s, dir), 5, distinctPerDoc = true)
-      val rare = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
-        .where(col("dfreq") <= 20).select("g")
-      bg.join(rare, "g")
+      // cached: the docfreq aggregate feeds the rare set, the grand
+      // total, and the hot set (clear-between-queries policy)
+      val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
+      val rare = dfreq.where(col("dfreq") <= 20).select("g")
+      val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
+      val hot = dfreq.crossJoin(broadcast(tot))
+        .where(col("dfreq") >= expr(s"__t div ${Skew.HotKeyFanout}"))
+        .select("g")
+      Skew.hotSaltedJoin(bg, rare, "g", hot, col("doc_id"))
         .groupBy("g").agg(
           collect_set(when(col("doc_id") % 10 === 0, col("doc_id")))
             .as("evals"),
@@ -665,13 +720,15 @@ object TextAnalysis {
     //      is an order-pinned aggregate: collect (pos, tok) survivors,
     //      sort by position, join with spaces.
     //      Scale shape: per-occurrence rows carry (doc_id, pos, tok)
-    //      only; the docfreq side is vocab-sized metadata (AQE
-    //      broadcasts it here and skew-splits a shuffle at BPE-vocab
-    //      scale — same docfreq-join discipline as
-    //      `text_common_bigrams`); the grand-total row is a 1-row
-    //      broadcast (allow-listed); the rebuild aggregate reuses the
-    //      doc_id spread. Per-doc state is the doc's own token list —
-    //      the same per-doc working set every reassembly op carries. ----
+    //      only and NEVER shuffle on the token key — the drop test is a
+    //      broadcast-hash probe against the df-threshold set, which is
+    //      bounded by mean document length at any corpus size (see the
+    //      operator scaladoc; the round-6 "left to AQE" docfreq join is
+    //      gone — AQE's skew split can't fire on that shape). The
+    //      grand-total row is a 1-row broadcast (allow-listed); the
+    //      rebuild aggregate reuses the doc_id spread. Per-doc state is
+    //      the doc's own token list — the same per-doc working set
+    //      every reassembly op carries. ----
     Q("pipeline_strip_stopwords", Some(
       """WITH s AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
@@ -700,10 +757,10 @@ object TextAnalysis {
     //      P(w2|w1) = c(w1 w2) / c(w1·), both counts exact integers;
     //      only the final mean-of-logs is fp and display-rounded (the
     //      repo's entropy_r convention). Scale shape: bigram explode
-    //      off the doc_id spread, one g-keyed count aggregate, the
-    //      count join left to AQE (broadcast now, skew-split shuffle at
-    //      web-corpus bigram cardinality), per-doc aggregate reusing
-    //      the spread. ----
+    //      off the doc_id spread, skew-safe partial-agg count
+    //      aggregates, both count attaches through Skew.hotSaltedJoin
+    //      (bounded hot set — see the operator scaladoc), per-doc
+    //      aggregate reusing the spread. ----
     Q("text_bigram_logprob", Some(
       """WITH b AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),

@@ -29,10 +29,24 @@ class PlanBudgetSpec extends SparkSpec {
     "ann_lsh_int" -> 3,                 // bucket join + rank + sort
     "ann_ivf_int" -> 3,                 // cell join + rank + sort
     "dedup_simhash_md5" -> 2,           // fp agg + chunk join
-    "pipeline_strip_stopwords" -> 4,    // spread + docfreq + total + sort
+    "pipeline_strip_stopwords" -> 4,    // spread + docfreq (2: distinct
+                                        // pre-agg + count) + sort; the
+                                        // occurrence stream crosses only
+                                        // the spread — the drop test is
+                                        // a broadcast probe (round 7)
     "text_top_tokens_by_lang" -> 5,     // spread + count agg + salted +
                                         // final rank + sort
-    "text_bigram_logprob" -> 4,         // spread + bigram counts + sort
+    "text_bigram_logprob" -> 10,        // was 4 when both count attaches
+                                        // relied on broadcast (a regime
+                                        // that dies at web-corpus vocab,
+                                        // with no AQE skew fallback —
+                                        // TokenJoinSkewSpec). Now: only
+                                        // spread, the one salted attach,
+                                        // the doc agg and the sort carry
+                                        // corpus-scale rows; the other 6
+                                        // (counts, vocab-plane score,
+                                        // total, hot set, salted small
+                                        // side) are vocab/meta-sized
     "emb_minmax_quantize" -> 3)         // spread + stats agg + sort
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1))

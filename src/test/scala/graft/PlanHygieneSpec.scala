@@ -29,7 +29,10 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "emb_centroid_assign",    // 8 fixed centroid rows broadcast (E-step)
     "pipeline_mix_weights",   // one grand-total row broadcast
     "pipeline_apply_mix",     // the same grand-total row, feeding weights
-    "pipeline_strip_stopwords") // one grand-total row (docfreq threshold)
+    "pipeline_strip_stopwords", // one grand-total row (docfreq threshold)
+    "text_bigram_logprob",    // one grand-total row (hot-key cutoff)
+    "text_common_bigrams",    // one grand-total row (hot-key cutoff)
+    "pipeline_decontaminate") // one grand-total row (hot-key cutoff)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast
