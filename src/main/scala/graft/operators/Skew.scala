@@ -28,15 +28,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Self-scaling hot-key cutoff for [[hotSaltedJoin]] callers: treat a
-    * key as hot when its count ≥ `total div HotKeyFanout`. Keys at that
-    * share number ≤ HotKeyFanout (counts sum to the total), bounding
-    * the broadcast hot set at any corpus size, while any key that could
-    * dominate one of ≤ ~10⁶ shuffle partitions gets salted. At toy
-    * scale `total div 2²⁰ = 0`, so every key counts as hot and the
-    * (tiny) small side simply replicates — correct, just unnecessary —
-    * which also means the salted path itself is what the registered
-    * queries exercise and hash-match at test scale. */
+    * key as hot when its count ≥ max(`total div HotKeyFanout`,
+    * [[MinHotCount]]). Keys at that share number ≤ HotKeyFanout (counts
+    * sum to the total), bounding the broadcast hot set at any corpus
+    * size, while any key that could dominate one of ≤ ~10⁶ shuffle
+    * partitions gets salted. */
   val HotKeyFanout: Long = 1L << 20
+
+  /** Absolute floor under the relative cutoff: below ~4k rows a key
+    * cannot meaningfully skew any realistic partition, and without the
+    * floor a SMALL corpus (total < 2²⁰, where `total div fanout` = 0)
+    * would mark its entire vocabulary hot and replicate the whole small
+    * side `salt`× for nothing. With it, the registered queries run the
+    * degenerate single-bucket path at test scale (hash-matching the
+    * plain-join algebra); TokenJoinSkewSpec pins the salted path's
+    * equality and spread with explicit hot sets. */
+  val MinHotCount: Long = 4096L
 
   /** Inner equi-join of `left` and `right` on `key`, with the left side
     * salted across `salt` buckets. Result columns = left ++ right

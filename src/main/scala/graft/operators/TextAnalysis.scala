@@ -193,7 +193,7 @@ object TextAnalysis {
         (log(col("n2") / col("n1").cast("double")) / log(lit(2d))).as("lp"))
     val tot = cnt2.agg(sum("n2").cast("long").as("__t"))
     val hot = cnt2.crossJoin(broadcast(tot))
-      .where(col("n2") >= expr(s"__t div ${Skew.HotKeyFanout}"))
+      .where(col("n2") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
       .select("g")
     Skew.hotSaltedJoin(bg, scored, "g", hot, col("doc_id"))
       .groupBy("doc_id")
@@ -431,7 +431,7 @@ object TextAnalysis {
       val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
       val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
       val hot = dfreq.crossJoin(broadcast(tot))
-        .where(col("dfreq") >= expr(s"__t div ${Skew.HotKeyFanout}"))
+        .where(col("dfreq") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
         .select("g")
       Skew.hotSaltedJoin(bg, dfreq, "g", hot, col("doc_id"))
         .groupBy("doc_id")
@@ -640,7 +640,7 @@ object TextAnalysis {
       val rare = dfreq.where(col("dfreq") <= 20).select("g")
       val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
       val hot = dfreq.crossJoin(broadcast(tot))
-        .where(col("dfreq") >= expr(s"__t div ${Skew.HotKeyFanout}"))
+        .where(col("dfreq") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
         .select("g")
       Skew.hotSaltedJoin(bg, rare, "g", hot, col("doc_id"))
         .groupBy("g").agg(

@@ -36,18 +36,44 @@ class PlanBudgetSpec extends SparkSpec {
                                         // a broadcast probe (round 7)
     "text_top_tokens_by_lang" -> 5,     // spread + count agg + salted +
                                         // final rank + sort
-    "text_bigram_logprob" -> 10,        // was 4 when both count attaches
+    "text_bigram_logprob" -> 6,         // was 4 when both count attaches
                                         // relied on broadcast (a regime
                                         // that dies at web-corpus vocab,
                                         // with no AQE skew fallback —
-                                        // TokenJoinSkewSpec). Now: only
-                                        // spread, the one salted attach,
-                                        // the doc agg and the sort carry
-                                        // corpus-scale rows; the other 6
-                                        // (counts, vocab-plane score,
-                                        // total, hot set, salted small
-                                        // side) are vocab/meta-sized
-    "emb_minmax_quantize" -> 3)         // spread + stats agg + sort
+                                        // TokenJoinSkewSpec). Now: spread
+                                        // + counts + vocab-plane score +
+                                        // total + the salted attach +
+                                        // doc agg; only the spread and
+                                        // the attach carry corpus-scale
+                                        // rows
+    "emb_minmax_quantize" -> 3,         // spread + stats agg + sort
+    // ---- round-7 additions: the full bench top-10 is now pinned ----
+    "dedup_components" -> 2,            // memoized label scan + agg +
+                                        // sort (the CC fixed-point runs
+                                        // once per dir at construction;
+                                        // its per-iteration plan is
+                                        // spec'd in DedupSpec)
+    "dedup_cluster_sizes" -> 3,         // same labels + size histogram
+    "pipeline_decontaminate" -> 5,      // gram spread + docfreq + salted
+                                        // rarity attach + pair agg
+    "pipeline_drop_near_dups" -> 3,     // bounded pair graph + anti-join
+    "dedup_simhash" -> 2,               // fp agg (cached) + chunk join
+    "mm_video_features" -> 2)           // spread + output sort — decode
+                                        // is compute, not shuffle
+
+  /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
+    * verdict task #8): an edit that keeps the exchange count but
+    * explodes a payload — say, dropping a slim-id projection so document
+    * bodies ride a candidate shuffle — passes the count budget and
+    * fails here. Ceilings are the round-7 measured `bytesWritten` at
+    * sf0.001 (info lines above) with ~1.5x headroom for partitioning /
+    * compression variance. */
+  private val byteBudgets: Map[String, Long] = Map(
+    "pipeline_decontaminate" -> 1100000L,  // measured   714,677
+    "text_bigram_logprob" -> 400000L,      // measured   260,754
+    "pipeline_strip_stopwords" -> 260000L, // measured   169,807
+    "emb_minmax_quantize" -> 240000L,      // measured   154,288
+    "emb_norm_quantize" -> 220000L)        // measured   146,557
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1))
     test(s"$name stays within its exchange budget ($budget)") {
@@ -61,5 +87,9 @@ class PlanBudgetSpec extends SparkSpec {
       info(s"$name: $m")
       assert(m.exchanges <= budget,
         s"$name grew a shuffle: ${m.exchanges} exchanges > budget $budget")
+      for (cap <- byteBudgets.get(name))
+        assert(m.bytesWritten <= cap,
+          s"$name shuffle volume exploded: ${m.bytesWritten} B > $cap B " +
+            "ceiling (same exchange count can hide a payload regression)")
     }
 }
