@@ -108,4 +108,67 @@ class BpeSpec extends SparkSpec {
     assert(a.map(_.head).toSeq == (1 to 8).toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  /** Plain-Scala greedy fold: apply a merge table in order to one word. */
+  private def refApply(word: String, merges: Seq[(String, String)])
+      : List[String] = {
+    def mergeWord(l: List[String], a: String, b: String): List[String] =
+      l match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: mergeWord(rest, a, b)
+        case x :: rest => x :: mergeWord(rest, a, b)
+        case Nil => Nil
+      }
+    merges.foldLeft(word.map(_.toString).toList) {
+      case (acc, (a, b)) => mergeWord(acc, a, b)
+    }
+  }
+
+  test("text_bpe_tokenize: per-doc counts and fingerprint equal a " +
+      "plain-Scala learn+apply reconstruction on the real corpus") {
+    val got = graft.SparkEntry.queries("text_bpe_tokenize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(got.size == docs.length)
+    val merges = Bpe.learnMerges(
+      graft.Tables.load(spark, sfDir, "documents").select(col("text")),
+      steps = 8).map(m => (m._2, m._3))
+    // spot-check 25 docs: cheap, and any learn/apply/order divergence
+    // already breaks the md5 over the full in-order symbol stream
+    for ((id, text) <- docs.sortBy(_._1).take(25)) {
+      val words = text.split("\\s+").toSeq
+      val streams = words.map(refApply(_, merges))
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(streams.map(_.mkString(" ")).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (nWords, nSyms, gotFp) = got(id)
+      assert(nWords == words.size, s"doc $id n_words")
+      assert(nSyms == streams.map(_.size.toLong).sum, s"doc $id n_syms")
+      assert(gotFp == fp, s"doc $id fingerprint")
+    }
+  }
+
+  test("text_bpe_tokenize memoizes the merge table per dir " +
+      "(build-once/tokenize-many) and stays deterministic") {
+    val q = graft.SparkEntry.queries("text_bpe_tokenize")
+    val a = q(spark, sfDir).collect().toSeq
+    val b = q(spark, sfDir).collect().toSeq
+    assert(a == b)
+    // memoized learn must equal a fresh learn (cache can't go stale on
+    // an immutable dir)
+    val fresh = Bpe.learnMerges(
+      graft.Tables.load(spark, sfDir, "documents").select(col("text")),
+      steps = 8)
+    assert(Bpe.cachedMerges(sfDir, 8).contains(fresh))
+  }
+
+  test("applyFold keeps empty words as empty symbol arrays (split " +
+      "artifacts stay aligned between Spark and the SQL mirror)") {
+    val words = Seq("", "ab", "").toDF("word")
+    val got = Bpe.applyMerges(words, "word", Seq(("a", "b")), "syms")
+      .select("syms").as[Seq[String]].collect()
+    assert(got.count(_.isEmpty) == 2 && got.exists(_ == Seq("ab")))
+  }
 }
