@@ -186,9 +186,16 @@ object TextAnalysis {
     val cnt1 = cnt2
       .groupBy(substring_index(col("g"), " ", 1).as("w1"))
       .agg(sum("n2").cast("long").as("n1"))
+    // Pinned shuffle-hash: at web-corpus vocab, cnt1 outgrows broadcast
+    // (the whole point of scoring on the vocab plane), and leaving the
+    // strategy to AQE makes the plan NONDETERMINISTIC at toy scale —
+    // runtime stats for the cached cnt2 depend on whether another
+    // branch's job materialized it first, flipping this join between
+    // broadcast and shuffle run-to-run (observed: 6 vs 7 exchanges).
+    // cnt1 is built by a groupBy(w1) so its side arrives w1-partitioned.
     val scored = cnt2
       .withColumn("w1", substring_index(col("g"), " ", 1))
-      .join(cnt1, "w1")
+      .join(cnt1.hint("shuffle_hash"), "w1")
       .select(col("g"),
         (log(col("n2") / col("n1").cast("double")) / log(lit(2d))).as("lp"))
     val tot = cnt2.agg(sum("n2").cast("long").as("__t"))

@@ -36,16 +36,19 @@ class PlanBudgetSpec extends SparkSpec {
                                         // a broadcast probe (round 7)
     "text_top_tokens_by_lang" -> 5,     // spread + count agg + salted +
                                         // final rank + sort
-    "text_bigram_logprob" -> 6,         // was 4 when both count attaches
+    "text_bigram_logprob" -> 7,         // was 4 when both count attaches
                                         // relied on broadcast (a regime
                                         // that dies at web-corpus vocab,
                                         // with no AQE skew fallback —
                                         // TokenJoinSkewSpec). Now: spread
-                                        // + counts + vocab-plane score +
-                                        // total + the salted attach +
-                                        // doc agg; only the spread and
-                                        // the attach carry corpus-scale
-                                        // rows
+                                        // + counts + vocab-plane score
+                                        // (pinned shuffle-hash — AQE's
+                                        // broadcast flip-flop on the
+                                        // cached cnt2 made the count
+                                        // nondeterministic) + total +
+                                        // the salted attach + doc agg;
+                                        // only the spread and the attach
+                                        // carry corpus-scale rows
     "emb_minmax_quantize" -> 3,         // spread + stats agg + sort
     // ---- round-7 additions: the full bench top-10 is now pinned ----
     "dedup_components" -> 2,            // memoized label scan + agg +
@@ -58,8 +61,14 @@ class PlanBudgetSpec extends SparkSpec {
                                         // rarity attach + pair agg
     "pipeline_drop_near_dups" -> 3,     // bounded pair graph + anti-join
     "dedup_simhash" -> 2,               // fp agg (cached) + chunk join
-    "mm_video_features" -> 2)           // spread + output sort — decode
+    "mm_video_features" -> 2,           // spread + output sort — decode
                                         // is compute, not shuffle
+    "pipeline_pack_sequences" -> 5,     // bounds agg + shard totals +
+                                        // metadata offsets window + the
+                                        // per-shard window + output sort;
+                                        // only 2 carry corpus-scale rows
+    "pipeline_global_shuffle" -> 4)     // shard totals + offsets window
+                                        // + per-shard window + sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but
@@ -77,6 +86,12 @@ class PlanBudgetSpec extends SparkSpec {
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1))
     test(s"$name stays within its exchange budget ($budget)") {
+      // Hermetic per query, matching the Verify/Bench harness contract
+      // (clearCache between queries): a residual operator-internal
+      // .cache() from an earlier test can otherwise swap a matching
+      // fragment of THIS plan for an InMemoryTableScan, and the
+      // cache-population exchanges behind it shift the measured count.
+      spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sfDir)
       // collect() executes THIS dataset's own QueryExecution (metrics
       // land on the plan shuffleSummary reads); toRdd trips a Spark

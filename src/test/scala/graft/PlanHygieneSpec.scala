@@ -32,7 +32,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_strip_stopwords", // one grand-total row (docfreq threshold)
     "text_bigram_logprob",    // one grand-total row (hot-key cutoff)
     "text_common_bigrams",    // one grand-total row (hot-key cutoff)
-    "pipeline_decontaminate") // one grand-total row (hot-key cutoff)
+    "pipeline_decontaminate", // one grand-total row (hot-key cutoff)
+    "pipeline_pack_sequences") // one min/max bounds row (range shards)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast
