@@ -111,6 +111,21 @@ object Packing {
         col("chunk_last") - col("chunk_first") + lit(1L))
   }
 
+  /** Per-chunk manifest — the inverse view of [[packSequences]], what a
+    * training data loader actually reads: for every [[SeqLen]]-token
+    * chunk of the concatenated stream, how many documents cover it and
+    * the covering doc_id range. Explode fan-out per doc is its own
+    * chunk span (bounded by doc length / SeqLen + 1), then one keyed
+    * count — no join. */
+  def chunkManifest(docs: DataFrame): DataFrame =
+    packSequences(docs)
+      .select(col("doc_id"),
+        explode(sequence(col("chunk_first"), col("chunk_last")))
+          .as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("doc_first"), max("doc_id").as("doc_last"))
+
   /** Deterministic global shuffle: every doc's position in a
     * pseudo-random total order (md5 of the doc id + a fixed salt — the
     * seed is explicit and reproducible run-over-run), plus a
@@ -155,6 +170,33 @@ object Packing {
       |    AS n_chunks
       |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       packSequences(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- the loader-side inverse of the packing: per-chunk doc
+    //      coverage (a chunk crossing many short docs vs one long doc
+    //      is visible here — the batch-composition diagnostic). ----
+    Q("pipeline_chunk_manifest", Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\\s+')) + 1 AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS tok_start
+      |  FROM t),
+      |x AS (
+      |  SELECT doc_id,
+      |    unnest(range(CAST(tok_start // $SeqLen AS BIGINT),
+      |      CAST((tok_start + n_tokens - 1) // $SeqLen + 1 AS BIGINT)))
+      |      AS chunk_id
+      |  FROM c)
+      |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS doc_first, MAX(doc_id) AS doc_last
+      |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin)) {
+      (s, dir) => chunkManifest(docs(s, dir)).orderBy("chunk_id")
     },
 
     // ---- deterministic global shuffle + round-robin shard manifest:

@@ -67,8 +67,11 @@ class PlanBudgetSpec extends SparkSpec {
                                         // metadata offsets window + the
                                         // per-shard window + output sort;
                                         // only 2 carry corpus-scale rows
-    "pipeline_global_shuffle" -> 4)     // shard totals + offsets window
+    "pipeline_global_shuffle" -> 4,     // shard totals + offsets window
                                         // + per-shard window + sort
+    "pipeline_chunk_manifest" -> 6)     // packSequences' 5 (minus its
+                                        // output sort) + chunk count agg
+                                        // + sort; explode is narrow
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

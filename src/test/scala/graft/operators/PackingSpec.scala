@@ -92,6 +92,30 @@ class PackingSpec extends SparkSpec {
     assert(rangeShards > 8, s"range sharding collapsed: $rangeShards")
   }
 
+  test("chunkManifest covers every chunk exactly once and agrees with " +
+      "the per-doc chunk spans") {
+    val pack = graft.SparkEntry.queries("pipeline_pack_sequences")(
+        spark, sfDir)
+      .select("doc_id", "chunk_first", "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long)].collect()
+    val man = graft.SparkEntry.queries("pipeline_chunk_manifest")(
+        spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    // dense chunk ids from 0, every chunk covered
+    assert(man.map(_._1).toSeq == (0L until man.length.toLong))
+    // coverage conservation: each doc appears in exactly its span
+    assert(man.map(_._2).sum == pack.map(_._4).sum)
+    // doc ranges are contiguous across adjacent chunks (the stream has
+    // no seams): the first doc of chunk c+1 is the last doc of chunk c
+    // (boundary-crossing doc) or the next doc after it (exact cut)
+    man.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 == a._4 || b._3 == a._4 + 1,
+          s"seam between chunk ${a._1} and ${b._1}")
+      case _ => ()
+    }
+  }
+
   test("packSequences handles a single-doc and a single-shard corpus") {
     val one = Seq((42L, "a b c")).toDF("doc_id", "text")
     val r = Packing.packSequences(one)
