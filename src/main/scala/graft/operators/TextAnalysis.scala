@@ -208,6 +208,49 @@ object TextAnalysis {
         round(sum(col("lp")) / count(lit(1)), 4).as("avg_logp_r"))
   }
 
+  /** Per-document top-`k` keyword extraction, tf-idf flavored: tokens
+    * ranked within each doc by (tf desc, df asc, tok asc) after a
+    * document-frequency cap (df ≤ 0.9·n_docs, integer-exact — the
+    * stopword cut; 90% rather than the textbook 50% so corpora with
+    * small vocabularies keep a meaningful candidate set). The RANK key is integer-exact — term frequency, document
+    * frequency, token — so top-k membership is deterministic
+    * engine-over-engine (the stratified-sample md5-rank argument); the
+    * continuous tf·idf value rides along display-rounded
+    * (`tfidf_r = round(tf · log2(n_docs/df), 4)`, the entropy_r
+    * convention) as the diagnostic, never the sort key.
+    *
+    * Scale shape: `tf` (one row per distinct (doc, tok)) is the corpus
+    * plane; `dfreq` derives from it by a tok-keyed count — no second
+    * corpus pass — and attaches back through [[Skew.hotSaltedJoin]]
+    * (a corpus-wide token like "the" holds one `tf` row per document —
+    * the Zipf shape AQE cannot split here, see [[Skew]]). The rank
+    * window is doc-bounded. `tf` is `.cache()`d (referenced by the
+    * attach and the df derivation) under the clear-between-queries
+    * policy of the MinHash signature caches. */
+  def docKeywords(d: DataFrame, k: Int = 5): DataFrame = {
+    val tf = Tables.spread(d, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tot = tf.agg(count(lit(1)).cast("long").as("__t"))
+    val hot = dfreq.crossJoin(broadcast(tot))
+      .where(col("df") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
+      .select("tok")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    Skew.hotSaltedJoin(tf, dfreq, "tok", hot, col("doc_id"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 10 <= col("n_docs") * 9)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df"))
+          / log(lit(2d)), 4).as("tfidf_r"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- corpus quality scoring (pre-training filter heuristics) ----
@@ -819,5 +862,29 @@ object TextAnalysis {
         .where(col("rnk") <= 10)
         .select(col("lang"), col("tok"), col("n"), col("rnk"))
         .orderBy("lang", "rnk")
+    },
+
+    // ---- per-doc keyword extraction (tf-idf flavored, integer-exact
+    //      rank: tf desc, df asc, tok — after the df ≤ 0.9·n_docs
+    //      stopword cap; the float tf·idf is a display-rounded
+    //      diagnostic, never the sort key). ----
+    Q("text_doc_keywords", Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+'))
+        |             AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY doc_id, tok),
+        |d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |      FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |r AS (SELECT doc_id, tok, tf, df, n_docs,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY tf DESC, df ASC, tok ASC) AS rk
+        |      FROM tf JOIN d USING (tok), n
+        |      WHERE df * 10 <= n_docs * 9)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, tf, df,
+        |  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df) / ln(2), 4)
+        |    AS tfidf_r
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)) {
+      (s, dir) => docKeywords(docs(s, dir)).orderBy("doc_id", "rk")
     })
 }

@@ -69,9 +69,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // only 2 carry corpus-scale rows
     "pipeline_global_shuffle" -> 4,     // shard totals + offsets window
                                         // + per-shard window + sort
-    "pipeline_chunk_manifest" -> 6)     // packSequences' 5 (minus its
+    "pipeline_chunk_manifest" -> 6,     // packSequences' 5 (minus its
                                         // output sort) + chunk count agg
                                         // + sort; explode is narrow
+    "text_doc_keywords" -> 4)           // spread + tf agg (cached) + df
+                                        // agg + salted attach + rank
+                                        // window/sort; totals broadcast
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

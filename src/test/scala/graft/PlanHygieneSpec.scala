@@ -34,7 +34,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_common_bigrams",    // one grand-total row (hot-key cutoff)
     "pipeline_decontaminate", // one grand-total row (hot-key cutoff)
     "pipeline_pack_sequences", // one min/max bounds row (range shards)
-    "pipeline_chunk_manifest") // the same bounds row via packSequences
+    "pipeline_chunk_manifest", // the same bounds row via packSequences
+    "text_doc_keywords")       // two 1-row totals (hot cutoff + n_docs)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

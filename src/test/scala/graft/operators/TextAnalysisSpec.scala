@@ -253,4 +253,39 @@ class TextAnalysisSpec extends SparkSpec {
         s"$lang: ranks not contiguous")
     }
   }
+
+  test("docKeywords: plain-Scala tf/df reconstruction agrees on a " +
+      "synthetic corpus; df cap drops corpus-wide tokens") {
+    import spark.implicits._
+    // "the"/"common" in every doc (df=10 > 0.9·10) → capped out;
+    // "half" in 5 docs → kept; uniq$i per-doc → kept with top tf
+    val corpus = (0L until 10L).map { i =>
+      val half = if (i < 5) " half" else ""
+      (i, s"the common$half uniq$i uniq$i uniq$i the")
+    }
+    val d = corpus.toDF("doc_id", "text").repartition(3)
+    val got = TextAnalysis.docKeywords(d, k = 3)
+      .orderBy("doc_id", "rk")
+      .select("doc_id", "rk", "tok", "tf", "df")
+      .as[(Long, Int, String, Long, Long)].collect()
+    // reconstruct: tf per (doc, tok), df per tok, cap, rank
+    val tf = corpus.flatMap { case (i, t) =>
+      t.split("\\s+").groupBy(identity).map { case (w, o) =>
+        (i, w, o.length.toLong) }
+    }
+    val df_ = tf.groupBy(_._2).map { case (w, rs) => w -> rs.size.toLong }
+    val n = corpus.size.toLong
+    val exp = tf.filter { case (_, w, _) => df_(w) * 10 <= n * 9 }
+      .groupBy(_._1).toSeq.flatMap { case (id, rs) =>
+        rs.sortBy { case (_, w, c) => (-c, df_(w), w) }.take(3)
+          .zipWithIndex.map { case ((_, w, c), j) =>
+            (id, j + 1, w, c, df_(w)) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == exp)
+    assert(!got.exists(r => r._3 == "the" || r._3 == "common"),
+      "corpus-wide token survived the cap")
+    // per-doc unique token (tf=3) outranks the shared "half" (tf=1)
+    assert(got.filter(_._1 == 0L).map(_._3).toSeq == Seq("uniq0", "half"))
+    assert(got.filter(_._1 == 9L).map(_._3).toSeq == Seq("uniq9"))
+  }
 }
