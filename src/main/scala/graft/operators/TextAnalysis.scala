@@ -251,6 +251,42 @@ object TextAnalysis {
           / log(lit(2d)), 4).as("tfidf_r"))
   }
 
+  /** Rare word-n-gram inverted index: for every n-gram with document
+    * frequency ≤ `maxDf`, the sorted posting list of containing docs —
+    * the lookup structure a decontamination / contamination-audit pass
+    * probes (rare shingles are the discriminative ones; the Zipf head
+    * carries no signal and no index ever materializes it).
+    *
+    * Scale shape: df comes from a map-side-combined aggregate
+    * (skew-safe). The posting aggregation is the dangerous stage — a
+    * corpus-wide gram would funnel its whole occurrence stream into
+    * one task — so the bounded Zipf head (count ≥ the [[Skew]]
+    * self-scaling cutoff) is dropped by broadcast anti-probe BEFORE
+    * the posting shuffle. That drop is semantically free: the cutoff
+    * is ≥ [[Skew.MinHotCount]] ≫ `maxDf`, so no dropped gram could
+    * have been rare. Surviving keys carry < cutoff rows each — no
+    * partition hotspot — and `maxDf` then bounds the emitted lists. */
+  def rareNgramIndex(d: DataFrame, n: Int = 3, maxDf: Long = 5)
+      : DataFrame = {
+    require(maxDf < Skew.MinHotCount,
+      "maxDf must sit below the hot cutoff or the head drop loses rows")
+    val grams = ngramRows(d, n, distinctPerDoc = true)
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df")).cache()
+    val tot = dfreq.agg(sum("df").cast("long").as("__t"))
+    val hot = dfreq.crossJoin(broadcast(tot))
+      .where(col("df") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
+      .select(col("g"), lit(true).as("__hot"))
+    grams.join(broadcast(hot), Seq("g"), "left")
+      .where(col("__hot").isNull).drop("__hot")
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), " ").as("postings"))
+      .where(col("df") <= maxDf)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- corpus quality scoring (pre-training filter heuristics) ----
@@ -886,5 +922,25 @@ object TextAnalysis {
         |    AS tfidf_r
         |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)) {
       (s, dir) => docKeywords(docs(s, dir)).orderBy("doc_id", "rk")
+    },
+
+    // ---- rare-shingle inverted index (df ≤ 5 word-3-grams → sorted
+    //      posting lists) — the decontamination lookup structure; the
+    //      Zipf head is dropped before the posting shuffle (it can
+    //      never be rare), so no task ever aggregates a hot gram. ----
+    Q("text_rare_ngram_index", Some(
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS a
+        |           FROM documents),
+        |p AS (SELECT DISTINCT doc_id,
+        |        a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        |      FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i
+        |            FROM t)),
+        |d AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY g)
+        |SELECT p.g, d.df,
+        |  string_agg(CAST(p.doc_id AS VARCHAR), ' ' ORDER BY p.doc_id)
+        |    AS postings
+        |FROM p JOIN d USING (g) WHERE d.df <= 5
+        |GROUP BY p.g, d.df ORDER BY p.g""".stripMargin)) { (s, dir) =>
+      rareNgramIndex(docs(s, dir)).orderBy("g")
     })
 }

@@ -72,9 +72,12 @@ class PlanBudgetSpec extends SparkSpec {
     "pipeline_chunk_manifest" -> 6,     // packSequences' 5 (minus its
                                         // output sort) + chunk count agg
                                         // + sort; explode is narrow
-    "text_doc_keywords" -> 4)           // spread + tf agg (cached) + df
+    "text_doc_keywords" -> 4,           // spread + tf agg (cached) + df
                                         // agg + salted attach + rank
                                         // window/sort; totals broadcast
+    "text_rare_ngram_index" -> 3)       // spread + df agg (cached) + the
+                                        // head-dropped posting agg +
+                                        // sort; hot probe broadcasts
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but
@@ -88,7 +91,8 @@ class PlanBudgetSpec extends SparkSpec {
     "text_bigram_logprob" -> 400000L,      // measured   260,754
     "pipeline_strip_stopwords" -> 260000L, // measured   169,807
     "emb_minmax_quantize" -> 240000L,      // measured   154,288
-    "emb_norm_quantize" -> 220000L)        // measured   146,557
+    "emb_norm_quantize" -> 220000L,        // measured   146,557
+    "text_rare_ngram_index" -> 1600000L)   // measured 1,023,565
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1))
     test(s"$name stays within its exchange budget ($budget)") {

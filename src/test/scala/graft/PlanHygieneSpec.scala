@@ -35,7 +35,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_decontaminate", // one grand-total row (hot-key cutoff)
     "pipeline_pack_sequences", // one min/max bounds row (range shards)
     "pipeline_chunk_manifest", // the same bounds row via packSequences
-    "text_doc_keywords")       // two 1-row totals (hot cutoff + n_docs)
+    "text_doc_keywords",       // two 1-row totals (hot cutoff + n_docs)
+    "text_rare_ngram_index")   // one 1-row total (hot cutoff)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

@@ -288,4 +288,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 0L).map(_._3).toSeq == Seq("uniq0", "half"))
     assert(got.filter(_._1 == 9L).map(_._3).toSeq == Seq("uniq9"))
   }
+
+  test("rareNgramIndex equals the naive groupBy form on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val words = Seq("a", "b", "c", "d", "e")
+    val corpus = (0L until 60L).map { i =>
+      (i, (0 to 3 + rnd.nextInt(8))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val d = corpus.toDF("doc_id", "text").repartition(5)
+    val got = TextAnalysis.rareNgramIndex(d, n = 3, maxDf = 4)
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    // naive reconstruction
+    val pairs = corpus.flatMap { case (id, t) =>
+      val a = t.split("\\s+")
+      a.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        .map((g: String) => (g, id))
+    }
+    val exp = pairs.groupBy(_._1).toSeq.collect {
+      case (g, rs) if rs.size <= 4 =>
+        (g, rs.size.toLong, rs.map(_._2).sorted.mkString(" "))
+    }.sortBy(_._1)
+    assert(got == exp)
+  }
+
+  test("rareNgramIndex: the Zipf-head drop engages above MinHotCount " +
+      "and never loses a rare gram") {
+    import spark.implicits._
+    // 4500 docs sharing one gram (>= the 4096 hot floor -> dropped
+    // before the posting shuffle); every 900th doc adds a rare gram
+    val corpus = (0L until 4500L).map { i =>
+      val rare = if (i % 900 == 0) s" uniq${i / 900} tail gram" else ""
+      (i, s"hot head gram$rare")
+    }
+    val d = corpus.toDF("doc_id", "text").repartition(8)
+    val got = TextAnalysis.rareNgramIndex(d, n = 3, maxDf = 5)
+      .as[(String, Long, String)].collect()
+    assert(!got.exists(_._1 == "hot head gram"))
+    // each doc with the rare suffix contributes 4 distinct grams
+    // (sliding over 6 tokens), each df=1 except "tail gram" pieces
+    val uniq0 = got.filter(_._1.startsWith("uniq0"))
+    assert(uniq0.nonEmpty && uniq0.forall(_._3 == "0"))
+    assert(got.forall(_._2 <= 5))
+  }
 }
