@@ -111,6 +111,35 @@ object Packing {
         col("chunk_last") - col("chunk_first") + lit(1L))
   }
 
+  /** Curriculum-ordered packing: [[packSequences]]' concat-then-chunk,
+    * but with documents ordered by (quality score asc, doc_id) instead
+    * of doc_id — short/low-score docs first, the standard
+    * easy-to-hard curriculum schedule. Exercises [[globalPrefixSum]]
+    * under a DATA-DEPENDENT order key: shards derive from the score's
+    * value range, which is a monotone coarsening of the (score,
+    * doc_id) total order (equal scores share a shard — score skew
+    * costs parallelism there, never correctness). Score = n_chars,
+    * the engine's integer quality proxy (the `pipeline_quality_filter`
+    * convention). */
+  def curriculumPack(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("score"),
+      (size(split(col("text"), "\\s+")) + 1).cast("long").as("n_tokens"))
+    val bounds = toks.agg(min(col("score")).as("__lo"),
+      max(col("score")).as("__hi"))
+    val sharded = toks.crossJoin(broadcast(bounds))
+      .withColumn("__shard",
+        expr(s"(score - __lo) div ((__hi - __lo + $Fan) div $Fan)"))
+      .drop("__lo", "__hi")
+    val ps = globalPrefixSum(sharded, col("__shard"),
+      Seq(col("score"), col("doc_id")), col("n_tokens"), "__ps")
+    ps.select(col("doc_id"), col("score"), col("n_tokens"),
+        (col("__ps") - col("n_tokens")).as("tok_start"))
+      .withColumn("chunk_first", expr(s"tok_start div $SeqLen"))
+      .withColumn("chunk_last",
+        expr(s"(tok_start + n_tokens - 1) div $SeqLen"))
+  }
+
   /** Per-chunk manifest — the inverse view of [[packSequences]], what a
     * training data loader actually reads: for every [[SeqLen]]-token
     * chunk of the concatenated stream, how many documents cover it and
@@ -170,6 +199,29 @@ object Packing {
       |    AS n_chunks
       |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       packSequences(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- curriculum schedule: same packing algebra under the
+    //      (score, doc_id) order — the prefix sum sharded by a
+    //      data-dependent key's value range. ----
+    Q("pipeline_curriculum_pack", Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS score,
+      |    CAST(len(string_split_regex(text, '\\s+')) + 1 AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, score, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY score, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |    AS BIGINT) AS tok_start,
+      |  CAST((SUM(n_tokens) OVER (ORDER BY score, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+      |    // $SeqLen AS BIGINT) AS chunk_first,
+      |  CAST((SUM(n_tokens) OVER (ORDER BY score, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+      |    // $SeqLen AS BIGINT) AS chunk_last
+      |FROM t ORDER BY score, doc_id""".stripMargin)) { (s, dir) =>
+      curriculumPack(docs(s, dir)).orderBy("score", "doc_id")
     },
 
     // ---- the loader-side inverse of the packing: per-chunk doc

@@ -75,9 +75,11 @@ class PlanBudgetSpec extends SparkSpec {
     "text_doc_keywords" -> 4,           // spread + tf agg (cached) + df
                                         // agg + salted attach + rank
                                         // window/sort; totals broadcast
-    "text_rare_ngram_index" -> 3)       // spread + df agg (cached) + the
+    "text_rare_ngram_index" -> 3,       // spread + df agg (cached) + the
                                         // head-dropped posting agg +
                                         // sort; hot probe broadcasts
+    "pipeline_curriculum_pack" -> 5)    // same shape as pack_sequences
+                                        // under the score order
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

@@ -116,6 +116,29 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("curriculumPack equals the naive serial form under heavy score " +
+      "ties (tie-groups share a shard, order stays total via doc_id)") {
+    for (seed <- Seq(11, 59)) {
+      val rnd = new scala.util.Random(seed)
+      // only 3 distinct doc lengths → massive score ties across shards
+      val rows = (0L until 150L).map { i =>
+        (i, Seq("aa", "bbbb bbbb", "cc cc cc")(rnd.nextInt(3)))
+      }
+      var off = 0L
+      val exp = rows.map { case (id, t) =>
+        (t.length.toLong, id, t.split("\\s+", -1).length.toLong + 1L)
+      }.sortBy { case (s, id, _) => (s, id) }.map { case (s, id, n) =>
+        val r = (id, s, n, off); off += n; r
+      }
+      val got = Packing.curriculumPack(rows.toDF("doc_id", "text")
+          .repartition(6))
+        .select("doc_id", "score", "n_tokens", "tok_start")
+        .as[(Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._2, r._1)).toSeq
+      assert(got == exp, s"seed=$seed")
+    }
+  }
+
   test("packSequences handles a single-doc and a single-shard corpus") {
     val one = Seq((42L, "a b c")).toDF("doc_id", "text")
     val r = Packing.packSequences(one)
