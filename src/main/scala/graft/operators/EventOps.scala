@@ -395,5 +395,54 @@ object EventOps {
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("revenue"), lit(0.0)).as("revenue"))
         .orderBy("day")
+    },
+
+    // ---- ordered conversion funnel: view → click-after-view →
+    //      purchase-after-click per user, STRICT event-time ordering
+    //      (an out-of-order click never counts). Three conditional
+    //      window-mins over ONE user_id partitioning — each stage's
+    //      cutoff is the previous stage's window result, and the final
+    //      per-user collapse reuses the same exchange, so the whole
+    //      funnel costs one corpus shuffle at any event volume. ----
+    Q("q_funnel_stages", Some(
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        |        OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1
+        |          THEN us END)
+        |        OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2
+        |          THEN us END)
+        |        OVER (PARTITION BY user_id) AS t3 FROM b)
+        |SELECT user_id, MAX(t1) AS view_us, MAX(t2) AS click_us,
+        |  MAX(t3) AS purchase_us,
+        |  CAST(CASE WHEN MAX(t3) IS NOT NULL THEN 3
+        |            WHEN MAX(t2) IS NOT NULL THEN 2
+        |            WHEN MAX(t1) IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS stage
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)) {
+      (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") > col("t1"),
+            col("us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+            col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("view_us"), max("t2").as("click_us"),
+          max("t3").as("purchase_us"))
+        .withColumn("stage",
+          when(col("purchase_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2)
+            .when(col("view_us").isNotNull, 1)
+            .otherwise(0))
+        .orderBy("user_id")
     })
 }

@@ -78,8 +78,11 @@ class PlanBudgetSpec extends SparkSpec {
     "text_rare_ngram_index" -> 3,       // spread + df agg (cached) + the
                                         // head-dropped posting agg +
                                         // sort; hot probe broadcasts
-    "pipeline_curriculum_pack" -> 5)    // same shape as pack_sequences
+    "pipeline_curriculum_pack" -> 5,    // same shape as pack_sequences
                                         // under the score order
+    "q_funnel_stages" -> 2)             // ONE user_id exchange shared by
+                                        // all three stage windows + the
+                                        // per-user collapse, + sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

@@ -102,4 +102,51 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.map(_._2).sum == total, "order count not preserved")
     assert(rows.exists(_._2 == 0), "no zero-filled day at sf0.001")
   }
+
+  test("q_funnel_stages: strict ordering semantics on crafted sequences " +
+      "(out-of-order clicks never count; ties don't advance)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // build the same plan the registered query uses, over a crafted frame
+    def funnel(rows: Seq[(Long, String, Long)]) = {
+      val w = Window.partitionBy("user_id")
+      rows.toDF("user_id", "event_type", "us")
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") > col("t1"),
+            col("us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+            col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    }
+    val got = funnel(Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 20L),  // click
+      // BEFORE view: stage stalls at 1 (purchase needs a click after t1)
+      (3L, "view", 10L), (3L, "click", 10L),  // tie: strict > rejects
+      (4L, "purchase", 1L), (4L, "error", 2L), // no view at all: stage 0
+      (5L, "view", 1L), (5L, "click", 2L), (5L, "purchase", 2L),
+      // purchase tied WITH click: strict > rejects → stage 2
+      (5L, "purchase", 9L))) // later purchase rescues stage 3
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((Some(10L), None, None)))
+    assert(got(3L) == ((Some(10L), None, None)))
+    assert(got(4L) == ((None, None, None)))
+    assert(got(5L) == ((Some(1L), Some(2L), Some(9L))))
+    // registered query: stage histogram is monotone non-increasing in
+    // the funnel sense (stage n reachable only through stage n-1)
+    val reg = run("q_funnel_stages").collect()
+    val byStage = reg.groupBy(_.getInt(4)).view.mapValues(_.length).toMap
+    assert(reg.forall(r => (0 to 3).contains(r.getInt(4))))
+    assert(byStage.keySet.nonEmpty)
+    reg.foreach { r =>
+      if (r.getInt(4) >= 2) assert(!r.isNullAt(1) && !r.isNullAt(2))
+      if (r.getInt(4) == 3) assert(!r.isNullAt(3))
+    }
+  }
 }
