@@ -109,6 +109,54 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // 0 = unset
+  final case class FunnelRow(user_id: Long, stage: Int, view_us: Option[Long],
+      click_us: Option[Long], purchase_us: Option[Long])
+
+  /** Streaming conversion funnel — the stateful twin of the batch
+    * `q_funnel_stages`: per-user view → click-after-view →
+    * purchase-after-click with STRICT event-time ordering, emitted in
+    * update mode whenever a user's stage frame changes. O(1) state per
+    * user (three microsecond slots).
+    *
+    * Ordering contract: within a micro-batch rows are folded in
+    * (ts, event_id) order; ACROSS batches the fold assumes per-user
+    * event-time monotonicity (the watermark's in-order regime). Under
+    * that contract the greedy fold provably equals the batch twin's
+    * min-over-all-events form: the first qualifying event in order IS
+    * the minimum, and a tied or earlier out-of-stage event is rejected
+    * by the strict `>` exactly as the batch `when` is
+    * (StreamOpsSpec pins parity on a multi-batch feed). */
+  def funnelStream(events: Dataset[FunnelEv]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEv], st: GroupState[FunnelState]) =>
+          var s = st.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val us = e.ts.getTime * 1000L
+            s = e.event_type match {
+              case "view" if s.t1 == 0L => s.copy(t1 = us)
+              case "click" if s.t1 != 0L && us > s.t1 && s.t2 == 0L =>
+                s.copy(t2 = us)
+              case "purchase" if s.t2 != 0L && us > s.t2 && s.t3 == 0L =>
+                s.copy(t3 = us)
+              case _ => s
+            }
+          }
+          st.update(s)
+          val stage = if (s.t3 != 0L) 3 else if (s.t2 != 0L) 2
+            else if (s.t1 != 0L) 1 else 0
+          FunnelRow(user, stage,
+            Option(s.t1).filter(_ != 0L), Option(s.t2).filter(_ != 0L),
+            Option(s.t3).filter(_ != 0L))
+      }
+  }
+
   /** Stream-static enrichment: join each streaming event against a
     * static dimension table (broadcast — the dimension is loaded once
     * per micro-batch plan, no state store involved, unlike

@@ -338,4 +338,65 @@ class StreamOpsSpec extends SparkSpec {
       assert(last.contains((1L, 3, 5)), s"batch-2 result missing: ${last.toSeq}")
     } finally query.stop()
   }
+
+  test("funnelStream: state carries stages across micro-batches and the " +
+      "final frame matches the batch q_funnel_stages fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.FunnelEv]
+    val query = StreamOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: u1 views+clicks; u2 clicks BEFORE viewing (rejected);
+      // u3 view+click at the same ts (strict > rejects the click)
+      input.addData(
+        StreamOps.FunnelEv(1, 1, ts("10:00"), "view"),
+        StreamOps.FunnelEv(1, 2, ts("10:05"), "click"),
+        StreamOps.FunnelEv(2, 3, ts("10:00"), "click"),
+        StreamOps.FunnelEv(2, 4, ts("10:10"), "view"),
+        StreamOps.FunnelEv(3, 5, ts("10:00"), "view"),
+        StreamOps.FunnelEv(3, 6, ts("10:00"), "click"))
+      query.processAllAvailable()
+      // batch 2: u1 purchases (stage 3 — state carried); u2's click now
+      // AFTER its view counts; u3 stalls
+      input.addData(
+        StreamOps.FunnelEv(1, 7, ts("10:20"), "purchase"),
+        StreamOps.FunnelEv(2, 8, ts("10:30"), "click"))
+      query.processAllAvailable()
+      val last = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+      assert(last(1L) == 3, s"u1: $last")
+      assert(last(2L) == 2, s"u2: $last")
+      assert(last(3L) == 1, s"u3: $last")
+
+      // batch parity: the same 8 events through the q_funnel_stages
+      // window fold produce the same stage frame
+      val batch = Seq(
+        (1L, "view", ts("10:00")), (1L, "click", ts("10:05")),
+        (2L, "click", ts("10:00")), (2L, "view", ts("10:10")),
+        (3L, "view", ts("10:00")), (3L, "click", ts("10:00")),
+        (1L, "purchase", ts("10:20")), (2L, "click", ts("10:30")))
+        .toDF("user_id", "event_type", "tts")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("tts")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val stages = batch
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") > col("t1"),
+            col("us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+            col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .collect().map { r =>
+          r.getLong(0) -> (if (!r.isNullAt(3)) 3 else if (!r.isNullAt(2)) 2
+            else if (!r.isNullAt(1)) 1 else 0)
+        }.toMap
+      assert(stages == last.toMap, s"stream/batch divergence: $stages vs $last")
+    } finally query.stop()
+  }
 }
