@@ -397,6 +397,34 @@ object EventOps {
         .orderBy("day")
     },
 
+    // ---- weekly cohort retention: users grouped by first-seen week,
+    //      distinct-user counts per (cohort, weeks-since) cell — the
+    //      standard retention matrix. The cohort assignment is a
+    //      window-min over ONE user_id exchange; the matrix is a
+    //      (cohort, offset)-keyed distinct count. All integer. ----
+    Q("q_cohort_retention", Some(
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT)
+        |      AS wk
+        |  FROM events),
+        |c AS (SELECT *, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        |      FROM e)
+        |SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS weeks_since,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY cohort_wk, weeks_since
+        |ORDER BY cohort_wk, weeks_since""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      ev(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+            .as("wk"))
+        .withColumn("cohort_wk", min("wk").over(w))
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("weeks_since"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_wk", "weeks_since")
+    },
+
     // ---- ordered conversion funnel: view → click-after-view →
     //      purchase-after-click per user, STRICT event-time ordering
     //      (an out-of-order click never counts). Three conditional

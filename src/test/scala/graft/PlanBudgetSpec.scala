@@ -80,9 +80,11 @@ class PlanBudgetSpec extends SparkSpec {
                                         // sort; hot probe broadcasts
     "pipeline_curriculum_pack" -> 5,    // same shape as pack_sequences
                                         // under the score order
-    "q_funnel_stages" -> 2)             // ONE user_id exchange shared by
+    "q_funnel_stages" -> 2,             // ONE user_id exchange shared by
                                         // all three stage windows + the
                                         // per-user collapse, + sort
+    "q_cohort_retention" -> 3)          // user window + the two-phase
+                                        // distinct-count + sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

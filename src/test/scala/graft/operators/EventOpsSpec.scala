@@ -103,6 +103,25 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.exists(_._2 == 0), "no zero-filled day at sf0.001")
   }
 
+  test("q_cohort_retention: week-0 cell per cohort covers the cohort's " +
+      "users; matrix users never exceed the cohort size") {
+    val rows = run("q_cohort_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val week0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    // every cohort has its week-0 row (a user is active in their own
+    // first week by definition)
+    assert(rows.map(_._1).distinct.forall(week0.contains))
+    // retention can never exceed the cohort's size
+    rows.foreach { case (c, off, n) =>
+      assert(n <= week0(c), s"cohort $c week $off: $n > ${week0(c)}")
+    }
+    // total users = sum of cohort sizes (each user in exactly one cohort)
+    val users = graft.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(week0.values.sum == users)
+  }
+
   test("q_funnel_stages: strict ordering semantics on crafted sequences " +
       "(out-of-order clicks never count; ties don't advance)") {
     import spark.implicits._
