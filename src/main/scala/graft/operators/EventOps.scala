@@ -472,5 +472,87 @@ object EventOps {
             .when(col("view_us").isNotNull, 1)
             .otherwise(0))
         .orderBy("user_id")
+    },
+
+    // ---- CDC upsert apply (MERGE-INTO resolution): treat the event
+    //      stream as a changelog keyed by user_id — the LAST event per
+    //      key in (ts, event_id) order wins, and a final 'error' event
+    //      acts as a DELETE tombstone. This is exactly the
+    //      merge-on-read compaction a Delta/Hudi-style table runs at
+    //      100 TB: one keyed exchange (max_by carries the whole
+    //      payload), no window sort, no self-join. ----
+    Q("q_cdc_upsert", Some(
+      // The oracle states last-writer-wins as a plain-ANSI row_number
+      // pick (DuckDB's max_by lacks composite ordering keys); the Spark
+      // side uses max_by over a (us, event_id) struct — same total
+      // order, same survivors, one aggregate exchange instead of a
+      // window sort.
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY us DESC, event_id DESC) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_versions
+        |  FROM e)
+        |SELECT user_id, value_cents, us AS last_us, n_versions
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin)) {
+      (s, dir) =>
+      // max_by on a (us, event_id) struct: ties impossible (event_id
+      // unique), so last-writer-wins is total and engine-agnostic.
+      val ord = struct(col("us"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), ord).as("op"),
+          max_by(col("value_cents"), ord).as("value_cents"),
+          max(col("us")).as("last_us"),
+          count(lit(1)).as("n_versions"))
+        .where(col("op") =!= "error")
+        .select("user_id", "value_cents", "last_us", "n_versions")
+        .orderBy("user_id")
+    },
+
+    // ---- SCD type-2 dimension build: collapse each user's event_type
+    //      stream into change-only intervals (valid_from, valid_to,
+    //      is_current) — the standard slowly-changing-dimension load.
+    //      A lag() change detector and the lead() interval close share
+    //      ONE user_id exchange; no self-join, no gaps-islands group
+    //      number needed because only change rows survive. ----
+    Q("q_scd2", Some(
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |           FROM events),
+        |chg AS (SELECT *,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev_t
+        |  FROM e),
+        |iv AS (SELECT user_id, event_type AS status, us AS valid_from,
+        |    LEAD(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) AS valid_to
+        |  FROM chg WHERE prev_t IS NULL OR prev_t <> event_type)
+        |SELECT user_id, status, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_current
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("prev_t", lag("event_type", 1).over(w))
+        .where(col("prev_t").isNull || col("prev_t") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("event_id"), col("us").as("valid_from"))
+        .withColumn("valid_to",
+          lead("valid_from", 1).over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1).otherwise(0))
+        .select("user_id", "status", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from")
     })
 }

@@ -83,8 +83,13 @@ class PlanBudgetSpec extends SparkSpec {
     "q_funnel_stages" -> 2,             // ONE user_id exchange shared by
                                         // all three stage windows + the
                                         // per-user collapse, + sort
-    "q_cohort_retention" -> 3)          // user window + the two-phase
+    "q_cohort_retention" -> 3,          // user window + the two-phase
                                         // distinct-count + sort
+    "q_cdc_upsert" -> 2,                // ONE keyed max_by aggregate
+                                        // (no window sort) + output sort
+    "q_scd2" -> 2)                      // both windows + the change
+                                        // filter share one user_id
+                                        // exchange, + output sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

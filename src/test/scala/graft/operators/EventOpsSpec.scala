@@ -122,6 +122,48 @@ class EventOpsSpec extends SparkSpec {
     assert(week0.values.sum == users)
   }
 
+  test("q_cdc_upsert: last-writer-wins vs a naive in-memory replay " +
+      "(tombstoned keys absent, payload from the final version)") {
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // naive replay: sort each user's changelog, last row wins
+    val expect = events.groupBy(_._1).flatMap { case (u, es) =>
+      val last = es.maxBy(e => (e._4, e._2))
+      if (last._3 == "error") None
+      else Some(u -> (last._5, es.map(_._4).max, es.length.toLong))
+    }
+    val got = run("q_cdc_upsert").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect.toMap)
+  }
+
+  test("q_scd2: intervals chain per user (valid_to = next valid_from), " +
+      "exactly one open current row, statuses actually change") {
+    val byUser = run("q_scd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.values.foreach { rs0 =>
+      val rs = rs0.sortBy(_._3)
+      // chained: each interval closes exactly where the next opens
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"gap/overlap at user ${a._1}")
+          assert(a._2 != b._2, "consecutive intervals with equal status")
+        case _ =>
+      }
+      assert(rs.count(_._4.isEmpty) == 1, "exactly one current row")
+      assert(rs.last._4.isEmpty, "the open row is the latest")
+    }
+  }
+
   test("q_funnel_stages: strict ordering semantics on crafted sequences " +
       "(out-of-order clicks never count; ties don't advance)") {
     import spark.implicits._
