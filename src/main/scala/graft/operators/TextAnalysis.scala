@@ -942,5 +942,35 @@ object TextAnalysis {
         |FROM p JOIN d USING (g) WHERE d.df <= 5
         |GROUP BY p.g, d.df ORDER BY p.g""".stripMargin)) { (s, dir) =>
       rareNgramIndex(docs(s, dir)).orderBy("g")
+    },
+
+    // ---- hashing-trick term-frequency features (HashingTF): tokens
+    //      hashed into a fixed 1024-bucket space, one sparse (doc_id,
+    //      bucket, tf) entry per occupied cell. The hash is the repo's
+    //      md5-60-bit scheme (Dedup.md5Hash60's definition) so DuckDB
+    //      recomputes it exactly. Fixed-width features decouple model
+    //      input size from vocabulary growth — the reason this is the
+    //      standard featurizer at corpus scale: no vocab build, no
+    //      dictionary broadcast, one composite-keyed aggregate whose
+    //      (doc_id, bucket) keys cannot concentrate on a hot reducer
+    //      (the doc_id component spreads even an all-"the" corpus). ----
+    Q("pipeline_feature_hash", Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+'))
+        |             AS tok FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024
+        |    AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS tf
+        |FROM t GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin)) { (s, dir) =>
+      Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            % 1024).as("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "bucket")
     })
 }

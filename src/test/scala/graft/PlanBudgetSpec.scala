@@ -87,9 +87,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // distinct-count + sort
     "q_cdc_upsert" -> 2,                // ONE keyed max_by aggregate
                                         // (no window sort) + output sort
-    "q_scd2" -> 2)                      // both windows + the change
+    "q_scd2" -> 2,                      // both windows + the change
                                         // filter share one user_id
                                         // exchange, + output sort
+    "pipeline_feature_hash" -> 2)       // doc_id spread satisfies the
+                                        // (doc_id, bucket) grouping —
+                                        // agg reuses it — + output sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

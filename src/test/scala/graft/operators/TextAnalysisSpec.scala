@@ -332,4 +332,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(uniq0.nonEmpty && uniq0.forall(_._3 == "0"))
     assert(got.forall(_._2 <= 5))
   }
+
+  test("pipeline_feature_hash: buckets bounded, per-doc tf mass equals " +
+      "the doc's token count, equal tokens collide deterministically") {
+    val rows = SparkEntry.queries("pipeline_feature_hash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 1024))
+    val mass = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tokCounts = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass == tokCounts,
+      "hashing must conserve token mass (no token lost or double-counted)")
+    // determinism: the same literal token hashes to the same bucket in a
+    // fresh frame (the property downstream models rely on across runs)
+    import spark.implicits._
+    val b = Seq((1L, "alpha alpha beta"), (2L, "alpha"))
+      .toDF("doc_id", "text")
+    val fh = b.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % 1024).as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val alphaBuckets = fh.filter(_._3 == 2) // doc 1's double "alpha"
+    assert(alphaBuckets.length == 1 &&
+      fh.exists(r => r._1 == 2L && r._2 == alphaBuckets.head._2))
+  }
 }
