@@ -90,9 +90,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q_scd2" -> 2,                      // both windows + the change
                                         // filter share one user_id
                                         // exchange, + output sort
-    "pipeline_feature_hash" -> 2)       // doc_id spread satisfies the
+    "pipeline_feature_hash" -> 2,       // doc_id spread satisfies the
                                         // (doc_id, bucket) grouping —
                                         // agg reuses it — + output sort
+    "q_zorder_manifest" -> 2)           // one keyed agg over the
+                                        // codegen'd interleave + sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but
