@@ -554,5 +554,111 @@ object EventOps {
           when(col("valid_to").isNull, 1).otherwise(0))
         .select("user_id", "status", "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "valid_from")
+    },
+
+    // ---- exact rolling 7-day active users (DAU/WAU): a user active on
+    //      day d is in the window of days d..d+6, so exploding each
+    //      distinct (user, day) into its 7 target windows turns the
+    //      rolling-distinct problem into a plain keyed distinct count —
+    //      BOUNDED 7× fanout, where the naive day×day range join is
+    //      quadratic in the day span and a per-day window over users
+    //      serializes. The WAU grouping key is the window day, whose
+    //      cardinality is the calendar — even with 10⁹ users per day no
+    //      reducer sees more than one day's distinct-user partials. ----
+    Q("q_rolling_active_users", Some(
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |x AS (SELECT user_id, day + i AS wday
+        |      FROM (SELECT user_id, day, unnest(range(0, 7)) AS i FROM ud)),
+        |wau AS (SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |          AS wau FROM x GROUP BY wday),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud
+        |        GROUP BY day)
+        |SELECT day, COALESCE(dau, 0) AS dau, wau
+        |FROM wau LEFT JOIN dau USING (day) ORDER BY day""".stripMargin)) {
+      (s, dir) =>
+      // Single pipeline, no branch reuse: the offset label i rides along
+      // the explode, so dau is just "distinct users where i = 0" inside
+      // the SAME (day-keyed) aggregate that computes wau — one distinct
+      // (user, day) exchange, one expand aggregate, no self-join.
+      val ud = ev(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+      ud.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"),
+          col("day"))
+        .select(col("user_id"), col("i"), (col("day") + col("i")).as("day"))
+        .groupBy("day")
+        .agg(
+          coalesce(countDistinct(when(col("i") === 0, col("user_id"))),
+            lit(0L)).as("dau"),
+          countDistinct("user_id").as("wau"))
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    },
+
+    // ---- peak concurrent sessions per day: sweep-line over session
+    //      interval endpoints (+1 at start, -1 just after end — closed
+    //      intervals, so an instant session still peaks at 1), running
+    //      concurrency via the DISTRIBUTED prefix sum (Packing
+    //      .globalPrefixSum sharded by the endpoint's day — a monotone
+    //      coarsening of the time order), then a per-day max that
+    //      reuses the shard partitioning. No global single-partition
+    //      window anywhere — the classic scale trap for sweep-lines.
+    //      Reported days are those carrying an endpoint; ties at one
+    //      microsecond carry equal deltas, so the running values are a
+    //      permutation-invariant multiset and the max is exact. ----
+    Q("q_concurrent_sessions", Some(
+      """WITH spans AS (
+        |  SELECT user_id, session_no,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS e_us
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_no
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        CASE WHEN prev_us IS NULL
+        |               OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us
+        |                  > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM (
+        |        SELECT user_id, ts, event_id,
+        |          LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            AS prev_us
+        |        FROM events)))
+        |  GROUP BY user_id, session_no),
+        |pts AS (SELECT s_us AS us, 1 AS delta FROM spans
+        |        UNION ALL
+        |        SELECT e_us + 1 AS us, -1 AS delta FROM spans),
+        |run AS (SELECT us, delta,
+        |    SUM(delta) OVER (ORDER BY us, delta
+        |      ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts)
+        |SELECT us // 86400000000 AS day, CAST(MAX(conc) AS BIGINT)
+        |    AS peak_concurrent
+        |FROM run GROUP BY day ORDER BY day""".stripMargin)) { (s, dir) =>
+      val spans = sessionSpans(ev(s, dir), gapMinutes = 30)
+        .select(unix_micros(col("s_start").cast("timestamp")).as("s_us"),
+          unix_micros(col("s_end").cast("timestamp")).as("e_us"))
+      // explode-of-array, not union: a union would evaluate the whole
+      // sessionization subtree once per branch
+      val pts = spans.select(explode(array(
+          struct(col("s_us").as("us"), lit(1L).as("delta")),
+          struct((col("e_us") + 1).as("us"), lit(-1L).as("delta"))))
+          .as("p"))
+        .select(col("p.us").as("us"), col("p.delta").as("delta"))
+      val run = Packing.globalPrefixSum(pts,
+        shardCol = expr("us div 86400000000"),
+        orderCols = Seq(col("us"), col("delta")),
+        valueCol = col("delta"), psCol = "conc")
+      run.groupBy(expr("us div 86400000000").as("day"))
+        .agg(max("conc").as("peak_concurrent"))
+        .orderBy("day")
     })
 }

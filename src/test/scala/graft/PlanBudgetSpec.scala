@@ -93,8 +93,19 @@ class PlanBudgetSpec extends SparkSpec {
     "pipeline_feature_hash" -> 2,       // doc_id spread satisfies the
                                         // (doc_id, bucket) grouping —
                                         // agg reuses it — + output sort
-    "q_zorder_manifest" -> 2)           // one keyed agg over the
+    "q_zorder_manifest" -> 2,           // one keyed agg over the
                                         // codegen'd interleave + sort
+    "q_rolling_active_users" -> 4,      // distinct (user, day), expand
+                                        // agg partial+final (dau and wau
+                                        // share it via the i=0 label —
+                                        // no self-join), + sort
+    "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
+                                        // re-evaluate the slim endpoint
+                                        // projection (user-window
+                                        // exchange ×2, one reused at
+                                        // runtime), shard offsets agg,
+                                        // shard window, day agg reusing
+                                        // the shard key, + sort
 
   /** Shuffle-BYTE ceilings for the heaviest measured shuffles (round-7
     * verdict task #8): an edit that keeps the exchange count but

@@ -164,6 +164,48 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_active_users equals a naive per-day set replay; " +
+      "wau >= dau always") {
+    val ud = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val allWDays = byDay.keySet.flatMap(d => (d to d + 6))
+    val expect = allWDays.map { wd =>
+      val win = (wd - 6 to wd).flatMap(byDay.get).flatten.toSet
+      wd -> (byDay.getOrElse(wd, Set.empty).size.toLong, win.size.toLong)
+    }.toMap
+    val got = run("q_rolling_active_users").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    got.values.foreach { case (dau, wau) => assert(wau >= dau) }
+  }
+
+  test("q_concurrent_sessions equals a serial sweep-line replay " +
+      "(closed intervals: an instant session peaks at 1)") {
+    val spans = EventOps.sessionSpans(
+        graft.Tables.load(spark, sfDir, "events"), 30)
+      .select(unix_micros(col("s_start").cast("timestamp")),
+        unix_micros(col("s_end").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pts = spans.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
+      .sortBy(p => (p._1, p._2))
+    var conc = 0L
+    val peaks = scala.collection.mutable.Map[Long, Long]()
+    pts.foreach { case (us, d) =>
+      conc += d
+      val day = us / 86400000000L
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), conc)
+    }
+    val got = run("q_concurrent_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == peaks.toMap)
+    // sanity: some day actually has overlap at sf0.001
+    assert(got.values.max >= 1L)
+  }
+
   test("q_funnel_stages: strict ordering semantics on crafted sequences " +
       "(out-of-order clicks never count; ties don't advance)") {
     import spark.implicits._
