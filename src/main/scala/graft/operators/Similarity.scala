@@ -344,6 +344,56 @@ object Similarity {
        |SELECT query_id, neighbor_id, rnk, sim_r FROM r
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** Product-quantization encode: split each vector into `m` contiguous
+    * subspaces of `subDim` dims and, per subspace, assign the code of
+    * the nearest codebook entry by squared L2 (ties → lowest code).
+    * `codebook` is a (code, m, cv) frame — SMALL by construction
+    * (k·m rows) and broadcast, so the encode is one narrow broadcast
+    * join + a (vec_id, m)-keyed aggregate: the index-compression pass
+    * an ANN system runs over the full corpus at 100 TB, with no
+    * all-pairs anything. Returns (vec_id, m, code, err). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("sv"))
+    v.join(broadcast(codebook), "m")
+      .withColumn("dist",
+        expr("cast(aggregate(zip_with(sv, cv, (a, b) -> (a-b)*(a-b))," +
+          " 0D, (acc, x) -> acc + x) as long)"))
+      .groupBy("vec_id", "m")
+      // lexicographic struct min = (min dist, then lowest code)
+      .agg(min(struct(col("dist"), col("code"))).as("s"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("s.code").cast("long").as("code"), col("s.dist").as("err"))
+  }
+
+  /** DuckDB mirror of the PQ encode under the int-quantized plane with
+    * the first-16-vectors codebook (the engine-independent twin of a
+    * trained codebook, same discipline as [[sqlIvfInt]]). */
+  private def sqlPqInt(k: Int, m: Int, subDim: Int): String =
+    s"""WITH u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS DOUBLE) AS x,
+       |        generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings),
+       |v AS (SELECT vec_id, (i-1) // $subDim AS m, (i-1) % $subDim AS j, x
+       |      FROM u),
+       |c AS (SELECT vec_id AS code, (i-1) // $subDim AS m,
+       |        (i-1) % $subDim AS j, x
+       |      FROM u WHERE vec_id < $k),
+       |d AS (SELECT v.vec_id, v.m, c.code,
+       |        CAST(SUM((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dist
+       |      FROM v JOIN c ON v.m = c.m AND v.j = c.j
+       |      GROUP BY v.vec_id, v.m, c.code),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist, code) AS rk FROM d)
+       |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+       |  dist AS err
+       |FROM r WHERE rk = 1 ORDER BY vec_id, m""".stripMargin
+
   /** Shared oracle scaffolding: per-(vec,index) unnest with exact double
     * math, mirroring the Spark `zip_with`/`aggregate` fold. */
   private def sqlUnnest(filter: String): String =
@@ -428,6 +478,24 @@ object Similarity {
       val eq = quantized1000(emb(s, dir))
       ivfTopKTrained(cents, eq.where(col("vec_id") % 50 === 0), eq, 5,
         nprobe = 3)
+    },
+
+    // Product quantization under the int plane: codebook = the first 16
+    // quantized corpus vectors (engine-independent twin of a trained
+    // codebook, same discipline as ann_ivf_int), 8 subspaces × 8 dims.
+    // Fully distributed — the codebook is DATA broadcast into the
+    // encode join, no driver sync at all. Integer squared errors, so
+    // the DuckDB mirror is cell-exact.
+    Q("emb_pq_int", Some(sqlPqInt(k = 16, m = 8, subDim = 8))) {
+      (s, dir) =>
+      val eq = quantized1000(emb(s, dir))
+      // codebook on its OWN read (shared-fragment caveat above)
+      val cb = quantized1000(emb(s, dir)).where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("code"), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as("cv"))
+      pqEncode(eq, cb, m = 8, subDim = 8).orderBy("vec_id", "m")
     },
 
     // Cosine near-duplicate pairs over a deterministic subset; with

@@ -99,6 +99,9 @@ class PlanBudgetSpec extends SparkSpec {
                                         // agg partial+final (dau and wau
                                         // share it via the i=0 label —
                                         // no self-join), + sort
+    "emb_pq_int" -> 2,                  // codebook broadcast into the
+                                        // encode join; (vec_id, m) agg
+                                        // + output sort
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -286,4 +286,27 @@ class SimilaritySpec extends SparkSpec {
         s"vec $id dim $d: ${got.fold("row missing")(_.toString)} != $expect")
     }
   }
+
+  test("emb_pq_int: codebook vectors self-encode with zero error; every " +
+      "vector gets all 8 subspace codes in [0,16)") {
+    val rows = graft.SparkEntry.queries("emb_pq_int")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // complete code assignment, codes bounded
+    val perVec = rows.groupBy(_._1)
+    perVec.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (0L to 7L),
+        "each vector must carry exactly one code per subspace")
+    }
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 16))
+    assert(rows.forall(_._4 >= 0), "squared error cannot be negative")
+    // a codebook member's nearest code in every subspace is itself,
+    // at distance exactly zero (ties broken toward the lowest code
+    // cannot beat an exact match)
+    rows.filter(_._1 < 16).foreach { case (vid, m, code, err) =>
+      assert(err == 0L && code == vid,
+        s"codebook vec $vid subspace $m: code=$code err=$err")
+    }
+  }
 }
