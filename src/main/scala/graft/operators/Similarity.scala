@@ -394,6 +394,41 @@ object Similarity {
        |  dist AS err
        |FROM r WHERE rk = 1 ORDER BY vec_id, m""".stripMargin
 
+  /** DuckDB mirror of the PQ ADC search: encode (as [[sqlPqInt]]), the
+    * per-query 8×16 lookup table, the 8-add compressed-domain distance,
+    * and the (adist, vec_id) top-k rank. */
+  private def sqlPqAdcInt(cb: Int, m: Int, subDim: Int, k: Int): String =
+    s"""WITH u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS DOUBLE) AS x,
+       |        generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings),
+       |v AS (SELECT vec_id, (i-1) // $subDim AS m, (i-1) % $subDim AS j, x
+       |      FROM u),
+       |c AS (SELECT vec_id AS code, (i-1) // $subDim AS m,
+       |        (i-1) % $subDim AS j, x
+       |      FROM u WHERE vec_id < $cb),
+       |dd AS (SELECT v.vec_id, v.m, c.code,
+       |        CAST(SUM((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dist
+       |      FROM v JOIN c ON v.m = c.m AND v.j = c.j
+       |      GROUP BY v.vec_id, v.m, c.code),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist, code) AS rk FROM dd) WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, m, j, x FROM v WHERE vec_id % 50 = 0),
+       |lut AS (SELECT q.qid, q.m, c.code,
+       |        CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+       |      FROM q JOIN c ON q.m = c.m AND q.j = c.j
+       |      GROUP BY q.qid, q.m, c.code),
+       |s AS (SELECT lut.qid, codes.vec_id, SUM(lut.d) AS adist
+       |      FROM codes JOIN lut ON codes.m = lut.m
+       |        AND codes.code = lut.code
+       |      WHERE lut.qid <> codes.vec_id GROUP BY qid, vec_id),
+       |t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adist, vec_id) AS rnk FROM s)
+       |SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rnk
+       |FROM t WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   /** Shared oracle scaffolding: per-(vec,index) unnest with exact double
     * math, mirroring the Spark `zip_with`/`aggregate` fold. */
   private def sqlUnnest(filter: String): String =
@@ -496,6 +531,56 @@ object Similarity {
         .select(col("code"), col("m"),
           expr("slice(embedding, m * 8 + 1, 8)").as("cv"))
       pqEncode(eq, cb, m = 8, subDim = 8).orderBy("vec_id", "m")
+    },
+
+    // PQ asymmetric-distance search (ADC) — the payoff of emb_pq_int:
+    // queries rank the WHOLE corpus in the compressed domain. Per query
+    // the 8×16 lookup table ||q_sub − code||² is tiny and broadcast;
+    // each corpus vector's approximate distance is then 8 LUT adds over
+    // its codes — the linear scan every PQ system runs inside probed
+    // cells (compose with ann_ivf_int's cells for IVF-PQ; registered
+    // standalone so the algebra is oracle-pinned end-to-end). The
+    // per-query top-k rank goes through the salted two-phase partialTopK
+    // — no query ever windows the whole corpus on one task. ----
+    Q("ann_pq_adc_int", Some(sqlPqAdcInt(cb = 16, m = 8, subDim = 8,
+      k = 5))) { (s, dir) =>
+      val eq = quantized1000(emb(s, dir))
+      val cb = quantized1000(emb(s, dir)).where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("code"), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as("cv"))
+      val codes = pqEncode(eq, cb, m = 8, subDim = 8)
+        .select(col("vec_id"), col("m"), col("code"))
+      // LUT on its own reads (shared-fragment caveat): ||q_sub - cv||²
+      val lut = quantized1000(emb(s, dir))
+        .where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"),
+          explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("qid"), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as("sv"))
+        .join(quantized1000(emb(s, dir)).where(col("vec_id") < 16)
+          .select(col("vec_id").cast("long").as("code"),
+            explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+          .select(col("code"), col("m"),
+            expr("slice(embedding, m * 8 + 1, 8)").as("cv")), Seq("m"))
+        .select(col("qid"), col("m"), col("code"),
+          expr("cast(aggregate(zip_with(sv, cv, (a, b) -> (a-b)*(a-b))," +
+            " 0D, (acc, x) -> acc + x) as long)").as("d"))
+      val sums = codes.join(broadcast(lut), Seq("m", "code"))
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(sum("d").as("adist"))
+      val survivors = Sampling.partialTopK(sums, "qid",
+        Seq(col("adist"), col("vec_id")), 5, Sampling.FanOut,
+        saltCol = col("vec_id"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("adist"), col("vec_id"))
+      survivors.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("adist"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("qid", "rnk")
     },
 
     // Cosine near-duplicate pairs over a deterministic subset; with

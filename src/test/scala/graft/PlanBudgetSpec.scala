@@ -102,6 +102,10 @@ class PlanBudgetSpec extends SparkSpec {
     "emb_pq_int" -> 2,                  // codebook broadcast into the
                                         // encode join; (vec_id, m) agg
                                         // + output sort
+    "ann_pq_adc_int" -> 5,              // encode agg, LUT broadcast
+                                        // join, (qid, vec_id) sum,
+                                        // salted partial top-K + final
+                                        // rank, + output sort
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -309,4 +309,37 @@ class SimilaritySpec extends SparkSpec {
         s"codebook vec $vid subspace $m: code=$code err=$err")
     }
   }
+
+  test("ann_pq_adc_int: 5 ranked rows per query and a recall floor " +
+      "against exact int-plane L2 (random gaussians are PQ's worst " +
+      "case and the 16-point codebook is untrained — the twin pins the " +
+      "ADC algebra; retrieval quality rises with a trained codebook)") {
+    val rows = graft.SparkEntry.queries("ann_pq_adc_int")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to 5), "exactly ranks 1..5")
+      assert(g.sortBy(_._4).map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      }, "adist must be non-decreasing in rank")
+    }
+    // exact int-plane L2 top-5 per query, computed locally
+    val all = graft.Tables.load(spark, sfDir, "embeddings")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Float](r.fieldIndex("embedding"))
+            .map(x => math.floor(x.toDouble * 1000 + 0.5)).toArray
+      }.toMap
+    val recalls = byQ.map { case (q, g) =>
+      val qv = all(q)
+      val exact = all.iterator.filter(_._1 != q).map { case (i, v) =>
+        (v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.toSeq.sortBy(p => (p._1, p._2)).take(5).map(_._2).toSet
+      g.map(_._2).count(exact).toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.1, f"ADC mean recall@5 $mean%.2f below floor")
+  }
 }
