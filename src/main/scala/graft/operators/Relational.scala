@@ -109,6 +109,78 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ---- TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    //      Big-big join shuffles on the order key, nation broadcasts,
+    //      and the global top-20 is TakeOrderedAndProject (per-partition
+    //      heads merged on the driver — never a full sort). ----
+    Q("q10_returned_items", Some(
+      s"""SELECT c_custkey, c_name, ${sqlMoneySum(revenue)} AS revenue,
+         |  n_name
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)) {
+      (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-10-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- data profiler: per-column null and distinct counts over
+    //      orders in ONE pass (one expand aggregate — the multi-column
+    //      distinct counts share a single scan and exchange), reshaped
+    //      by stack() on the 1-row result. What a quality dashboard or
+    //      schema-drift monitor runs per partition-load at scale. ----
+    Q("q_data_profile", Some(
+      """SELECT 'o_custkey' AS col_name,
+        |  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders
+        |UNION ALL SELECT 'o_orderdate',
+        |  CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderkey',
+        |  CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |ORDER BY col_name""".stripMargin)) { (s, dir) =>
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val aggs = count(lit(1)).as("n") +:
+        cols.flatMap(c => Seq(count(col(c)).as(s"c_$c"),
+          countDistinct(col(c)).as(s"d_$c")))
+      val one = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', n - c_$c, d_$c").mkString(", ")
+      one.select(expr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)"))
+        .orderBy("col_name")
+    },
+
     // ---- semi / anti joins ----
     Q("q_semi_join", Some(
       """SELECT c_custkey FROM customer

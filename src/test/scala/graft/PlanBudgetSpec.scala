@@ -106,6 +106,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // join, (qid, vec_id) sum,
                                         // salted partial top-K + final
                                         // rank, + output sort
+    "q10_returned_items" -> 3,          // order-key join + grouped agg
+                                        // (dims broadcast); top-20 is
+                                        // TakeOrdered, never a sort
+                                        // exchange
+    "q_data_profile" -> 2,              // ONE expand aggregate for all
+                                        // six distinct counts
+                                        // (partial + final)
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window
