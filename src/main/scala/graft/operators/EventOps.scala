@@ -660,5 +660,39 @@ object EventOps {
       run.groupBy(expr("us div 86400000000").as("day"))
         .agg(max("conc").as("peak_concurrent"))
         .orderBy("day")
+    },
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences: what powers next-event prediction and anomalous-
+    //      flow detection. lead() over the (user_id)-keyed sequence is
+    //      the only wide stage (one keyed exchange, scales with users);
+    //      the transition aggregate is |types|² ≤ 25 rows, and the
+    //      row-normalizing window runs on that metadata-sized frame.
+    //      Probabilities are emitted as exact integer parts-per-million
+    //      (floor division) — no float accumulation anywhere. ----
+    Q("q_markov_transitions", Some(
+      """WITH seq AS (SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |trans AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*) AS n_trans
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  (n_trans * 1000000) //
+        |    SUM(n_trans) OVER (PARTITION BY from_type) AS prob_ppm
+        |FROM trans ORDER BY from_type, to_type""".stripMargin)) {
+      (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = ev(s, dir)
+        .select(col("event_type").as("from_type"),
+          lead("event_type", 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_trans"))
+      trans
+        .withColumn("prob_ppm", expr("(n_trans * 1000000) div " +
+          "sum(n_trans) over (partition by from_type)"))
+        .orderBy("from_type", "to_type")
     })
 }

@@ -142,6 +142,39 @@ object Relational {
         .limit(20)
     },
 
+    // ---- TPC-H Q18 shape: large-volume orders. The classic
+    //      HAVING-subquery form re-joins raw lineitem and re-aggregates;
+    //      here the per-order quantity aggregate is computed ONCE and
+    //      joined directly (one row per qualifying order, so the second
+    //      aggregate is provably redundant). Scale: one keyed lineitem
+    //      aggregate, the >threshold survivor set is a tiny fraction
+    //      (p99.9 of order volume), and AQE broadcast-joins it against
+    //      orders/customer from runtime stats. ----
+    Q("q18_large_orders", Some(
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING SUM(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin)) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      big
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    },
+
     // ---- data profiler: per-column null and distinct counts over
     //      orders in ONE pass (one expand aggregate — the multi-column
     //      distinct counts share a single scan and exchange), reshaped

@@ -113,6 +113,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q_data_profile" -> 2,              // ONE expand aggregate for all
                                         // six distinct counts
                                         // (partial + final)
+    "q18_large_orders" -> 1,            // ONE per-order aggregate; the
+                                        // tiny survivor set broadcasts
+                                        // into orders/customer, top-100
+                                        // is TakeOrdered
+    "q_markov_transitions" -> 4,        // user-sequence window exchange
+                                        // + transition agg; the
+                                        // normalize window + sort run on
+                                        // the ≤|types|² (25-row) tail
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

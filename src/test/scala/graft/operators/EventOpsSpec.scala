@@ -252,4 +252,21 @@ class EventOpsSpec extends SparkSpec {
       if (r.getInt(4) == 3) assert(!r.isNullAt(3))
     }
   }
+
+  test("q_markov_transitions: transition mass conserves (sum = events - " +
+      "users) and per-row probabilities floor-sum to one million") {
+    val rows = run("q_markov_transitions").collect()
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+    // floor-division ppm: each row loses < 1 ppm, so a from_type with t
+    // targets sums into (1e6 - t, 1e6]
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ppm = rs.map(_.getLong(3)).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"ppm mass $ppm over ${rs.length} targets")
+    }
+  }
 }
