@@ -686,6 +686,49 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // ---- upper-triangle covariance matrix (the PCA/whitening Gram
+    //      pass, MLlib RowMatrix.computeCovariance's shape done
+    //      declaratively): each row expands to its d(d+1)/2 pairwise
+    //      products via a NESTED transform lambda — a narrow projection
+    //      — and partial hash-aggregation folds them map-side, so the
+    //      only exchange carries 2 080 groups no matter the corpus
+    //      size. The naive alternative (unnest + self-join on vec_id)
+    //      shuffles 64× the corpus; this plan shuffles O(d²) rows
+    //      total. Mean-centering needs no second pass and no join:
+    //      every (i,j) group sees each row exactly once, so SUM(xi)
+    //      within the group IS the corpus dim-sum — the products and
+    //      both centering sums ride ONE aggregate. Accumulation order
+    //      is engine-specific → display rounding, same contract as
+    //      emb_dim_stats. ----
+    Q("emb_covariance", Some(
+      """WITH u AS (SELECT vec_id,
+        |             CAST(generate_subscripts(embedding, 1) - 1
+        |               AS INTEGER) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings)
+        |SELECT a.i AS di, b.i AS dj,
+        |  ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+        |    / (COUNT(*) - 1), 4) AS cov_r
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY di, dj""".stripMargin)) { (s, dir) =>
+      Tables.spread(emb(s, dir))
+        .select(explode(flatten(expr(
+          """transform(sequence(0, size(embedding) - 1), i ->
+            |  transform(sequence(i, size(embedding) - 1), j ->
+            |    struct(cast(i as int) as di, cast(j as int) as dj,
+            |      cast(element_at(embedding, i + 1) as double) as xi,
+            |      cast(element_at(embedding, j + 1) as double) as xj)))"""
+            .stripMargin))).as("p"))
+        .groupBy(col("p.di").as("di"), col("p.dj").as("dj"))
+        .agg(sum(col("p.xi") * col("p.xj")).as("sxy"),
+          sum("p.xi").as("sxi"), sum("p.xj").as("sxj"),
+          count(lit(1)).as("n"))
+        .select(col("di"), col("dj"),
+          round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
+            (col("n") - 1), 4).as("cov_r"))
+        .orderBy("di", "dj")
+    },
+
     // Per-dimension corpus statistics (the feature-normalization /
     // whitening pre-pass): one explode + one 64-group aggregate. min/max
     // are elementwise-exact; mean/std accumulate in engine-specific order

@@ -113,6 +113,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q_data_profile" -> 2,              // ONE expand aggregate for all
                                         // six distinct counts
                                         // (partial + final)
+    "emb_covariance" -> 3,              // spread + ONE pair aggregate
+                                        // (products and both centering
+                                        // sums together; d² groups) +
+                                        // output sort — no join, no
+                                        // second corpus pass
     "q18_large_orders" -> 1,            // ONE per-order aggregate; the
                                         // tiny survivor set broadcasts
                                         // into orders/customer, top-100

@@ -342,4 +342,26 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.1, f"ADC mean recall@5 $mean%.2f below floor")
   }
+
+  test("emb_covariance: full 2080-entry driver replay within rounding " +
+      "tolerance; diagonal non-negative") {
+    val got = graft.SparkEntry.queries("emb_covariance")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    assert(got.size == d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      val cov = (sxy - si * sj / n) / (n - 1)
+      assert(math.abs(got((i, j)) - cov) < 5.1e-5,
+        s"cov($i,$j): got ${got((i, j))}, replay $cov")
+      if (i == j) assert(got((i, j)) >= 0, s"negative variance at $i")
+    }
+  }
 }
