@@ -113,6 +113,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style (MassiveText) document-quality rule flags over a
+    * (doc_id, text) frame: the published rule FAMILY — word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, distinct-
+    * stopword presence — with thresholds tuned to the synthetic corpus
+    * so every rule discriminates (the paper's 50..100k word bound would
+    * pass/fail this corpus wholesale). Every comparison is an integer
+    * cross-multiplication and the reported mean word length is an exact
+    * scaled-integer floor division — no float anywhere, so the oracle
+    * hash-matches cell-exact. Complements [[qualityScore]] (ratio
+    * diagnostics) with the rule-gate form an LLM corpus filter actually
+    * applies; the repetition-family rules live in `text_repetition`. */
+  def gopherRules(df: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    // total word characters: doc length minus the single spaces between
+    // words (the corpus is single-space separated — see text_quality's
+    // identical mean_tok_len derivation)
+    val wordChars = nChars - (nWords - lit(1))
+    val nSym = matches(col("text"), "#|\\.\\.\\.")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+    val nStopDistinct = stops
+      .map(w => when(col("text").rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val gWords = nWords >= 20 && nWords <= 80
+    val gWlen = wordChars * 100 >= nWords * 300 &&
+      wordChars * 100 <= nWords * 1000
+    val gSym = nSym * 10 <= nWords
+    val gStop = nStopDistinct >= 2
+    df.select(
+      col("doc_id"),
+      nWords.cast("int").as("n_words"),
+      floor(wordChars * 100 / nWords).cast("long").as("wlen_x100"),
+      nSym.cast("int").as("n_sym"),
+      nStopDistinct.cast("int").as("n_stop_distinct"),
+      gWords.as("g_words"), gWlen.as("g_wlen"), gSym.as("g_sym"),
+      gStop.as("g_stop"),
+      (gWords && gWlen && gSym && gStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-derived stopword strip over a (doc_id, text) frame: drop
     * every token whose document frequency reaches `num/den` of the
     * corpus (integer threshold — df·den ≥ n_docs·num) and reassemble
@@ -313,6 +353,42 @@ object TextAnalysis {
         |     LENGTH(text) < 0.1) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       qualityScore(docs(s, dir))
+    },
+
+    // ---- Gopher-style rule gate (see gopherRules): narrow per-row
+    //      projection, no shuffle but the output sort ----
+    Q("text_gopher_rules", Some(
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS n_words,
+        |    LENGTH(text) - (len(string_split_regex(text, '\s+')) - 1)
+        |      AS word_chars,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+        |    (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0
+        |       END
+        |     + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bin\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bis\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0
+        |       END) AS n_stop_distinct
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  CAST(word_chars * 100 // n_words AS BIGINT) AS wlen_x100,
+        |  CAST(n_sym AS INTEGER) AS n_sym,
+        |  CAST(n_stop_distinct AS INTEGER) AS n_stop_distinct,
+        |  (n_words BETWEEN 20 AND 80) AS g_words,
+        |  (word_chars * 100 >= n_words * 300
+        |   AND word_chars * 100 <= n_words * 1000) AS g_wlen,
+        |  (n_sym * 10 <= n_words) AS g_sym,
+        |  (n_stop_distinct >= 2) AS g_stop,
+        |  ((n_words BETWEEN 20 AND 80)
+        |   AND word_chars * 100 >= n_words * 300
+        |   AND word_chars * 100 <= n_words * 1000
+        |   AND n_sym * 10 <= n_words AND n_stop_distinct >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      gopherRules(docs(s, dir))
     },
 
     // ---- end-to-end corpus cleaning: language filter -> quality filter
@@ -972,5 +1048,51 @@ object TextAnalysis {
         .groupBy("doc_id", "bucket")
         .agg(count(lit(1)).as("tf"))
         .orderBy("doc_id", "bucket")
+    },
+
+    // ---- DSIR-style data selection (Xie et al. 2023, "Data Selection
+    //      for Language Models via Importance Resampling"): hashed-
+    //      unigram importance weights. Target distribution = the lang
+    //      = 'en' slice; tokens hash into 256 buckets (the repo's
+    //      md5-60-bit scheme — DuckDB recomputes it exactly); bucket
+    //      weight = add-one-smoothed frequency ratio in 2^20 fixed
+    //      point (integer floor division — no logs, no float
+    //      accumulation); a document's importance is the exact integer
+    //      sum of its tokens' bucket weights. Two corpus passes by
+    //      design — the global bucket histogram must exist before any
+    //      document can be scored (caching the exploded token stream
+    //      would pin corpus-scale state for a 256-row result); both
+    //      passes are skew-immune: the histogram combines map-side into
+    //      ≤256 partials, the weight table broadcast-probes, and the
+    //      per-doc sum reuses the doc_id spread. ----
+    Q("pipeline_dsir_weights", Some(
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(unnest(
+        |      string_split_regex(text, '\s+'))), 1, 15) AS BIGINT) % 256
+        |      AS BIGINT) AS b
+        |  FROM documents),
+        |c AS (SELECT b, COUNT(*) AS nr,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        |  FROM t GROUP BY b),
+        |w AS (SELECT b, (nt + 1) * 1048576 // (nr + 1) AS w FROM c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(w) AS BIGINT) AS imp_weight
+        |FROM t JOIN w USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      def toks = Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            % 256).as("b"))
+      val weights = toks.groupBy("b")
+        .agg(count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        .select(col("b"),
+          expr("(nt + 1) * 1048576 div (nr + 1)").as("w"))
+      toks.join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("imp_weight"))
+        .orderBy("doc_id")
     })
 }

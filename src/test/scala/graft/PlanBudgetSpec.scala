@@ -113,6 +113,16 @@ class PlanBudgetSpec extends SparkSpec {
     "q_data_profile" -> 2,              // ONE expand aggregate for all
                                         // six distinct counts
                                         // (partial + final)
+    "text_gopher_rules" -> 1,           // narrow rule projection; only
+                                        // the output sort shuffles
+    "pipeline_dsir_weights" -> 4,       // two corpus passes by design
+                                        // (histogram, then score), each
+                                        // behind its own column-pruned
+                                        // spread + the 256-bucket
+                                        // histogram agg + sort; weight
+                                        // table broadcasts and the
+                                        // per-doc sum reuses the spread
+                                        // partitioning
     "emb_covariance" -> 3,              // spread + ONE pair aggregate
                                         // (products and both centering
                                         // sums together; d² groups) +

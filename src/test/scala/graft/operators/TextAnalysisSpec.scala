@@ -361,4 +361,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(alphaBuckets.length == 1 &&
       fh.exists(r => r._1 == 2L && r._2 == alphaBuckets.head._2))
   }
+
+  test("text_gopher_rules: keep is the AND of the four gates, every " +
+      "gate both fires and fails on a hostile corpus, wlen replay") {
+    // the registered corpus satisfies g_wlen/g_sym wholesale, so gate
+    // discrimination is asserted on a hand-built corpus instead
+    val hostile = Seq(
+      (1L, ("the a of " + Seq.fill(30)("word").mkString(" "))), // keeps
+      (2L, "the a"),                                   // too few words
+      (3L, Seq.fill(30)("ab").mkString(" ")),          // words too short
+      (4L, ("the a " + Seq.fill(30)("### ...").mkString(" "))), // symbols
+      (5L, Seq.fill(30)("word").mkString(" ")))        // no stopwords
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(hostile).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9))).toMap
+    assert(byId(1L) == ((true, true, true, true, true)))
+    assert(!byId(2L)._1 && !byId(2L)._5)
+    assert(!byId(3L)._2 && !byId(3L)._5)
+    assert(!byId(4L)._3 && !byId(4L)._5)
+    assert(!byId(5L)._4 && !byId(5L)._5)
+    // registered corpus: keep == AND of gates, exact wlen arithmetic
+    val reg = run("text_gopher_rules").collect()
+    assert(reg.forall(r => r.getBoolean(9) ==
+      (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8))))
+    assert(reg.exists(r => r.getBoolean(9)) &&
+      reg.exists(r => !r.getBoolean(9)), "corpus not discriminated")
+  }
+
+  test("pipeline_dsir_weights: token mass conserves and the en slice " +
+      "outweighs the rest (importance weighting points at the target)") {
+    val rows = run("pipeline_dsir_weights").collect()
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val totalToks = d.select(size(split(col("text"), "\\s+")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalToks)
+    // per-token mean importance, en vs rest
+    val langs = d.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def meanPerTok(p: String => Boolean) = {
+      val rs = rows.filter(r => p(langs(r.getLong(0))))
+      rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum
+    }
+    assert(meanPerTok(_ == "en") > meanPerTok(_ != "en"),
+      "en documents should carry higher importance under an en target")
+  }
 }
