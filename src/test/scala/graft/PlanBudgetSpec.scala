@@ -113,6 +113,14 @@ class PlanBudgetSpec extends SparkSpec {
     "q_data_profile" -> 2,              // ONE expand aggregate for all
                                         // six distinct counts
                                         // (partial + final)
+    "text_textrank_int" -> 8,           // corpus-scale: ONE pass (the
+                                        // cached edge build: spread +
+                                        // pair agg + wdeg agg + w1
+                                        // attach); then vocab-plane
+                                        // only: r0 distinct + one agg
+                                        // exchange per iteration ×3 —
+                                        // iterating never re-touches
+                                        // the corpus
     "text_gopher_rules" -> 1,           // narrow rule projection; only
                                         // the output sort shuffles
     "pipeline_dsir_weights" -> 4,       // two corpus passes by design
