@@ -917,5 +917,221 @@ object Relational {
           ((col("bucket") + 1) * lit(30000.0)).as("hi"),
           count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
         .orderBy("bucket")
+    },
+
+    // ---- TPC-H Q6 shape: single-table forecast-revenue filter + global
+    //      aggregate. The whole predicate reaches the parquet scan
+    //      (PushedFilters on shipdate/discount/quantity), partial sums
+    //      combine map-side, and one row crosses the final exchange.
+    //      Revenue is exact integer cents so summation order is moot. ----
+    Q("q6_forecast_revenue", Some(
+      s"""SELECT ${sqlMoneySum("l_extendedprice*l_discount")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin)) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // ---- TPC-H Q7 shape: cross-nation shipping volume between a named
+    //      nation pair, by ship year. The two nation lookups are the SAME
+    //      tiny broadcast table joined twice under different aliases (one
+    //      via supplier, one via customer); the big fact joins shuffle on
+    //      their keys; the pair filter prunes 623/625 nation combinations
+    //      before the fact rows ever widen. ----
+    Q("q7_nation_volume", Some(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         |  ${sqlMoneySum(revenue)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)) { (s, dir) =>
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- TPC-H Q13 shape: customer order-count distribution. A left
+    //      outer join (zero-order customers must survive with count 0),
+    //      then two cascading aggregates — the first keyed on c_custkey,
+    //      the second on the tiny count domain. COUNT(o_orderkey), not
+    //      COUNT(*): the null row of an orderless customer must not
+    //      count. ----
+    Q("q13_order_count_dist", Some(
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)) {
+      (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share. One part-keyed join
+    //      (part is a dimension — broadcast at any scale where it fits,
+    //      AQE decides), conditional + total sums in the same aggregate
+    //      (one scan), and the share reported in exact integer parts-per-
+    //      million via BIGINT div so neither engine's float division
+    //      order matters. ----
+    Q("q14_promo_revenue", Some(
+      s"""SELECT
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(ROUND(($revenue)*100) AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS promo_cents,
+         |  CAST(SUM(CAST(ROUND(($revenue)*100) AS BIGINT)) AS BIGINT)
+         |    AS total_cents,
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST(ROUND(($revenue)*100) AS BIGINT) ELSE 0 END)
+         |    * 1000000 // SUM(CAST(ROUND(($revenue)*100) AS BIGINT))
+         |    AS BIGINT) AS promo_ppm
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)) {
+      (s, dir) =>
+      val cts = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-09-01") &&
+          col("l_shipdate") < lit("1996-10-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cts).otherwise(0L))
+            .as("promo_cents"),
+          sum(cts).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          expr("promo_cents * 1000000 DIV total_cents").as("promo_ppm"))
+    },
+
+    // ---- TPC-H Q17 shape: small-quantity revenue for one brand. The
+    //      per-part average-quantity "correlated subquery" is ONE keyed
+    //      aggregate over lineitem joined back to the fact (AQE
+    //      broadcasts the 2k-part aggregate); the 0.2×avg comparison is
+    //      rearranged to integer cross-multiplication (5·n·qty < sum) so
+    //      no division ulp can flip a boundary row in either engine. ----
+    Q("q17_small_qty_revenue", Some(
+      s"""WITH a AS (SELECT l_partkey AS a_partkey,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+         |    COUNT(*) AS n FROM lineitem GROUP BY l_partkey)
+         |SELECT ${sqlMoneySum("l_extendedprice")} AS small_qty_revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN a ON l_partkey = a_partkey
+         |WHERE p_brand = 'Brand#23'
+         |  AND CAST(l_quantity AS BIGINT) * 5 * n < qty_sum""".stripMargin)) {
+      (s, dir) =>
+      val line = t(s, dir, "lineitem")
+      val avgQ = line.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+          count(lit(1)).as("n"))
+      line
+        .join(t(s, dir, "part").where(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity").cast("long") * 5 * col("n") < col("qty_sum"))
+        .agg(moneySum(col("l_extendedprice")).as("small_qty_revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ---- TPC-H Q19 shape: disjunctive brand/size/quantity predicates.
+    //      Catalyst can't push the OR-of-ANDs below the join, but the
+    //      common bounds (size ≤ 15, quantity ≤ 30) ARE pushed to both
+    //      scans as weaker conjuncts; the join stays a plain partkey
+    //      equijoin with the residual disjunction as a post-join filter. ----
+    Q("q19_disjunct_revenue", Some(
+      s"""SELECT ${sqlMoneySum(revenue)} AS revenue, COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin)) { (s, dir) =>
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#15" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      t(s, dir, "lineitem").where(col("l_quantity").between(1, 30))
+        .join(t(s, dir, "part").where(col("p_size").between(1, 15)),
+          col("l_partkey") === col("p_partkey"))
+        .where(branch1 || branch2 || branch3)
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // ---- TPC-H Q22 shape: well-funded customers gone idle. The
+    //      above-average-balance threshold is an uncorrelated scalar
+    //      aggregate in exact integer cents (// both sides), the
+    //      "no recent orders" is a left-anti join against the date-pruned
+    //      order scan, and the report groups by nation (the schema has no
+    //      phone country code). Negative balances: ROUND is half-away-
+    //      from-zero in both engines and binary doubles never land on an
+    //      exact half, so cents stay bit-identical. ----
+    Q("q22_idle_customers", Some(
+      """WITH bal AS (SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))
+        |      // COUNT(*) AS avg_cents
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM customer
+        |WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) >
+        |    (SELECT avg_cents FROM bal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      // Exact integer division (DIV), not double division + truncate — a
+      // double quotient one ulp under an integer would shift the
+      // threshold by a cent against DuckDB's //.
+      val avgCents = cust.where(col("c_acctbal") > 0.0)
+        .agg(sum(cents(col("c_acctbal"))).as("s"), count(lit(1)).as("cnt"))
+        .select(expr("s DIV cnt").as("avg_cents"))
+        .collect()(0).getLong(0)
+      cust
+        .where(cents(col("c_acctbal")) > avgCents)
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).cast("long").as("total_cents"))
+        .orderBy("c_nationkey")
     })
 }
