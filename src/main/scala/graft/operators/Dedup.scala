@@ -834,5 +834,51 @@ object Dedup {
     // 128-bit xxhash64 flavor above stays the no-oracle scale path).
     Q("dedup_simhash_md5", Some(sqlSimhashMd5(maxId = 300, maxHamming = 3))) {
       (s, dir) => simhash60Md5Pairs(docs(s, dir), maxId = 300)
+    },
+
+    // ---- cross-source vocabulary overlap matrix: exact token-set
+    //      Jaccard between every source pair (the corpus-composition
+    //      diagnostic run before choosing mix weights — near-identical
+    //      sources are mix-weight double counting). Shape at scale: the
+    //      distinct (source, token) set is vocabulary-sized, not
+    //      corpus-sized; the token self-join's per-key fan-out is
+    //      bounded by S^2 where S = number of SOURCES (a token in every
+    //      source meets S rows), so no Zipf key can explode it — the
+    //      hot-key bound is structural, unlike the doc-keyed token
+    //      joins that need salting. Jaccard reported in exact integer
+    //      ppm (BIGINT DIV), no float division. ----
+    Q("dedup_source_overlap", Some(
+      """WITH st AS (SELECT DISTINCT source, tok FROM (
+        |        SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        |        FROM documents)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        COUNT(*) AS inter
+        |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CAST(inter * 1000000 // (na.n + nb.n - inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM i JOIN sz na ON src_a = na.source
+        |       JOIN sz nb ON src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin)) { (s, dir) =>
+      val st = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = st.select(col("source").as("src_a"), col("tok"))
+        .join(st.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          col("n_a"), col("n_b"),
+          expr("inter * 1000000 DIV (n_a + n_b - inter)").as("jaccard_ppm"))
+        .orderBy("src_a", "src_b")
     })
 }

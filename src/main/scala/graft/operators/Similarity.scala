@@ -787,5 +787,133 @@ object Similarity {
             (col("x") - col("xmin")) / (col("xmax") - col("xmin")) * 255)
             .otherwise(0d) + 0.5).cast("int").as("q"))
         .orderBy("vec_id", "dim")
+    },
+
+    // ---- dominant principal direction by POWER ITERATION on the
+    //      integer plane (the PCA/whitening top component a corpus
+    //      pipeline extracts before projection pruning). The heavy
+    //      distributed step is the uncentered Gram matrix M = sum q qᵀ —
+    //      ONE corpus aggregate with dim² fan-out per row (the
+    //      emb_covariance discipline); the 3 unrolled iterations then
+    //      act on metadata-sized frames (dim² matrix × dim vector) with
+    //      one bounded driver sync per iteration for the rescale
+    //      denominator — the MLlib driver-sync shape, like
+    //      trainCentroids. Every step is integer-exact: quantized
+    //      inputs, BIGINT matvec (|w| <= 64·1.4e8·2e6 < 2^63), and the
+    //      rescale divides |w| by d = max(maxabs // 1e6, 1) with the
+    //      sign reapplied OUTSIDE the division — Spark DIV truncates
+    //      toward zero while DuckDB // floors, so negative dividends
+    //      never touch either. ----
+    Q("emb_power_iteration_int", Some {
+      def iter(k: Int): String =
+        s"""w$k AS (SELECT di, CAST(SUM(m.m * v${k - 1}.v) AS BIGINT) AS w
+           |      FROM m JOIN v${k - 1} ON m.dj = v${k - 1}.dj GROUP BY di),
+           |d$k AS (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS d FROM w$k),
+           |v$k AS (SELECT di AS dj, CAST(CASE WHEN w < 0
+           |        THEN -((-w) // d) ELSE w // d END AS BIGINT) AS v
+           |      FROM w$k, d$k)""".stripMargin
+      s"""WITH u AS (SELECT vec_id,
+         |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+         |          AS BIGINT) AS q,
+         |        generate_subscripts(embedding, 1) - 1 AS i
+         |      FROM embeddings),
+         |m AS (SELECT a.i AS di, b.i AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS m
+         |      FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i AS dj, CAST(1000000 AS BIGINT) AS v FROM u),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT CAST(dj AS INTEGER) AS dim, v FROM v3 ORDER BY dim""".stripMargin
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val gram = Tables.spread(e)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(embedding) - 1), i ->
+            |  transform(sequence(0, size(embedding) - 1), j ->
+            |    struct(cast(i as int) as di, cast(j as int) as dj,
+            |      cast(floor(cast(element_at(embedding, i + 1) as double)
+            |        * 1000 + 0.5) as bigint) *
+            |      cast(floor(cast(element_at(embedding, j + 1) as double)
+            |        * 1000 + 0.5) as bigint) as p))))""".stripMargin))
+          .as("e"))
+        .groupBy(col("e.di").as("di"), col("e.dj").as("dj"))
+        .agg(sum(col("e.p")).as("m"))
+        .cache() // reused by all 3 iterations; metadata-sized (dim² rows)
+      val dim = e.select(size(col("embedding"))).first.getInt(0)
+      var v: DataFrame = s.range(dim)
+        .select(col("id").cast("int").as("dj"), lit(1000000L).as("v"))
+      for (_ <- 1 to 3) {
+        val w = gram.join(v, Seq("dj"))
+          .groupBy("di").agg(sum(col("m") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w")))).first.getLong(0)
+        val d = math.max(mx / 1000000L, 1L)
+        v = w.select(col("di").as("dj"), expr(
+          s"CAST(CASE WHEN w < 0 THEN -((-w) DIV $d) ELSE w DIV $d END" +
+            " AS BIGINT)").as("v"))
+      }
+      val out = v.select(col("dj").cast("int").as("dim"), col("v"))
+        .orderBy("dim")
+      out.count() // materialize before the cache is released
+      gram.unpersist(blocking = false)
+      out
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    //      dedup scoped to clusters. Cluster = the `label` column (the
+    //      engine-independent stand-in for a trained k-means partition,
+    //      same discipline as ann_ivf_int's fixed centroids); within a
+    //      cluster, a vector is dropped when a smaller-id cluster-mate
+    //      sits above the cosine gate (keep-min survivor rule, as
+    //      dedup_exact). The published algorithm's cost model is
+    //      preserved: candidate pairs come ONLY from a label equijoin —
+    //      per-cluster quadratic, never corpus-quadratic, and k grows
+    //      with the corpus so cluster size stays bounded. All math runs
+    //      on the integer-quantized plane: cos >= 0.35 is decided as
+    //      dot>0 AND dot^2 * 10000 >= 1225 * |a|^2 * |b|^2 — pure BIGINT
+    //      cross-multiplication, no sqrt, no division, no float fold
+    //      order (max |dot| ~ 1.8e7 keeps dot^2*10^4 < 2^63). The gate
+    //      sits at 0.35 because the seed-42 synthetic corpus tops out at
+    //      cos ~ 0.475 — no true near-dups exist to find. ----
+    Q("dedup_semantic_int", Some(
+      """WITH u AS (SELECT vec_id, label,
+        |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+        |          AS BIGINT) AS q,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS nsq
+        |      FROM u GROUP BY vec_id),
+        |d AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |        CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |      FROM u a JOIN u b ON a.label = b.label AND a.i = b.i
+        |        AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2, 3),
+        |f AS (SELECT d.label, a_id, b_id, dot FROM d
+        |      JOIN n na ON a_id = na.vec_id
+        |      JOIN n nb ON b_id = nb.vec_id
+        |      WHERE dot > 0 AND dot*dot*10000 >= 1225*na.nsq*nb.nsq)
+        |SELECT label, b_id AS drop_id, MIN(a_id) AS keeper_id,
+        |  ARG_MIN(dot, a_id) AS dot_keeper
+        |FROM f GROUP BY 1, 2 ORDER BY drop_id""".stripMargin)) { (s, dir) =>
+      val q = emb(s, dir).select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
+            .as("qv"))
+        .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      val a = q.select(col("label"), col("vec_id").as("a_id"),
+        col("qv").as("qa"), col("nsq").as("na"))
+      val b = q.select(col("label"), col("vec_id").as("b_id"),
+        col("qv").as("qb"), col("nsq").as("nb"))
+      a.join(b, Seq("label")).where(col("a_id") < col("b_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .where(col("dot") > 0 &&
+          col("dot") * col("dot") * lit(10000L) >=
+            lit(1225L) * col("na") * col("nb"))
+        .groupBy("label", "b_id")
+        .agg(min("a_id").as("keeper_id"),
+          min_by(col("dot"), col("a_id")).as("dot_keeper"))
+        .select(col("label"), col("b_id").as("drop_id"),
+          col("keeper_id"), col("dot_keeper"))
+        .orderBy("drop_id")
     })
 }

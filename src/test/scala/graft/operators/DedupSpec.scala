@@ -280,4 +280,31 @@ class DedupSpec extends SparkSpec {
     assert(ids.contains(1L), "min-id survivor must stay")
     assert(Set(5L, 6L, 7L, 8L, 9L).subsetOf(ids), "distinct docs stay")
   }
+
+  test("dedup_source_overlap: exact replay of the pairwise token-set " +
+      "Jaccard matrix; every source pair present exactly once") {
+    val got = graft.SparkEntry.queries("dedup_source_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sets = graft.Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        // split limit -1: Spark/DuckDB regex-split semantics (trailing
+        // empties kept), matching the query's tokenization exactly
+        src -> rows.flatMap(_._2.split("\\s+", -1)).toSet
+      }
+    val srcs = sets.keys.toSeq.sorted
+    val expect = (for {
+      (a, ia) <- srcs.zipWithIndex; b <- srcs.drop(ia + 1)
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+      na = sets(a).size.toLong; nb = sets(b).size.toLong
+    } yield (a, b) ->
+      (inter, na, nb, inter * 1000000L / (na + nb - inter))).toMap
+    assert(got == expect)
+    // on this corpus every source pair shares at least one token, so
+    // the matrix is the full C(S,2)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+  }
 }

@@ -364,4 +364,60 @@ class SimilaritySpec extends SparkSpec {
       if (i == j) assert(got((i, j)) >= 0, s"negative variance at $i")
     }
   }
+
+  /** Quantized plane shared by the power-iteration and SemDeDup replays:
+    * q = floor(x*1000 + 0.5) as Long — the exact arithmetic both queries
+    * and their DuckDB mirrors use. */
+  private def quantized(dir: String): Array[(Long, Int, Array[Long])] =
+    graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x =>
+          math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+
+  test("emb_power_iteration_int: exact Long replay of the Gram aggregate " +
+      "and all 3 driver-synced rescale iterations") {
+    val got = graft.SparkEntry.queries("emb_power_iteration_int")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val vecs = quantized(sfDir).map(_._3)
+    val d = vecs.head.length
+    val m = Array.ofDim[Long](d, d)
+    for (v <- vecs; i <- 0 until d; j <- 0 until d) m(i)(j) += v(i) * v(j)
+    var vec = Array.fill(d)(1000000L)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * vec(j)).sum)
+      val div = math.max(w.map(math.abs).max / 1000000L, 1L)
+      // Long / truncates toward zero, matching both DIV spellings
+      vec = w.map(x => if (x < 0) -((-x) / div) else x / div)
+    }
+    assert(got.size == d)
+    for (i <- 0 until d)
+      assert(got(i) == vec(i), s"dim $i: got ${got(i)}, replay ${vec(i)}")
+  }
+
+  test("dedup_semantic_int: exact replay of the within-cluster cosine " +
+      "gate and keep-min survivor rule; drops never cross labels") {
+    val got = graft.SparkEntry.queries("dedup_semantic_int")(spark, sf01Dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val byLabel = quantized(sf01Dir).groupBy(_._2)
+    val expect = scala.collection.mutable.Map[(Int, Long), (Long, Long)]()
+    for ((label, vs) <- byLabel; Array((ida, _, qa), (idb, _, qb)) <-
+        vs.sortBy(_._1).combinations(2)) {
+      val dot = (0 until qa.length).map(i => qa(i) * qb(i)).sum
+      val nsq = (q: Array[Long]) => q.map(x => x * x).sum
+      if (dot > 0 && dot * dot * 10000L >= 1225L * nsq(qa) * nsq(qb)) {
+        val cur = expect.get((label, idb))
+        if (cur.forall(_._1 > ida)) expect((label, idb)) = (ida, dot)
+      }
+    }
+    assert(got == expect.toMap,
+      s"got=${got.toSeq.sorted} expect=${expect.toSeq.sorted}")
+    // every (drop, keeper) shares a label by construction of the key —
+    // and a drop must never also be a keeper of a SMALLER id (keep-min
+    // consistency: keepers are the cluster-local minima of their pairs)
+    for (((_, dropId), (keeperId, _)) <- got)
+      assert(keeperId < dropId, s"keeper $keeperId !< drop $dropId")
+  }
 }
