@@ -679,8 +679,9 @@ object EventOps {
         |    COUNT(*) AS n_trans
         |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_trans,
-        |  (n_trans * 1000000) //
-        |    SUM(n_trans) OVER (PARTITION BY from_type) AS prob_ppm
+        |  CAST((n_trans * 1000000) //
+        |    SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS prob_ppm
         |FROM trans ORDER BY from_type, to_type""".stripMargin)) {
       (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

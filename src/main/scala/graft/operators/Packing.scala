@@ -188,15 +188,15 @@ object Packing {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,
-      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-      |      AS tok_start
+      |      AS BIGINT) AS tok_start
       |  FROM t)
       |SELECT doc_id, n_tokens, tok_start,
-      |  tok_start // $SeqLen AS chunk_first,
-      |  (tok_start + n_tokens - 1) // $SeqLen AS chunk_last,
-      |  (tok_start + n_tokens - 1) // $SeqLen - tok_start // $SeqLen + 1
-      |    AS n_chunks
+      |  CAST(tok_start // $SeqLen AS BIGINT) AS chunk_first,
+      |  CAST((tok_start + n_tokens - 1) // $SeqLen AS BIGINT) AS chunk_last,
+      |  CAST((tok_start + n_tokens - 1) // $SeqLen
+      |    - tok_start // $SeqLen + 1 AS BIGINT) AS n_chunks
       |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       packSequences(docs(s, dir)).orderBy("doc_id")
     },

@@ -420,7 +420,8 @@ object Similarity {
        |        CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
        |      FROM q JOIN c ON q.m = c.m AND q.j = c.j
        |      GROUP BY q.qid, q.m, c.code),
-       |s AS (SELECT lut.qid, codes.vec_id, SUM(lut.d) AS adist
+       |s AS (SELECT lut.qid, codes.vec_id,
+       |        CAST(SUM(lut.d) AS BIGINT) AS adist
        |      FROM codes JOIN lut ON codes.m = lut.m
        |        AND codes.code = lut.code
        |      WHERE lut.qid <> codes.vec_id GROUP BY qid, vec_id),
@@ -699,7 +700,11 @@ object Similarity {
     //      within the group IS the corpus dim-sum — the products and
     //      both centering sums ride ONE aggregate. Accumulation order
     //      is engine-specific → display rounding, same contract as
-    //      emb_dim_stats. ----
+    //      emb_dim_stats. Both sides add `+ 0.0` after the rounding:
+    //      DuckDB's ROUND preserves IEEE sign on a tiny negative input
+    //      (ROUND(-1e-9, 4) = -0.0) while Spark's round goes through
+    //      BigDecimal, which has no signed zero — `+ 0.0` collapses
+    //      -0.0 to +0.0 on both engines so the bit-hash agrees. ----
     Q("emb_covariance", Some(
       """WITH u AS (SELECT vec_id,
         |             CAST(generate_subscripts(embedding, 1) - 1
@@ -708,7 +713,7 @@ object Similarity {
         |           FROM embeddings)
         |SELECT a.i AS di, b.i AS dj,
         |  ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
-        |    / (COUNT(*) - 1), 4) AS cov_r
+        |    / (COUNT(*) - 1), 4) + 0.0 AS cov_r
         |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i ORDER BY di, dj""".stripMargin)) { (s, dir) =>
       Tables.spread(emb(s, dir))
@@ -724,8 +729,8 @@ object Similarity {
           sum("p.xi").as("sxi"), sum("p.xj").as("sxj"),
           count(lit(1)).as("n"))
         .select(col("di"), col("dj"),
-          round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
-            (col("n") - 1), 4).as("cov_r"))
+          (round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
+            (col("n") - 1), 4) + lit(0.0)).as("cov_r"))
         .orderBy("di", "dj")
     },
 

@@ -3,10 +3,24 @@
 DuckDB over the sf tables, load the Verify parquet output, sort columns by
 name + rows by all columns, and compare values exactly.
 
+STRICT MODE (round 8, after the round-7 postmortem): the old checker
+coerced cells through float() and compared with ==, which is structurally
+blind to (a) dtype drift — DuckDB promoting a BIGINT sum to HUGEINT
+(pandas object dtype) while Spark writes int64 — and (b) IEEE signed zero
+(-0.0 == +0.0 but hashes differently). Both bit the driver's typed-bits
+hash in round 7 while this gate said green. Now:
+
+  * per-column dtype equality is required between oracle and result frames;
+  * any `object`-dtype oracle column (the pandas signature of HUGEINT /
+    DECIMAL / mixed cells) fails outright with a "CAST the oracle" hint;
+  * floats compare by their little-endian IEEE-754 bit pattern
+    (struct.pack): any NaN pair is equal, but -0.0 != +0.0.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -23,14 +37,14 @@ def canon(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(fa) and math.isnan(fb):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb
+        # Bitwise: distinguishes -0.0 from +0.0, exactly like the
+        # driver's typed-bits hash.
+        return struct.pack('<d', a) == struct.pack('<d', b)
+    if isinstance(a, float) != isinstance(b, float):
+        return False  # dtype drift inside an object column
     return a == b
 
 
@@ -64,6 +78,27 @@ def main(sf_dir, out_dir):
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != oracle "
                   f"{list(exp.columns)}")
+            failures += 1
+            continue
+        # Dtype strictness: an object-dtype oracle column means DuckDB
+        # produced HUGEINT/DECIMAL (or mixed) cells — the driver's hash
+        # will disagree with Spark's int64/float64 even when values are
+        # numerically equal. Fail loudly with the fix.
+        bad_dtype = [c for c in exp.columns if str(exp[c].dtype) == "object"
+                     and not all(isinstance(v, (str, bytes, list, dict,
+                                                type(None)))
+                                 for v in exp[c].head(50))]
+        if bad_dtype:
+            print(f"FAIL {name}: oracle columns {bad_dtype} are object-"
+                  f"dtype (HUGEINT/DECIMAL?) — CAST them in the oracle SQL")
+            failures += 1
+            continue
+        dt_mismatch = [(c, str(got[c].dtype), str(exp[c].dtype))
+                       for c in exp.columns
+                       if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt_mismatch:
+            print(f"FAIL {name}: dtype mismatch (col, spark, oracle): "
+                  f"{dt_mismatch}")
             failures += 1
             continue
         if len(exp) != len(got):
