@@ -904,7 +904,8 @@ object Relational {
          |  CAST(FLOOR((o_totalprice - 0) * 20 / 600000.0) AS BIGINT)
          |    AS bucket, o_totalprice
          |  FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 600000)
-         |SELECT bucket, bucket * 30000.0 AS lo, (bucket+1) * 30000.0 AS hi,
+         |SELECT bucket, CAST(bucket * 30000.0 AS DOUBLE) AS lo,
+         |  CAST((bucket+1) * 30000.0 AS DOUBLE) AS hi,
          |  COUNT(*) AS n, ${sqlMoneySum("o_totalprice")} AS sum_price
          |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, dir) =>
       val bucket = floor((col("o_totalprice") - lit(0)) * lit(20)
