@@ -430,6 +430,128 @@ object Similarity {
        |SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rnk
        |FROM t WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
+  /** IVF-PQ: the index structure an actual 100 TB ANN deployment runs —
+    * [[ivfTopKTrained]]'s coarse cell pruning composed with
+    * [[pqEncode]]'s compressed-domain ADC scan. Build side (once per
+    * index): every corpus vector gets its nearest coarse cell (argmax
+    * dot on the literal centroid matrix — a narrow projection, zero
+    * shuffle) and its `m` PQ codes (broadcast codebook join + one
+    * (vec_id, m) aggregate); the two are joined on vec_id into the
+    * cell-partitioned code list — THE stored index, one corpus-keyed
+    * exchange, built once and amortized over every query at scale.
+    * Query side: probe the `nprobe` best cells (broadcast), ADC-scan
+    * only those cells' codes via the broadcast (qid, m, code) → d LUT,
+    * and rank through the salted two-phase [[Sampling.partialTopK]] —
+    * no query ever windows the whole corpus on one task, and no
+    * exchange in the query path scales with anything but the probed
+    * fraction. `queries`/`corpus`/`codebook` are `embeddings`-shaped
+    * ((vec_id, embedding) / (code, m, cv)); `cents` is the trained (or
+    * twin) coarse matrix. */
+  def ivfPqAdcTopK(queries: DataFrame, corpus: DataFrame,
+      cents: Seq[Seq[Double]], codebook: DataFrame, k: Int,
+      nprobe: Int = 4, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val cm = typedLit(cents)
+    def cellDots(v: Column): Column = transform(cm, c => dot(c, v))
+    // corpus cell assignment: argmax dot, first-max/lowest-cell ties —
+    // identical discipline to ivfTopKTrained so the two indexes agree
+    def bestCell(v: Column): Column = {
+      val dots = cellDots(v)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val asn = withVec(corpus)
+      .select(col("vec_id"), bestCell(col("v")).as("cell"))
+    val codes = pqEncode(corpus, codebook, m, subDim)
+      .select(col("vec_id"), col("m"), col("code"))
+    // the stored index: cell-tagged code rows (vec_id, cell, m, code)
+    val index = codes.join(asn, Seq("vec_id"))
+    // query probes: nprobe best cells, (cdot desc, cell) rank — cell asc
+    // tie-break keeps exact-tie integer dots engine-deterministic
+    val q0 = withVec(queries)
+      .select(col("vec_id").as("qid"),
+        posexplode(cellDots(col("v"))).as(Seq("cell", "cdot")))
+    val wq = Window.partitionBy("qid").orderBy(col("cdot").desc, col("cell"))
+    val probes = q0.withColumn("cr", row_number().over(wq))
+      .where(col("cr") <= nprobe).select("qid", "cell")
+    // per-query subspace LUT: ||q_sub - cv||² for all (m, code)
+    val lut = queries
+      .select(col("vec_id").as("qid"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
+      .select(col("qid"), col("m"),
+        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("qid"), col("m"), col("code").cast("long").as("code"),
+        expr("cast(aggregate(zip_with(sv, cv, (a, b) -> (a-b)*(a-b))," +
+          " 0D, (acc, x) -> acc + x) as long)").as("d"))
+    val sums = index.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adist"))
+    val survivors = Sampling.partialTopK(sums, "qid",
+      Seq(col("adist"), col("vec_id")), k, Sampling.FanOut,
+      saltCol = col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    survivors.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Generated DuckDB mirror of the FULL [[ivfPqAdcTopK]] algebra under
+    * the deterministic twin indexes ([[sqlIvfInt]]'s first-`cells`
+    * centroids, [[sqlPqInt]]'s first-`cb` codebook): corpus cell
+    * assignment, PQ encode, the query's `nprobe` cell probes, the probed-
+    * cell candidate equijoin, the 8-add LUT distance, and the (adist,
+    * vec_id) rank. All-integer sums — no accumulation-order drift. */
+  private def sqlIvfPqInt(cells: Int, cb: Int, m: Int, subDim: Int,
+      nprobe: Int, k: Int): String =
+    s"""WITH u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS DOUBLE) AS x,
+       |        generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings),
+       |cc AS (SELECT vec_id AS cid, x, i FROM u WHERE vec_id < $cells),
+       |ad AS (SELECT cc.cid, u.vec_id AS vid, SUM(cc.x * u.x) AS dot
+       |      FROM cc JOIN u ON cc.i = u.i GROUP BY cid, vid),
+       |asn AS (SELECT vid, cell FROM (
+       |      SELECT vid, cid AS cell, ROW_NUMBER() OVER (PARTITION BY vid
+       |        ORDER BY dot DESC, cid) AS rk FROM ad) WHERE rk = 1),
+       |qp AS (SELECT vid AS qid, cell FROM (
+       |      SELECT vid, cid AS cell, ROW_NUMBER() OVER (PARTITION BY vid
+       |        ORDER BY dot DESC, cid) AS rk FROM ad WHERE vid % 50 = 0)
+       |      WHERE rk <= $nprobe),
+       |v AS (SELECT vec_id, (i-1) // $subDim AS m, (i-1) % $subDim AS j, x
+       |      FROM u),
+       |cbk AS (SELECT vec_id AS code, (i-1) // $subDim AS m,
+       |        (i-1) % $subDim AS j, x
+       |      FROM u WHERE vec_id < $cb),
+       |dd AS (SELECT v.vec_id, v.m, cbk.code,
+       |        CAST(SUM((v.x - cbk.x) * (v.x - cbk.x)) AS BIGINT) AS dist
+       |      FROM v JOIN cbk ON v.m = cbk.m AND v.j = cbk.j
+       |      GROUP BY v.vec_id, v.m, cbk.code),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist, code) AS rk FROM dd) WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, m, j, x FROM v WHERE vec_id % 50 = 0),
+       |lut AS (SELECT q.qid, q.m, cbk.code,
+       |        CAST(SUM((q.x - cbk.x) * (q.x - cbk.x)) AS BIGINT) AS d
+       |      FROM q JOIN cbk ON q.m = cbk.m AND q.j = cbk.j
+       |      GROUP BY q.qid, q.m, cbk.code),
+       |cand AS (SELECT qp.qid, asn.vid FROM qp
+       |      JOIN asn ON asn.cell = qp.cell
+       |      WHERE asn.vid <> qp.qid),
+       |s AS (SELECT cand.qid, cand.vid AS vec_id,
+       |        CAST(SUM(lut.d) AS BIGINT) AS adist
+       |      FROM cand JOIN codes ON codes.vec_id = cand.vid
+       |        JOIN lut ON lut.qid = cand.qid AND lut.m = codes.m
+       |          AND lut.code = codes.code
+       |      GROUP BY cand.qid, cand.vid),
+       |t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adist, vec_id) AS rnk FROM s)
+       |SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rnk
+       |FROM t WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
   /** Shared oracle scaffolding: per-(vec,index) unnest with exact double
     * math, mirroring the Spark `zip_with`/`aggregate` fold. */
   private def sqlUnnest(filter: String): String =
@@ -582,6 +704,33 @@ object Similarity {
         .select(col("qid"), col("vec_id"), col("adist"),
           col("rnk").cast("int").as("rnk"))
         .orderBy("qid", "rnk")
+    },
+
+    // IVF-PQ — the r7-verdict task 7 composition and the index an
+    // actual 100 TB ANN deployment runs: ann_ivf_int's coarse cells
+    // prune the corpus to the nprobe probed cells, ann_pq_adc_int's
+    // compressed-domain LUT scan ranks only those cells' codes. Both
+    // twin indexes are the deterministic matrices their standalone
+    // queries pin (first-8 centroids, first-16 codebook), so the full
+    // composed algebra — assign, encode, probe, prune, ADC, rank — is
+    // hash-matched end-to-end against one generated DuckDB mirror.
+    // SimilaritySpec adds the recall floor vs exact int-plane L2 and
+    // pins that pruning really prunes (candidates < corpus).
+    Q("ann_ivfpq_int", Some(sqlIvfPqInt(cells = 8, cb = 16, m = 8,
+      subDim = 8, nprobe = 3, k = 5))) { (s, dir) =>
+      val cents = centroidCache.computeIfAbsent(s"$dir#int8",
+        _ => quantized1000(emb(s, dir)).where(col("vec_id") < 8)
+          .orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+      val eq = quantized1000(emb(s, dir))
+      // codebook on its OWN read (shared-fragment caveat at ann_ivf_int)
+      val cbk = quantized1000(emb(s, dir)).where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("code"), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as("cv"))
+      ivfPqAdcTopK(eq.where(col("vec_id") % 50 === 0), eq, cents, cbk,
+        k = 5, nprobe = 3)
     },
 
     // Cosine near-duplicate pairs over a deterministic subset; with

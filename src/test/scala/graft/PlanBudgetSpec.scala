@@ -144,6 +144,24 @@ class PlanBudgetSpec extends SparkSpec {
                                         // + transition agg; the
                                         // normalize window + sort run on
                                         // the ≤|types|² (25-row) tail
+    // ---- round-8 additions ----
+    "text_bpe_merges" -> 1,             // the 8 sequential vocab-plane
+                                        // merge aggregates are bounded
+                                        // driver syncs at CONSTRUCTION
+                                        // (memoized per dir); the
+                                        // returned plan is the merge
+                                        // table + output sort only
+    "dedup_source_overlap" -> 4,        // vocab-plane distinct (spread
+                                        // reused) + per-source sets +
+                                        // the S²-bounded pair agg + sort
+    "ann_ivfpq_int" -> 6,               // encode agg + the index join's
+                                        // vec_id co-partition (2) +
+                                        // probed-cell candidate sum +
+                                        // salted partial top-K + final
+                                        // rank/sort; probes and LUT
+                                        // broadcast — nothing in the
+                                        // query path scales past the
+                                        // probed fraction
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

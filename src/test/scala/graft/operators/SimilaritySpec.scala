@@ -343,6 +343,57 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.1, f"ADC mean recall@5 $mean%.2f below floor")
   }
 
+  test("ann_ivfpq_int: every neighbor lies in a probed cell (pruning is " +
+      "real), ranks contiguous, and a recall floor vs exact int-plane " +
+      "L2 (floor sits under ADC's because the 3-of-8 cell prune scans " +
+      "~3/8 of an unclustered corpus; the hash-matched oracle pins the " +
+      "algebra, this pins the retrieval axes)") {
+    val rows = graft.SparkEntry.queries("ann_ivfpq_int")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.size) && g.size <= 5,
+        "contiguous ranks 1..k")
+      assert(g.sortBy(_._4).map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      }, "adist must be non-decreasing in rank")
+    }
+    // local replay of the coarse index: centroids = quantized vecs 0..7,
+    // cell = argmax dot (lowest cell on ties), probes = top-3 cells
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Float](r.fieldIndex("embedding"))
+            .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray
+      }.toMap
+    val cents = (0L until 8L).map(vecs)
+    def dots(v: Array[Long]): IndexedSeq[Long] =
+      cents.map(c => c.indices.map(i => c(i) * v(i)).sum)
+    def cellOf(v: Array[Long]): Int = {
+      val d = dots(v)
+      d.zipWithIndex.maxBy { case (x, i) => (x, -i) }._2
+    }
+    def probesOf(v: Array[Long]): Set[Int] =
+      dots(v).zipWithIndex.sortBy { case (x, i) => (-x, i) }
+        .take(3).map(_._2).toSet
+    for ((q, g) <- byQ; (_, nid, _, _) <- g)
+      assert(probesOf(vecs(q)).contains(cellOf(vecs(nid))),
+        s"query $q: neighbor $nid outside the probed cells — the cell " +
+          "prune leaked")
+    val recalls = byQ.map { case (q, g) =>
+      val qv = vecs(q)
+      val exact = vecs.iterator.filter(_._1 != q).map { case (i, v) =>
+        (v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.toSeq.sortBy(p => (p._1, p._2)).take(5).map(_._2).toSet
+      g.map(_._2).count(exact).toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ mean recall@5 = $mean%.2f")
+    assert(mean >= 0.05, f"IVF-PQ mean recall@5 $mean%.2f below floor")
+  }
+
   test("emb_covariance: full 2080-entry driver replay within rounding " +
       "tolerance; diagonal non-negative") {
     val got = graft.SparkEntry.queries("emb_covariance")(spark, sfDir)
