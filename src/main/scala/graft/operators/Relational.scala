@@ -1134,5 +1134,161 @@ object Relational {
         .agg(count(lit(1)).as("numcust"),
           sum(cents(col("c_acctbal"))).cast("long").as("total_cents"))
         .orderBy("c_nationkey")
+    },
+
+    // ---- TPC-H Q4 shape: order-priority count gated on EXISTS — the
+    //      decorrelation benchmark. "Late" is adapted to the reduced
+    //      schema (no commit/receipt dates): a lineitem shipped > 30
+    //      days after its order date. The EXISTS becomes a left-semi
+    //      join with a non-equi residual; both date filters reach the
+    //      scans, and the semi join shuffles on the order key only. ----
+    Q("q4_priority_late", Some(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
+      (s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- TPC-H Q8 shape: market share — the supplier-nation slice of
+    //      regional revenue per year, in exact integer ppm (the q14
+    //      convention: both engines divide the same exact cent sums, so
+    //      no float share ever crosses the hash). Nation joined TWICE
+    //      under aliases (customer side routes region membership,
+    //      supplier side routes the share predicate); both dims + region
+    //      broadcast. One wide join tree → one 2-group aggregate. ----
+    Q("q8_market_share", Some {
+      val cts = s"CAST(ROUND(($revenue)*100) AS BIGINT)"
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN $cts ELSE 0 END)
+         |    AS BIGINT) AS nation_cents,
+         |  CAST(SUM($cts) AS BIGINT) AS total_cents,
+         |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN $cts ELSE 0 END)
+         |    * 1000000 // SUM($cts) AS BIGINT) AS share_ppm
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin }) { (s, dir) =>
+      val cts = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val cn = broadcast(t(s, dir, "nation")).as("cn")
+      val sn = broadcast(t(s, dir, "nation")).as("sn")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("cn.n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("sn.n_name") === "NATION_3", cts).otherwise(0L))
+            .as("nation_cents"),
+          sum(cts).as("total_cents"))
+        .select(col("o_year"), col("nation_cents"), col("total_cents"),
+          expr("nation_cents * 1000000 DIV total_cents").as("share_ppm"))
+        .orderBy("o_year")
+    },
+
+    // ---- TPC-H Q15 shape: top supplier by quarterly revenue via the
+    //      revenue "view" + scalar-max subquery. The view is one keyed
+    //      cent aggregate; the scalar max rides back as a broadcast
+    //      1-row join (no driver sync), and the equality compare runs
+    //      on exact BIGINT cents so ties reproduce identically. ----
+    Q("q15_top_supplier", Some {
+      val cts = s"CAST(ROUND(($revenue)*100) AS BIGINT)"
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST(SUM($cts) AS BIGINT) AS total_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_cents,
+         |  total_cents/100.0 AS total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin }) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_cents"))
+      val mx = rev.agg(max("total_cents").as("mx"))
+      rev.join(broadcast(mx), col("total_cents") === col("mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"),
+          (col("total_cents") / lit(100.0)).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    //      orders. The classic form is EXISTS + NOT-EXISTS on the same
+    //      fact; here both correlations collapse into ONE per-order
+    //      aggregate (distinct suppliers, distinct LATE suppliers, and
+    //      the late supplier's id when unique) — same answer, one
+    //      order-keyed exchange instead of two correlated re-scans, and
+    //      the shape AQE can't mis-plan. "Late" is the q4 adaptation
+    //      (> 60 days after order date). Top-10 is TakeOrdered. ----
+    Q("q21_waiting_supplier", Some(
+      """WITH ol AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per AS (SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM ol GROUP BY l_orderkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin)) { (s, dir) =>
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        .where(col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
     })
 }

@@ -73,6 +73,35 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(7L, 8L, 9L), s"survivors: $kept")
   }
 
+  test("crossCorpusPairs cache lifecycle: the harness clear-between-" +
+      "queries policy leaves zero pinned RDD blocks, and consecutive " +
+      "calls never accumulate cached signature frames") {
+    // the Scaladoc'd policy (Dedup.scala crossCorpusPairs) as an
+    // enforced contract, not a comment: each call pins its two
+    // signature frames; clearCache() must release BOTH, and a second
+    // call after a clear must not see (or grow) the first call's blocks
+    val old = corpus.where(col("doc_id").isin(1L, 3L, 5L, 6L))
+    val fresh = corpus.where(col("doc_id").isin(2L, 4L, 7L, 8L, 9L, 10L))
+    def cachedBlocks: Int =
+      spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    val base = cachedBlocks
+    assert(base == 0, s"test precondition: $base stale cached RDDs")
+    Dedup.crossCorpusPairs(fresh, old, 64, 16, 0.6).collect()
+    val afterFirst = cachedBlocks
+    assert(afterFirst > 0, "signature frames should be pinned mid-query")
+    spark.catalog.clearCache()
+    assert(cachedBlocks == 0,
+      "clearCache must release every signature cache of call 1")
+    Dedup.crossCorpusPairs(fresh, old, 64, 16, 0.6).collect()
+    assert(cachedBlocks <= afterFirst,
+      "a second call after a clear must not accumulate beyond one call's " +
+        "footprint")
+    spark.catalog.clearCache()
+    assert(cachedBlocks == 0,
+      "clearCache must release every signature cache of call 2")
+  }
+
   test("simhash pairs: identical docs at hamming 0; distinct docs never " +
       "pair at hamming <= 3") {
     val got = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
