@@ -157,6 +157,51 @@ object StreamOps {
       }
   }
 
+  final case class CdcEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class CdcState(valueCents: Long, lastUs: Long,
+      lastEventId: Long, op: String, nVersions: Long)
+  final case class CdcRow(user_id: Long, value_cents: Long, last_us: Long,
+      n_versions: Long)
+
+  /** Streaming twin of the batch `q_cdc_upsert` materialized view:
+    * last-writer-wins upsert state per key, with the refreshed row
+    * emitted in update mode whenever the key sees traffic. The
+    * (us, event_id) total order is EXACTLY the batch max_by struct
+    * ordering, so after any prefix of the stream the visible rows equal
+    * the batch query over the same rows — order of arrival and batch
+    * boundaries cannot change the answer (StreamOpsSpec pins parity on
+    * a shuffled multi-batch feed). A key whose LATEST version is an
+    * 'error' op is a tombstone: suppressed from output (the batch
+    * filter), state retained so a later non-error version resurfaces it
+    * with the full version count. State is one fixed-size record per
+    * key — the O(live keys) bound a CDC view needs; no timeout, because
+    * a materialized view's keys stay live for the stream's lifetime. */
+  def cdcStream(events: Dataset[CdcEv]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CdcEv], state: GroupState[CdcState]) =>
+          var st = state.getOption
+            .getOrElse(CdcState(0L, Long.MinValue, Long.MinValue, "", 0L))
+          for (e <- rows) {
+            val us = e.ts.getTime * 1000L
+            val newer = us > st.lastUs ||
+              (us == st.lastUs && e.event_id > st.lastEventId)
+            st =
+              if (newer) CdcState(math.round(e.value * 100), us,
+                e.event_id, e.event_type, st.nVersions + 1)
+              else st.copy(nVersions = st.nVersions + 1)
+          }
+          state.update(st)
+          if (st.op == "error") Iterator.empty
+          else Iterator.single(
+            CdcRow(user, st.valueCents, st.lastUs, st.nVersions))
+      }
+  }
+
   /** Stream-static enrichment: join each streaming event against a
     * static dimension table (broadcast — the dimension is loaded once
     * per micro-batch plan, no state store involved, unlike

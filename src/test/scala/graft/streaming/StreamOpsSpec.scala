@@ -399,4 +399,69 @@ class StreamOpsSpec extends SparkSpec {
       assert(stages == last.toMap, s"stream/batch divergence: $stages vs $last")
     } finally query.stop()
   }
+
+  test("cdcStream: last-writer-wins state matches the batch q_cdc_upsert " +
+      "aggregate over the same rows regardless of arrival order; error " +
+      "tombstones suppress then resurface") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.CdcEv]
+    val query = StreamOps.cdcStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1 arrives OUT of event-time order (CDC streams do): u1's
+      // older version lands second and must not win; u2's latest is an
+      // error → tombstoned; u3 single version
+      input.addData(
+        StreamOps.CdcEv(1, 11, ts("10:30"), "update", 3.50),
+        StreamOps.CdcEv(1, 10, ts("10:00"), "insert", 1.25),
+        StreamOps.CdcEv(2, 12, ts("10:10"), "insert", 2.00),
+        StreamOps.CdcEv(2, 13, ts("10:20"), "error", 9.99),
+        StreamOps.CdcEv(3, 14, ts("10:05"), "insert", 7.75))
+      query.processAllAvailable()
+      // batch 2: u2 resurfaces with a newer non-error version; u1 gets
+      // a same-ts higher-event_id writer (the struct tie-break)
+      input.addData(
+        StreamOps.CdcEv(2, 15, ts("11:00"), "update", 4.00),
+        StreamOps.CdcEv(1, 16, ts("10:30"), "update", 5.00))
+      query.processAllAvailable()
+      val visible = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.maxBy(_._4) } // latest emitted update per key
+      // u2 was tombstoned in batch 1: no visible row until batch 2
+      val batch1Users = spark.table("cdc").collect().map(_.getLong(0)).toSet
+      assert(batch1Users == Set(1L, 2L, 3L))
+      assert(visible(2L)._4 == 3L, "u2's version count survives the tombstone")
+
+      // batch parity: the q_cdc_upsert max_by aggregate over the same 7
+      // rows (any arrival order) must equal the stream's visible frame
+      val batchDf = Seq(
+        (1L, 11L, ts("10:30"), "update", 3.50),
+        (1L, 10L, ts("10:00"), "insert", 1.25),
+        (2L, 12L, ts("10:10"), "insert", 2.00),
+        (2L, 13L, ts("10:20"), "error", 9.99),
+        (3L, 14L, ts("10:05"), "insert", 7.75),
+        (2L, 15L, ts("11:00"), "update", 4.00),
+        (1L, 16L, ts("10:30"), "update", 5.00))
+        .toDF("user_id", "event_id", "tts", "event_type", "value")
+      val ord = struct(col("us"), col("event_id"))
+      val batch = batchDf
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          graft.Cols.cents(col("value")).as("value_cents"),
+          unix_micros(col("tts")).as("us"))
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), ord).as("op"),
+          max_by(col("value_cents"), ord).as("value_cents"),
+          max(col("us")).as("last_us"),
+          count(lit(1)).as("n_versions"))
+        .where(col("op") =!= "error")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(batch == visible.toMap,
+        s"stream/batch divergence: $batch vs $visible")
+    } finally query.stop()
+  }
 }
