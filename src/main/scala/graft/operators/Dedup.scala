@@ -880,5 +880,78 @@ object Dedup {
           col("n_a"), col("n_b"),
           expr("inter * 1000000 DIV (n_a + n_b - inter)").as("jaccard_ppm"))
         .orderBy("src_a", "src_b")
+    },
+
+    // ---- paragraph-level exact dedup (the C4/CCNet removal stage:
+    //      Raffel et al. 2020 §2.2 drop repeated spans corpus-wide;
+    //      CCNet dedups at paragraph granularity). A "paragraph" here
+    //      is a fixed 16-token window (the synthetic corpus carries no
+    //      sentence punctuation — same convention family as
+    //      text_chunks), and only the corpus-wide FIRST occurrence
+    //      (min (doc_id, pidx)) of each paragraph text survives; every
+    //      later copy — cross-doc boilerplate or intra-doc repetition —
+    //      is dropped. Winners come from ONE map-side-combinable
+    //      min-struct aggregate on the md5 key, never a corpus-wide
+    //      window; the winner-attach join rides hotSaltedJoin because a
+    //      boilerplate paragraph's occurrence count is unbounded while
+    //      its winner row is 1 — the aggregate-fed join shape AQE's
+    //      skew split structurally cannot cover (TokenJoinSkewSpec).
+    //      Output: per-doc paragraph counts + md5 of the surviving
+    //      reassembled text, NULL when nothing survives (both engines'
+    //      aggregate-over-no-rows convention). ----
+    Q("pipeline_paragraph_dedup", Some(
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+        |      FROM documents),
+        |g AS (SELECT doc_id, ts, unnest(generate_series(0,
+        |        CAST(CEIL(len(ts) / 16.0) AS BIGINT) - 1)) AS pidx
+        |      FROM toks),
+        |p AS (SELECT doc_id, CAST(pidx AS INTEGER) AS pidx,
+        |        array_to_string(
+        |          list_slice(ts, pidx * 16 + 1, pidx * 16 + 16), ' ')
+        |          AS ptext
+        |      FROM g),
+        |r AS (SELECT doc_id, pidx, ptext,
+        |        ROW_NUMBER() OVER (PARTITION BY ptext
+        |          ORDER BY doc_id, pidx) AS rn FROM p)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  md5(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
+        |    ORDER BY pidx)) AS kept_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val occ = Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(ts) / 16.0) as int) - 1),
+            |  g -> array_join(slice(ts, g * 16 + 1, 16), ' '))"""
+            .stripMargin)).as(Seq("pidx", "ptext")))
+        .withColumn("h", md5(col("ptext")))
+      // winners + occurrence counts in one keyed aggregate; cached —
+      // referenced by the grand total, the hot set, and the join's
+      // small side (clear-between-queries policy, as minhashPairs)
+      val win = occ.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pidx"))).as("w"),
+          count(lit(1)).as("occs"))
+        .cache()
+      val tot = win.agg(sum("occs").cast("long").as("__t"))
+      val hot = win.crossJoin(broadcast(tot))
+        .where(col("occs") >=
+          greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+            lit(Skew.MinHotCount)))
+        .select("h")
+      Skew.hotSaltedJoin(occ, win.select(col("h"), col("w")), "h", hot,
+          col("doc_id"))
+        .withColumn("kept",
+          col("w.doc_id") === col("doc_id") && col("w.pidx") === col("pidx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          expr("""md5(array_join(transform(
+            |  array_sort(collect_list(
+            |    case when kept then struct(pidx, ptext) end)),
+            |  s -> s.ptext), ' '))""".stripMargin).as("__md5"))
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          when(col("n_kept") > 0, col("__md5")).as("kept_md5"))
+        .orderBy("doc_id")
     })
 }

@@ -102,6 +102,35 @@ class DedupSpec extends SparkSpec {
       "clearCache must release every signature cache of call 2")
   }
 
+  test("pipeline_paragraph_dedup: exact driver replay of corpus-wide " +
+      "first-occurrence-wins over 16-token windows (cross-doc and " +
+      "intra-doc copies both drop; md5 of the reassembled survivors " +
+      "matches; NULL when nothing survives)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.SparkEntry.queries("pipeline_paragraph_dedup")(
+        spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    val docsL = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = docsL.map { case (id, text) =>
+      val paras = text.split("\\s+").grouped(16)
+        .map(_.mkString(" ")).toSeq
+      val kept = paras.filter(p => seen.add(p))
+      id -> ((paras.size.toLong, kept.size.toLong,
+        if (kept.isEmpty) null else md5hex(kept.mkString(" "))))
+    }.toMap
+    assert(got == expect)
+    // the dedup is real on this corpus: at least one paragraph must
+    // repeat (else the operator was exercised on an all-unique corpus)
+    assert(expect.values.map(_._1).sum > expect.values.map(_._2).sum,
+      "fixture has no duplicate paragraphs — replay proves nothing")
+  }
+
   test("simhash pairs: identical docs at hamming 0; distinct docs never " +
       "pair at hamming <= 3") {
     val got = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
