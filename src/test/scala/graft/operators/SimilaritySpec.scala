@@ -394,6 +394,42 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.05, f"IVF-PQ mean recall@5 $mean%.2f below floor")
   }
 
+  test("IVF-PQ with TRAINED coarse cells recovers cluster-mates on the " +
+      "clustered corpus (the deployed configuration: trained quantizer + " +
+      "the composed prune/ADC path; the _int twin pins the algebra, this " +
+      "pins retrieval with a real index)") {
+    val queryIds = (0 until 10).map(c => (c * 10).toLong)
+    val queries = clusteredDF.where(col("vec_id") % 10 === 0)
+    val cents = Similarity.trainCentroids(clusteredDF, k = 12, iters = 4,
+      dim = dim)
+    // codebook: first 16 corpus vectors split 4 subspaces x 4 dims (the
+    // untrained-codebook twin convention at this spec's dim = 16)
+    val cbk = clusteredDF.where(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(3))).as("m"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .select(col("code"), col("m"),
+        expr("slice(e, m * 4 + 1, 4)").as("cv"))
+    val got = Similarity.ivfPqAdcTopK(queries, clusteredDF, cents, cbk,
+        k = 5, nprobe = 3, m = 4, subDim = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    // ADC distances are approximate (PQ reconstruction error), so gate
+    // on cluster-mate recovery rather than exact top-5 identity: with
+    // tight clusters every true neighbor is a cluster-mate, and the
+    // trained cells must route query and mates to the same probe set
+    val recalls = queryIds.map { q =>
+      val mates = ((q / 10) * 10 until (q / 10) * 10 + 10)
+        .filter(_ != q).toSet
+      got.getOrElse(q, Set.empty).count(mates).toDouble /
+        math.min(5, mates.size)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"trained IVF-PQ cluster-mate recall@5 = $mean%.2f")
+    assert(mean >= 0.8, f"trained IVF-PQ recall $mean%.2f < 0.8 — the " +
+      "trained-cell + ADC composition stopped routing clusters together")
+  }
+
   test("emb_covariance: full 2080-entry driver replay within rounding " +
       "tolerance; diagonal non-negative") {
     val got = graft.SparkEntry.queries("emb_covariance")(spark, sfDir)
