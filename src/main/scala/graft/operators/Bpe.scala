@@ -232,6 +232,24 @@ object Bpe {
        |FROM t LEFT JOIN ws USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Generated DuckDB mirror of the FERTILITY query: learn CTEs, the
+    * per-word terminal symbol count, and the per-language word/symbol
+    * totals with the ratio in exact integer ppm. */
+  private def sqlBpeFertility(steps: Int): String =
+    s"""WITH ${sqlLearnCtes(steps)},
+       |ws AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+       |      FROM s$steps GROUP BY word),
+       |t AS (SELECT lang,
+       |        unnest(string_split_regex(text, '\\s+')) AS word
+       |      FROM documents)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(n_syms, 0)) AS BIGINT) AS n_syms,
+       |  CAST(SUM(COALESCE(n_syms, 0)) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM t LEFT JOIN ws USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- real BPE merge learning (8 steps) — the whole iterative
@@ -271,5 +289,30 @@ object Bpe {
           md5(array_join(transform(col("arrs"), a => array_join(a, " ")),
             " ")).as("bpe_fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- tokenizer fertility by language — BPE symbols emitted per
+    //      whitespace word, the metric a tokenizer team tracks when
+    //      sizing vocab/merge count (multilingual fairness audits read
+    //      exactly this table). Reuses the memoized merge table
+    //      (build-once, the tokenize discipline) and the same narrow
+    //      per-word fold; the only exchange is a ≤|langs|-group
+    //      aggregate. Ratio in exact integer ppm — no float division
+    //      near the hash. ----
+    Q("text_bpe_fertility", Some(sqlBpeFertility(steps = 8))) { (s, dir) =>
+      val merges = mergesCache.computeIfAbsent(s"$dir#8",
+        _ => learnMerges(
+          Tables.load(s, dir, "documents").select(col("text")), steps = 8))
+        .map(m => (m._2, m._3))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), split(col("text"), "\\s+").as("toks"))
+        .select(col("lang"), size(col("toks")).cast("long").as("nw"),
+          size(flatten(transform(col("toks"), w => applyFold(w, merges))))
+            .cast("long").as("ns"))
+        .groupBy("lang")
+        .agg(sum("nw").as("n_words"), sum("ns").as("n_syms"))
+        .select(col("lang"), col("n_words"), col("n_syms"),
+          expr("n_syms * 1000000 DIV n_words").as("fertility_ppm"))
+        .orderBy("lang")
     })
 }
