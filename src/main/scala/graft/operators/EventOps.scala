@@ -662,6 +662,43 @@ object EventOps {
         .orderBy("day")
     },
 
+    // ---- Spark's BUILT-IN session_window operator (the native
+    //      SessionWindow aggregation path — complementing q_sessionize's
+    //      hand-rolled lag/cumsum form, so both sessionization surfaces
+    //      an engine offers are oracle-pinned against the same classic
+    //      gaps-and-islands SQL). Merge semantics: an event extends the
+    //      session while its ts falls INSIDE [start, last + gap) — a gap
+    //      of exactly 30 min starts a new session — so the mirror breaks
+    //      on diff >= gap (q_sessionize's convention is > gap; both are
+    //      stated explicitly because the boundary differs). The plan
+    //      shuffles once on user_id; session end = last event + gap by
+    //      definition of the operator. ----
+    Q("q_session_window", Some(
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT user_id, us, LAG(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_us FROM e),
+        |b AS (SELECT user_id, us, CASE WHEN prev_us IS NULL
+        |        OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM l),
+        |s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id
+        |        ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM b)
+        |SELECT user_id, MIN(us) AS s_start_us,
+        |  MAX(us) + 1800000000 AS s_end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, s_start_us""".stripMargin)) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts").cast("timestamp"), "30 minutes")
+            .as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("s_start_us"),
+          unix_micros(col("sw.end")).as("s_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "s_start_us")
+    },
+
     // ---- first-order Markov transition matrix over per-user event
     //      sequences: what powers next-event prediction and anomalous-
     //      flow detection. lead() over the (user_id)-keyed sequence is
