@@ -145,6 +145,22 @@ class PlanBudgetSpec extends SparkSpec {
                                         // normalize window + sort run on
                                         // the ≤|types|² (25-row) tail
     // ---- round-8 additions ----
+    "pipeline_paragraph_dedup" -> 4,    // paragraph explode spread +
+                                        // winner agg (cached) + salted
+                                        // winner attach + per-doc
+                                        // rebuild agg reusing the
+                                        // spread + sort
+    "q_session_window" -> 2,            // native SessionWindow agg on
+                                        // one user_id exchange + sort
+    "text_bpe_fertility" -> 2,          // |langs|-group agg + sort; the
+                                        // merge fold is a compiled
+                                        // constant, no join
+    "q8_market_share" -> 2,             // year agg + sort; all dims
+                                        // broadcast, facts join on the
+                                        // scan partitioning under AQE
+    "q21_waiting_supplier" -> 3,        // order-keyed join + per-order
+                                        // distinct agg; supplier
+                                        // broadcast; top-10 TakeOrdered
     "text_bpe_merges" -> 1,             // the 8 sequential vocab-plane
                                         // merge aggregates are bounded
                                         // driver syncs at CONSTRUCTION

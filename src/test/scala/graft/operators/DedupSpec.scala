@@ -84,21 +84,25 @@ class DedupSpec extends SparkSpec {
     val fresh = corpus.where(col("doc_id").isin(2L, 4L, 7L, 8L, 9L, 10L))
     def cachedBlocks: Int =
       spark.sparkContext.getPersistentRDDs.size
+    // delta-based, not absolute-zero: the shared test session may carry
+    // pinned blocks from OTHER operators' by-design memoization (CC
+    // labels, merge tables) that clearCache legitimately leaves alone —
+    // the contract under test is that crossCorpusPairs' own caches are
+    // fully released, i.e. the count returns to baseline
     spark.catalog.clearCache()
     val base = cachedBlocks
-    assert(base == 0, s"test precondition: $base stale cached RDDs")
     Dedup.crossCorpusPairs(fresh, old, 64, 16, 0.6).collect()
     val afterFirst = cachedBlocks
-    assert(afterFirst > 0, "signature frames should be pinned mid-query")
+    assert(afterFirst > base, "signature frames should be pinned mid-query")
     spark.catalog.clearCache()
-    assert(cachedBlocks == 0,
+    assert(cachedBlocks <= base,
       "clearCache must release every signature cache of call 1")
     Dedup.crossCorpusPairs(fresh, old, 64, 16, 0.6).collect()
     assert(cachedBlocks <= afterFirst,
       "a second call after a clear must not accumulate beyond one call's " +
         "footprint")
     spark.catalog.clearCache()
-    assert(cachedBlocks == 0,
+    assert(cachedBlocks <= base,
       "clearCache must release every signature cache of call 2")
   }
 
