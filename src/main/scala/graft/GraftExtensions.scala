@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CommonPrefixLength, RollingHash64}
+import graft.functions.{ArrayDotProduct, ArrayEqCount, ArrayL2Sq,
+  CommonPrefixLength, RollingHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,5 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       exprs => RollingHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      exprs => ArrayDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("array_l2sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getName, "array_l2sq"),
+      exprs => ArrayL2Sq(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("array_eq_count"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
+      exprs => ArrayEqCount(exprs.head, exprs(1))))
   }
 }

@@ -182,8 +182,7 @@ object Dedup {
     * reason as [[bandBuckets]]. */
   private def estJaccard(sigA: String, sigB: String, numHashes: Int)
       : Column =
-    expr(s"size(filter(zip_with($sigA, $sigB, (x, y) -> x = y), v -> v)) " +
-      s"/ cast($numHashes as double)")
+    expr(s"array_eq_count($sigA, $sigB) / cast($numHashes as double)")
 
   def minhashPairs(d: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minEst: Double = 0.8,

@@ -50,10 +50,16 @@ object Similarity {
   private def withVec(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** Native codegen'd dot product ([[graft.functions.ArrayDotProduct]],
+    * r8): the zip_with+aggregate higher-order idiom this replaces is
+    * CodegenFallback — interpreted lambdas plus an allocated zipped
+    * array per pair — which dominated the candidate-scoring loops.
+    * Index-order arithmetic is identical, so every oracle hash is
+    * unchanged. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    call_function("array_dot", a, b)
 
   /** Exact cosine top-k of `corpus` for each row of `queries` (both shaped
     * like `embeddings`). Queries are broadcast; one corpus scan. */
@@ -358,11 +364,11 @@ object Similarity {
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col("embedding"))
       .select(col("vec_id"), col("m"),
-        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("sv"))
+        expr(s"transform(slice(embedding, m * $subDim + 1, $subDim), " +
+          "x -> cast(x as double))").as("sv"))
     v.join(broadcast(codebook), "m")
       .withColumn("dist",
-        expr("cast(aggregate(zip_with(sv, cv, (a, b) -> (a-b)*(a-b))," +
-          " 0D, (acc, x) -> acc + x) as long)"))
+        expr("cast(array_l2sq(sv, cv) as long)"))
       .groupBy("vec_id", "m")
       // lexicographic struct min = (min dist, then lowest code)
       .agg(min(struct(col("dist"), col("code"))).as("s"))
@@ -477,11 +483,11 @@ object Similarity {
       .select(col("vec_id").as("qid"),
         explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
       .select(col("qid"), col("m"),
-        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("sv"))
+        expr(s"transform(slice(embedding, m * $subDim + 1, $subDim), " +
+          "x -> cast(x as double))").as("sv"))
       .join(broadcast(codebook), Seq("m"))
       .select(col("qid"), col("m"), col("code").cast("long").as("code"),
-        expr("cast(aggregate(zip_with(sv, cv, (a, b) -> (a-b)*(a-b))," +
-          " 0D, (acc, x) -> acc + x) as long)").as("d"))
+        expr("cast(array_l2sq(sv, cv) as long)").as("d"))
     val sums = index.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("vec_id"))
       .join(broadcast(lut), Seq("qid", "m", "code"))
@@ -688,8 +694,7 @@ object Similarity {
           .select(col("code"), col("m"),
             expr("slice(embedding, m * 8 + 1, 8)").as("cv")), Seq("m"))
         .select(col("qid"), col("m"), col("code"),
-          expr("cast(aggregate(zip_with(sv, cv, (a, b) -> (a-b)*(a-b))," +
-            " 0D, (acc, x) -> acc + x) as long)").as("d"))
+          expr("cast(array_l2sq(sv, cv) as long)").as("d"))
       val sums = codes.join(broadcast(lut), Seq("m", "code"))
         .where(col("qid") =!= col("vec_id"))
         .groupBy("qid", "vec_id")
@@ -1052,14 +1057,13 @@ object Similarity {
           expr("transform(embedding, x -> " +
             "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
             .as("qv"))
-        .withColumn("nsq", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .withColumn("nsq", expr("array_dot(qv, qv)"))
       val a = q.select(col("label"), col("vec_id").as("a_id"),
         col("qv").as("qa"), col("nsq").as("na"))
       val b = q.select(col("label"), col("vec_id").as("b_id"),
         col("qv").as("qb"), col("nsq").as("nb"))
       a.join(b, Seq("label")).where(col("a_id") < col("b_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", expr("array_dot(qa, qb)"))
         .where(col("dot") > 0 &&
           col("dot") * col("dot") * lit(10000L) >=
             lit(1225L) * col("na") * col("nb"))
