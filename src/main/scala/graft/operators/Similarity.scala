@@ -985,20 +985,31 @@ object Similarity {
          |SELECT CAST(dj AS INTEGER) AS dim, v FROM v3 ORDER BY dim""".stripMargin
     }) { (s, dir) =>
       val e = emb(s, dir)
-      val gram = Tables.spread(e)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(embedding) - 1), i ->
-            |  transform(sequence(0, size(embedding) - 1), j ->
-            |    struct(cast(i as int) as di, cast(j as int) as dj,
-            |      cast(floor(cast(element_at(embedding, i + 1) as double)
-            |        * 1000 + 0.5) as bigint) *
-            |      cast(floor(cast(element_at(embedding, j + 1) as double)
-            |        * 1000 + 0.5) as bigint) as p))))""".stripMargin))
-          .as("e"))
-        .groupBy(col("e.di").as("di"), col("e.dj").as("dj"))
-        .agg(sum(col("e.p")).as("m"))
-        .cache() // reused by all 3 iterations; metadata-sized (dim² rows)
       val dim = e.select(size(col("embedding"))).first.getInt(0)
+      // Gram shape (r8 rework): quantize ONCE per row (the only lambda,
+      // 64 evals, behind a Generate boundary so CollapseProject can't
+      // re-inline it), explode only the ROW index di (dim rows per
+      // vector, not dim² structs), compute that row's dim products as
+      // codegen'd columns, and aggregate dim sums per di — the widest
+      // stage carries dim× fewer rows through the aggregate hash than
+      // the struct-explode form and every multiply stays in whole-stage
+      // codegen. The dim×dim unpivot back to (di, dj, m) happens on the
+      // metadata-sized aggregate output. Long addition is commutative,
+      // so cell values are bit-identical to the struct form.
+      val byDi = Tables.spread(e)
+        .select(expr("transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))").as("q"))
+        .select(col("q"), explode(sequence(lit(0), lit(dim - 1))).as("di"))
+        .select(col("di") +: (0 until dim).map(j =>
+          (element_at(col("q"), col("di") + 1) *
+            element_at(col("q"), lit(j + 1))).as(s"p$j")): _*)
+        .groupBy("di")
+        .agg(sum(col("p0")).as("m0"),
+          (1 until dim).map(j => sum(col(s"p$j")).as(s"m$j")): _*)
+      val gram = byDi
+        .select(col("di"), posexplode(
+          array((0 until dim).map(j => col(s"m$j")): _*)).as(Seq("dj", "m")))
+        .cache() // reused by all 3 iterations; metadata-sized (dim² rows)
       var v: DataFrame = s.range(dim)
         .select(col("id").cast("int").as("dj"), lit(1000000L).as("v"))
       for (_ <- 1 to 3) {
