@@ -240,6 +240,36 @@ object StreamOps {
       .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
   }
 
+  /** Stream-stream LEFT OUTER attribution: like [[clickPurchaseJoin]]
+    * but clicks with no purchase inside the window still emit —
+    * null-extended — once the watermark proves no match can arrive.
+    * This is the subtle half of streaming joins: the engine cannot emit
+    * an unmatched left row eagerly (a matching purchase might still
+    * come), so null-extended rows surface only after BOTH watermarks
+    * pass the click's join horizon, and per-side state stays bounded by
+    * the same horizon. The inner-join results stream immediately; the
+    * outer remainder arrives watermark-delayed — StreamOpsSpec pins
+    * exactly that two-phase emission. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Stateful sessionization: a new session starts when a user's gap
     * exceeds `gapMinutes`. Emits the running per-user totals on every
     * update (Update output mode). State is one tiny fixed-size record per

@@ -310,6 +310,48 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matched clicks emit immediately, " +
+      "unmatched clicks emit null-extended ONLY after the watermark " +
+      "proves no purchase can still arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Raw]
+    val purchases = MemoryStream[Raw]
+    val query = StreamOps.clickPurchaseLeftJoin(clicks.toDF(),
+        purchases.toDF(), withinMinutes = 30)
+      .writeStream.format("memory").queryName("attributed_left")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Raw(1, 10, ts("10:00"), "click", 0.0),  // will match
+        Raw(2, 11, ts("10:00"), "click", 0.0))  // never purchases
+      purchases.addData(Raw(1, 50, ts("10:20"), "purchase", 9.99))
+      query.processAllAvailable()
+      val phase1 = spark.table("attributed_left").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(phase1.contains((1L, 10L, 50L)),
+        s"matched pair must stream immediately: $phase1")
+      assert(!phase1.exists(_._1 == 2L),
+        "the unmatched click must NOT emit while a purchase could " +
+          s"still arrive inside its window: $phase1")
+      // advance BOTH watermarks past click 11's join horizon
+      clicks.addData(Raw(9, 98, ts("18:00"), "click", 0.0))
+      purchases.addData(Raw(9, 99, ts("18:00"), "purchase", 0.0))
+      query.processAllAvailable()
+      // one more nudge: outer results flush on the NEXT trigger after
+      // the watermark advances (state eviction happens end-of-batch)
+      clicks.addData(Raw(9, 96, ts("19:00"), "click", 0.0))
+      purchases.addData(Raw(9, 97, ts("19:00"), "purchase", 0.0))
+      query.processAllAvailable()
+      val phase2 = spark.table("attributed_left").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(phase2.contains((2L, 11L, -1L)),
+        s"watermark-expired unmatched click must emit null-extended: " +
+          s"$phase2")
+    } finally query.stop()
+  }
+
   test("sessionize: gap over threshold starts a new session; state " +
       "persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
