@@ -558,6 +558,86 @@ object Similarity {
        |SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rnk
        |FROM t WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
+  /** Embeddings quantized to BIGINT, floor(x*1000 + 0.5) — the Long twin
+    * of [[quantized1000]], shared by the power-iteration family. */
+  private def quantizedLong(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))").as("q"))
+
+  /** DuckDB CTE chain for the integer power iteration (u → Gram m → v0 →
+    * 3 rescaled iterations ending at v3) — shared by
+    * `emb_power_iteration_int` and `emb_project_top_int` so the two
+    * mirrors cannot diverge (the Bpe sqlLearnCtes discipline). */
+  private def sqlPowerCtes: String = {
+    def iter(k: Int): String =
+      s"""w$k AS (SELECT di, CAST(SUM(m.m * v${k - 1}.v) AS BIGINT) AS w
+         |      FROM m JOIN v${k - 1} ON m.dj = v${k - 1}.dj GROUP BY di),
+         |d$k AS (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS d FROM w$k),
+         |v$k AS (SELECT di AS dj, CAST(CASE WHEN w < 0
+         |        THEN -((-w) // d) ELSE w // d END AS BIGINT) AS v
+         |      FROM w$k, d$k)""".stripMargin
+    s"""u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS BIGINT) AS q,
+       |        generate_subscripts(embedding, 1) - 1 AS i
+       |      FROM embeddings),
+       |m AS (SELECT a.i AS di, b.i AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS m
+       |      FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i AS dj, CAST(1000000 AS BIGINT) AS v FROM u),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
+  /** The distributed power-iteration pipeline (see
+    * `emb_power_iteration_int`'s header comment for the scale shape):
+    * Gram via a row-index explode with codegen'd products (r8 — dim rows
+    * per vector through the aggregate hash, not dim² structs; Long
+    * addition is commutative so cells are bit-identical to the struct
+    * form), then 3 BIGINT matvec+rescale iterations with one bounded
+    * driver sync each. Returns the final (dim, v) vector — dim-sized. */
+  private def powerIterationRun(s: SparkSession, dir: String)
+      : Seq[(Int, Long)] = {
+    val e = emb(s, dir)
+    val dim = e.select(size(col("embedding"))).first.getInt(0)
+    val byDi = Tables.spread(e)
+      .select(expr("transform(embedding, x -> " +
+        "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))").as("q"))
+      .select(col("q"), explode(sequence(lit(0), lit(dim - 1))).as("di"))
+      .select(col("di") +: (0 until dim).map(j =>
+        (element_at(col("q"), col("di") + 1) *
+          element_at(col("q"), lit(j + 1))).as(s"p$j")): _*)
+      .groupBy("di")
+      .agg(sum(col("p0")).as("m0"),
+        (1 until dim).map(j => sum(col(s"p$j")).as(s"m$j")): _*)
+    val gram = byDi
+      .select(col("di"), posexplode(
+        array((0 until dim).map(j => col(s"m$j")): _*)).as(Seq("dj", "m")))
+      .cache() // reused by all 3 iterations; metadata-sized (dim² rows)
+    var v: DataFrame = s.range(dim)
+      .select(col("id").cast("int").as("dj"), lit(1000000L).as("v"))
+    for (_ <- 1 to 3) {
+      val w = gram.join(v, Seq("dj"))
+        .groupBy("di").agg(sum(col("m") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w")))).first.getLong(0)
+      val d = math.max(mx / 1000000L, 1L)
+      v = w.select(col("di").as("dj"), expr(
+        s"CAST(CASE WHEN w < 0 THEN -((-w) DIV $d) ELSE w DIV $d END" +
+          " AS BIGINT)").as("v"))
+    }
+    val rows = v.select(col("dj").cast("int"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    gram.unpersist(blocking = false)
+    rows
+  }
+
+  /** Memoized top direction per data dir for the APPLY-side query
+    * (`emb_project_top_int`) — build-once/apply-many, the centroidCache
+    * discipline; `emb_power_iteration_int` itself never reads this. */
+  private val powerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long)]]()
+
   /** Shared oracle scaffolding: per-(vec,index) unnest with exact double
     * math, mirroring the Spark `zip_with`/`aggregate` fold. */
   private def sqlUnnest(filter: String): String =
@@ -963,69 +1043,59 @@ object Similarity {
     //      sign reapplied OUTSIDE the division — Spark DIV truncates
     //      toward zero while DuckDB // floors, so negative dividends
     //      never touch either. ----
-    Q("emb_power_iteration_int", Some {
-      def iter(k: Int): String =
-        s"""w$k AS (SELECT di, CAST(SUM(m.m * v${k - 1}.v) AS BIGINT) AS w
-           |      FROM m JOIN v${k - 1} ON m.dj = v${k - 1}.dj GROUP BY di),
-           |d$k AS (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS d FROM w$k),
-           |v$k AS (SELECT di AS dj, CAST(CASE WHEN w < 0
-           |        THEN -((-w) // d) ELSE w // d END AS BIGINT) AS v
-           |      FROM w$k, d$k)""".stripMargin
-      s"""WITH u AS (SELECT vec_id,
-         |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
-         |          AS BIGINT) AS q,
-         |        generate_subscripts(embedding, 1) - 1 AS i
-         |      FROM embeddings),
-         |m AS (SELECT a.i AS di, b.i AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS m
-         |      FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         |v0 AS (SELECT DISTINCT i AS dj, CAST(1000000 AS BIGINT) AS v FROM u),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
-         |SELECT CAST(dj AS INTEGER) AS dim, v FROM v3 ORDER BY dim""".stripMargin
-    }) { (s, dir) =>
-      val e = emb(s, dir)
-      val dim = e.select(size(col("embedding"))).first.getInt(0)
-      // Gram shape (r8 rework): quantize ONCE per row (the only lambda,
-      // 64 evals, behind a Generate boundary so CollapseProject can't
-      // re-inline it), explode only the ROW index di (dim rows per
-      // vector, not dim² structs), compute that row's dim products as
-      // codegen'd columns, and aggregate dim sums per di — the widest
-      // stage carries dim× fewer rows through the aggregate hash than
-      // the struct-explode form and every multiply stays in whole-stage
-      // codegen. The dim×dim unpivot back to (di, dj, m) happens on the
-      // metadata-sized aggregate output. Long addition is commutative,
-      // so cell values are bit-identical to the struct form.
-      val byDi = Tables.spread(e)
-        .select(expr("transform(embedding, x -> " +
-          "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))").as("q"))
-        .select(col("q"), explode(sequence(lit(0), lit(dim - 1))).as("di"))
-        .select(col("di") +: (0 until dim).map(j =>
-          (element_at(col("q"), col("di") + 1) *
-            element_at(col("q"), lit(j + 1))).as(s"p$j")): _*)
-        .groupBy("di")
-        .agg(sum(col("p0")).as("m0"),
-          (1 until dim).map(j => sum(col(s"p$j")).as(s"m$j")): _*)
-      val gram = byDi
-        .select(col("di"), posexplode(
-          array((0 until dim).map(j => col(s"m$j")): _*)).as(Seq("dj", "m")))
-        .cache() // reused by all 3 iterations; metadata-sized (dim² rows)
-      var v: DataFrame = s.range(dim)
-        .select(col("id").cast("int").as("dj"), lit(1000000L).as("v"))
-      for (_ <- 1 to 3) {
-        val w = gram.join(v, Seq("dj"))
-          .groupBy("di").agg(sum(col("m") * col("v")).as("w"))
-        val mx = w.agg(max(abs(col("w")))).first.getLong(0)
-        val d = math.max(mx / 1000000L, 1L)
-        v = w.select(col("di").as("dj"), expr(
-          s"CAST(CASE WHEN w < 0 THEN -((-w) DIV $d) ELSE w DIV $d END" +
-            " AS BIGINT)").as("v"))
-      }
-      val out = v.select(col("dj").cast("int").as("dim"), col("v"))
-        .orderBy("dim")
-      out.count() // materialize before the cache is released
-      gram.unpersist(blocking = false)
-      out
+    Q("emb_power_iteration_int", Some(
+      s"""WITH $sqlPowerCtes
+         |SELECT CAST(dj AS INTEGER) AS dim, v FROM v3 ORDER BY dim"""
+        .stripMargin)) { (s, dir) =>
+      // NOT memoized, unlike emb_project_top_int's consumption of the
+      // same pipeline: THIS query's deliverable is the training itself,
+      // so the bench must time it honestly on every pass (the
+      // text_bpe_merges convention).
+      import s.implicits._
+      powerIterationRun(s, dir).toDF("dim", "v").orderBy("dim")
+    },
+
+    // ---- "all-but-the-top" projection (Mu & Viswanath 2018,
+    //      arXiv:1702.01417 — removing the dominant direction improves
+    //      embedding isotropy): every vector's projection onto the
+    //      power-iteration top direction, plus the residual components,
+    //      all BIGINT-exact. Division-free residual: with vv = v·v and
+    //      proj = q·v, the residual scaled by vv is
+    //      r_i·vv = q_i·vv − proj·v_i — exact integers (bounds: |q|≤4e3,
+    //      |v|≤2e6, vv≤64·4e12 ⇒ |q_i·vv| < 2^61), so no rounding ever
+    //      nears the hash. The top direction is memoized per dir
+    //      (build-once/apply-many, the ann_ivf centroid discipline —
+    //      honest-cost training stays emb_power_iteration_int's line);
+    //      the apply pass is ONE narrow corpus projection with the
+    //      dim-vector compiled in as a literal, exploded per dim for the
+    //      oracle-able output on the vec_id % 50 slice. ----
+    Q("emb_project_top_int", Some(
+      s"""WITH $sqlPowerCtes,
+         |vv AS (SELECT CAST(SUM(v*v) AS BIGINT) AS vv FROM v3),
+         |qq AS (SELECT vec_id, i AS dim, q FROM u WHERE vec_id % 50 = 0),
+         |pr AS (SELECT qq.vec_id, CAST(SUM(qq.q * v3.v) AS BIGINT) AS proj
+         |      FROM qq JOIN v3 ON qq.dim = v3.dj GROUP BY qq.vec_id)
+         |SELECT qq.vec_id, CAST(qq.dim AS INTEGER) AS dim, pr.proj,
+         |  CAST(qq.q * vv.vv - pr.proj * v3.v AS BIGINT) AS r_num
+         |FROM qq JOIN pr ON qq.vec_id = pr.vec_id
+         |  JOIN v3 ON qq.dim = v3.dj
+         |  CROSS JOIN vv
+         |ORDER BY qq.vec_id, dim""".stripMargin)) { (s, dir) =>
+      val vec = powerCache.computeIfAbsent(dir,
+        _ => powerIterationRun(s, dir))
+      val v = vec.sortBy(_._1).map(_._2)
+      val vv = v.map(x => x * x).sum
+      val vlit = typedLit(v)
+      quantizedLong(emb(s, dir))
+        .where(col("vec_id") % 50 === 0)
+        .withColumn("proj", call_function("array_dot", col("q"), vlit))
+        .select(col("vec_id"), col("proj"),
+          posexplode(col("q")).as(Seq("dim", "qi")))
+        .select(col("vec_id"), col("dim").cast("int").as("dim"),
+          col("proj"),
+          (col("qi") * lit(vv) -
+            col("proj") * element_at(vlit, col("dim") + 1)).as("r_num"))
+        .orderBy("vec_id", "dim")
     },
 
     // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

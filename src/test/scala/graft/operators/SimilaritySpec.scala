@@ -483,6 +483,31 @@ class SimilaritySpec extends SparkSpec {
       assert(got(i) == vec(i), s"dim $i: got ${got(i)}, replay ${vec(i)}")
   }
 
+  test("emb_project_top_int: the scaled residual is EXACTLY orthogonal " +
+      "to the top direction (sum r_num * v = 0 per vector, integer " +
+      "identity), and proj replays from the quantized plane") {
+    val rows = graft.SparkEntry.queries("emb_project_top_int")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val vdir = graft.SparkEntry.queries("emb_power_iteration_int")(
+        spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // orthogonality: r·v (scaled by vv) telescopes to vv·proj − proj·vv
+    rows.groupBy(_._1).foreach { case (vid, g) =>
+      val dotRv = g.map { case (_, d, _, rn) =>
+        BigInt(rn) * BigInt(vdir(d)) }.sum
+      assert(dotRv == 0, s"vec $vid: residual not orthogonal ($dotRv)")
+    }
+    // proj replay from raw embeddings
+    val vecs = quantized(sfDir).map(t => t._1 -> t._3).toMap
+    rows.groupBy(_._1).foreach { case (vid, g) =>
+      val q = vecs(vid)
+      val proj = q.indices.map(i => q(i) * vdir(i)).sum
+      assert(g.forall(_._3 == proj), s"vec $vid: proj mismatch")
+    }
+  }
+
   test("dedup_semantic_int: exact replay of the within-cluster cosine " +
       "gate and keep-min survivor rule; drops never cross labels") {
     val got = graft.SparkEntry.queries("dedup_semantic_int")(spark, sf01Dir)
