@@ -1094,5 +1094,71 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("w").as("imp_weight"))
         .orderBy("doc_id")
+    },
+
+    // ---- duplicated-span coverage (the RefinedWeb/SlimPajama dedup
+    //      diagnostic, and the target metric of exact-substring dedup à
+    //      la Lee et al. 2022 at window granularity): fraction of each
+    //      doc's tokens covered by an 8-token sliding window (stride 1)
+    //      whose text occurs MORE THAN ONCE corpus-wide — cross-doc
+    //      boilerplate and intra-doc repetition both count. Window
+    //      occurrence counts come from one md5-keyed aggregate; the
+    //      count attach rides hotSaltedJoin (a viral window's occurrence
+    //      list is unbounded against its 1-row count — the aggregate-fed
+    //      join AQE can't split); coverage = DISTINCT exploded positions
+    //      (the interval-union of overlapping dup windows, 8 rows per
+    //      dup window, never a per-doc sweep). Exact integer ppm. ----
+    Q("text_dup_spans", Some(
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+        |      FROM documents),
+        |w AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8))
+        |        AS p
+        |      FROM toks WHERE len(ts) >= 8),
+        |ww AS (SELECT doc_id, p,
+        |        md5(array_to_string(list_slice(ts, p + 1, p + 8), ' '))
+        |          AS h
+        |      FROM w),
+        |c AS (SELECT h, COUNT(*) AS n FROM ww GROUP BY h),
+        |dup AS (SELECT doc_id, p FROM ww JOIN c USING (h) WHERE c.n > 1),
+        |cov AS (SELECT DISTINCT doc_id,
+        |        unnest(generate_series(p, p + 7)) AS pos FROM dup),
+        |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |      FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |  COALESCE(nd.n_dup, 0) AS n_dup_tokens,
+        |  CAST(COALESCE(nd.n_dup, 0) * 1000000 // len(t.ts) AS BIGINT)
+        |    AS dup_ppm
+        |FROM toks t LEFT JOIN nd ON t.doc_id = nd.doc_id
+        |ORDER BY t.doc_id""".stripMargin)) { (s, dir) =>
+      val toks = Tables.spread(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      val ww = toks.where(size(col("ts")) >= 8)
+        .select(col("ts"),
+          col("doc_id"), explode(sequence(lit(0), size(col("ts")) - 8))
+            .as("p"))
+        .select(col("doc_id"), col("p"),
+          md5(array_join(expr("slice(ts, p + 1, 8)"), " ")).as("h"))
+      // occurrence counts: one map-side-combinable aggregate; cached —
+      // referenced by the grand total, the hot set, and the join's
+      // small side (clear-between-queries policy)
+      val cnt = ww.groupBy("h").agg(count(lit(1)).as("n")).cache()
+      val tot = cnt.agg(sum("n").cast("long").as("__t"))
+      val hot = cnt.crossJoin(broadcast(tot))
+        .where(col("n") >=
+          greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+            lit(Skew.MinHotCount)))
+        .select("h")
+      val nd = Skew.hotSaltedJoin(ww, cnt, "h", hot, col("doc_id"))
+        .where(col("n") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + 7)).as("pos"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+        .join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_tokens"),
+          expr("coalesce(n_dup, 0L) * 1000000 DIV n_tokens").as("dup_ppm"))
+        .orderBy("doc_id")
     })
 }

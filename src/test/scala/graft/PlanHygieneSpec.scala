@@ -38,7 +38,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_doc_keywords",       // two 1-row totals (hot cutoff + n_docs)
     "text_rare_ngram_index",   // one 1-row total (hot cutoff)
     "pipeline_curriculum_pack", // one min/max score-bounds row
-    "pipeline_paragraph_dedup") // one grand-total row (hot-key cutoff)
+    "pipeline_paragraph_dedup", // one grand-total row (hot-key cutoff)
+    "text_dup_spans")           // one grand-total row (hot-key cutoff)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

@@ -408,4 +408,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(meanPerTok(_ == "en") > meanPerTok(_ != "en"),
       "en documents should carry higher importance under an en target")
   }
+
+  test("text_dup_spans: exact driver replay of duplicated 8-token-window " +
+      "coverage (corpus-wide counts, interval union of overlapping " +
+      "windows); fixture actually contains duplicated spans") {
+    val got = run("text_dup_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docsL = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+"))
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+    for ((_, ts) <- docsL; p <- 0 to ts.length - 8)
+      counts(ts.slice(p, p + 8).mkString(" ")) += 1
+    val expect = docsL.map { case (id, ts) =>
+      val covered = (for {
+        p <- 0 to ts.length - 8
+        if counts(ts.slice(p, p + 8).mkString(" ")) > 1
+        pos <- p to p + 7
+      } yield pos).toSet
+      id -> ((ts.length.toLong, covered.size.toLong,
+        covered.size.toLong * 1000000L / ts.length))
+    }.toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._2 > 0),
+      "fixture has no duplicated spans — replay proves nothing")
+    assert(expect.values.exists(v => v._2 < v._1),
+      "every token duplicated — coverage union untested")
+  }
 }
