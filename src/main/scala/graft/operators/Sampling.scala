@@ -296,6 +296,38 @@ object Sampling {
         .orderBy("source")
     },
 
+    // ---- temperature-scaled sampling shares, alpha = 0.5 (the
+    //      multilingual upsampling of mBERT/XLM-R: share_l proportional
+    //      to n_l^alpha, boosting low-resource languages). Hash-exact
+    //      float discipline: SQRT is correctly rounded IEEE on both
+    //      engines, so the per-lang micro-unit floor(sqrt(n)*1e6) is
+    //      bit-deterministic, and the normalization runs on the BIGINT
+    //      micro-units (order-free SUM, integer DIV ppm) — the one
+    //      float op is per-row, never accumulated. Metadata-sized
+    //      throughout (one keyed count + a <=|langs|-row window). ----
+    Q("pipeline_mix_temperature", Some(
+      """WITH a AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |m AS (SELECT lang, n_docs,
+        |        CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS micro
+        |      FROM a)
+        |SELECT lang, n_docs, micro,
+        |  CAST(micro * 1000000 // (SELECT SUM(micro) FROM m) AS BIGINT)
+        |    AS share_ppm
+        |FROM m ORDER BY lang""".stripMargin)) { (s, dir) =>
+      val m = docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
+            .as("micro"))
+      val t = m.agg(sum("micro").cast("long").as("__t"))
+      m.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"), col("micro"),
+          expr("micro * 1000000 DIV __t").as("share_ppm"))
+        .orderBy("lang")
+    },
+
     // ---- exact per-language score quartiles (curriculum planner /
     //      quality-threshold input). The oracle states the semantics
     //      naively (rank-k value over a per-stratum window); the Spark

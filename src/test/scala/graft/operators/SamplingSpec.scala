@@ -227,4 +227,29 @@ class SamplingSpec extends SparkSpec {
     assert(splitSpread > 1,
       s"histogram median split must spread the hot stratum, got $splitSpread")
   }
+
+  test("pipeline_mix_temperature: alpha=0.5 boosts low-resource languages " +
+      "(per-doc share strictly higher for smaller langs), shares sum to " +
+      "~1e6, micro-units replay exactly") {
+    val rows = graft.SparkEntry.queries("pipeline_mix_temperature")(
+        spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length > 1)
+    rows.foreach { case (_, n, micro, _) =>
+      assert(micro == math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
+    val total = rows.map(_._3).sum
+    rows.foreach { case (_, _, micro, ppm) =>
+      assert(ppm == micro * 1000000L / total) }
+    // floor drift keeps the sum just under 1e6, never over
+    val sumPpm = rows.map(_._4).sum
+    assert(sumPpm <= 1000000L && sumPpm >= 1000000L - rows.length)
+    // temperature flattening: per-doc sampling mass decreases with size
+    val byN = rows.sortBy(_._2).toSeq
+    for (pair <- byN.sliding(2) if pair.size == 2 &&
+        pair(0)._2 < pair(1)._2) {
+      val (small, large) = (pair(0), pair(1))
+      assert(small._4.toDouble / small._2 > large._4.toDouble / large._2,
+        s"alpha=0.5 must favor ${small._1} per-doc over ${large._1}")
+    }
+  }
 }
