@@ -662,6 +662,54 @@ object EventOps {
         .orderBy("day")
     },
 
+    // ---- time-weighted average (the observability/finance aggregate:
+    //      a step-function value sampled at irregular times, averaged
+    //      by holding interval — arithmetic means over-weight bursts).
+    //      Exact integers end to end: value in cents, intervals in µs,
+    //      TWA = numerator DIV span (both BIGINT; |num| <= 1e4 cents ×
+    //      1.6e13 µs span << 2^63). lead() and the aggregate share ONE
+    //      user_id exchange; same-ts ties order by event_id so the
+    //      zero-weight assignment is engine-deterministic. Single-event
+    //      users (span 0) are excluded — no average exists. The bare
+    //      DIV is safe ONLY because value >= 0 in this schema (num >= 0,
+    //      so Spark's truncation and DuckDB's floor agree); a signed
+    //      value column would need the power-iteration sign-outside-
+    //      division pattern. ----
+    Q("q_time_weighted_avg", Some(
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT user_id, vc, us,
+        |    LEAD(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS nxt FROM e),
+        |a AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN nxt IS NOT NULL
+        |      THEN vc * (nxt - us) ELSE 0 END) AS BIGINT) AS num,
+        |    CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+        |    COUNT(*) AS n_events
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events, span_us,
+        |  CAST(num // span_us AS BIGINT) AS twa_cents
+        |FROM a WHERE span_us > 0 ORDER BY user_id""".stripMargin)) {
+      (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), tsUs.as("us"),
+          cents(col("value")).as("vc"))
+        .withColumn("nxt", lead("us", 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("nxt").isNotNull,
+            col("vc") * (col("nxt") - col("us"))).otherwise(0L))
+            .cast("long").as("num"),
+          (max("us") - min("us")).cast("long").as("span_us"),
+          count(lit(1)).as("n_events"))
+        .where(col("span_us") > 0)
+        .select(col("user_id"), col("n_events"), col("span_us"),
+          expr("num DIV span_us").as("twa_cents"))
+        .orderBy("user_id")
+    },
+
     // ---- Spark's BUILT-IN session_window operator (the native
     //      SessionWindow aggregation path — complementing q_sessionize's
     //      hand-rolled lag/cumsum form, so both sessionization surfaces

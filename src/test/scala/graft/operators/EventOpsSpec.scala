@@ -269,4 +269,33 @@ class EventOpsSpec extends SparkSpec {
         s"ppm mass $ppm over ${rs.length} targets")
     }
   }
+
+  test("q_time_weighted_avg: exact driver replay of the step-function " +
+      "hold; TWA bounded by the user's value range") {
+    val got = run("q_time_weighted_avg").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val evs = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = evs.groupBy(_._1).flatMap { case (uid, g) =>
+      val s = g.sortBy(e => (e._3, e._2))
+      val span = s.last._3 - s.head._3
+      if (span <= 0) None else {
+        val num = s.sliding(2).collect { case Array(a, b) =>
+          math.round(a._4 * 100) * (b._3 - a._3) }.sum
+        Some(uid -> ((s.length.toLong, span, num / span)))
+      }
+    }
+    assert(got == expect.toMap)
+    // the hold average must lie within the held values' cent range
+    for ((uid, (_, _, twa)) <- got) {
+      val vs = evs.filter(_._1 == uid).map(e => math.round(e._4 * 100))
+      assert(twa >= vs.min - 1 && twa <= vs.max,
+        s"user $uid: TWA $twa outside [${vs.min}, ${vs.max}]")
+    }
+  }
 }
