@@ -178,6 +178,21 @@ class PlanBudgetSpec extends SparkSpec {
                                         // broadcast — nothing in the
                                         // query path scales past the
                                         // probed fraction
+    "text_dup_spans" -> 7,              // window spread + count agg
+                                        // (cached) + salted attach +
+                                        // coverage distinct (2: partial
+                                        // + final) + doc agg + sort;
+                                        // only the spread, attach, and
+                                        // distinct carry corpus rows
+    "emb_project_top_int" -> 1,         // apply is ONE narrow projection
+                                        // (top direction is a literal);
+                                        // only the output sort shuffles
+                                        // — the training cost lives in
+                                        // emb_power_iteration_int
+    "q_time_weighted_avg" -> 2,         // lead window + aggregate share
+                                        // one user_id exchange, + sort
+    "pipeline_mix_temperature" -> 3,    // lang agg + |langs|-row total
+                                        // + sort — all metadata-sized
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window
