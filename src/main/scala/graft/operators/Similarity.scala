@@ -512,7 +512,16 @@ object Similarity {
     * vec_id) rank. All-integer sums — no accumulation-order drift. */
   private def sqlIvfPqInt(cells: Int, cb: Int, m: Int, subDim: Int,
       nprobe: Int, k: Int): String =
-    s"""WITH u AS (SELECT vec_id,
+    s"""WITH ${sqlIvfPqCtes(cells, cb, m, subDim, nprobe)}
+       |SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rnk
+       |FROM t WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** The [[sqlIvfPqInt]] CTE chain up to the ranked ADC candidates `t`
+    * — shared with the rerank mirror so the two cannot diverge (the
+    * sqlPowerCtes discipline). */
+  private def sqlIvfPqCtes(cells: Int, cb: Int, m: Int, subDim: Int,
+      nprobe: Int): String =
+    s"""u AS (SELECT vec_id,
        |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
        |          AS DOUBLE) AS x,
        |        generate_subscripts(embedding, 1) AS i
@@ -554,9 +563,23 @@ object Similarity {
        |          AND lut.code = codes.code
        |      GROUP BY cand.qid, cand.vid),
        |t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |        ORDER BY adist, vec_id) AS rnk FROM s)
-       |SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rnk
-       |FROM t WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+       |        ORDER BY adist, vec_id) AS rnk FROM s)""".stripMargin
+
+  /** Mirror of the two-stage retrieval: the full IVF-PQ chain to the
+    * ADC top-`kCand` candidates, then EXACT integer L2 re-ranking of
+    * just those candidates down to `k`. */
+  private def sqlIvfPqRerank(cells: Int, cb: Int, m: Int, subDim: Int,
+      nprobe: Int, kCand: Int, k: Int): String =
+    s"""WITH ${sqlIvfPqCtes(cells, cb, m, subDim, nprobe)},
+       |rr AS (SELECT t.qid, t.vec_id,
+       |        CAST(SUM((qu.x - cu.x) * (qu.x - cu.x)) AS BIGINT) AS dist
+       |      FROM t JOIN u qu ON qu.vec_id = t.qid
+       |        JOIN u cu ON cu.vec_id = t.vec_id AND cu.i = qu.i
+       |      WHERE t.rnk <= $kCand GROUP BY t.qid, t.vec_id),
+       |rr2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY dist, vec_id) AS rnk2 FROM rr)
+       |SELECT qid, vec_id, dist, CAST(rnk2 AS INTEGER) AS rnk
+       |FROM rr2 WHERE rnk2 <= $k ORDER BY qid, rnk""".stripMargin
 
   /** Embeddings quantized to BIGINT, floor(x*1000 + 0.5) — the Long twin
     * of [[quantized1000]], shared by the power-iteration family. */
@@ -816,6 +839,47 @@ object Similarity {
           expr("slice(embedding, m * 8 + 1, 8)").as("cv"))
       ivfPqAdcTopK(eq.where(col("vec_id") % 50 === 0), eq, cents, cbk,
         k = 5, nprobe = 3)
+    },
+
+    // Two-stage retrieval — the pattern every production vector store
+    // runs: the compressed-domain IVF-PQ scan over-fetches top-20
+    // candidates (cheap, approximate — PQ reconstruction error can
+    // mis-rank), then ONLY those <= 20·|queries| rows are re-ranked by
+    // exact integer L2 against the full vectors. The rerank join
+    // broadcasts the candidate list into one narrow probe of the
+    // corpus (never a second scan per query) and the final window
+    // ranks <= 20 rows per query. Mirror shares the IVF-PQ CTE chain.
+    Q("ann_ivfpq_rerank_int", Some(sqlIvfPqRerank(cells = 8, cb = 16,
+      m = 8, subDim = 8, nprobe = 3, kCand = 20, k = 5))) { (s, dir) =>
+      val cents = centroidCache.computeIfAbsent(s"$dir#int8",
+        _ => quantized1000(emb(s, dir)).where(col("vec_id") < 8)
+          .orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+      val eq = quantized1000(emb(s, dir))
+      val cbk = quantized1000(emb(s, dir)).where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("m"), col("embedding"))
+        .select(col("code"), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as("cv"))
+      val cand = ivfPqAdcTopK(eq.where(col("vec_id") % 50 === 0), eq,
+          cents, cbk, k = 20, nprobe = 3)
+        .select(col("qid"), col("vec_id"))
+      // exact rerank: candidates broadcast into one corpus probe for
+      // the full vectors; query vectors broadcast the same way
+      val qv = quantizedLong(emb(s, dir))
+        .where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val rr = quantizedLong(emb(s, dir))
+        .join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          call_function("array_l2sq", col("qq"), col("q")).as("dist"))
+      val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      rr.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("dist"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("qid", "rnk")
     },
 
     // Cosine near-duplicate pairs over a deterministic subset; with

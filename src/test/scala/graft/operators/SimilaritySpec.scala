@@ -483,6 +483,39 @@ class SimilaritySpec extends SparkSpec {
       assert(got(i) == vec(i), s"dim $i: got ${got(i)}, replay ${vec(i)}")
   }
 
+  test("ann_ivfpq_rerank_int: per-query recall@5 DOMINATES the plain ADC " +
+      "top-5 (exact re-ranking of a candidate superset can only help — " +
+      "any true neighbor in the candidates lands in its true position), " +
+      "and distances are exact int-plane L2") {
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Float](r.fieldIndex("embedding"))
+            .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray
+      }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val rerank = graft.SparkEntry.queries("ann_ivfpq_rerank_int")(
+        spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    val adc = graft.SparkEntry.queries("ann_ivfpq_int")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(rerank.nonEmpty)
+    for ((q, g) <- rerank) {
+      // reported distances are the exact int-plane L2
+      g.foreach { case (_, nid, d) => assert(d == l2(vecs(q), vecs(nid))) }
+      val truth = vecs.iterator.filter(_._1 != q)
+        .map { case (i, v) => (l2(vecs(q), v), i) }
+        .toSeq.sortBy(p => (p._1, p._2)).take(5).map(_._2).toSet
+      val rHits = g.map(_._2).count(truth)
+      val aHits = adc(q).map(_._2).count(truth)
+      assert(rHits >= aHits,
+        s"query $q: rerank recall $rHits < ADC $aHits — exact re-ranking " +
+          "of a candidate superset regressed, which is impossible unless " +
+          "the candidate plumbing broke")
+    }
+  }
+
   test("emb_project_top_int: the scaled residual is EXACTLY orthogonal " +
       "to the top direction (sum r_num * v = 0 per vector, integer " +
       "identity), and proj replays from the quantized plane") {
