@@ -193,6 +193,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // one user_id exchange, + sort
     "pipeline_mix_temperature" -> 3,    // lang agg + |langs|-row total
                                         // + sort — all metadata-sized
+    "ann_ivfpq_rerank_int" -> 7,        // the ADC stage's 6 (minus its
+                                        // output sort) + the candidate
+                                        // top-20 rank + final rerank
+                                        // sort; the rerank itself is
+                                        // all-broadcast — no exchange
+                                        // scales past the probed
+                                        // fraction
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window
