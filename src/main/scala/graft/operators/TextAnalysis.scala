@@ -57,6 +57,18 @@ object TextAnalysis {
 
   private val sqlLangPatterns = langPatterns
 
+  /** The fixed argmax-with-priority label over the four score columns —
+    * ONE definition shared by [[langid]] and the confusion-matrix query
+    * so the decision rule cannot diverge between them. */
+  private def langPredCol: org.apache.spark.sql.Column =
+    when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+      col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+        col("s_de") > 0, "de")
+      .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+      .when(col("s_es") > 0, "es")
+      .otherwise("und")
+
   /** Heuristic language ID over a (doc_id, text) frame: per-language
     * stopword hit counts + argmax label (`und` when no language scores). */
   def langid(df: DataFrame): DataFrame = {
@@ -65,14 +77,7 @@ object TextAnalysis {
         matches(col("text"), p).as(s"s_$l")
       }: _*)
     scored.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
-      col("s_es"),
-      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
-        col("s_en") >= col("s_es") && col("s_en") > 0, "en")
-        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
-          col("s_de") > 0, "de")
-        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
-        .when(col("s_es") > 0, "es")
-        .otherwise("und").as("lang_pred"))
+      col("s_es"), langPredCol.as("lang_pred"))
       .orderBy("doc_id")
   }
 
@@ -472,6 +477,47 @@ object TextAnalysis {
          |FROM documents) ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       langid(docs(s, dir))
+    },
+
+    // ---- classifier evaluation as a first-class query: the langid
+    //      heuristic's confusion matrix against the corpus's ground-
+    //      truth lang label, with per-true-language row shares in exact
+    //      integer ppm — what a pipeline's quality dashboard reads
+    //      before trusting a filter. One narrow scoring projection
+    //      (same decision expression as text_langid, shared by
+    //      construction), one ≤|langs|²-group aggregate; the normalize
+    //      window runs on that metadata-sized frame. ----
+    Q("text_langid_confusion", Some {
+      val scores = sqlLangPatterns.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH p AS (SELECT lang,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+         |      THEN 'en'
+         |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS lang_pred
+         |FROM (SELECT lang,
+         |  $scores
+         |FROM documents))
+         |SELECT lang, lang_pred, COUNT(*) AS n,
+         |  CAST(COUNT(*) * 1000000 //
+         |    SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS row_ppm
+         |FROM p GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin
+    }) { (s, dir) =>
+      docs(s, dir).select(
+          col("lang") +: langPatterns.map { case (l, p) =>
+            matches(col("text"), p).as(s"s_$l")
+          }: _*)
+        .select(col("lang"), langPredCol.as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_ppm", expr("CAST(n * 1000000 DIV " +
+          "sum(n) over (partition by lang) AS BIGINT)"))
+        .orderBy("lang", "lang_pred")
     },
 
     // ---- rolling-hash fingerprint (native codegen'd expression). The

@@ -437,4 +437,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(expect.values.exists(v => v._2 < v._1),
       "every token duplicated — coverage union untested")
   }
+
+  test("text_langid_confusion: cell counts conserve the corpus, row " +
+      "masses floor-sum to one million, and the matrix agrees with " +
+      "text_langid's per-doc predictions exactly") {
+    val cells = run("text_langid_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    assert(cells.values.map(_._1).sum == d.count())
+    cells.groupBy(_._1._1).foreach { case (_, g) =>
+      val ppm = g.values.map(_._2).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - g.size)
+    }
+    // cross-query consistency: aggregate text_langid's per-doc labels
+    // against ground truth and compare cell-for-cell
+    val truth = d.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = run("text_langid").collect()
+      .map(r => (truth(r.getLong(0)), r.getString(5)))
+    val replay = perDoc.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(cells.view.mapValues(_._1).toMap == replay)
+  }
 }
