@@ -945,6 +945,57 @@ object Similarity {
         .orderBy("centroid_id")
     },
 
+    // The k-means M-STEP as a query (pairing emb_centroid_assign's
+    // E-step): per (cell, dim) member count, exact BIGINT coordinate
+    // sum, and the new centroid coordinate in exact micro-units —
+    // sign-outside-division so Spark's truncating DIV and DuckDB's
+    // flooring // agree on negative sums (the power-iteration rule).
+    // Assignment runs on the integer plane (argmax dot vs the first-8
+    // twin centroids, lowest-cell ties — the ann_ivf_int convention)
+    // and is computed INLINE on the same projection that carries the
+    // quantized vector, so the whole M-step is one corpus scan + one
+    // cells×dims-group aggregate: no join anywhere. ----
+    Q("emb_centroid_update", Some(
+      """WITH u AS (SELECT vec_id,
+        |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+        |          AS BIGINT) AS q,
+        |        generate_subscripts(embedding, 1) - 1 AS i
+        |      FROM embeddings),
+        |c AS (SELECT vec_id AS cid, q, i FROM u WHERE vec_id < 8),
+        |ad AS (SELECT c.cid, u.vec_id AS vid,
+        |        CAST(SUM(c.q * u.q) AS BIGINT) AS dot
+        |      FROM c JOIN u ON c.i = u.i GROUP BY cid, vid),
+        |asn AS (SELECT vid, cell FROM (
+        |      SELECT vid, cid AS cell, ROW_NUMBER() OVER (PARTITION BY vid
+        |        ORDER BY dot DESC, cid) AS rk FROM ad) WHERE rk = 1),
+        |m AS (SELECT asn.cell, u.i AS dim, CAST(SUM(u.q) AS BIGINT) AS s,
+        |        COUNT(*) AS n
+        |      FROM u JOIN asn ON u.vec_id = asn.vid GROUP BY 1, 2)
+        |SELECT CAST(cell AS INTEGER) AS cell, CAST(dim AS INTEGER) AS dim,
+        |  CAST(n AS BIGINT) AS n_members, s AS sum_q,
+        |  CAST(CASE WHEN s < 0 THEN -((-s * 1000000) // n)
+        |    ELSE (s * 1000000) // n END AS BIGINT) AS mean_micro
+        |FROM m ORDER BY cell, dim""".stripMargin)) { (s, dir) =>
+      val centsL = centroidCache.computeIfAbsent(s"$dir#int8",
+        _ => quantized1000(emb(s, dir)).where(col("vec_id") < 8)
+          .orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+        .map(_.map(_.toLong))
+      val cm = typedLit(centsL)
+      val dots = transform(cm, c => call_function("array_dot", c, col("q")))
+      quantizedLong(emb(s, dir))
+        .withColumn("cell",
+          (array_position(dots, array_max(dots)) - 1).cast("int"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("dim", "qi")))
+        .groupBy("cell", "dim")
+        .agg(sum("qi").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim").cast("int").as("dim"),
+          col("n").as("n_members"), col("s").as("sum_q"),
+          expr("CAST(CASE WHEN s < 0 THEN -((-s * 1000000) DIV n) " +
+            "ELSE (s * 1000000) DIV n END AS BIGINT)").as("mean_micro"))
+        .orderBy("cell", "dim")
+    },
+
     // Symmetric int8 quantization (the memory-compression pass an ANN
     // index runs before serving: 64 floats -> 64 bytes + one scale).
     // Per vector: scale = max|x|/127, q_i = floor(x/scale + 0.5). Every

@@ -483,6 +483,27 @@ class SimilaritySpec extends SparkSpec {
       assert(got(i) == vec(i), s"dim $i: got ${got(i)}, replay ${vec(i)}")
   }
 
+  test("emb_centroid_update: members conserve the corpus at every dim, " +
+      "per-cell membership is dim-invariant, and mean_micro replays " +
+      "from the exact sums") {
+    val rows = graft.SparkEntry.queries("emb_centroid_update")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    val byDim = rows.groupBy(_._2)
+    assert(byDim.values.forall(_.map(_._3).sum == n),
+      "cell memberships must partition the corpus at every dimension")
+    val cellN = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(cellN.values.forall(_.size == 1),
+      "a cell's member count cannot vary by dimension")
+    rows.foreach { case (_, _, nm, s, mean) =>
+      val expect = if (s < 0) -((-s * 1000000L) / nm)
+        else (s * 1000000L) / nm
+      assert(mean == expect)
+    }
+  }
+
   test("ann_ivfpq_rerank_int: per-query recall@5 DOMINATES the plain ADC " +
       "top-5 (exact re-ranking of a candidate superset can only help — " +
       "any true neighbor in the candidates lands in its true position), " +
