@@ -1142,6 +1142,58 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- vocabulary coverage curve (the tokenizer-vocab sizing
+    //      evidence: what fraction of corpus token OCCURRENCES the
+    //      top-k vocabulary covers, at k = 10/100/1000 — the Zipf
+    //      head's share, read before choosing a vocab budget). Scale
+    //      shape: token counts are one map-side-combined aggregate;
+    //      the global top-1000 rides the salted two-phase partial
+    //      top-K under a single stratum (no task ever sorts the whole
+    //      vocab); ranking and the cutoff expansion run on <= 1000
+    //      survivor rows; the occurrence total broadcasts. Exact
+    //      integer ppm. ----
+    Q("text_vocab_coverage", Some(
+      """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |      FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        |r AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+        |        AS rk FROM c),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |k AS (SELECT unnest([10, 100, 1000]) AS cutoff)
+        |SELECT CAST(k.cutoff AS INTEGER) AS cutoff,
+        |  CAST(SUM(CASE WHEN r.rk <= k.cutoff THEN r.n ELSE 0 END)
+        |    AS BIGINT) AS covered,
+        |  tot.total,
+        |  CAST(SUM(CASE WHEN r.rk <= k.cutoff THEN r.n ELSE 0 END)
+        |    * 1000000 // tot.total AS BIGINT) AS coverage_ppm
+        |FROM k, r, tot GROUP BY k.cutoff, tot.total
+        |ORDER BY cutoff""".stripMargin)) { (s, dir) =>
+      // counts referenced by the top-K and the total — cache under the
+      // clear-between-queries policy
+      val counts = Tables.spread(docs(s, dir), col("doc_id"))
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .cache()
+      val tot = counts.agg(sum("n").cast("long").as("total"))
+      val w = Window.partitionBy("g").orderBy(col("n").desc, col("tok"))
+      val ranked = Sampling.partialTopK(
+          counts.withColumn("g", lit(0)), "g",
+          Seq(col("n").desc, col("tok")), 1000, Sampling.FanOut,
+          saltCol = col("tok"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 1000)
+      val cutoffs = typedLit(Seq(10, 100, 1000))
+      ranked.select(col("n"), col("rk"),
+          explode(cutoffs).as("cutoff"))
+        .groupBy("cutoff")
+        .agg(sum(when(col("rk") <= col("cutoff"), col("n"))
+          .otherwise(0L)).cast("long").as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(col("cutoff"), col("covered"), col("total"),
+          expr("covered * 1000000 DIV total").as("coverage_ppm"))
+        .orderBy("cutoff")
+    },
+
     // ---- duplicated-span coverage (the RefinedWeb/SlimPajama dedup
     //      diagnostic, and the target metric of exact-substring dedup à
     //      la Lee et al. 2022 at window granularity): fraction of each

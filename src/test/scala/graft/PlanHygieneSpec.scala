@@ -40,7 +40,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_curriculum_pack", // one min/max score-bounds row
     "pipeline_paragraph_dedup", // one grand-total row (hot-key cutoff)
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
-    "pipeline_mix_temperature") // one micro-unit-total row broadcast
+    "pipeline_mix_temperature", // one micro-unit-total row broadcast
+    "text_vocab_coverage")      // one occurrence-total row broadcast
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

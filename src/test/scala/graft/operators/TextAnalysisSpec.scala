@@ -460,4 +460,29 @@ class TextAnalysisSpec extends SparkSpec {
       .mapValues(_.length.toLong).toMap
     assert(cells.view.mapValues(_._1).toMap == replay)
   }
+
+  test("text_vocab_coverage: exact driver replay of the Zipf-head " +
+      "coverage curve; monotone in cutoff and bounded by the total") {
+    val got = run("text_vocab_coverage").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(10, 100, 1000))
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split("\\s+"))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = counts.map(_._2).sum
+    for ((cutoff, (covered, tot, ppm)) <- got) {
+      val expect = counts.take(cutoff).map(_._2).sum
+      assert(tot == total && covered == expect &&
+        ppm == covered * 1000000L / total,
+        s"cutoff $cutoff: got ($covered, $tot, $ppm), expect $expect")
+    }
+    assert(got(10)._1 <= got(100)._1 && got(100)._1 <= got(1000)._1)
+    // the synthetic vocab is small (top-1000 covers it all at sf0.001);
+    // the top-10 point must still be a strict subset or the curve is
+    // degenerate and the ranking untested
+    assert(got(10)._1 < total,
+      "top-10 covering everything — fixture vocab too small to test")
+  }
 }
