@@ -200,6 +200,16 @@ class PlanBudgetSpec extends SparkSpec {
                                         // all-broadcast — no exchange
                                         // scales past the probed
                                         // fraction
+    "text_langid_confusion" -> 3,       // |langs|²-group agg + its
+                                        // metadata-sized normalize
+                                        // window + sort
+    "emb_centroid_update" -> 2,         // inline cell assign (narrow) +
+                                        // ONE cells×dims aggregate +
+                                        // sort — zero joins
+    "text_vocab_coverage" -> 4,         // token-count agg (cached) +
+                                        // salted partial top-K + final
+                                        // rank over <=1000 survivors +
+                                        // sort; total broadcasts
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window
