@@ -24,6 +24,24 @@ object EventOps {
     * the cast is wall-clock-preserving, matching DuckDB's `epoch_us`. */
   private val tsUs = unix_micros(col("ts").cast("timestamp"))
 
+  /** DuckDB CTE chain for the strict-order conversion funnel ending at
+    * the per-user stage frame `f` (t1/t2/t3) — shared by
+    * `q_funnel_stages` and `q_funnel_latency` so the two mirrors cannot
+    * diverge (the sqlPowerCtes discipline). */
+  private def sqlFunnelCtes: String =
+    """e AS (SELECT user_id, event_type,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+      |        OVER (PARTITION BY user_id) AS t1 FROM e),
+      |b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1
+      |          THEN us END)
+      |        OVER (PARTITION BY user_id) AS t2 FROM a),
+      |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2
+      |          THEN us END)
+      |        OVER (PARTITION BY user_id) AS t3 FROM b),
+      |f AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      |      FROM c GROUP BY user_id)""".stripMargin
+
   /** One row per (user, gap-delimited session): (user_id, session_no,
     * s_start, s_end, n_events). The batch ground truth for
     * [[graft.streaming.StreamOps.completedSessions]] — both window specs
@@ -433,23 +451,13 @@ object EventOps {
     //      per-user collapse reuses the same exchange, so the whole
     //      funnel costs one corpus shuffle at any event volume. ----
     Q("q_funnel_stages", Some(
-      """WITH e AS (SELECT user_id, event_type,
-        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
-        |        OVER (PARTITION BY user_id) AS t1 FROM e),
-        |b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1
-        |          THEN us END)
-        |        OVER (PARTITION BY user_id) AS t2 FROM a),
-        |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2
-        |          THEN us END)
-        |        OVER (PARTITION BY user_id) AS t3 FROM b)
-        |SELECT user_id, MAX(t1) AS view_us, MAX(t2) AS click_us,
-        |  MAX(t3) AS purchase_us,
-        |  CAST(CASE WHEN MAX(t3) IS NOT NULL THEN 3
-        |            WHEN MAX(t2) IS NOT NULL THEN 2
-        |            WHEN MAX(t1) IS NOT NULL THEN 1
+      s"""WITH $sqlFunnelCtes
+        |SELECT user_id, t1 AS view_us, t2 AS click_us, t3 AS purchase_us,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1
         |            ELSE 0 END AS INTEGER) AS stage
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)) {
+        |FROM f ORDER BY user_id""".stripMargin)) {
       (s, dir) =>
       val w = Window.partitionBy("user_id")
       ev(s, dir)
@@ -472,6 +480,46 @@ object EventOps {
             .when(col("view_us").isNotNull, 1)
             .otherwise(0))
         .orderBy("user_id")
+    },
+
+    // ---- funnel latency: the time-to-convert distribution over fully
+    //      converted users (view→click, click→purchase, end-to-end) —
+    //      the product metric a funnel exists to produce. Durations are
+    //      exact integer µs; percentiles are the interpolated exact
+    //      kind on those integers (the q_percentiles convention:
+    //      Spark's percentile and DuckDB's quantile_cont interpolate
+    //      identically on identical integers). Rides the SAME shared
+    //      funnel CTE algebra as q_funnel_stages, then one global
+    //      single-row aggregate over the converted slice. ----
+    Q("q_funnel_latency", Some(
+      s"""WITH $sqlFunnelCtes
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(t2 - t1, 0.5) AS p50_click_us,
+        |  quantile_cont(t3 - t2, 0.5) AS p50_purchase_us,
+        |  quantile_cont(t3 - t1, 0.5) AS p50_total_us,
+        |  quantile_cont(t3 - t1, 0.9) AS p90_total_us,
+        |  CAST(MAX(t3 - t1) AS BIGINT) AS max_total_us
+        |FROM f WHERE t3 IS NOT NULL""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), tsUs.as("us"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") > col("t1"),
+            col("us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+            col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .where(col("t3").isNotNull)
+        .agg(count(lit(1)).as("n_converted"),
+          percentile(col("t2") - col("t1"), lit(0.5)).as("p50_click_us"),
+          percentile(col("t3") - col("t2"), lit(0.5)).as("p50_purchase_us"),
+          percentile(col("t3") - col("t1"), lit(0.5)).as("p50_total_us"),
+          percentile(col("t3") - col("t1"), lit(0.9)).as("p90_total_us"),
+          max(col("t3") - col("t1")).cast("long").as("max_total_us"))
     },
 
     // ---- CDC upsert apply (MERGE-INTO resolution): treat the event

@@ -270,6 +270,32 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel_latency: replays exactly from q_funnel_stages' " +
+      "converted users (counts, interpolated percentiles, max)") {
+    val r = run("q_funnel_latency").head()
+    val conv = run("q_funnel_stages").collect()
+      .filter(_.getInt(4) == 3)
+      .map(row => (row.getLong(1), row.getLong(2), row.getLong(3)))
+    assert(r.getLong(0) == conv.length && conv.nonEmpty)
+    def pct(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val total = conv.map { case (t1, _, t3) => t3 - t1 }.toSeq
+    // ulp tolerance: the engines agree bit-for-bit with each other
+    // (hash-pinned); this replay's interpolation associates differently
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= math.abs(b) * 1e-12
+    assert(close(r.getDouble(1), pct(conv.map(c => c._2 - c._1).toSeq, 0.5)))
+    assert(close(r.getDouble(2), pct(conv.map(c => c._3 - c._2).toSeq, 0.5)))
+    assert(close(r.getDouble(3), pct(total, 0.5)))
+    assert(close(r.getDouble(4), pct(total, 0.9)))
+    assert(r.getLong(5) == total.max)
+  }
+
   test("q_time_weighted_avg: exact driver replay of the step-function " +
       "hold; TWA bounded by the user's value range") {
     val got = run("q_time_weighted_avg").collect()
