@@ -210,6 +210,9 @@ class PlanBudgetSpec extends SparkSpec {
                                         // salted partial top-K + final
                                         // rank over <=1000 survivors +
                                         // sort; total broadcasts
+    "q_funnel_latency" -> 2,            // the shared funnel user_id
+                                        // exchange + the single-row
+                                        // global percentile reduce
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window
