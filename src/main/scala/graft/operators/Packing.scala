@@ -264,5 +264,35 @@ object Packing {
       |    AS BIGINT) AS shard
       |FROM h ORDER BY pos""".stripMargin)) { (s, dir) =>
       globalShuffle(docs(s, dir)).orderBy("pos")
+    },
+
+    // ---- attention-boundary map: for every document, the chunk it
+    //      STARTS in and its in-chunk token offset — exactly what a
+    //      training loader reads to build block-diagonal attention
+    //      masks over packed sequences (tokens before a boundary must
+    //      not attend across it). A pure projection off the
+    //      packSequences algebra (same two-phase prefix sum underneath);
+    //      all BIGINT, `%`/`div` never promote. ----
+    Q("pipeline_pack_boundaries", Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\\s+')) + 1 AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS tok_start
+      |  FROM t)
+      |SELECT CAST(tok_start // $SeqLen AS BIGINT) AS chunk_id,
+      |  CAST(tok_start % $SeqLen AS BIGINT) AS boundary_off,
+      |  doc_id, n_tokens
+      |FROM c ORDER BY chunk_id, boundary_off""".stripMargin)) { (s, dir) =>
+      packSequences(docs(s, dir))
+        .select(expr(s"tok_start div $SeqLen").as("chunk_id"),
+          expr(s"tok_start % $SeqLen").as("boundary_off"),
+          col("doc_id"), col("n_tokens"))
+        .orderBy("chunk_id", "boundary_off")
     })
 }

@@ -146,4 +146,29 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(r == ((42L, 4L, 0L, 1L)))
   }
+
+  test("pipeline_pack_boundaries: one boundary per doc inside [0, 2048), " +
+      "offsets replay from the packed frame, and boundaries tile each " +
+      "chunk in doc order") {
+    val b = graft.SparkEntry.queries("pipeline_pack_boundaries")(
+        spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val packed = graft.SparkEntry.queries("pipeline_pack_sequences")(
+        spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(b.length == packed.size, "exactly one boundary per document")
+    b.foreach { case (chunk, off, doc, _) =>
+      val (tokStart, chunkFirst) = packed(doc)
+      assert(off >= 0 && off < 2048)
+      assert(chunk == chunkFirst && off == tokStart % 2048,
+        s"doc $doc boundary ($chunk, $off) != packed ($chunkFirst, " +
+          s"${tokStart % 2048})")
+    }
+    // within a chunk, later docs start at strictly later offsets
+    b.groupBy(_._1).values.foreach { g =>
+      val byDoc = g.sortBy(_._3).map(_._2)
+      assert(byDoc.sorted.toSeq == byDoc.toSeq,
+        "in-chunk boundaries must be monotone in doc order")
+    }
+  }
 }
