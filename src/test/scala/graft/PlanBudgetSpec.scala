@@ -213,6 +213,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q_funnel_latency" -> 2,            // the shared funnel user_id
                                         // exchange + the single-row
                                         // global percentile reduce
+    "pipeline_pack_boundaries" -> 5,    // the packSequences prefix-sum
+                                        // shape (bounds agg + shard
+                                        // totals + offsets + per-shard
+                                        // window) + output sort
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -35,6 +35,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_decontaminate", // one grand-total row (hot-key cutoff)
     "pipeline_pack_sequences", // one min/max bounds row (range shards)
     "pipeline_chunk_manifest", // the same bounds row via packSequences
+    "pipeline_pack_boundaries", // the same bounds row via packSequences
     "text_doc_keywords",       // two 1-row totals (hot cutoff + n_docs)
     "text_rare_ngram_index",   // one 1-row total (hot cutoff)
     "pipeline_curriculum_pack", // one min/max score-bounds row
