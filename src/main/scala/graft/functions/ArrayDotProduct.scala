@@ -22,9 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * swapping it under an oracle-pinned query cannot change a hash.
   *
   * Contract (matching every call site: fixed-dim embedding vectors):
-  * both arrays non-null with non-null elements and equal length — the
-  * loop runs over min(len) and reads elements primitively, so null
-  * elements would be read as 0/garbage rather than propagated.
+  * both arrays non-null with non-null elements and equal length. The
+  * loops read elements primitively, so the contract is ENFORCED, not
+  * assumed — these are registered session-wide SQL functions, and an
+  * ad-hoc caller with ragged or null-element arrays must get a loud
+  * error, never a silently truncated/garbage number: lengths are
+  * compared up front (O(1)) and null elements rejected by a scan that
+  * is compiled out entirely when the array type says
+  * `containsNull=false` (the audited internal call sites' shape, so
+  * the hot paths pay only the length compare).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +55,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    ArrayDotProduct.check(a, b, ArrayPairGuard.nullableElems(this), prettyName)
     dataType match {
       case LongType => ArrayDotProduct.dotL(a, b)
       case _        => ArrayDotProduct.dotD(a, b)
@@ -58,13 +65,30 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (dataType == LongType) "dotL" else "dotD"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.ArrayDotProduct" +
+      ArrayPairGuard.guardCode(this, a, b) +
+        s"${ev.value} = graft.functions.ArrayDotProduct" +
         "$" + s".MODULE$$.$m($a, $b);")
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared runtime contract guard for the fused array kernels: ragged
+  * lengths always rejected (O(1)); element-null scan emitted only when
+  * either child's ArrayType admits nulls, so `containsNull=false`
+  * inputs (the internal hot paths) compile the scan out entirely. */
+private[functions] object ArrayPairGuard {
+  def nullableElems(e: BinaryExpression): Boolean =
+    e.left.dataType.asInstanceOf[ArrayType].containsNull ||
+      e.right.dataType.asInstanceOf[ArrayType].containsNull
+
+  def guardCode(e: BinaryExpression, a: String, b: String): String = {
+    val pretty = e.asInstanceOf[Expression].prettyName
+    s"""graft.functions.ArrayDotProduct$$.MODULE$$.check($a, $b, """ +
+      s"""${nullableElems(e)}, "$pretty");"""
+  }
 }
 
 /** Squared L2 distance of two equal-length numeric arrays — the
@@ -95,6 +119,7 @@ case class ArrayL2Sq(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    ArrayDotProduct.check(a, b, ArrayPairGuard.nullableElems(this), prettyName)
     dataType match {
       case LongType => ArrayDotProduct.l2sqL(a, b)
       case _        => ArrayDotProduct.l2sqD(a, b)
@@ -104,7 +129,8 @@ case class ArrayL2Sq(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (dataType == LongType) "l2sqL" else "l2sqD"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.ArrayDotProduct" +
+      ArrayPairGuard.guardCode(this, a, b) +
+        s"${ev.value} = graft.functions.ArrayDotProduct" +
         "$" + s".MODULE$$.$m($a, $b);")
   }
 
@@ -133,13 +159,17 @@ case class ArrayEqCount(left: Expression, right: Expression)
           s"${l.simpleString(10)} and ${r.simpleString(10)}")
     }
 
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    ArrayDotProduct.eqCountL(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    ArrayDotProduct.check(a, b, ArrayPairGuard.nullableElems(this), prettyName)
+    ArrayDotProduct.eqCountL(a, b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.ArrayDotProduct" +
+      ArrayPairGuard.guardCode(this, a, b) +
+        s"${ev.value} = graft.functions.ArrayDotProduct" +
         "$" + s".MODULE$$.eqCountL($a, $b);")
 
   override protected def withNewChildrenInternal(
@@ -148,6 +178,29 @@ case class ArrayEqCount(left: Expression, right: Expression)
 }
 
 object ArrayDotProduct {
+  /** Runtime contract guard, invoked from generated Java code — keep
+    * signature stable. Length compare always; the element-null scan
+    * runs only when `checkNulls` (a compile-time constant in generated
+    * code, so `containsNull=false` call sites branch-eliminate it). */
+  def check(a: ArrayData, b: ArrayData, checkNulls: Boolean,
+      fn: String): Unit = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$fn: array lengths differ ($n vs ${b.numElements()}) — " +
+          "both inputs must be same-dimension vectors")
+    if (checkNulls) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"$fn: null array element at index $i — " +
+              "null elements are not valid vector components")
+        i += 1
+      }
+    }
+  }
+
   /** Invoked from generated Java code — keep signature stable. */
   def eqCountL(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())

@@ -16,6 +16,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Lossless event-time microseconds from a Timestamp. `getTime` only
+    * carries millisecond precision, so the earlier `getTime * 1000`
+    * zeroed every sub-millisecond component — the batch twins compute
+    * `unix_micros`, and the events table has real sub-ms parts, so two
+    * versions of a key inside the same millisecond were ordered by
+    * event_id instead of actual time. Rebuild from whole seconds plus
+    * the nanos field (floorDiv so pre-epoch instants floor exactly like
+    * `unix_micros`). */
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Exact-cents of a value, same HALF_UP rounding as [[graft.Cols.cents]]
+    * (Spark `round` = BigDecimal HALF_UP). `math.round` is floor(x+0.5),
+    * which diverges on negative halves (math.round(-2.5) = -2 vs HALF_UP
+    * -3) — a latent stream/batch parity break if the schema admits
+    * signed values. `BigDecimal.valueOf` goes through Double.toString,
+    * matching Spark's double→decimal conversion. */
+  private[streaming] def cents(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       value: Double)
   final case class SessionState(lastUs: Long, sessions: Int, events: Int)
@@ -64,7 +85,11 @@ object StreamOps {
     * (`GroupStateTimeout.EventTimeTimeout`). Append-mode output of
     * finalized facts, O(1) state per key, state removed on timeout — the
     * shape that runs indefinitely against 10⁹ keys. Inputs shaped like
-    * [[Ev]]; the 2-hour event-time watermark is applied here. */
+    * [[Ev]]; the 2-hour event-time watermark is applied here.
+    * Session boundaries are millisecond-resolution ([[ClosedSession]]
+    * emits Timestamps built from epoch-ms) — fine for minute-scale
+    * gaps; the µs-exact folds ([[cdcStream]], [[funnelStream]],
+    * [[sessionize]]) use [[micros]] instead. */
   def completedSessions(events: Dataset[Ev], gapMinutes: Int)
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -137,8 +162,8 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[FunnelEv], st: GroupState[FunnelState]) =>
           var s = st.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-            val us = e.ts.getTime * 1000L
+          for (e <- rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+            val us = micros(e.ts)
             s = e.event_type match {
               case "view" if s.t1 == 0L => s.copy(t1 = us)
               case "click" if s.t1 != 0L && us > s.t1 && s.t2 == 0L =>
@@ -187,11 +212,11 @@ object StreamOps {
           var st = state.getOption
             .getOrElse(CdcState(0L, Long.MinValue, Long.MinValue, "", 0L))
           for (e <- rows) {
-            val us = e.ts.getTime * 1000L
+            val us = micros(e.ts)
             val newer = us > st.lastUs ||
               (us == st.lastUs && e.event_id > st.lastEventId)
             st =
-              if (newer) CdcState(math.round(e.value * 100), us,
+              if (newer) CdcState(cents(e.value), us,
                 e.event_id, e.event_type, st.nVersions + 1)
               else st.copy(nVersions = st.nVersions + 1)
           }
@@ -281,10 +306,10 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
           for (e <- sorted) {
-            val us = e.ts.getTime * 1000
+            val us = micros(e.ts)
             val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
             st = SessionState(us,
               st.sessions + (if (newSession) 1 else 0), st.events + 1)

@@ -28,24 +28,53 @@ class ArrayDotProductSpec extends SparkSpec {
     val rows = e.select(col("vec_id"),
         expr("array_dot(v, v)").as("native"),
         expr("aggregate(v, 0D, (a, x) -> a + x * x)").as("hof"),
-        expr("array_l2sq(v, slice(v, 1, 32))").as("l2_native"),
-        expr("aggregate(zip_with(v, slice(v, 1, 32), (a, b) -> " +
-          "(a-b)*(a-b)), 0D, (acc, x) -> acc + x)").as("l2_hof"))
+        expr("array_l2sq(slice(v, 1, 32), slice(v, 33, 32))").as("l2_native"),
+        expr("aggregate(zip_with(slice(v, 1, 32), slice(v, 33, 32), " +
+          "(a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)").as("l2_hof"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(2)),
         s"vec ${r.getLong(0)}: dot bit drift")
-      // NB the length-mismatch semantics DIFFER by design: zip_with
-      // pads the short side with null (folding null poisons the sum to
-      // null), array_l2sq stops at min length — so compare only when
-      // the hof result is non-null, and pin the native one non-null
-      assert(!r.isNullAt(3))
-      if (!r.isNullAt(4))
-        assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
-          java.lang.Double.doubleToLongBits(r.getDouble(4)))
+      assert(!r.isNullAt(3) && !r.isNullAt(4))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)))
     }
+  }
+
+  test("ragged lengths are rejected loudly, not silently truncated " +
+      "(session-wide SQL surface safety)") {
+    Seq("array_dot(array(1.0D, 2.0D), array(1.0D))",
+      "array_l2sq(array(1.0D), array(1.0D, 2.0D))",
+      "array_eq_count(array(1L), array(1L, 2L))").foreach { e =>
+      val err = intercept[Exception] {
+        spark.sql(s"SELECT $e").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("lengths differ")),
+        s"$e: wanted a loud length error, got $err")
+    }
+  }
+
+  test("null ELEMENTS are rejected loudly, not read as 0/garbage") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT array_dot(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(1.0D, 2.0D))").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("null array element")),
+      s"wanted a loud null-element error, got $err")
+  }
+
+  test("the null-element guard is compiled out for containsNull=false " +
+      "arrays: non-nullable inputs still evaluate (and correctly)") {
+    // array(...) of non-nullable literals types as containsNull=false
+    val got = spark.sql(
+      "SELECT array_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d").head()
+    assert(got.getDouble(0) == 23.0)
   }
 
   test("long-typed arrays: exact wraparound-safe equality with the fold " +

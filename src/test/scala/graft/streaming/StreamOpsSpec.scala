@@ -506,4 +506,49 @@ class StreamOpsSpec extends SparkSpec {
         s"stream/batch divergence: $batch vs $visible")
     } finally query.stop()
   }
+
+  test("cdcStream: sub-millisecond event times order versions by actual " +
+      "microseconds — parity with batch unix_micros, not getTime-ms") {
+    implicit val sqlCtx = spark.sqlContext
+    // two versions of key 1 inside the SAME millisecond; the µs-later
+    // version carries the SMALLER event_id, so a ms-truncated fold ties
+    // on time and wrongly promotes the µs-earlier writer via event_id
+    def tsN(nanos: Int): Timestamp = {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      t.setNanos(nanos); t
+    }
+    val input = MemoryStream[StreamOps.CdcEv]
+    val query = StreamOps.cdcStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_subms")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        StreamOps.CdcEv(1, 20, tsN(123000), "insert", 1.00), // .000123s
+        StreamOps.CdcEv(1, 10, tsN(789000), "update", 2.00)) // .000789s
+      query.processAllAvailable()
+      val visible = spark.table("cdc_subms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val baseUs =
+        Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000 * 1000000L
+      assert(visible == Set((1L, 200L, baseUs + 789L, 2L)),
+        s"µs-later writer must win and last_us must carry full µs: $visible")
+
+      // batch parity: unix_micros-based max_by over the same two rows
+      val ord = struct(col("us"), col("event_id"))
+      val batch = Seq((1L, 20L, tsN(123000), "insert", 1.00),
+          (1L, 10L, tsN(789000), "update", 2.00))
+        .toDF("user_id", "event_id", "tts", "event_type", "value")
+        .select(col("user_id"), col("event_id"),
+          graft.Cols.cents(col("value")).as("value_cents"),
+          unix_micros(col("tts")).as("us"))
+        .groupBy("user_id")
+        .agg(max_by(col("value_cents"), ord).as("value_cents"),
+          max(col("us")).as("last_us"), count(lit(1)).as("n_versions"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(batch == visible, s"stream/batch divergence: $batch vs $visible")
+    } finally query.stop()
+  }
 }
