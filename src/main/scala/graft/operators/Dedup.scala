@@ -29,6 +29,83 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Minimum duplicated-substring length, in tokens, for
+    * [[exactSubstrSpans]] — the ExactSubstr threshold class (Lee et al.
+    * 2022 use 50 BPE tokens; this corpus' tokens are whitespace words). */
+  val ExactSubstrMinLen: Int = 50
+
+  /** ExactSubstr-class duplicated-span detection: every MAXIMAL token
+    * span of a document that lies inside some substring of length ≥
+    * `minLen` occurring more than once corpus-wide (intra- or
+    * cross-document) — exactly the removal ranges of Lee et al. 2022's
+    * ExactSubstr dedup, at variable length, not a fixed window.
+    *
+    * Exactness without a suffix array: the union of duplicated
+    * `minLen`-token windows EQUALS the union of duplicated substrings of
+    * length ≥ `minLen`. (⊆ a duplicated window is itself a qualifying
+    * substring; ⊇ a duplicated substring of length m ≥ L is covered by
+    * its m−L+1 L-subwindows, each duplicated wherever the substring
+    * recurs.) So hashing fixed-L windows loses nothing: merging
+    * overlapping duplicated windows into islands yields the exact
+    * maximal spans, and a span's length is data-dependent (≥ L, up to
+    * the whole document).
+    *
+    * 100 TB shape — and why NOT a distributed suffix sort: suffix-array
+    * construction needs a corpus-GLOBAL range sort of every suffix with
+    * unbounded comparison keys; with the match threshold fixed at L, the
+    * window-digest formulation is exact (above) and needs only (1) one
+    * md5-keyed map-side-combinable occurrence count, (2) the count
+    * attach via [[Skew.hotSaltedJoin]] — a boilerplate window's
+    * occurrence stream is unbounded against its 1-row count, the
+    * aggregate-fed join shape AQE's skew rule structurally cannot split
+    * (TokenJoinSkewSpec) — and (3) a per-document island merge whose
+    * window partition is bounded by document length, never corpus-wide.
+    * No stage sorts or pairs anything global. */
+  def exactSubstrSpans(d: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame = {
+    val L = minLen
+    val ww = spread(d)
+      .select(col("doc_id"), tokensCol.as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("h"))
+    // occurrence counts: one keyed aggregate; cached — referenced by
+    // the grand total, the hot set, and the join's small side
+    // (clear-between-queries policy)
+    val cnt = ww.groupBy("h").agg(count(lit(1)).as("n")).cache()
+    val tot = cnt.agg(sum("n").cast("long").as("__t"))
+    val hot = cnt.crossJoin(broadcast(tot))
+      .where(col("n") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("h")
+    val dup = Skew.hotSaltedJoin(ww, cnt, "h", hot, col("doc_id"))
+      .where(col("n") > 1)
+      .select(col("doc_id"), col("p"))
+    // island merge: windows [p, p+L-1] sorted by p merge while the next
+    // start is ≤ previous end + 1 (contiguous coverage); both analytic
+    // steps and the span aggregate ride ONE doc_id-partitioned sort
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    dup
+      .withColumn("__pp", lag(col("p"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__pp").isNull || col("p") > col("__pp") + L, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(run))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min("p").as("span_start"),
+        (max("p") + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_windows"))
+  }
+
   /** Drop exact-duplicate rows by key columns (first winner arbitrary —
     * use [[exactKeepMin]] when a deterministic survivor is needed). */
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
@@ -952,5 +1029,43 @@ object Dedup {
         .select(col("doc_id"), col("n_paras"), col("n_kept"),
           when(col("n_kept") > 0, col("__md5")).as("kept_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- ExactSubstr dedup spans (Lee et al. 2022): maximal
+    //      VARIABLE-LENGTH token spans lying inside any substring of
+    //      ≥ 50 tokens that occurs more than once corpus-wide — the
+    //      removal ranges every serious corpus clean computes. The
+    //      window-union equivalence (see exactSubstrSpans) makes this
+    //      exact with no suffix sort; the oracle replays the identical
+    //      algebra: window digests → counts → dup positions → LAG-based
+    //      island merge → per-island span. ----
+    Q("pipeline_exact_substr", Some(s"""
+      |WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+      |      FROM documents),
+      |w AS (SELECT doc_id, ts,
+      |        unnest(generate_series(0, len(ts) - $ExactSubstrMinLen)) AS p
+      |      FROM toks WHERE len(ts) >= $ExactSubstrMinLen),
+      |ww AS (SELECT doc_id, p,
+      |        md5(array_to_string(
+      |          list_slice(ts, p + 1, p + $ExactSubstrMinLen), ' ')) AS h
+      |      FROM w),
+      |c AS (SELECT h, COUNT(*) AS n FROM ww GROUP BY h),
+      |dup AS (SELECT doc_id, p FROM ww JOIN c USING (h) WHERE c.n > 1),
+      |o AS (SELECT doc_id, p,
+      |        LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+      |      FROM dup),
+      |i AS (SELECT doc_id, p,
+      |        SUM(CASE WHEN pp IS NULL OR p > pp + $ExactSubstrMinLen
+      |          THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY p
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |      FROM o)
+      |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+      |  CAST(MAX(p) + ${ExactSubstrMinLen - 1} AS BIGINT) AS span_end,
+      |  CAST(MAX(p) - MIN(p) + $ExactSubstrMinLen AS BIGINT) AS span_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM i GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin)) { (s, dir) =>
+      exactSubstrSpans(docs(s, dir)).orderBy("doc_id", "span_start")
     })
 }

@@ -217,6 +217,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // shape (bounds agg + shard
                                         // totals + offsets + per-shard
                                         // window) + output sort
+    // ---- round-9 additions ----
+    "pipeline_exact_substr" -> 4,       // window spread + digest count
+                                        // agg (cached) + salted attach +
+                                        // ONE doc_id exchange shared by
+                                        // the island windows, the span
+                                        // agg AND the output sort (sort
+                                        // keys lead with doc_id); only
+                                        // the spread and attach carry
+                                        // corpus-scale rows (measured 4)
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -135,6 +135,103 @@ class DedupSpec extends SparkSpec {
       "fixture has no duplicate paragraphs — replay proves nothing")
   }
 
+  test("exactSubstrSpans: spans equal the brute-force union of ALL " +
+      "duplicated substrings of length >= L (the window-union " +
+      "equivalence), on a corpus with cross-doc, intra-doc, adjacent-" +
+      "island and full-doc duplicates") {
+    val L = 5
+    val crafted = Seq(
+      // docs 1/2 share the 6-token run "c d e f g h" mid-document
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y c d e f g h z w q r"),
+      // doc 3 repeats "p q r s t u" intra-doc, back to back: two
+      // duplicated regions whose coverage touches -> ONE removal span
+      (3L, "p q r s t u p q r s t u v"),
+      // doc 4: wholly unique
+      (4L, "m n o aa bb cc dd ee ff gg"),
+      // docs 5/6 identical end to end -> full-span coverage
+      (5L, "one two three four five six seven eight"),
+      (6L, "one two three four five six seven eight"),
+      // doc 7: TWO separated duplicated runs (each shared with doc 8)
+      // with a unique gap wider than one token -> two islands
+      (7L, "c d e f g h u1 u2 u3 u4 p q r s t u"),
+      (8L, "zz c d e f g h yy ww")
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.exactSubstrSpans(crafted, minLen = L)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+    // brute force, independent of any hashing: every substring of every
+    // length m >= L, occurrence-counted corpus-wide by exact token-seq
+    // equality; covered positions = union over duplicated substrings;
+    // spans = merged maximal intervals of covered positions
+    val toks = crafted.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+      .sortBy(_._1)
+    val allSubs = scala.collection.mutable.Map
+      .empty[Seq[String], Int].withDefaultValue(0)
+    for ((_, ts) <- toks; m <- L to ts.length; i <- 0 to ts.length - m)
+      allSubs(ts.slice(i, i + m)) += 1
+    val expect = toks.flatMap { case (id, ts) =>
+      val covered = (for {
+        m <- L to ts.length
+        i <- 0 to ts.length - m
+        if allSubs(ts.slice(i, i + m)) > 1
+        pos <- i until i + m
+      } yield pos).toSet
+      // merge into maximal intervals
+      val sorted = covered.toSeq.sorted
+      val spans = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p)                          => (p, p) :: acc
+      }.reverse
+      spans.map { case (s, e) => (id, s.toLong, e.toLong, (e - s + 1).toLong) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == expect.toSeq,
+      s"got=${got.toSeq}\nexpect=${expect.toSeq}")
+    // the fixture exercises every regime
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(3L).map(t => (t._2, t._3)).toSeq == Seq((0L, 11L)),
+      "touching duplicated regions must merge into one removal span")
+    assert(byDoc(5L).head._4 == 8L && byDoc(6L).head._4 == 8L,
+      "identical docs must be covered end to end")
+    assert(byDoc(7L).length == 2,
+      "separated duplicated runs must stay two islands")
+    assert(!byDoc.contains(4L), "a unique doc has no spans")
+  }
+
+  test("pipeline_exact_substr: driver replay on the real corpus — " +
+      "window-union + island merge recomputed in plain Scala") {
+    val L = Dedup.ExactSubstrMinLen
+    val got = graft.SparkEntry.queries("pipeline_exact_substr")(
+        spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+      .sortBy(_._1)
+    val counts = scala.collection.mutable.Map
+      .empty[Seq[String], Int].withDefaultValue(0)
+    for ((_, ts) <- toks; i <- 0 to ts.length - L)
+      counts(ts.slice(i, i + L)) += 1
+    val expect = toks.flatMap { case (id, ts) =>
+      val dupP = (0 to ts.length - L)
+        .filter(i => counts(ts.slice(i, i + L)) > 1)
+      val islands = dupP.foldLeft(List.empty[List[Int]]) {
+        case (cur :: rest, p) if p <= cur.head + L => (p :: cur) :: rest
+        case (acc, p)                              => List(p) :: acc
+      }.reverse.map(_.reverse)
+      islands.map(ps => (id, ps.head.toLong, (ps.last + L - 1).toLong,
+        (ps.last + L - ps.head).toLong, ps.size.toLong))
+    }
+    assert(got == expect.toSeq)
+    assert(got.nonEmpty, "corpus has no >=50-token duplicated substrings " +
+      "— the replay proves nothing")
+  }
+
   test("simhash pairs: identical docs at hamming 0; distinct docs never " +
       "pair at hamming <= 3") {
     val got = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
