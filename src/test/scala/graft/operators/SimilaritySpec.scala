@@ -586,4 +586,71 @@ class SimilaritySpec extends SparkSpec {
     for (((_, dropId), (keeperId, _)) <- got)
       assert(keeperId < dropId, s"keeper $keeperId !< drop $dropId")
   }
+
+  private def sdiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
+
+  private def quantize(v: Seq[Double]): Seq[Long] =
+    v.map(x => math.floor(x * 1000 + 0.5).toLong)
+
+  test("kmeansTrain at cap=1 equals the single emb_centroid_update " +
+      "M-step (loop-vs-single-step equality); empty cells keep seeds") {
+    val r = Similarity.kmeansTrain(
+      graft.Tables.load(spark, sfDir, "embeddings"), cap = 1)
+    assert(r.nIters == 1)
+    val step = graft.SparkEntry.queries("emb_centroid_update")(spark, sfDir)
+      .collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(4)).toMap
+    val seeds = graft.Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 8).orderBy("vec_id").collect()
+      .map(x => quantize(x.getSeq[Float](1).map(_.toDouble)))
+    for (c <- 0 until 8; d <- r.cents(c).indices) {
+      val expect = step.getOrElse((c, d), seeds(c)(d) * 1000000L)
+      assert(r.cents(c)(d) == expect, s"cell $c dim $d")
+    }
+    // the fixture exercises both regimes or the carry rule is untested
+    assert(step.keys.map(_._1).toSet.nonEmpty)
+  }
+
+  test("kmeansConverged: EXACT fixed point on a separable corpus — " +
+      "early exit before the cap, movement 0, centroids = exact " +
+      "per-cluster integer means, members/inertia replayed") {
+    // 8 well-separated clusters on orthogonal axes in dim 8: seeds
+    // vec_id 0..7 land one per cluster, every other member joins its
+    // axis cluster in E-step 1, iteration 2 reproduces the means ->
+    // movement 0 -> exit at n_iters = 2 < cap
+    val rnd = new scala.util.Random(11)
+    val members = for (v <- 0L until 40L) yield {
+      val cl = (v % 8).toInt
+      val base = Array.fill(8)(0.0f)
+      base(cl) = 10.0f
+      for (i <- 0 until 8)
+        base(i) = base(i) + (rnd.nextInt(201) - 100) / 1000.0f // ±0.1
+      (v, base.toSeq)
+    }
+    val df = members.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansConverged(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5),
+          r.getLong(6)))
+    assert(got.forall(_._2._4 == 2), s"expected n_iters=2: ${got.take(3).toSeq}")
+    assert(got.forall(_._2._5 == 0L), "expected last_move=0")
+    // replay: quantized cluster means + inertia in plain Scala
+    val q = members.map { case (v, e) =>
+      v -> quantize(e.map(_.toDouble)) }.toMap
+    for (c <- 0 until 8) {
+      val mem = members.map(_._1).filter(_ % 8 == c).map(q)
+      for (d <- 0 until 8) {
+        val cMicro = sdiv(mem.map(_(d)).sum * 1000000L, mem.size)
+        val (gc, gn, _, _, _) = got.toMap.apply((c, d))
+        assert(gc == cMicro, s"cell $c dim $d centroid")
+        assert(gn == mem.size.toLong, s"cell $c members")
+      }
+      val inertia = mem.map(v => (0 until 8).map { d =>
+        val cMicro = sdiv(mem.map(_(d)).sum * 1000000L, mem.size)
+        val dq = sdiv(cMicro - v(d) * 1000000L, 1000000L)
+        dq * dq
+      }.sum).sum
+      assert(got.toMap.apply((c, 0))._3 == inertia, s"cell $c inertia")
+    }
+  }
 }
