@@ -609,6 +609,80 @@ object Dedup {
       .select("doc_new", "doc_old", "est_jaccard")
   }
 
+  /** EXACT shingle-Jaccard ≥ t pairs over the WHOLE corpus with no
+    * all-pairs join — prefix filtering (AllPairs/PPJoin family,
+    * Chaudhuri et al. 2006 / Xiao et al. 2008), the scale-safe exact
+    * counterpart of the MinHash approximation over the SAME
+    * word-bigram [[shingles]] sets.
+    *
+    * Theorem (prefix filter): order all shingles by a global total
+    * order (ascending document frequency, ties by shingle — rarest
+    * first); give each doc the first p = n − ⌈t·n⌉ + 1 of its n
+    * shingles. If J(a,b) ≥ t then the two prefixes share a shingle:
+    * |a∩b| ≥ t·|a∪b| ≥ ⌈t·n_a⌉, and if a's prefix missed all of a∩b,
+    * the intersection would fit inside a's suffix of n_a − p =
+    * ⌈t·n_a⌉ − 1 elements — contradiction (symmetrically for b; under
+    * a COMMON order the two prefixes must overlap). Plus the length
+    * filter: J ≥ t forces t·n_b ≤ n_a ≤ n_b/t (|a∩b| ≤ min, ≥ t·max)
+    * — both applied with exact integer arithmetic (t = tNum/tDen).
+    *
+    * 100 TB shape: candidates come from an equijoin on PREFIX shingles
+    * only — by construction each doc exposes its globally RAREST
+    * shingles, so join buckets are df-bounded from the bottom of the
+    * Zipf curve, the opposite end from the boilerplate hot keys (and
+    * the df attach that computes that order rides
+    * [[Skew.hotSaltedJoin]] since it DOES touch the hot end). Exact
+    * verification joins full shingle sets onto candidate pairs only.
+    * Every stage is an equijoin or a per-doc window; nothing is
+    * quadratic in the corpus. (On THIS synthetic corpus's ~40-word
+    * vocabulary even rare bigrams recur heavily, so candidate counts
+    * are far denser than a web corpus's — the plan shape, not the
+    * constant, is what transfers.) */
+  def prefixJaccardPairs(d: DataFrame, tNum: Int = 9, tDen: Int = 10)
+      : DataFrame = {
+    val tk = shingles(d)
+    // per-shingle document frequency: one map-side-combinable
+    // aggregate; cached — referenced by the grand total, the hot set,
+    // and the join's small side (clear-between-queries policy)
+    val dfreq = tk.groupBy("g").agg(count(lit(1)).as("df")).cache()
+    val tot = dfreq.agg(sum("df").cast("long").as("__t"))
+    val hot = dfreq.crossJoin(broadcast(tot))
+      .where(col("df") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("g")
+    // rarest-first rank and the set size off ONE doc_id exchange
+    val wd = Window.partitionBy("doc_id")
+    val wr = wd.orderBy(col("df"), col("g"))
+    val pref = Skew.hotSaltedJoin(tk, dfreq, "g", hot, col("doc_id"))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("rk", row_number().over(wr))
+      .where(col("rk") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) DIV $tDen") + 1)
+      .select(col("doc_id"), col("g"), col("n"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("g"),
+        col("n").as("pna"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("g"),
+        col("n").as("pnb")), Seq("g"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("pna") * tDen >= col("pnb") * tNum &&
+        col("pnb") * tDen >= col("pna") * tNum)
+      .select("doc_a", "doc_b").distinct()
+    val sets = tk.groupBy("doc_id")
+      .agg(collect_list("g").as("toks"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .where(col("inter") * tDen >=
+        lit(tNum) * (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
   /** Exact distinct-token Jaccard pairs over a bounded id range — the
     * quadratic ground-truth operator (deliberately NOT the scale path;
     * MinHash is). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
@@ -1067,5 +1141,47 @@ object Dedup {
       |FROM i GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin)) { (s, dir) =>
       exactSubstrSpans(docs(s, dir)).orderBy("doc_id", "span_start")
+    },
+
+    // ---- prefix-filtered EXACT Jaccard join (AllPairs/PPJoin):
+    //      every bigram-shingle-Jaccard ≥ 0.9 pair corpus-wide with
+    //      exact values, from a prefix-shingle equijoin + length
+    //      filter + exact verification — no all-pairs anywhere (vs
+    //      dedup_ngram_jaccard's deliberately bounded-quadratic
+    //      unigram ground truth, and the exact twin of what
+    //      dedup_minhash_* approximates on the same shingle sets).
+    //      The oracle replays the identical df-order/prefix/verify
+    //      algebra. ----
+    Q("dedup_jaccard_prefix", Some(
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+        |      FROM documents),
+        |tk AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+        |        THEN list_distinct(list_transform(range(1, len(ts)),
+        |          i -> ts[i] || ' ' || ts[i+1]))
+        |        ELSE [array_to_string(ts, ' ')] END) AS g
+        |      FROM toks),
+        |df AS (SELECT g, COUNT(*) AS df FROM tk GROUP BY g),
+        |r AS (SELECT t.doc_id, t.g,
+        |        ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |          ORDER BY d.df, t.g) AS rk,
+        |        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+        |      FROM tk t JOIN df d USING (g)),
+        |p AS (SELECT doc_id, g, n FROM r
+        |      WHERE rk <= n - ((9 * n + 9) // 10) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+        |        AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9),
+        |sets AS (SELECT doc_id, list(g) AS toks, COUNT(*) AS n
+        |      FROM tk GROUP BY doc_id),
+        |v AS (SELECT doc_a, doc_b,
+        |        len(list_intersect(sa.toks, sb.toks)) AS inter,
+        |        sa.n AS na, sb.n AS nb
+        |      FROM cand JOIN sets sa ON sa.doc_id = doc_a
+        |                JOIN sets sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM v WHERE 10 * inter >= 9 * (na + nb - inter)
+        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      prefixJaccardPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
     })
 }

@@ -218,6 +218,23 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "dedup_jaccard_prefix" -> 7,        // shingle spread + df agg
+                                        // (cached) + salted df attach +
+                                        // doc_id prefix window + the
+                                        // prefix equijoin's dedup agg +
+                                        // set-build agg + sort; the
+                                        // verify joins broadcast onto
+                                        // the candidate frame
+    "emb_kmeans_converged" -> 2,        // reporting pass: inline assign
+                                        // (broadcast literal centroids,
+                                        // narrow) + ONE cell aggregate +
+                                        // output sort; the 6 training
+                                        // iterations are bounded driver
+                                        // syncs at construction,
+                                        // memoized per dir (the
+                                        // text_bpe_merges discipline) —
+                                        // each is itself one corpus pass
+                                        // + one (cell,dim) aggregate
     "pipeline_exact_substr" -> 4,       // window spread + digest count
                                         // agg (cached) + salted attach +
                                         // ONE doc_id exchange shared by

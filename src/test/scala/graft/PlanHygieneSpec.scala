@@ -41,6 +41,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_curriculum_pack", // one min/max score-bounds row
     "pipeline_paragraph_dedup", // one grand-total row (hot-key cutoff)
     "pipeline_exact_substr",    // one grand-total row (hot-key cutoff)
+    "dedup_jaccard_prefix",     // one grand-total row (hot-key cutoff)
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
     "pipeline_mix_temperature", // one micro-unit-total row broadcast
     "text_vocab_coverage")      // one occurrence-total row broadcast

@@ -232,6 +232,54 @@ class DedupSpec extends SparkSpec {
       "— the replay proves nothing")
   }
 
+  /** Bigram-shingle sets, the [[Dedup.shingles]] definition. */
+  private def shingleSet(text: String): Set[String] = {
+    val t = text.split("\\s+")
+    if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSet
+    else Set(t.mkString(" "))
+  }
+
+  /** All-pairs exact shingle Jaccard >= tNum/tDen with values —
+    * the quadratic ground truth prefixJaccardPairs must reproduce. */
+  private def bruteJaccard(rows: Seq[(Long, String)], tNum: Int, tDen: Int)
+      : Map[(Long, Long), Double] = {
+    val sets = rows.map { case (id, t) => id -> shingleSet(t) }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.intersect(sb).size
+      if inter.toLong * tDen >= tNum.toLong * (sa.size + sb.size - inter)
+    } yield (ia, ib) ->
+      inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("prefixJaccardPairs: pair set AND values equal the all-pairs " +
+      "ground truth on the engineered corpus (no candidate lost to the " +
+      "prefix or length filters)") {
+    val got = Dedup.prefixJaccardPairs(corpus, tNum = 6, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val expect = bruteJaccard(corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq, 6, 10)
+    assert(got == expect, s"got=$got expect=$expect")
+    // the threshold actually bites: sub-threshold near-pairs exist
+    assert(expect.nonEmpty && expect.size <
+      corpus.count() * (corpus.count() - 1) / 2)
+  }
+
+  test("dedup_jaccard_prefix: driver replay against the all-pairs brute " +
+      "force on the real corpus at t = 0.9") {
+    val got = graft.SparkEntry.queries("dedup_jaccard_prefix")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rows = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val expect = bruteJaccard(rows, 9, 10)
+    assert(got == expect)
+    assert(got.nonEmpty, "corpus has no J >= 0.9 pairs — replay proves " +
+      "nothing")
+  }
+
   test("simhash pairs: identical docs at hamming 0; distinct docs never " +
       "pair at hamming <= 3") {
     val got = Dedup.simhashPairs(corpus, maxHamming = 3).collect()
