@@ -75,6 +75,51 @@ object Layout {
 
   private val ManifestShift = 20
 
+  /** The selective box for [[q_zorder_prune]]: a narrow customer range
+    * × a 256-day window (constants also baked into the oracle SQL). */
+  val PruneCkLo = 0L
+  val PruneCkHi = 127L
+  val PruneDayLo = 9131L
+  val PruneDayHi = 9386L
+
+  private def dayCol: Column =
+    expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+
+  /** Write `orders` in Z-order layout: one hive partition per manifest
+    * file id (`zval >> shift`), the file granularity the manifest
+    * describes. Returns the layout path (fixed — the Sources fixture
+    * convention; overwritten from the current dir each run). */
+  def writeZorderLayout(s: SparkSession, dir: String): String = {
+    val path = s"${Sources.FixtureRoot}/orders_zorder"
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("ck"), dayCol.as("day"),
+        col("o_totalprice"))
+      .withColumn("file_id",
+        shiftright(zorder16(col("ck"), col("day")), ManifestShift)
+          .cast("int"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+    path
+  }
+
+  /** Manifest-driven file skipping: the file ids whose min/max box (the
+    * stats a layout-aware writer records at write time — computed here
+    * from the SOURCE table, not by re-reading the layout) intersects
+    * the prune box. A file outside this set provably holds no matching
+    * row, because per-file min/max bounds are exact. Metadata-sized
+    * driver sync (≤ files count). */
+  def zorderKeepIds(s: SparkSession, dir: String): Seq[Int] =
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("ck"), dayCol.as("day"))
+      .withColumn("file_id",
+        shiftright(zorder16(col("ck"), col("day")), ManifestShift)
+          .cast("int"))
+      .groupBy("file_id")
+      .agg(min("ck").as("min_ck"), max("ck").as("max_ck"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .where(col("min_ck") <= PruneCkHi && col("max_ck") >= PruneCkLo &&
+        col("min_day") <= PruneDayHi && col("max_day") >= PruneDayLo)
+      .select("file_id").collect().map(_.getInt(0)).toSeq.sorted
+
   val queries: Seq[Q] = Seq(
 
     // ---- Z-order layout manifest: one keyed aggregate over the
@@ -94,5 +139,34 @@ object Layout {
          |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin)) {
       (s, dir) =>
       zorderManifest(Tables.load(s, dir, "orders"), ManifestShift)
+    },
+
+    // ---- Z-order manifest → ACTUAL file skipping (turning
+    //      q_zorder_manifest's stats into working I/O pruning, the
+    //      Delta/Iceberg data-skipping shape): write the z-ordered
+    //      layout (one hive partition per manifest file), derive the
+    //      keep-set from manifest min/max intersection with the box —
+    //      never by reading the layout — and scan ONLY those files via
+    //      a partition filter (skipped directories are never opened:
+    //      LayoutSpec pins the scan's numFiles dropping vs the
+    //      unpruned plan). The oracle answers the same box from a full
+    //      scan of `orders`, so the skip set is proven lossless, not
+    //      just fast. ----
+    Q("q_zorder_prune", Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  ${graft.Cols.sqlMoneySum("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_custkey BETWEEN $PruneCkLo AND $PruneCkHi
+         |  AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+         |    BETWEEN $PruneDayLo AND $PruneDayHi""".stripMargin)) {
+      (s, dir) =>
+      val path = writeZorderLayout(s, dir)
+      val keep = zorderKeepIds(s, dir)
+      s.read.parquet(path)
+        .where(col("file_id").isin(keep: _*) &&
+          col("ck").between(PruneCkLo, PruneCkHi) &&
+          col("day").between(PruneDayLo, PruneDayHi))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.Cols.moneySum(col("o_totalprice")).as("revenue"))
     })
 }

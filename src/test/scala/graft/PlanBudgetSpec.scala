@@ -218,6 +218,14 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "q_csv_roundtrip" -> 2,             // region agg + output sort over
+                                        // the schema'd csv scan
+    "q_json_source" -> 2,               // nation agg + output sort over
+                                        // the schema'd ndjson scan
+    "q_zorder_prune" -> 1,              // partition-pruned scan + ONE
+                                        // global aggregate; the layout
+                                        // write and manifest keep-set
+                                        // are bounded setup actions
     "dedup_jaccard_prefix" -> 7,        // shingle spread + df agg
                                         // (cached) + salted df attach +
                                         // doc_id prefix window + the

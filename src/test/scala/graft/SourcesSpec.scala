@@ -95,6 +95,31 @@ class SourcesSpec extends SparkSpec {
     assert(back2 == Set((30, "b")), s"static overwrite keeps only b: $back2")
   }
 
+  test("q_csv_roundtrip / q_json_source: the aggregate through the " +
+      "text-format round trip equals the same aggregate straight off " +
+      "parquet (no value drifts through serialize/parse/type)") {
+    val viaCsv = SparkEntry.queries("q_csv_roundtrip")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2)))
+      .toSeq
+    val direct = Tables.load(spark, sfDir, "nation")
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("f"))
+      .orderBy("n_regionkey").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toSeq
+    assert(viaCsv == direct)
+    val viaJson = SparkEntry.queries("q_json_source")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val directJ = Tables.load(spark, sfDir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), Cols.moneySum(col("s_acctbal")).as("b"))
+      .orderBy("s_nationkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(viaJson == directJ,
+      "a double drifted through the json text round trip")
+  }
+
   test("text source: line-oriented read feeds the MapReduce layer") {
     val dir = java.nio.file.Files.createTempDirectory("txt").toString
     docs.select(concat_ws("|", col("doc_id"), col("text")).as("value"))

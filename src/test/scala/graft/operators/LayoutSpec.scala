@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Z-order layout: golden curve values, mask hygiene, and the actual
   * skipping property — every file bounds BOTH dimensions — asserted
   * against the 1-D sort counterexample on a synthetic grid. */
-class LayoutSpec extends SparkSpec {
+class LayoutSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def z(x: Long, y: Long): Long = {
     import spark.implicits._
@@ -79,5 +80,46 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(got == expect)
+  }
+
+  test("q_zorder_prune: manifest-kept files are a strict subset, the " +
+      "skipped files are NEVER opened (scan numFiles drops), and the " +
+      "pruned answer equals the full scan") {
+    def scanMetrics(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      df.collect()
+      val scans = collect(df.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val files = scans.map(_.metrics("numFiles").value).sum
+      val bytes = scans.map(_.metrics("filesSize").value).sum
+      (files, bytes)
+    }
+    val path = Layout.writeZorderLayout(spark, sfDir)
+    val keep = Layout.zorderKeepIds(spark, sfDir)
+    val allIds = spark.read.parquet(path).select("file_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(keep.toSet.subsetOf(allIds))
+    assert(keep.size < allIds.size,
+      s"box must not touch every file (keep=$keep of $allIds)")
+    val box = col("ck").between(Layout.PruneCkLo, Layout.PruneCkHi) &&
+      col("day").between(Layout.PruneDayLo, Layout.PruneDayHi)
+    val pruned = spark.read.parquet(path)
+      .where(col("file_id").isin(keep: _*) && box)
+      .agg(count(lit(1)), sum(graft.Cols.cents(col("o_totalprice"))))
+    val full = spark.read.parquet(path).where(box)
+      .agg(count(lit(1)), sum(graft.Cols.cents(col("o_totalprice"))))
+    // partition filter reaches the file index, not a post-scan filter
+    val scanStr = collect(pruned.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.toString
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.contains("file_id"),
+      s"file_id filter not pushed to the file index:\n$scanStr")
+    val (pf, pb) = scanMetrics(pruned)
+    val (ff, fb) = scanMetrics(full)
+    assert(pf < ff, s"pruned scan read $pf files vs full $ff — no skip")
+    assert(pb < fb, s"pruned scan read $pb bytes vs full $fb")
+    assert(pruned.collect().toSeq.map(_.toSeq) ==
+      full.collect().toSeq.map(_.toSeq),
+      "pruning changed the answer — the keep set is not lossless")
   }
 }
