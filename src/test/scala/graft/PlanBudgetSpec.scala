@@ -218,6 +218,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "text_unigram_lm" -> 1,             // the returned plan is the
+                                        // final piece table + output
+                                        // sort; training is ONE corpus
+                                        // word aggregate + vocab-plane
+                                        // EM with bounded driver syncs
+                                        // at construction (the
+                                        // text_bpe_merges discipline,
+                                        // not memoized — bench measures
+                                        // the honest learn cost)
     "q_csv_roundtrip" -> 2,             // region agg + output sort over
                                         // the schema'd csv scan
     "q_json_source" -> 2,               // nation agg + output sort over
