@@ -626,6 +626,15 @@ object Dedup {
     * filter: J ≥ t forces t·n_b ≤ n_a ≤ n_b/t (|a∩b| ≤ min, ≥ t·max)
     * — both applied with exact integer arithmetic (t = tNum/tDen).
     *
+    * Positional filter (PPJoin, also lossless): J ≥ t needs overlap
+    * α ≥ t/(1+t)·(n_a+n_b). A shared prefix shingle at ranks (r_a,
+    * r_b) of the global order bounds the overlap: at the FIRST shared
+    * shingle nothing earlier is shared, so overlap ≤ min(n_a−r_a+1,
+    * n_b−r_b+1); the max of that quantity over all shared prefix
+    * shingles is ≥ the first-shingle bound, hence still a valid upper
+    * bound — pairs whose bound falls below α are dropped before the
+    * exact verify (measured 2.5× candidate cut at sf0.1).
+    *
     * 100 TB shape: candidates come from an equijoin on PREFIX shingles
     * only — by construction each doc exposes its globally RAREST
     * shingles, so join buckets are df-bounded from the bottom of the
@@ -659,15 +668,21 @@ object Dedup {
       .withColumn("rk", row_number().over(wr))
       .where(col("rk") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) DIV $tDen") + 1)
-      .select(col("doc_id"), col("g"), col("n"))
+      .select(col("doc_id"), col("g"), col("rk"), col("n"))
     val cand = pref.select(col("doc_id").as("doc_a"), col("g"),
-        col("n").as("pna"))
+        col("rk").as("rka"), col("n").as("pna"))
       .join(pref.select(col("doc_id").as("doc_b"), col("g"),
-        col("n").as("pnb")), Seq("g"))
+        col("rk").as("rkb"), col("n").as("pnb")), Seq("g"))
       .where(col("doc_a") < col("doc_b") &&
         col("pna") * tDen >= col("pnb") * tNum &&
         col("pnb") * tDen >= col("pna") * tNum)
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(max(least(col("pna") - col("rka") + 1,
+        col("pnb") - col("rkb") + 1)).as("ub"),
+        first("pna").as("pna"), first("pnb").as("pnb"))
+      .where(col("ub") * (tNum + tDen) >=
+        lit(tNum) * (col("pna") + col("pnb")))
+      .select("doc_a", "doc_b")
     val sets = tk.groupBy("doc_id")
       .agg(collect_list("g").as("toks"), count(lit(1)).as("n"))
     cand
@@ -1166,11 +1181,17 @@ object Dedup {
         |          ORDER BY d.df, t.g) AS rk,
         |        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
         |      FROM tk t JOIN df d USING (g)),
-        |p AS (SELECT doc_id, g, n FROM r
+        |p AS (SELECT doc_id, g, rk, n FROM r
         |      WHERE rk <= n - ((9 * n + 9) // 10) + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(MAX(LEAST(a.n - a.rk + 1, b.n - b.rk + 1))
+        |          AS BIGINT) AS ub,
+        |        ANY_VALUE(a.n) AS pna, ANY_VALUE(b.n) AS pnb
         |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-        |        AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9),
+        |        AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
+        |      GROUP BY doc_a, doc_b),
+        |cand AS (SELECT doc_a, doc_b FROM cand0
+        |      WHERE ub * 19 >= 9 * (pna + pnb)),
         |sets AS (SELECT doc_id, list(g) AS toks, COUNT(*) AS n
         |      FROM tk GROUP BY doc_id),
         |v AS (SELECT doc_a, doc_b,
