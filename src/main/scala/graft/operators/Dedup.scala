@@ -106,6 +106,70 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** The APPLY half of [[exactSubstrSpans]] — ExactSubstr REMOVAL
+    * (Lee et al. 2022 drop all-but-one copy): the corpus-wide FIRST
+    * occurrence (min (doc_id, p)) of every duplicated `minLen`-window
+    * survives; every LATER duplicated-window occurrence marks its
+    * [p, p+L−1] positions for deletion, and a document's cleaned text
+    * is its surviving tokens in order —
+    * `pipeline_paragraph_dedup`'s first-occurrence-wins contract at
+    * variable-length granularity. Emits per doc: token count, removed
+    * position count, md5 of the space-joined survivors (NULL when
+    * nothing survives).
+    *
+    * Scale shape: winners and occurrence counts come from ONE
+    * map-side-combinable min-struct aggregate on the window digest;
+    * the winner attach rides [[Skew.hotSaltedJoin]] (a boilerplate
+    * window's occurrence stream is unbounded against its 1-row
+    * winner); the position-level anti-flag join is keyed by the
+    * UNIQUE (doc_id, pos) pair — no skew possible — and reassembly is
+    * one per-doc aggregate. */
+  def exactSubstrRemoval(d: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame = {
+    val L = minLen
+    val toks = spread(d).select(col("doc_id"), tokensCol.as("ts"))
+    val ww = toks
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("h"))
+    // winners + counts in one keyed aggregate; cached — referenced by
+    // the grand total, the hot set, and the join's small side
+    val win = ww.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("w"),
+        count(lit(1)).as("n"))
+      .cache()
+    val tot = win.agg(sum("n").cast("long").as("__t"))
+    val hot = win.crossJoin(broadcast(tot))
+      .where(col("n") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("h")
+    val rem = Skew.hotSaltedJoin(ww, win, "h", hot, col("doc_id"))
+      .where(col("n") > 1 &&
+        !(col("w.doc_id") === col("doc_id") && col("w.p") === col("p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (L - 1))).as("pos"))
+      .distinct()
+    toks
+      .select(col("doc_id"),
+        posexplode(col("ts")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(rem.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        expr("""md5(array_join(transform(
+          |  array_sort(collect_list(
+          |    case when __rm is null then struct(pos, tok) end)),
+          |  s -> s.tok), ' '))""".stripMargin).as("__md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(col("n_tokens") > col("n_removed"), col("__md5"))
+          .as("kept_md5"))
+  }
+
   /** Drop exact-duplicate rows by key columns (first winner arbitrary —
     * use [[exactKeepMin]] when a deterministic survivor is needed). */
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
@@ -1156,6 +1220,45 @@ object Dedup {
       |FROM i GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin)) { (s, dir) =>
       exactSubstrSpans(docs(s, dir)).orderBy("doc_id", "span_start")
+    },
+
+    // ---- ExactSubstr REMOVAL (the apply half): first occurrence of
+    //      every duplicated 50-window survives, later copies' spans
+    //      delete their positions; per-doc cleaned-text md5 pins the
+    //      reassembly. The oracle states the same winner rule
+    //      window-style (rn > 1 over (doc_id, p) — identically the
+    //      min-struct winner). ----
+    Q("pipeline_exact_substr_removal", Some(s"""
+      |WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+      |      FROM documents),
+      |w AS (SELECT doc_id, ts,
+      |        unnest(generate_series(0, len(ts) - $ExactSubstrMinLen)) AS p
+      |      FROM toks WHERE len(ts) >= $ExactSubstrMinLen),
+      |ww AS (SELECT doc_id, p,
+      |        md5(array_to_string(
+      |          list_slice(ts, p + 1, p + $ExactSubstrMinLen), ' ')) AS h
+      |      FROM w),
+      |r AS (SELECT doc_id, p,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+      |      FROM ww),
+      |rem AS (SELECT DISTINCT doc_id, pos FROM (
+      |      SELECT doc_id,
+      |        unnest(generate_series(p, p + ${ExactSubstrMinLen - 1}))
+      |          AS pos
+      |      FROM r WHERE rn > 1)),
+      |tt AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1))
+      |        AS pos
+      |      FROM toks),
+      |j AS (SELECT t.doc_id, t.pos, t.ts[t.pos + 1] AS tok,
+      |        r.pos IS NOT NULL AS rm
+      |      FROM tt t LEFT JOIN rem r
+      |        ON t.doc_id = r.doc_id AND t.pos = r.pos)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed,
+      |  md5(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos))
+      |    AS kept_md5
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      exactSubstrRemoval(docs(s, dir)).orderBy("doc_id")
     },
 
     // ---- prefix-filtered EXACT Jaccard join (AllPairs/PPJoin):

@@ -260,11 +260,15 @@ object UnigramLm {
        |  WHERE length(p.piece) = 1 OR c.n IS NOT NULL)""".stripMargin
   }
 
-  private def sqlOracle: String = {
+  /** The full learn chain (seed → EM iterations → FINAL scores
+    * `sc${EmIters + 1}`) — shared by both oracles so the train and
+    * tokenize mirrors cannot diverge (the Bpe.sqlLearnCtes
+    * discipline). */
+  private def sqlLearnChain: String = {
     val em = (1 to EmIters).map(it =>
       s"${sqlScoreCtes(s"p${it - 1}", it)},\n${sqlEmCtes(it)}")
       .mkString(",\n")
-    s"""WITH v AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    s"""v AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
        |    FROM documents) WHERE word <> '' GROUP BY word),
        |sub AS (SELECT word, freq,
@@ -282,12 +286,41 @@ object UnigramLm {
        |      (ORDER BY n DESC, piece) AS rk
        |    FROM c0 WHERE length(piece) > 1) WHERE rk <= $TopK),
        |$em,
-       |${sqlScoreCtes(s"p$EmIters", EmIters + 1)}
+       |${sqlScoreCtes(s"p$EmIters", EmIters + 1)}""".stripMargin
+  }
+
+  private def sqlOracle: String =
+    s"""WITH $sqlLearnChain
        |SELECT sc.piece, sc.n, sc.score AS score_q10,
        |  (SELECT ll FROM ll1) AS ll_q10_i1,
        |  (SELECT ll FROM ll2) AS ll_q10_i2
        |FROM sc${EmIters + 1} sc ORDER BY piece""".stripMargin
+
+  /** Tokenize mirror: the learn chain, one more Viterbi DP under the
+    * FINAL scores (the model you'd ship), and the per-document
+    * reassembly — md5 over the in-order piece stream pins the whole
+    * learn→apply contract per document (the sqlBpeTokenize shape). */
+  private def sqlTokenizeOracle: String = {
+    val f = EmIters + 1
+    s"""WITH $sqlLearnChain,
+       |${sqlEmCtes(f)},
+       |t AS (SELECT doc_id,
+       |        unnest(string_split_regex(text, '\\s+')) AS word,
+       |        unnest(range(1, len(string_split_regex(text, '\\s+')) + 1))
+       |          AS tpos
+       |      FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       |  md5(string_agg(b.path, ' ' ORDER BY tpos)) AS piece_fp
+       |FROM t JOIN best$f b USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Trained-model memo per data dir for the APPLY query — the
+    * build-once/tokenize-many split ([[Bpe]]'s mergesCache
+    * discipline); `text_unigram_lm` itself never reads this. */
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Seq[Long])]()
 
   val queries: Seq[Q] = Seq(
 
@@ -306,5 +339,47 @@ object UnigramLm {
         .withColumn("ll_q10_i1", lit(lls.head))
         .withColumn("ll_q10_i2", lit(lls(1)))
         .orderBy("piece")
+    },
+
+    // ---- the TOKENIZE half, corpus-wide (pairing text_bpe_tokenize):
+    //      every document's word stream segmented by ONE word-plane
+    //      Viterbi under the trained model's final scores, attached to
+    //      doc tokens via hotSaltedJoin (Zipf words against 1-row
+    //      segmentations — the aggregate-fed join shape), reassembled
+    //      per doc with an md5 over the in-order piece stream. The
+    //      model is memoized per dir (build-once/tokenize-many), so
+    //      the measured cost is segmentation + attach, not training.
+    //      Scale: the DP never runs per corpus token — only per
+    //      DISTINCT word; the corpus-scale stages are one explode and
+    //      one salted equijoin. ----
+    Q("text_unigram_tokenize", Some(sqlTokenizeOracle)) { (s, dir) =>
+      val (ps, _) = trainCache.computeIfAbsent(dir,
+        _ => train(Tables.load(s, dir, "documents").select(col("text"))))
+      val scF = ps.map(p => p._1 -> p._3).toMap
+      val docs = Tables.load(s, dir, "documents")
+      val wf = docs
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+        .cache()
+      val seg = viterbi(wf, scF).select(col("word"), col("np"), col("path"))
+      val tot = wf.agg(sum("freq").cast("long").as("__t"))
+      val hot = wf.crossJoin(broadcast(tot))
+        .where(col("freq") >=
+          greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+            lit(Skew.MinHotCount)))
+        .select("word")
+      val toks = Tables.spread(docs, col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\s+")).as(Seq("tpos", "word")))
+        .where(col("word") =!= "")
+      Skew.hotSaltedJoin(toks, seg, "word", hot, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("tpos"), col("path")))),
+            p => p.getField("path")), " ")).as("piece_fp"))
+        .orderBy("doc_id")
     })
 }

@@ -218,6 +218,21 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "text_unigram_tokenize" -> 3,       // word-freq agg (feeds the
+                                        // vocab-plane Viterbi + hot
+                                        // set) + the salted word
+                                        // attach + doc reassembly agg
+                                        // reusing the spread + sort;
+                                        // the DP never touches corpus
+                                        // rows
+    "pipeline_exact_substr_removal" -> 8, // window spread + winner agg
+                                        // (cached) + salted winner
+                                        // attach + removal-position
+                                        // distinct (2) + the (doc,pos)
+                                        // flag join + doc reassembly
+                                        // agg + sort; only the spread,
+                                        // attach and flag join carry
+                                        // corpus-scale rows
     "text_unigram_lm" -> 1,             // the returned plan is the
                                         // final piece table + output
                                         // sort; training is ONE corpus

