@@ -761,6 +761,146 @@ object Similarity {
       "transform(embedding, x -> " +
         "cast(floor(cast(x as double) * 1000 + 0.5) as bigint))").as("q"))
 
+  /** Sign-bit binary signature of each embedding on the integer plane:
+    * bit d = (q_d > 0), packed as TWO 32-bit halves carried in BIGINTs
+    * (bits 0..31 only — the sign bit is never set, so shifts, xor and
+    * popcount behave identically in both engines; disjoint-bit
+    * addition is exact). 64 floats → 8 bytes: the memory-bound binary
+    * representation production vector stores rerank in. */
+  private def signSigs(e: DataFrame): DataFrame =
+    quantizedLong(e).select(col("vec_id"),
+      expr("""aggregate(sequence(0, 31), cast(0 as bigint),
+        |  (acc, d) -> acc + CASE WHEN element_at(q, d + 1) > 0
+        |    THEN shiftleft(cast(1 as bigint), d)
+        |    ELSE cast(0 as bigint) END)""".stripMargin).as("lo"),
+      expr("""aggregate(sequence(32, 63), cast(0 as bigint),
+        |  (acc, d) -> acc + CASE WHEN element_at(q, d + 1) > 0
+        |    THEN shiftleft(cast(1 as bigint), d - 32)
+        |    ELSE cast(0 as bigint) END)""".stripMargin).as("hi"))
+
+  /** Hamming distance of two packed signatures — two fused
+    * popcount(xor) ops, the whole reason binary ANN is fast. */
+  private def hammingCol(la: Column, ha: Column,
+      lb: Column, hb: Column): Column =
+    (bit_count(la.bitwiseXOR(lb)) + bit_count(ha.bitwiseXOR(hb)))
+      .cast("int")
+
+  /** The 8 disjoint 8-bit chunks of a packed signature (multi-index
+    * hashing): chunk j < 4 from `lo`, j ≥ 4 from `hi`. */
+  private def chunksOf(lo: Column, hi: Column): Column =
+    array((0 until 8).map { j =>
+      val src = if (j < 4) lo else hi
+      struct(lit(j).as("cj"),
+        shiftright(src, 8 * (j % 4)).bitwiseAND(lit(255L)).as("cv"))
+    }: _*)
+
+  /** Exact Hamming top-k over the packed signatures — the brute-force
+    * exactness BASELINE (the ann_cosine_topk role): queries (vec_id %
+    * 50 = 0) broadcast, one corpus scan, one popcount(xor) pair op. */
+  def hammingTopK(e: DataFrame, k: Int): DataFrame = {
+    val q = signSigs(e).where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    signSigs(e).crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", hammingCol(col("qlo"), col("qhi"),
+        col("lo"), col("hi")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Multi-index-hashing Hamming top-k (the scale path): candidates
+    * from the (chunk index, chunk value) equijoin — by pigeonhole any
+    * pair at Hamming ≤ 7 shares one of the 8 disjoint 8-bit chunks —
+    * then exact Hamming rank over candidates only. */
+  def hammingMihTopK(e: DataFrame, k: Int): DataFrame = {
+    val sigs = signSigs(e)
+    val ch = sigs.select(col("vec_id"), col("lo"), col("hi"),
+      explode(chunksOf(col("lo"), col("hi"))).as("c"))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        col("c.cj").as("cj"), col("c.cv").as("cv"))
+    val qch = ch.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"), col("cj"), col("cv"))
+    val cand = qch.join(ch.select(col("vec_id"), col("cj"), col("cv")),
+        Seq("cj", "cv"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qlo", "qhi", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    cand
+      .join(sigs, Seq("vec_id"))
+      .withColumn("hamming", hammingCol(col("qlo"), col("qhi"),
+        col("lo"), col("hi")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Shared oracle CTEs: int plane → packed halves (same disjoint-bit
+    * sums) → the query subset. */
+  private def sqlSigCtes: String =
+    s"""u AS (SELECT vec_id,
+       |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+       |          AS BIGINT) AS q,
+       |        generate_subscripts(embedding, 1) - 1 AS i
+       |      FROM embeddings),
+       |sig AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN i < 32 AND q > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN i >= 32 AND q > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
+       |      AS BIGINT) AS hi
+       |  FROM u GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+       |      WHERE vec_id % 50 = 0)""".stripMargin
+
+  private def sqlHammingTopk(k: Int): String =
+    s"""WITH $sqlSigCtes,
+       |d AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+       |        CAST(bit_count(xor(q.qlo, s.lo)) +
+       |          bit_count(xor(q.qhi, s.hi)) AS INTEGER) AS hamming
+       |      FROM qs q JOIN sig s ON s.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, hamming,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY hamming, neighbor_id) AS INTEGER) AS rnk
+       |      FROM d)
+       |SELECT query_id, neighbor_id, hamming, rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  private def sqlHammingMih(k: Int): String =
+    s"""WITH $sqlSigCtes,
+       |ch AS (SELECT vec_id, lo, hi, j,
+       |        CASE WHEN j < 4 THEN (lo >> CAST(8 * j AS INT)) & 255
+       |             ELSE (hi >> CAST(8 * (j - 4) AS INT)) & 255
+       |        END AS cv
+       |      FROM sig, (SELECT unnest(range(0, 8)) AS j) t),
+       |cand AS (SELECT DISTINCT a.query_id, a.qlo, a.qhi,
+       |        b.vec_id AS neighbor_id
+       |      FROM (SELECT q.query_id, q.qlo, q.qhi, c.j, c.cv
+       |            FROM qs q JOIN ch c ON c.vec_id = q.query_id) a
+       |      JOIN ch b ON a.j = b.j AND a.cv = b.cv
+       |        AND b.vec_id <> a.query_id),
+       |d AS (SELECT c.query_id, c.neighbor_id,
+       |        CAST(bit_count(xor(c.qlo, s.lo)) +
+       |          bit_count(xor(c.qhi, s.hi)) AS INTEGER) AS hamming
+       |      FROM cand c JOIN sig s ON s.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, hamming,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY hamming, neighbor_id) AS INTEGER) AS rnk
+       |      FROM d)
+       |SELECT query_id, neighbor_id, hamming, rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** DuckDB CTE chain for the integer power iteration (u → Gram m → v0 →
     * 3 rescaled iterations ending at v3) — shared by
     * `emb_power_iteration_int` and `emb_project_top_int` so the two
@@ -843,6 +983,28 @@ object Similarity {
        |n AS (SELECT vec_id, SUM(x*x) AS nsq FROM u GROUP BY vec_id)""".stripMargin
 
   val queries: Seq[Q] = Seq(
+
+    // ---- binary-embedding ANN (sign quantization → Hamming space),
+    //      the memory-bound production representation (64 dims → 8
+    //      bytes): exact top-k baseline + multi-index hashing. See
+    //      signSigs/sqlHammingTopk/sqlHammingMih below the queries
+    //      list for the packing/chunking algebra. ----
+    Q("ann_hamming_topk", Some(sqlHammingTopk(5))) { (s, dir) =>
+      hammingTopK(emb(s, dir), k = 5)
+    },
+
+    // ---- multi-index hashing (Norouzi et al. 2012), the SCALE path:
+    //      the 64-bit signature split into 8 disjoint 8-bit chunks,
+    //      candidates = equijoin on (chunk index, chunk value) — by
+    //      pigeonhole ANY pair at Hamming ≤ 7 shares an identical
+    //      chunk, so near-duplicate recall is STRUCTURAL, not
+    //      probabilistic (SimilaritySpec plants such pairs and pins
+    //      rank-1 recovery); farther neighbors are found with
+    //      chunk-collision probability, the standard MIH trade. Exact
+    //      Hamming rank over candidates only. ----
+    Q("ann_hamming_mih", Some(sqlHammingMih(5))) { (s, dir) =>
+      hammingMihTopK(emb(s, dir), k = 5)
+    },
 
     Q("ann_cosine_topk", Some(
       s"""WITH ${sqlUnnest("")},

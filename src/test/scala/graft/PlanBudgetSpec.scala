@@ -218,6 +218,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "ann_hamming_mih" -> 3,             // chunk equijoin + candidate
+                                        // dedup agg + rank/sort; the
+                                        // signature build is a narrow
+                                        // fold, cost scales with chunk
+                                        // collisions (n/32 per query),
+                                        // never the corpus square
     "text_unigram_tokenize" -> 3,       // word-freq agg (feeds the
                                         // vocab-plane Viterbi + hot
                                         // set) + the salted word

@@ -17,6 +17,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_drop_near_dups", // corpus filter over the same bounded graph
     "dedup_embedding_cosine", // exact cosine ground truth, vec_id % 20
     "ann_cosine_topk",        // brute-force exactness baseline
+    "ann_hamming_topk",       // binary-ANN exactness baseline
+                              // (queries broadcast, one corpus scan)
     "text_levenshtein")       // exact edit-distance baseline, doc_id < 30
 
   /** NOT quadratic: a crossJoin whose broadcast side is a constant-size

@@ -587,6 +587,59 @@ class SimilaritySpec extends SparkSpec {
       assert(keeperId < dropId, s"keeper $keeperId !< drop $dropId")
   }
 
+  test("hamming ANN: distances replay bit-exactly against a driver-" +
+      "side popcount; MIH's pigeonhole guarantee surfaces every " +
+      "planted Hamming<=7 neighbor at rank 1; every MIH distance is " +
+      "the true Hamming distance") {
+    val rnd = new scala.util.Random(19)
+    val dim = 64
+    // base sign patterns ±1.0; ids 0 and 50 are the queries; ids 1 and
+    // 51 are planted near-duplicates at Hamming 5 and 7
+    val base = (0 until 100).map(_ => Array.fill(dim)(
+      if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val vecs = base.zipWithIndex.map { case (v, i) =>
+      val out = v.clone()
+      if (i == 1) { for (d <- 0 until 5) out(d) = -base(0)(d) }
+      if (i == 51) { for (d <- 10 until 17) out(d) = -base(50)(d) }
+      (i.toLong, out.toSeq)
+    }
+    // ensure the plants start from their query's pattern
+    val planted = vecs.map { case (i, v) =>
+      if (i == 1) (i, base(0).zipWithIndex.map { case (x, d) =>
+        if (d < 5) -x else x }.toSeq)
+      else if (i == 51) (i, base(50).zipWithIndex.map { case (x, d) =>
+        if (d >= 10 && d < 17) -x else x }.toSeq)
+      else (i, v)
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    def ham(a: Seq[Float], b: Seq[Float]): Int =
+      (0 until dim).count(d => (a(d) > 0) != (b(d) > 0))
+    val byId = planted.toMap
+    val brute = Similarity.hammingTopK(df, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // bit-exact distance replay on every returned row
+    brute.foreach { case (q, n, h, _) =>
+      assert(h == ham(byId(q), byId(n)), s"($q,$n) hamming drift") }
+    val bruteTop = brute.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3))).toMap
+    assert(bruteTop(0L).head == ((1L, 5)), s"plant 1: ${bruteTop(0L)}")
+    assert(bruteTop(50L).head == ((51L, 7)), s"plant 51: ${bruteTop(50L)}")
+    val mih = Similarity.hammingMihTopK(df, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val mihTop = mih.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3))).toMap
+    // pigeonhole: Hamming <= 7 forces a shared 8-bit chunk, so the
+    // plants are CANDIDATES and must win rank 1 exactly as in brute
+    assert(mihTop(0L).head == ((1L, 5)), s"MIH missed plant 1: $mihTop")
+    assert(mihTop(50L).head == ((51L, 7)), s"MIH missed plant 51: $mihTop")
+    // every MIH distance is the true Hamming distance (candidates may
+    // legitimately extend past brute's top-k when a true neighbor
+    // shares no chunk — the MIH trade; the PLANTS can never be lost)
+    mih.foreach { case (q, n, h, _) =>
+      assert(h == ham(byId(q), byId(n)),
+        s"MIH row ($q,$n,$h) hamming drift") }
+  }
+
   private def sdiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
 
   private def quantize(v: Seq[Double]): Seq[Long] =
