@@ -170,6 +170,74 @@ object Dedup {
           .as("kept_md5"))
   }
 
+  /** INCREMENTAL ExactSubstr removal — the continuous-ingestion shape
+    * (pairing [[crossCorpusPairs]]' near-dup variant): clean a NEW
+    * batch against an EXISTING corpus without ever rescanning
+    * old×old. The old side contributes only its DISTINCT window
+    * digests (exactly the index a production pipeline persists and
+    * appends to); a new window is removable iff its text exists in
+    * the old index (old always wins) OR a new-side first occurrence
+    * precedes it (the [[exactSubstrRemoval]] winner rule within the
+    * batch). Equal, by construction, to full-corpus removal filtered
+    * to the new docs — but the old side costs one distinct-digest
+    * pass, not a re-clean.
+    *
+    * Scale: the new-side winner/count aggregate and the old index
+    * meet on the DIGEST plane (one row per distinct window each), so
+    * the corpus-scale occurrence stream crosses a single
+    * [[Skew.hotSaltedJoin]] attach of the combined per-digest row. */
+  def exactSubstrIncremental(fresh: DataFrame, old: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame = {
+    val L = minLen
+    def windows(d: DataFrame): DataFrame = spread(d)
+      .select(col("doc_id"), tokensCol.as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("h"))
+    val oldIdx = windows(old).select("h").distinct()
+      .withColumn("__old", lit(true))
+    val nw = windows(fresh)
+    // new-side winners + counts, combined with the old index on the
+    // digest plane (1 row per digest each side); cached — referenced
+    // by the grand total, the hot set, and the join's small side
+    val idx = nw.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("w"),
+        count(lit(1)).as("n"))
+      .join(oldIdx, Seq("h"), "left")
+      .cache()
+    val tot = idx.agg(sum("n").cast("long").as("__t"))
+    val hot = idx.crossJoin(broadcast(tot))
+      .where(col("n") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("h")
+    val rem = Skew.hotSaltedJoin(nw, idx, "h", hot, col("doc_id"))
+      .where(col("__old").isNotNull ||
+        (col("n") > 1 &&
+          !(col("w.doc_id") === col("doc_id") && col("w.p") === col("p"))))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (L - 1))).as("pos"))
+      .distinct()
+    spread(fresh).select(col("doc_id"), tokensCol.as("ts"))
+      .select(col("doc_id"),
+        posexplode(col("ts")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(rem.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        expr("""md5(array_join(transform(
+          |  array_sort(collect_list(
+          |    case when __rm is null then struct(pos, tok) end)),
+          |  s -> s.tok), ' '))""".stripMargin).as("__md5"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(col("n_tokens") > col("n_removed"), col("__md5"))
+          .as("kept_md5"))
+  }
+
   /** Drop exact-duplicate rows by key columns (first winner arbitrary —
     * use [[exactKeepMin]] when a deterministic survivor is needed). */
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
@@ -1259,6 +1327,56 @@ object Dedup {
       |    AS kept_md5
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       exactSubstrRemoval(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- INCREMENTAL ExactSubstr: clean the new batch (doc_id in
+    //      [300, 600)) against the existing corpus (< 300) — the old
+    //      side contributes only its distinct window digests (the
+    //      persisted-index shape; pipeline_incremental_dedup's split
+    //      convention), old always wins, new-internal copies fall to
+    //      the first-occurrence rule. ----
+    Q("pipeline_incremental_substr", Some(s"""
+      |WITH oton AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+      |      FROM documents WHERE doc_id < 300),
+      |ntok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+      |      FROM documents WHERE doc_id >= 300 AND doc_id < 600),
+      |oww AS (SELECT md5(array_to_string(
+      |          list_slice(ts, p + 1, p + $ExactSubstrMinLen), ' ')) AS h
+      |      FROM (SELECT ts, unnest(generate_series(0,
+      |          len(ts) - $ExactSubstrMinLen)) AS p
+      |        FROM oton WHERE len(ts) >= $ExactSubstrMinLen)),
+      |oidx AS (SELECT DISTINCT h FROM oww),
+      |nww AS (SELECT doc_id, p,
+      |        md5(array_to_string(
+      |          list_slice(ts, p + 1, p + $ExactSubstrMinLen), ' ')) AS h
+      |      FROM (SELECT doc_id, ts, unnest(generate_series(0,
+      |          len(ts) - $ExactSubstrMinLen)) AS p
+      |        FROM ntok WHERE len(ts) >= $ExactSubstrMinLen)),
+      |r AS (SELECT doc_id, p, h,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+      |      FROM nww),
+      |rem AS (SELECT DISTINCT doc_id, pos FROM (
+      |      SELECT doc_id,
+      |        unnest(generate_series(p, p + ${ExactSubstrMinLen - 1}))
+      |          AS pos
+      |      FROM r WHERE rn > 1 OR h IN (SELECT h FROM oidx))),
+      |tt AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1))
+      |        AS pos
+      |      FROM ntok),
+      |j AS (SELECT t.doc_id, t.pos, t.ts[t.pos + 1] AS tok,
+      |        r.pos IS NOT NULL AS rm
+      |      FROM tt t LEFT JOIN rem r
+      |        ON t.doc_id = r.doc_id AND t.pos = r.pos)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed,
+      |  md5(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos))
+      |    AS kept_md5
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val all = docs(s, dir)
+      exactSubstrIncremental(
+        all.where(col("doc_id") >= 300 && col("doc_id") < 600),
+        all.where(col("doc_id") < 300))
+        .orderBy("doc_id")
     },
 
     // ---- prefix-filtered EXACT Jaccard join (AllPairs/PPJoin):

@@ -218,6 +218,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "pipeline_incremental_substr" -> 9, // new-window spread + winner
+                                        // agg (cached) + old-index
+                                        // distinct (2) + digest-plane
+                                        // index join + salted attach +
+                                        // removal distinct (2) +
+                                        // (doc,pos) flag join + doc
+                                        // reassembly agg + sort; the
+                                        // old side contributes ONE
+                                        // distinct-digest pass
     "ann_hamming_mih" -> 3,             // chunk equijoin + candidate
                                         // dedup agg + rank/sort; the
                                         // signature build is a narrow

@@ -46,6 +46,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "dedup_jaccard_prefix",     // one grand-total row (hot-key cutoff)
     "text_unigram_tokenize",    // one grand-total row (hot-key cutoff)
     "pipeline_exact_substr_removal", // one grand-total row (hot cutoff)
+    "pipeline_incremental_substr",   // one grand-total row (hot cutoff)
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
     "pipeline_mix_temperature", // one micro-unit-total row broadcast
     "text_vocab_coverage")      // one occurrence-total row broadcast

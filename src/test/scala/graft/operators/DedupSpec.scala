@@ -294,6 +294,34 @@ class DedupSpec extends SparkSpec {
       "corpus has no removals — replay proves nothing")
   }
 
+  test("exactSubstrIncremental: equals full-corpus removal restricted " +
+      "to the new batch; old always wins; new-internal copies fall to " +
+      "the first-occurrence rule") {
+    val all = Seq(
+      (1L, "a b c d e f g h i j"),      // old
+      (10L, "a b c d e f g h i j"),     // new, copies ONLY old text
+      (11L, "p q r s t u v w x y"),     // new, first of a new-side pair
+      (12L, "p q r s t u v w x y"),     // new, loses to 11
+      (13L, "m n o k l z a2 b2 c2 d2")  // new, unique
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    val inc = rows(Dedup.exactSubstrIncremental(
+      all.where(col("doc_id") >= 10), all.where(col("doc_id") < 10),
+      minLen = 5))
+    val full = rows(Dedup.exactSubstrRemoval(all, minLen = 5)
+      .where(col("doc_id") >= 10))
+    assert(inc == full, s"incremental != full-restricted:\n$inc\n$full")
+    val byId = inc.map(t => t._1 -> t).toMap
+    assert(byId(10L)._3 == 10L && byId(10L)._4 == null,
+      "old-only duplicate must be fully removed via the old index")
+    assert(byId(11L)._3 == 0L, "the new-side first occurrence survives")
+    assert(byId(12L)._3 == 10L && byId(12L)._4 == null,
+      "the new-side later copy is fully removed")
+    assert(byId(13L)._3 == 0L, "unique new doc untouched")
+  }
+
   /** Bigram-shingle sets, the [[Dedup.shingles]] definition. */
   private def shingleSet(text: String): Set[String] = {
     val t = text.split("\\s+")
