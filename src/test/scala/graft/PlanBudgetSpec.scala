@@ -218,6 +218,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "ann_hamming_topk" -> 2,            // query broadcast into one
+                                        // corpus scan + rank + sort;
+                                        // the signature build is a
+                                        // narrow fold (measured 2)
     "pipeline_incremental_substr" -> 9, // new-window spread + winner
                                         // agg (cached) + old-index
                                         // distinct (2) + digest-plane
