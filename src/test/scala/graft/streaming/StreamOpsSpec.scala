@@ -507,6 +507,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionWindowCounts: native session_window merges in-gap " +
+      "events, finalizes via the watermark, and matches the batch " +
+      "session_window aggregate over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Raw]
+    val query = StreamOps.sessionWindowCounts(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two sessions (10:00-10:10, then 11:30); user 2: one
+      // session straddling the two micro-batches (10:05 then 10:20 —
+      // the state store must MERGE the windows across batches)
+      input.addData(
+        Raw(1, 1, ts("10:00"), "click", 1.0),
+        Raw(1, 2, ts("10:10"), "click", 1.0),
+        Raw(2, 3, ts("10:05"), "view", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        Raw(2, 4, ts("10:20"), "view", 1.0),
+        Raw(1, 5, ts("11:30"), "click", 1.0))
+      query.processAllAvailable()
+      // advance the watermark far enough to finalize everything
+      input.addData(Raw(9, 9, ts("18:00"), "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Raw(9, 10, ts("18:01"), "click", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("native_sessions").collect()
+        .filter(_.getLong(0) <= 2L)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      val rows = Seq(
+        (1L, 1L, ts("10:00"), "click", 1.0),
+        (1L, 2L, ts("10:10"), "click", 1.0),
+        (2L, 3L, ts("10:05"), "view", 1.0),
+        (2L, 4L, ts("10:20"), "view", 1.0),
+        (1L, 5L, ts("11:30"), "click", 1.0))
+      val batch = rows
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"), col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
+      // the cross-batch merge actually happened: user 2 has ONE
+      // session of 2 events, not two 1-event sessions
+      assert(streamed.count(_._1 == 2L) == 1)
+      assert(streamed.find(_._1 == 2L).get._4 == 2L)
+    } finally query.stop()
+  }
+
   test("cdcStream: sub-millisecond event times order versions by actual " +
       "microseconds — parity with batch unix_micros, not getTime-ms") {
     implicit val sqlCtx = spark.sqlContext
