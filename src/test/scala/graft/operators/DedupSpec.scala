@@ -356,6 +356,27 @@ class DedupSpec extends SparkSpec {
       corpus.count() * (corpus.count() - 1) / 2)
   }
 
+  test("prefixJaccardPairs property: equals the all-pairs brute force " +
+      "on seeded random corpora across thresholds (no pair ever lost " +
+      "to the prefix, length, or positional filters)") {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    for (seed <- Seq(5, 23); (tn, td) <- Seq((9, 10), (7, 10), (5, 10))) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 30L).map(i =>
+        i -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val df = rows.toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardPairs(df, tNum = tn, tDen = td)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val expect = bruteJaccard(rows, tn, td)
+      assert(got == expect,
+        s"seed=$seed t=$tn/$td: got ${got.size} expect ${expect.size} " +
+          s"missing=${expect.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- expect.keySet}")
+    }
+  }
+
   test("dedup_jaccard_prefix: driver replay against the all-pairs brute " +
       "force on the real corpus at t = 0.9") {
     val got = graft.SparkEntry.queries("dedup_jaccard_prefix")(spark, sfDir)
