@@ -640,6 +640,61 @@ class SimilaritySpec extends SparkSpec {
         s"MIH row ($q,$n,$h) hamming drift") }
   }
 
+  test("emb_kmeans_converged oracle parity ON AN EARLY-EXIT corpus: " +
+      "the cap-unrolled DuckDB mirror equals the exact-fixed-point " +
+      "exit — the stationarity theorem checked against the real " +
+      "oracle, not just proved in the Scaladoc") {
+    def run(cmd: String*): (Int, String) = {
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes())
+      (p.waitFor(), out)
+    }
+    val (probe, _) = run("python3", "-c", "import duckdb")
+    assume(probe == 0, "python3+duckdb not on this host; runs on CI")
+    // the separable 8-cluster corpus from the convergence test — the
+    // driver's oracle gate only sees the real corpus, where no early
+    // exit fires; THIS corpus exits at n_iters = 2 while the oracle
+    // still unrolls all 6 steps
+    val rnd = new scala.util.Random(11)
+    val members = for (v <- 0L until 40L) yield {
+      val cl = (v % 8).toInt
+      val base = Array.fill(8)(0.0f)
+      base(cl) = 10.0f
+      for (i <- 0 until 8)
+        base(i) = base(i) + (rnd.nextInt(201) - 100) / 1000.0f
+      (v, base.toSeq)
+    }
+    val df = members.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_oracle")
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.kmeansConverged(df).collect()
+    assert(got.forall(_.getInt(5) == 2),
+      "fixture must actually early-exit (n_iters = 2)")
+    val gotRows = got
+      .map(_.toSeq.map(String.valueOf).mkString("\t")).toSeq.sorted
+    val sqlFile = java.nio.file.Files.createTempFile("kmeans", ".sql")
+    java.nio.file.Files.writeString(sqlFile,
+      graft.SparkEntry.oracleSql("emb_kmeans_converged"))
+    val script =
+      """import sys, duckdb
+        |sql = open(sys.argv[1]).read()
+        |con = duckdb.connect()
+        |con.execute("SET enable_progress_bar = false")
+        |con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+        |            f"read_parquet('{sys.argv[2]}/embeddings.parquet/*.parquet')")
+        |for row in con.execute(sql).fetchall():
+        |    print('\t'.join(str(x) for x in row))
+        |""".stripMargin
+    val (code, out) = run("python3", "-c", script,
+      sqlFile.toString, dir.toString)
+    assert(code == 0, s"oracle run failed:\n$out")
+    val oracleRows = out.linesIterator.filter(_.nonEmpty).toSeq.sorted
+    assert(oracleRows == gotRows,
+      s"early-exit vs 6-step-unroll divergence:\n" +
+        s"spark=${gotRows.take(3)}\noracle=${oracleRows.take(3)}")
+  }
+
   private def sdiv(x: Long, d: Long): Long = if (x < 0) -((-x) / d) else x / d
 
   private def quantize(v: Seq[Double]): Seq[Long] =
