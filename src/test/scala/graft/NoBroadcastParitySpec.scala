@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Broadcast-independence sweep: at 100 TB, sides that broadcast at
+  * test scale (dimension tables, count frames, candidate sets) can
+  * outgrow the driver, and Spark silently degrades the join to
+  * shuffle — so correctness must not depend on the broadcast
+  * STRATEGY, only on the join's algebra. This sweep re-runs a
+  * representative slice of the inventory (dim-join relational,
+  * salted-attach text ops, candidate-verify dedup, ANN rank paths)
+  * under `spark.sql.autoBroadcastJoinThreshold = -1` AND
+  * `spark.sql.adaptive.autoBroadcastJoinThreshold = -1` (no
+  * automatic broadcasts anywhere; only explicit broadcast() hints
+  * remain, which model genuinely-bounded frames like 1-row totals)
+  * and asserts cell-exact equality with the default session.
+  */
+class NoBroadcastParitySpec extends SparkSpec {
+
+  private val sweep = Seq(
+    "q5_region_revenue",      // 6-way dim join
+    "q10_returned_items",     // order-key join + dims
+    "q21_waiting_supplier",   // per-order distinct agg + supplier dim
+    "text_doc_keywords",      // salted df attach + rank
+    "pipeline_decontaminate", // rarity attach + pair explode
+    "dedup_jaccard_prefix",   // prefix candidates + set verify joins
+    "pipeline_exact_substr",  // count attach + island merge
+    "ann_hamming_mih",        // chunk equijoin + sig attach
+    "ann_ivf_int",            // cell equijoin + rank
+    "q_semi_join", "q_anti_join", "q_full_outer_join")
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case f: Float  => java.lang.Float.floatToIntBits(f)
+      case x => x
+    }).sortBy(_.mkString(" "))
+
+  test("a no-automatic-broadcast session produces cell-identical " +
+      "results across dim joins, salted attaches, candidate verifies " +
+      "and ANN ranks") {
+    val plain = spark.newSession()
+    val nobc = spark.newSession()
+    nobc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    nobc.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    for (name <- sweep) {
+      val fn = SparkEntry.queries(name)
+      plain.catalog.clearCache(); nobc.catalog.clearCache()
+      val a = canon(fn(plain, sfDir))
+      val b = canon(fn(nobc, sfDir))
+      assert(a == b,
+        s"$name: results depend on the broadcast strategy " +
+          s"(${a.size} vs ${b.size} rows)")
+    }
+  }
+}
