@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identification — multinomial Naive Bayes over word
+  * unigrams with Laplace smoothing, the classical supervised
+  * counterpart of the heuristic `text_langid` and the model behind
+  * fastText-style corpus routing. Train on the doc_id % 5 ≠ 0 split,
+  * score the held-out % 5 = 0 split, emit the confusion matrix — the
+  * metric a corpus pipeline actually monitors for its router.
+  *
+  * INTEGER-EXACT scoring (the [[UnigramLm]] discipline): every
+  * log-probability is a q10 fixed-point base-2 log of a count —
+  * score(doc, lang) = ilog(nd_lang)                      (prior)
+  *                  + Σ_tokens ilog(c_{lang,word} + 1)   (0 if unseen)
+  *                  − n_tokens · ilog(T_lang + V)        (denominator)
+  * computed with the same 10-step shift/square `ilog2` in BOTH
+  * engines ([[withIlog]] here, the unrolled CTE chain in the
+  * mirror), so the argmax — ties broken by lang ascending — can
+  * never drift across engines. (The shared −ilog(Σnd) prior
+  * normalizer is constant across langs and dropped.)
+  *
+  * Scale shape: training is one (lang, word) aggregate + per-lang
+  * totals (vocab-plane); the fixed-point log runs TABLE-LEVEL on the
+  * (lang, word) frame — never per corpus token — and scoring attaches
+  * the score table to eval tokens via one equijoin on (lang, word)
+  * after a ≤|langs| fan-out, followed by one (doc, lang) aggregate
+  * and a per-doc argmax window. Unseen words cost nothing at join
+  * time: their ilog(0+1) = 0 contribution is algebraic, and the
+  * n_tokens·denominator term needs no join at all. */
+object NbLangid {
+
+  /** Add column `out` = ilog2_q10(`m`) (m ≥ 1 BIGINT) via the exact
+    * table-level shift/square chain — [[UnigramLm.ilog2Q10]]'s algebra
+    * as 11 narrow projections, so the log runs distributed on
+    * vocabulary-sized frames instead of a driver sync. */
+  private def withIlog(df: DataFrame, m: String, out: String): DataFrame = {
+    var d = df
+      .withColumn("__e", (length(expr(s"bin($m)")) - 1).cast("int"))
+      .withColumn("__acc", col("__e").cast("long") * 1024L)
+      .withColumn("__z", expr(s"shiftright(shiftleft($m, 20), __e)"))
+    for (k <- 0 until 10) {
+      val bit = 1L << (9 - k)
+      d = d.withColumn("__z2", expr("shiftright(__z * __z, 20)"))
+        .withColumn("__acc", when(col("__z2") >= 2097152L,
+          col("__acc") + bit).otherwise(col("__acc")))
+        .withColumn("__z", when(col("__z2") >= 2097152L,
+          expr("shiftright(__z2, 1)")).otherwise(col("__z2")))
+    }
+    d.withColumn(out, col("__acc"))
+      .drop("__e", "__acc", "__z", "__z2")
+  }
+
+  /** Train on `% 5 != 0`, score `% 5 = 0`, return the confusion
+    * matrix (actual, pred, n) ordered. */
+  def confusion(d: DataFrame): DataFrame = {
+    val train = Tables.spread(d, col("doc_id"))
+      .where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    // (lang, word) counts + per-lang token totals + vocab size +
+    // per-lang doc priors — all vocabulary- or |langs|-sized
+    val cnt = train.groupBy("lang", "word")
+      .agg(count(lit(1)).cast("long").as("n")).cache()
+    val tl = cnt.groupBy("lang").agg(sum("n").cast("long").as("t"))
+    val vocab = cnt.select("word").distinct()
+      .agg(count(lit(1)).cast("long").as("v"))
+    val prior = train.groupBy("lang")
+      .agg(countDistinct("doc_id").cast("long").as("nd"))
+    val wsc = withIlog(cnt.withColumn("m", col("n") + 1L), "m", "ilog_w")
+      .select("lang", "word", "ilog_w")
+    val langSc = withIlog(
+      withIlog(tl.crossJoin(broadcast(vocab))
+        .join(prior, "lang")
+        .withColumn("m", col("t") + col("v")), "m", "ilog_den")
+        .withColumn("m2", col("nd")),
+      "m2", "ilog_pri")
+      .select("lang", "ilog_den", "ilog_pri")
+    val langs = broadcast(langSc)
+    val ev = Tables.spread(d, col("doc_id"))
+      .where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang").as("actual"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    // fan eval tokens out ≤|langs| ways, attach seen-word scores (an
+    // unseen word's ilog(1) = 0 needs no row), fold per (doc, lang)
+    val perLang = ev.crossJoin(langs)
+      .join(wsc, Seq("lang", "word"), "left")
+      .groupBy(col("doc_id"), col("actual"), col("lang"))
+      .agg(sum(coalesce(col("ilog_w"), lit(0L))).as("s_present"),
+        count(lit(1)).as("n_tok"),
+        first("ilog_den").as("ilog_den"),
+        first("ilog_pri").as("ilog_pri"))
+      .withColumn("score",
+        col("ilog_pri") + col("s_present") -
+          col("n_tok") * col("ilog_den"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    perLang
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy(col("actual"), col("lang").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "pred")
+  }
+
+  /** The ilog chain as unrolled CTEs over a cte carrying `m` —
+    * identical steps to [[withIlog]] (and UnigramLm's generator; kept
+    * local because the carried columns differ). */
+  private def sqlIlog(in: String, out: String, keep: String): String = {
+    val z0 =
+      s"""${out}_0 AS (SELECT $keep,
+         |  CAST(length(bin(m)) - 1 AS BIGINT) * 1024 AS acc,
+         |  (m << 20) >> (length(bin(m)) - 1) AS z FROM $in)""".stripMargin
+    val steps = (0 until 10).map { k =>
+      val bit = 1L << (9 - k)
+      s"""${out}_${k + 1} AS (SELECT $keep,
+         |  acc + CASE WHEN (z * z) >> 20 >= 2097152 THEN $bit ELSE 0 END
+         |    AS acc,
+         |  CASE WHEN (z * z) >> 20 >= 2097152 THEN ((z * z) >> 20) >> 1
+         |       ELSE (z * z) >> 20 END AS z FROM ${out}_$k)""".stripMargin
+    }
+    val fin = s"$out AS (SELECT $keep, CAST(acc AS BIGINT) AS ilog " +
+      s"FROM ${out}_10)"
+    (z0 +: steps :+ fin).mkString(",\n")
+  }
+
+  private def sqlOracle: String =
+    s"""WITH tr AS MATERIALIZED (SELECT doc_id, lang,
+       |    unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |trf AS (SELECT * FROM tr WHERE word <> ''),
+       |c AS MATERIALIZED (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM trf GROUP BY lang, word),
+       |tl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM c
+       |  GROUP BY lang),
+       |vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM trf),
+       |pri AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+       |  FROM trf GROUP BY lang),
+       |wm AS (SELECT lang, word, n + 1 AS m FROM c),
+       |${sqlIlog("wm", "wsc", "lang, word")},
+       |dm AS (SELECT tl.lang, tl.t + vv.v AS m FROM tl CROSS JOIN vv),
+       |${sqlIlog("dm", "dsc", "lang")},
+       |pm AS (SELECT lang, nd AS m FROM pri),
+       |${sqlIlog("pm", "psc", "lang")},
+       |ls AS MATERIALIZED (SELECT d.lang, d.ilog AS ilog_den,
+       |    p.ilog AS ilog_pri
+       |  FROM dsc d JOIN psc p USING (lang)),
+       |ev AS MATERIALIZED (SELECT doc_id, lang AS actual,
+       |    unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |evf AS (SELECT * FROM ev WHERE word <> ''),
+       |pl AS MATERIALIZED (SELECT e.doc_id, e.actual, l.lang,
+       |    CAST(l.ilog_pri + SUM(COALESCE(w.ilog, 0))
+       |      - COUNT(*) * l.ilog_den AS BIGINT) AS score
+       |  FROM evf e CROSS JOIN ls l
+       |  LEFT JOIN wsc w ON w.lang = l.lang AND w.word = e.word
+       |  GROUP BY e.doc_id, e.actual, l.lang, l.ilog_pri, l.ilog_den),
+       |pr AS (SELECT doc_id, actual, lang AS pred FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang) AS rk FROM pl) WHERE rk = 1)
+       |SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM pr GROUP BY actual, pred ORDER BY actual, pred""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- trained NB language router: held-out confusion matrix with
+    //      fully integer-exact scoring — the whole
+    //      train→smooth→score→argmax trajectory hash-matched against
+    //      the mirror (no float ever touches a decision). ----
+    Q("text_nb_langid", Some(sqlOracle)) { (s, dir) =>
+      confusion(Tables.load(s, dir, "documents"))
+    })
+}

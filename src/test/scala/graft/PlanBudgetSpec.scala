@@ -218,6 +218,16 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
+    "text_nb_langid" -> 10,             // train spread + (lang,word)
+                                        // count agg (cached) + lang
+                                        // totals + vocab distinct (2)
+                                        // + doc priors (2: distinct
+                                        // pre-agg + count) + the eval
+                                        // spread + score attach +
+                                        // (doc,lang) fold + argmax
+                                        // window + confusion agg/sort;
+                                        // only the two spreads and the
+                                        // attach carry corpus rows
     "ann_hamming_topk" -> 2,            // query broadcast into one
                                         // corpus scan + rank + sort;
                                         // the signature build is a

@@ -49,7 +49,10 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_incremental_substr",   // one grand-total row (hot cutoff)
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
     "pipeline_mix_temperature", // one micro-unit-total row broadcast
-    "text_vocab_coverage")      // one occurrence-total row broadcast
+    "text_vocab_coverage",      // one occurrence-total row broadcast
+    "text_nb_langid")           // fixed ≤|langs|-row score frame
+                                // broadcast (the eval-token fan-out)
+                                // + the 1-row vocab-size frame
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

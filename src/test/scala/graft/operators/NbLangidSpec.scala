@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained NB language router: full plain-Scala replay of the
+  * train→smooth→score→argmax trajectory on the real corpus, plus a
+  * separable crafted corpus where the classifier must be perfect.
+  */
+class NbLangidSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def replay(rows: Seq[(Long, String, String)])
+      : Map[(String, String), Long] = {
+    val ilog = UnigramLm.ilog2Q10 _
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val train = rows.filter(_._1 % 5 != 0)
+    val ev = rows.filter(_._1 % 5 == 0)
+    val cnt = collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for ((_, lang, t) <- train; w <- toks(t)) cnt((lang, w)) += 1
+    val langs = train.map(_._2).distinct.sorted
+    val tl = langs.map(l =>
+      l -> cnt.collect { case ((`l`, _), n) => n }.sum).toMap
+    val v = train.flatMap(t => toks(t._3)).distinct.size.toLong
+    val nd = langs.map(l =>
+      l -> train.count(_._2 == l).toLong).toMap
+    val conf = collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for ((_, actual, t) <- ev) {
+      val ws = toks(t)
+      val pred = langs.minBy { l =>
+        val s = ilog(nd(l)) +
+          ws.map(w => if (cnt((l, w)) > 0) ilog(cnt((l, w)) + 1) else 0L)
+            .sum - ws.size.toLong * ilog(tl(l) + v)
+        (-s, l)
+      }
+      conf((actual, pred)) += 1
+    }
+    conf.toMap
+  }
+
+  test("text_nb_langid: confusion matrix equals the plain-Scala NB " +
+      "replay on the real corpus (integer-exact scores end to end)") {
+    val rows = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = graft.SparkEntry.queries("text_nb_langid")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == replay(rows))
+    assert(got.values.sum == rows.count(_._1 % 5 == 0).toLong,
+      "every held-out doc must be classified exactly once")
+  }
+
+  test("a separable crafted corpus classifies perfectly (diagonal " +
+      "confusion), including docs with unseen words") {
+    val docs = (0L until 40L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val words = if (lang == "aa") "red green blue red green"
+        else "eins zwei drei eins zwei"
+      // held-out docs get one unseen word — smoothing must absorb it
+      val t = if (i % 5 == 0) words + s" novel$i" else words
+      (i, lang, t)
+    }
+    val got = NbLangid.confusion(docs.toDF("doc_id", "lang", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keys.forall { case (a, p) => a == p },
+      s"off-diagonal predictions on a separable corpus: $got")
+    assert(got.values.sum == 8L)
+  }
+}
