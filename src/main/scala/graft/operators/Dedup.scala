@@ -830,6 +830,73 @@ object Dedup {
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** EXACT containment join — |A∩B| / |A| ≥ t over 8-token-WINDOW
+    * sets, the asymmetric relation symmetric Jaccard structurally
+    * misses: a short document fully quoted inside a much larger one
+    * has containment 1.0 but Jaccard ≈ |A|/|B| → 0 (the spec
+    * demonstrates exactly that blind spot against
+    * [[prefixJaccardPairs]]). Window-level containment reads as "the
+    * fraction of A's text spans that appear verbatim in B" — the
+    * subset-duplicate / boilerplate-coverage detector.
+    *
+    * Prefix theorem for the ASYMMETRIC case: order windows by global
+    * df (rarest first); A exposes its first n_a − ⌈t·n_a⌉ + 1. If
+    * C(A→B) ≥ t then |A∩B| ≥ ⌈t·n_a⌉, and if B contained none of A's
+    * prefix the intersection would fit in A's suffix of ⌈t·n_a⌉ − 1
+    * elements — contradiction. B contributes ALL its windows (no
+    * prefix, and no length/positional filter exists: containment puts
+    * no constraint on |B|). Candidates therefore cost Σ over A-prefix
+    * windows of df(w) — and because each doc exposes its RAREST
+    * windows and the window vocabulary is position-rich (unlike the
+    * bigram-shingle plane), those df values sit at the bottom of the
+    * distribution. Exact verification joins window sets onto
+    * candidate pairs only; containment in exact integer ppm. */
+  def containmentPairs(d: DataFrame, winLen: Int = 8,
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val L = winLen
+    val tk = spread(d).select(col("doc_id"), tokensCol.as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
+          .as("p"))
+      .select(col("doc_id"),
+        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("g"))
+      .distinct()
+    // per-window document frequency: one keyed aggregate; cached —
+    // referenced by the total, the hot set, and the attach small side
+    val dfreq = tk.groupBy("g").agg(count(lit(1)).as("df")).cache()
+    val tot = dfreq.agg(sum("df").cast("long").as("__t"))
+    val hot = dfreq.crossJoin(broadcast(tot))
+      .where(col("df") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("g")
+    val wd = Window.partitionBy("doc_id")
+    val wr = wd.orderBy(col("df"), col("g"))
+    val pref = Skew.hotSaltedJoin(tk, dfreq, "g", hot, col("doc_id"))
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("rk", row_number().over(wr))
+      .where(col("rk") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) DIV $tDen") + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("g"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = tk.groupBy("doc_id")
+      .agg(collect_list("g").as("gs"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gb")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb")))
+        .cast("long"))
+      .where(col("inter") * tDen >= lit(tNum) * col("na"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        expr("inter * 1000000 DIV na").as("containment_ppm"))
+  }
+
   /** Exact distinct-token Jaccard pairs over a bounded id range — the
     * quadratic ground-truth operator (deliberately NOT the scale path;
     * MinHash is). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
@@ -1425,5 +1492,43 @@ object Dedup {
         |FROM v WHERE 10 * inter >= 9 * (na + nb - inter)
         |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
       prefixJaccardPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- EXACT containment join (|A∩B|/|A| ≥ 1/2 over 8-token
+    //      window sets): the asymmetric subset-duplicate relation —
+    //      "half of A's spans appear verbatim in B" — that symmetric
+    //      Jaccard misses by construction. A-side prefix of rarest
+    //      windows vs B-side full index (the asymmetric prefix
+    //      theorem, Scaladoc); exact verify + integer ppm. ----
+    Q("dedup_containment", Some("""
+      |WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+      |      FROM documents),
+      |tk AS (SELECT DISTINCT doc_id,
+      |        md5(array_to_string(list_slice(ts, p + 1, p + 8), ' ')) AS g
+      |      FROM (SELECT doc_id, ts,
+      |          unnest(generate_series(0, len(ts) - 8)) AS p
+      |        FROM toks WHERE len(ts) >= 8)),
+      |df AS (SELECT g, COUNT(*) AS df FROM tk GROUP BY g),
+      |r AS (SELECT t.doc_id, t.g,
+      |        ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |          ORDER BY d.df, t.g) AS rk,
+      |        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      |      FROM tk t JOIN df d USING (g)),
+      |p AS (SELECT doc_id, g FROM r
+      |      WHERE rk <= n - ((1 * n + 1) // 2) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM p a JOIN tk b ON a.g = b.g AND a.doc_id <> b.doc_id),
+      |sets AS (SELECT doc_id, list(g) AS gs, COUNT(*) AS n FROM tk
+      |      GROUP BY doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |        CAST(len(list_intersect(sa.gs, sb.gs)) AS BIGINT) AS inter,
+      |        CAST(sa.n AS BIGINT) AS na
+      |      FROM cand JOIN sets sa ON sa.doc_id = doc_a
+      |                JOIN sets sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, inter, na,
+      |  CAST(inter * 1000000 // na AS BIGINT) AS containment_ppm
+      |FROM v WHERE 2 * inter >= 1 * na
+      |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
     })
 }

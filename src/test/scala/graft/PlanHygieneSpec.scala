@@ -47,6 +47,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_unigram_tokenize",    // one grand-total row (hot-key cutoff)
     "pipeline_exact_substr_removal", // one grand-total row (hot cutoff)
     "pipeline_incremental_substr",   // one grand-total row (hot cutoff)
+    "dedup_containment",             // one grand-total row (hot cutoff)
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
     "pipeline_mix_temperature", // one micro-unit-total row broadcast
     "text_vocab_coverage",      // one occurrence-total row broadcast

@@ -322,6 +322,49 @@ class DedupSpec extends SparkSpec {
     assert(byId(13L)._3 == 0L, "unique new doc untouched")
   }
 
+  test("containmentPairs: a short doc fully quoted inside a long one " +
+      "scores containment 1.0 while symmetric Jaccard misses it; " +
+      "brute-force replay on the real corpus") {
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val sub = (6 to 21).map(i => s"w$i").mkString(" ")     // ⊂ big
+    val other = (100 to 115).map(i => s"x$i").mkString(" ")
+    val crafted = Seq((1L, big), (2L, sub), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // doc 2's 9 windows all appear in doc 1 -> containment 1.0
+    assert(got((2L, 1L)) == 1000000L, s"subset pair missed: $got")
+    // ...while Jaccard(2,1) over the same kind of sets is far below
+    // any dedup threshold — the asymmetric relation is the point
+    val jac = Dedup.prefixJaccardPairs(crafted, tNum = 9, tDen = 10)
+      .collect()
+    assert(!jac.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 2L)),
+      "Jaccard at 0.9 must NOT pair the subset docs (that blindness " +
+        "is what containment exists to fix)")
+    // the reverse direction is sub-threshold: only 9 of big's 23
+    // windows are covered (9/23 < 1/2)
+    assert(!got.contains((1L, 2L)), s"asymmetry violated: $got")
+
+    // real-corpus brute force at L=8, t=1/2
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").toSeq.sliding(8).map(_.mkString(" "))
+          .toSet)
+      .filter(_._2.forall(_.split("\\s+").length == 8))
+    val expect = (for {
+      (ia, sa) <- toks; (ib, sb) <- toks if ia != ib
+      inter = sa.intersect(sb).size
+      if 2L * inter >= sa.size
+    } yield (ia, ib) -> (inter * 1000000L / sa.size)).toMap
+    val real = graft.SparkEntry.queries("dedup_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert(real == expect)
+    assert(real.nonEmpty, "corpus has no containment pairs — replay " +
+      "proves nothing")
+  }
+
   /** Bigram-shingle sets, the [[Dedup.shingles]] definition. */
   private def shingleSet(text: String): Set[String] = {
     val t = text.split("\\s+")
