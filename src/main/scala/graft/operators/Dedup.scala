@@ -862,6 +862,11 @@ object Dedup {
       .select(col("doc_id"),
         md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("g"))
       .distinct()
+      // slim fixed-width digest rows referenced by FOUR consumers
+      // (df build, prefix attach, B-side index, set build) — cached
+      // like the minhash signature frames; released by the harness's
+      // clear-between-queries policy
+      .cache()
     // per-window document frequency: one keyed aggregate; cached —
     // referenced by the total, the hot set, and the attach small side
     val dfreq = tk.groupBy("g").agg(count(lit(1)).as("df")).cache()

@@ -218,12 +218,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
-    "dedup_containment" -> 5,           // window-set spread/distinct +
-                                        // df agg (cached) + salted df
-                                        // attach + A-prefix × B-full
-                                        // candidate dedup agg + sort;
-                                        // set-verify joins broadcast
-                                        // onto candidates (measured 5)
+    "dedup_containment" -> 3,           // the cached window-digest
+                                        // frame (spread + distinct)
+                                        // feeds all four consumers; +
+                                        // salted df attach/prefix
+                                        // window + candidate dedup agg
+                                        // + sort; set-verify joins
+                                        // broadcast onto candidates
     "text_nb_langid" -> 10,             // train spread + (lang,word)
                                         // count agg (cached) + lang
                                         // totals + vocab distinct (2)
