@@ -218,13 +218,18 @@ class PlanBudgetSpec extends SparkSpec {
                                         // totals + offsets + per-shard
                                         // window) + output sort
     // ---- round-9 additions ----
-    "dedup_containment" -> 3,           // the cached window-digest
+    "dedup_containment" -> 4,           // the cached window-digest
                                         // frame (spread + distinct)
                                         // feeds all four consumers; +
                                         // salted df attach/prefix
                                         // window + candidate dedup agg
                                         // + sort; set-verify joins
-                                        // broadcast onto candidates
+                                        // broadcast onto candidates.
+                                        // Measured 3 or 4 depending on
+                                        // whether AQE broadcasts or
+                                        // shuffles the candidate join
+                                        // at this scale — pin the
+                                        // shuffle-side shape
     "text_nb_langid" -> 10,             // train spread + (lang,word)
                                         // count agg (cached) + lang
                                         // totals + vocab distinct (2)
