@@ -102,13 +102,15 @@ object Layout {
     val path = s"${Sources.FixtureRoot}/orders_zorder_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     if (layoutWritten.add(path))
-      Tables.load(s, dir, "orders")
-        .select(col("o_custkey").as("ck"), dayCol.as("day"),
-          col("o_totalprice"))
-        .withColumn("file_id",
-          shiftright(zorder16(col("ck"), col("day")), ManifestShift)
-            .cast("int"))
-        .write.mode("overwrite").partitionBy("file_id").parquet(path)
+      try
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), dayCol.as("day"),
+            col("o_totalprice"))
+          .withColumn("file_id",
+            shiftright(zorder16(col("ck"), col("day")), ManifestShift)
+              .cast("int"))
+          .write.mode("overwrite").partitionBy("file_id").parquet(path)
+      catch { case e: Throwable => layoutWritten.remove(path); throw e }
     path
   }
 

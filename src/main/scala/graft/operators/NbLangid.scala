@@ -36,9 +36,20 @@ object NbLangid {
     * table-level shift/square chain — [[UnigramLm.ilog2Q10]]'s algebra
     * as 11 narrow projections, so the log runs distributed on
     * vocabulary-sized frames instead of a driver sync. */
+  /** ilog2Q10's driver-side `require(m < 2^43)` as a TABLE-LEVEL loud
+    * guard: `m << 20` silently overflows BIGINT at m ≥ 2^43 and would
+    * yield garbage logs, so the chain refuses — mirrored verbatim in
+    * [[sqlIlog]] (DuckDB `error()`), keeping both engines' domains
+    * identical. */
+  private val IlogMax = 1L << 43
+
   private def withIlog(df: DataFrame, m: String, out: String): DataFrame = {
     var d = df
-      .withColumn("__e", (length(expr(s"bin($m)")) - 1).cast("int"))
+      .withColumn("__e", expr(
+        s"CASE WHEN $m >= 1 AND $m < $IlogMax " +
+          s"THEN CAST(length(bin($m)) - 1 AS INT) " +
+          "ELSE CAST(raise_error(concat('ilog2_q10 domain: m must be " +
+          s"in [1, 2^43), got ', CAST($m AS STRING))) AS INT) END"))
       .withColumn("__acc", col("__e").cast("long") * 1024L)
       .withColumn("__z", expr(s"shiftright(shiftleft($m, 20), __e)"))
     for (k <- 0 until 10) {
@@ -113,7 +124,11 @@ object NbLangid {
   private def sqlIlog(in: String, out: String, keep: String): String = {
     val z0 =
       s"""${out}_0 AS (SELECT $keep,
-         |  CAST(length(bin(m)) - 1 AS BIGINT) * 1024 AS acc,
+         |  CASE WHEN m >= 1 AND m < $IlogMax
+         |    THEN CAST(length(bin(m)) - 1 AS BIGINT) * 1024
+         |    ELSE CAST(error(concat('ilog2_q10 domain: m must be in ' ||
+         |      '[1, 2^43), got ', CAST(m AS VARCHAR))) AS BIGINT)
+         |  END AS acc,
          |  (m << 20) >> (length(bin(m)) - 1) AS z FROM $in)""".stripMargin
     val steps = (0 until 10).map { k =>
       val bit = 1L << (9 - k)

@@ -192,9 +192,16 @@ object UnigramLm {
   private def sqlIlogCtes(in: String, out: String,
       keepCols: Seq[String]): String = {
     val keep = keepCols.map(_ + ", ").mkString
+    // Mirrors ilog2Q10's require: m << 20 overflows BIGINT at
+    // m >= 2^43, so the chain refuses loudly instead of computing
+    // garbage (same guard as NbLangid.withIlog / its sqlIlog).
     val z0 =
       s"""${out}_0 AS (SELECT ${keep}
-         |  CAST(length(bin(m)) - 1 AS BIGINT) * 1024 AS acc,
+         |  CASE WHEN m >= 1 AND m < ${1L << 43}
+         |    THEN CAST(length(bin(m)) - 1 AS BIGINT) * 1024
+         |    ELSE CAST(error(concat('ilog2_q10 domain: m must be in ' ||
+         |      '[1, 2^43), got ', CAST(m AS VARCHAR))) AS BIGINT)
+         |  END AS acc,
          |  (m << 20) >> (length(bin(m)) - 1) AS z FROM $in)""".stripMargin
     val steps = (0 until 10).map { k =>
       val bit = 1L << (9 - k)
