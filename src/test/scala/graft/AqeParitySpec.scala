@@ -31,7 +31,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_exact_substr", "emb_kmeans_converged", "dedup_jaccard_prefix",
     "q_zorder_prune", "text_unigram_lm", "text_unigram_tokenize",
     "pipeline_exact_substr_removal", "ann_hamming_mih", "text_nb_langid",
-    "dedup_containment")
+    "dedup_containment",
+    // round-10 additions
+    "mm_image_dedup")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

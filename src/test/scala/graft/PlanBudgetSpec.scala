@@ -316,6 +316,17 @@ class PlanBudgetSpec extends SparkSpec {
                                         // keys lead with doc_id); only
                                         // the spread and attach carry
                                         // corpus-scale rows (measured 4)
+    // ---- round-10 additions ----
+    "mm_image_dedup" -> 4,              // spread (the per-row PNG
+                                        // encode + real ImageIO decode
+                                        // is the compute stage) + the
+                                        // 4x16-bit chunk equijoin (both
+                                        // slim signature sides) + the
+                                        // candidate-dedup agg feeding
+                                        // the keep-min window/sort;
+                                        // only 8-byte signatures ever
+                                        // ride a shuffle, never pixels
+                                        // (measured 4, 95 KB)
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -246,4 +246,99 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getSeq[Float](1) ==
       Multimodal.stubDecodeFeatures("hello".getBytes, 4).toSeq)
   }
+
+  // ---- image near-dup dedup (dHash + banded Hamming join) ----
+
+  private def png(px: Array[Int]): Array[Byte] =
+    Multimodal.encodeGrayPng(px, 9, 8)
+
+  private def basePx(seed: Int): Array[Int] =
+    Array.tabulate(72)(i => (i * 37 + 11 * seed + seed * seed) % 256)
+
+  test("dHash64: hand-computed bits — a descending row sets exactly its " +
+      "8 gradient bits") {
+    // row 0 strictly descending -> all 8 of its left>right bits set;
+    // every other row constant -> no bits
+    val px = Array.fill(72)(100)
+    for (x <- 0 until 9) px(x) = 9 - x
+    val (lo, hi) = Multimodal.dHash64(png(px))
+    assert(lo == 0xffL && hi == 0L)
+  }
+
+  test("dHash64: single-pixel edit flips at most 2 bits, at EVERY " +
+      "position (the locality theorem behind the Hamming radius)") {
+    val base = basePx(1)
+    val (blo, bhi) = Multimodal.dHash64(png(base))
+    for (p <- 0 until 72; delta <- Seq(-60, 90)) {
+      val mod = base.clone()
+      mod(p) = ((mod(p) + delta) % 256 + 256) % 256
+      val (mlo, mhi) = Multimodal.dHash64(png(mod))
+      val flips = java.lang.Long.bitCount(blo ^ mlo) +
+        java.lang.Long.bitCount(bhi ^ mhi)
+      // a pixel participates in <= 2 horizontal comparisons
+      assert(flips <= 2, s"pixel $p delta $delta flipped $flips bits")
+    }
+  }
+
+  test("imageDedupSurvivors recovers planted perturbed-pixel near-dups " +
+      "and keeps unrelated images") {
+    val base = basePx(1)
+    val near1 = base.clone(); near1(31) = 0   // 1 edited pixel, <= 2 flips
+    val near2 = base.clone(); near2(50) = 255 // another, <= 2 flips
+    val imgs = Seq(10L -> base, 20L -> near1, 30L -> near2,
+      40L -> basePx(5), 50L -> basePx(9))
+    // sanity: the plants really are within radius, the strangers outside
+    val sigs = imgs.map { case (id, px) =>
+      val (lo, hi) = Multimodal.dHash64(png(px)); (id, lo, hi)
+    }
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+    assert(ham(sigs(0), sigs(1)) > 0 && ham(sigs(0), sigs(1)) <= 3)
+    assert(ham(sigs(0), sigs(2)) > 0 && ham(sigs(0), sigs(2)) <= 3)
+    assert(ham(sigs(0), sigs(3)) > 3 && ham(sigs(0), sigs(4)) > 3)
+    val out = Multimodal
+      .imageDedupSurvivors(sigs.toDF("doc_id", "lo", "hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.get(20L).contains(10L), s"near1 not recovered: $out")
+    assert(out.get(30L).contains(10L), s"near2 not recovered: $out")
+    assert(!out.contains(40L) && !out.contains(50L),
+      s"unrelated image dropped: $out")
+    assert(!out.contains(10L), "the keeper itself must survive")
+  }
+
+  test("imageDedupSurvivors == brute-force all-pairs keep-min (banding " +
+      "pigeonhole recall, end-to-end)") {
+    // 20 distinct patterns; every third gets a 1-pixel-perturbed twin
+    val imgs = (0 until 20).flatMap { k =>
+      val b = basePx(k)
+      val dup = if (k % 3 == 0) {
+        val m = b.clone(); m(7 * k % 72) = (m(7 * k % 72) + 131) % 256
+        Seq((100L + k) -> m)
+      } else Nil
+      Seq(k.toLong -> b) ++ dup
+    }
+    val sigs = imgs.map { case (id, px) =>
+      val (lo, hi) = Multimodal.dHash64(png(px)); (id, lo, hi)
+    }
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield (b._1, (a._1, h)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).minBy(_._1)) }
+    val got = Multimodal
+      .imageDedupSurvivors(sigs.toDF("doc_id", "lo", "hi"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(got == brute, s"banded=$got brute=$brute")
+    assert(brute.nonEmpty, "fixture must plant at least one near-dup")
+  }
+
+  test("dHash64 rejects non-dHash geometry loudly (resize first)") {
+    val bad = Multimodal.encodeGrayPng(Array.fill(64)(7), 8, 8)
+    val e = intercept[IllegalArgumentException](Multimodal.dHash64(bad))
+    assert(e.getMessage.contains("9x8"))
+  }
 }
