@@ -125,7 +125,29 @@ object Dedup {
     * UNIQUE (doc_id, pos) pair — no skew possible — and reassembly is
     * one per-doc aggregate. */
   def exactSubstrRemoval(d: DataFrame,
-      minLen: Int = ExactSubstrMinLen): DataFrame = {
+      minLen: Int = ExactSubstrMinLen): DataFrame =
+    exactSubstrKept(d, minLen)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(col("n_tokens") > col("n_removed"), md5(col("__kept")))
+          .as("kept_md5"))
+
+  /** The CLEANED-TEXT form of [[exactSubstrRemoval]] — same winner
+    * rule, same plan, but the surviving tokens come back as a text
+    * column so a downstream stage (near-dup, decontamination,
+    * packing) can consume the cleaned corpus directly. Documents left
+    * empty by the removal are DROPPED (nothing to carry forward). */
+  def exactSubstrCleaned(d: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame =
+    exactSubstrKept(d, minLen)
+      .where(col("n_tokens") > col("n_removed"))
+      .select(col("doc_id"), col("__kept").as("text"),
+        (col("n_tokens") - col("n_removed")).as("n_kept"))
+
+  /** Shared core of the two apply forms: per doc, token count,
+    * removed-position count, and the space-joined survivor string
+    * (`__kept`) — one definition so the md5 contract and the cleaned
+    * text can never diverge. */
+  private def exactSubstrKept(d: DataFrame, minLen: Int): DataFrame = {
     val L = minLen
     val toks = spread(d).select(col("doc_id"), tokensCol.as("ts"))
     val ww = toks
@@ -161,13 +183,10 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
-        expr("""md5(array_join(transform(
+        expr("""array_join(transform(
           |  array_sort(collect_list(
           |    case when __rm is null then struct(pos, tok) end)),
-          |  s -> s.tok), ' '))""".stripMargin).as("__md5"))
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        when(col("n_tokens") > col("n_removed"), col("__md5"))
-          .as("kept_md5"))
+          |  s -> s.tok), ' ')""".stripMargin).as("__kept"))
   }
 
   /** INCREMENTAL ExactSubstr removal — the continuous-ingestion shape

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed END-TO-END corpus-preparation pipeline — every cleaning
+  * stage the engine implements, CHAINED in production order over one
+  * corpus, each stage consuming the previous stage's survivors:
+  *
+  *   1. quality gate        — per-language top half by n_chars
+  *                            ([[Sampling.topHalfByScore]])
+  *   2. ExactSubstr removal — duplicated ≥50-token spans deleted,
+  *                            first occurrence wins, WITHIN the gated
+  *                            corpus; empty docs drop
+  *                            ([[Dedup.exactSubstrCleaned]])
+  *   3. near-dup drop       — prefix-filtered EXACT bigram-shingle
+  *                            Jaccard ≥ 0.9 over the CLEANED text,
+  *                            keep-min ([[Dedup.prefixJaccardPairs]])
+  *   4. decontamination     — survivors sharing ≥ 3 rare 5-grams with
+  *                            an eval-split doc are dropped, and the
+  *                            eval split itself leaves the train
+  *                            corpus ([[TextAnalysis.decontaminatePairs]])
+  *   5. packing             — concat-then-chunk prefix-sum layout of
+  *                            the final corpus
+  *                            ([[Packing.packSequences]])
+  *
+  * One row per stage: survivor count, token total, and (for the pack
+  * stage) the chunk count + an md5 digest of the full (doc_id,
+  * tok_start) packing manifest — so ANY stage-boundary bug (a column
+  * contract, a filter order, an off-by-one in a survivor rule) moves a
+  * pinned number. The integration is where such bugs live; every
+  * individual stage is already oracle-matched on its own.
+  *
+  * Scale shape: each stage is the already-audited plan of its
+  * standalone operator (hot-key-salted attaches, prefix-filtered
+  * candidate joins, sharded prefix sums — never all-pairs, never a
+  * corpus-wide single-partition window). The stage frames that feed
+  * BOTH a count row and the next stage (`cleaned`, `deduped`,
+  * `train`) are cached — at reporting scale that is the
+  * clear-between-queries cache policy; a 100 TB run would checkpoint
+  * those boundaries to storage instead (same DAG, durable edges). The
+  * cached frames are slim (doc_id, text, n_kept) survivor corpora,
+  * never exploded token/window planes. */
+object Prepare {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val wsTokens = size(split(col("text"), "\\s+")).cast("long")
+
+  private def stageRow(stage: String, df: DataFrame,
+      tokCol: org.apache.spark.sql.Column): DataFrame =
+    df.agg(count(lit(1)).cast("long").as("n"),
+        sum(tokCol).cast("long").as("tokens"))
+      .select(lit(stage).as("stage"), col("n"), col("tokens"),
+        lit(null).cast("string").as("digest"))
+
+  /** Run the full pipeline; returns the 6-row stage summary.
+    *
+    * Stage boundaries are EAGER lineage-truncating checkpoints, not
+    * caches: each stage's logical plan is itself a deep DAG
+    * (windows, salted joins, collect_list reassembly), and nesting
+    * five of them — then referencing each from both a count row and
+    * the next stage — made Catalyst's analysis/canonicalization of
+    * the composed tree the dominant cost (measured 264 s/pass at
+    * sf0.001 with plain `.cache()`, driver-bound: every Spark job in
+    * the log took milliseconds with multi-second planning gaps
+    * between them; 5.6 s after truncation). `localCheckpoint` is the
+    * [[Dedup.connectedComponents]] precedent — the stage result
+    * (slim survivor rows) persists on executors and downstream plans
+    * see a leaf; a 100 TB run would checkpoint these boundaries to
+    * durable storage instead (same DAG, durable edges). */
+  def fullPrepare(d: DataFrame): DataFrame = {
+    val gated = Sampling.topHalfByScore(d, "lang", "n_chars")
+    // survivors of the ExactSubstr clean: (doc_id, text, n_kept) —
+    // feeds its count row, the near-dup pair join AND the anti-join's
+    // keep side
+    val cleaned = Dedup.exactSubstrCleaned(gated).localCheckpoint()
+    val losers = Dedup.prefixJaccardPairs(cleaned)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = cleaned.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val flagged = TextAnalysis.decontaminatePairs(deduped)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val train = deduped.where(col("doc_id") % 10 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    val packed = Packing.packSequences(train)
+    val s5 = packed.agg(
+      expr(s"(sum(n_tokens) + ${Packing.SeqLen - 1}) div ${Packing.SeqLen}")
+        .cast("long").as("n"),
+      sum("n_tokens").cast("long").as("tokens"),
+      md5(expr("""array_join(transform(
+        |  array_sort(collect_list(struct(doc_id, tok_start))),
+        |  s -> concat(cast(s.doc_id as string), ':',
+        |              cast(s.tok_start as string))), ',')""".stripMargin))
+        .as("digest"))
+      .select(lit("5_pack").as("stage"), col("n"), col("tokens"),
+        col("digest"))
+    stageRow("0_input", d, wsTokens)
+      .unionByName(stageRow("1_quality_gate", gated, wsTokens))
+      .unionByName(stageRow("2_exact_substr", cleaned, col("n_kept")))
+      .unionByName(stageRow("3_near_dup", deduped, col("n_kept")))
+      .unionByName(stageRow("4_decontaminate", train, col("n_kept")))
+      .unionByName(s5)
+      .orderBy("stage")
+  }
+
+  /** The oracle replays the SAME five stage algebras as one CTE chain
+    * — each stage's CTEs are its standalone query's oracle re-rooted
+    * at the previous stage's survivors (MATERIALIZED where a frame
+    * has multiple consumers, or DuckDB re-inlines the deep chain). */
+  private def sqlFullPrepare: String = {
+    val L = Dedup.ExactSubstrMinLen
+    s"""WITH gate AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY n_chars DESC, doc_id) AS rnk,
+       |      COUNT(*) OVER (PARTITION BY lang) AS nis
+       |    FROM documents)
+       |  WHERE rnk * 2 <= nis + 1),
+       |gtoks AS MATERIALIZED (SELECT doc_id,
+       |    string_split_regex(text, '\\s+') AS ts FROM gate),
+       |ww AS MATERIALIZED (SELECT doc_id, p,
+       |    md5(array_to_string(list_slice(ts, p + 1, p + $L), ' ')) AS h
+       |  FROM (SELECT doc_id, ts,
+       |      unnest(generate_series(0, len(ts) - $L)) AS p
+       |    FROM gtoks WHERE len(ts) >= $L)),
+       |r AS (SELECT doc_id, p,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+       |  FROM ww),
+       |rem AS (SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, unnest(generate_series(p, p + ${L - 1})) AS pos
+       |    FROM r WHERE rn > 1)),
+       |tt AS (SELECT doc_id, ts,
+       |    unnest(generate_series(0, len(ts) - 1)) AS pos FROM gtoks),
+       |j AS (SELECT t.doc_id, t.pos, t.ts[t.pos + 1] AS tok,
+       |    r.pos IS NOT NULL AS rm
+       |  FROM tt t LEFT JOIN rem r
+       |    ON t.doc_id = r.doc_id AND t.pos = r.pos),
+       |ne AS MATERIALIZED (SELECT doc_id, n_kept, ctext FROM (
+       |    SELECT doc_id,
+       |      CAST(COUNT(*) FILTER (WHERE NOT rm) AS BIGINT) AS n_kept,
+       |      string_agg(CASE WHEN NOT rm THEN tok END, ' '
+       |        ORDER BY pos) AS ctext
+       |    FROM j GROUP BY doc_id) WHERE n_kept > 0),
+       |tk2 AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+       |    THEN list_distinct(list_transform(range(1, len(ts)),
+       |      i -> ts[i] || ' ' || ts[i+1]))
+       |    ELSE [array_to_string(ts, ' ')] END) AS g
+       |  FROM (SELECT doc_id, string_split_regex(ctext, '\\s+') AS ts
+       |        FROM ne)),
+       |df2 AS (SELECT g, COUNT(*) AS df FROM tk2 GROUP BY g),
+       |r2 AS (SELECT t.doc_id, t.g,
+       |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |      ORDER BY d.df, t.g) AS rk,
+       |    COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+       |  FROM tk2 t JOIN df2 d USING (g)),
+       |p2 AS (SELECT doc_id, g, rk, n FROM r2
+       |  WHERE rk <= n - ((9 * n + 9) // 10) + 1),
+       |cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(MAX(LEAST(a.n - a.rk + 1, b.n - b.rk + 1)) AS BIGINT)
+       |      AS ub,
+       |    ANY_VALUE(a.n) AS pna, ANY_VALUE(b.n) AS pnb
+       |  FROM p2 a JOIN p2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |    AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
+       |  GROUP BY doc_a, doc_b),
+       |sets2 AS MATERIALIZED (SELECT doc_id, list(g) AS gs,
+       |    COUNT(*) AS n FROM tk2 GROUP BY doc_id),
+       |losers AS MATERIALIZED (SELECT DISTINCT doc_b FROM (
+       |    SELECT c.doc_b, len(list_intersect(sa.gs, sb.gs)) AS inter,
+       |      sa.n AS na, sb.n AS nb
+       |    FROM (SELECT doc_a, doc_b FROM cand0
+       |          WHERE ub * 19 >= 9 * (pna + pnb)) c
+       |      JOIN sets2 sa ON sa.doc_id = c.doc_a
+       |      JOIN sets2 sb ON sb.doc_id = c.doc_b)
+       |  WHERE 10 * inter >= 9 * (na + nb - inter)),
+       |dd AS MATERIALIZED (SELECT doc_id, n_kept, ctext FROM ne
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+       |bg AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(ts) - 3),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+       |           ts[i+3] || ' ' || ts[i+4]))) AS g
+       |  FROM (SELECT doc_id, string_split_regex(ctext, '\\s+') AS ts
+       |        FROM dd)
+       |  WHERE len(ts) >= 5),
+       |rare AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 20),
+       |bgr AS MATERIALIZED (SELECT bg.doc_id, bg.g
+       |  FROM bg JOIN rare USING (g)),
+       |flag AS MATERIALIZED (SELECT DISTINCT train_doc AS doc_id FROM (
+       |    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+       |    FROM bgr t JOIN bgr e ON t.g = e.g
+       |      AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+       |    GROUP BY 1, 2 HAVING COUNT(DISTINCT t.g) >= 3)),
+       |train AS MATERIALIZED (SELECT doc_id, n_kept, ctext FROM dd
+       |  WHERE doc_id % 10 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM flag)),
+       |pk AS MATERIALIZED (SELECT doc_id, n_kept + 1 AS n_tokens,
+       |    CAST(SUM(n_kept + 1) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - (n_kept + 1) AS BIGINT)
+       |      AS tok_start
+       |  FROM train),
+       |s AS (
+       |  SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+       |      AS tokens,
+       |    CAST(NULL AS VARCHAR) AS digest FROM documents
+       |  UNION ALL
+       |  SELECT '1_quality_gate', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
+       |    NULL FROM gate
+       |  UNION ALL
+       |  SELECT '2_exact_substr', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(n_kept) AS BIGINT), NULL FROM ne
+       |  UNION ALL
+       |  SELECT '3_near_dup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(n_kept) AS BIGINT), NULL FROM dd
+       |  UNION ALL
+       |  SELECT '4_decontaminate', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(n_kept) AS BIGINT), NULL FROM train
+       |  UNION ALL
+       |  SELECT '5_pack',
+       |    CAST((SUM(n_tokens) + ${Packing.SeqLen - 1})
+       |      // ${Packing.SeqLen} AS BIGINT),
+       |    CAST(SUM(n_tokens) AS BIGINT),
+       |    md5(string_agg(doc_id || ':' || tok_start, ','
+       |      ORDER BY doc_id)) FROM pk)
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- the full prepare trajectory, hash-matched: quality gate →
+    //      ExactSubstr removal → near-dup drop → decontaminate → pack,
+    //      one pinned summary row per stage. ----
+    Q("pipeline_full_prepare", Some(sqlFullPrepare)) { (s, dir) =>
+      fullPrepare(docs(s, dir))
+    })
+}

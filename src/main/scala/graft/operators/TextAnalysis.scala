@@ -31,6 +31,38 @@ object TextAnalysis {
   private[operators] def bigramRows(d: DataFrame,
       distinctPerDoc: Boolean): DataFrame = ngramRows(d, 2, distinctPerDoc)
 
+  /** Train/eval decontamination pairs: (train_doc, eval_doc, n_shared)
+    * for every training doc (doc_id % 10 ≠ 0) sharing ≥ 3 RARE word
+    * 5-grams (docfreq ≤ 20 within `d`) with an eval-split doc
+    * (doc_id % 10 = 0) — the `pipeline_decontaminate` operator as a
+    * reusable stage (the composed corpus-prep pipeline consumes it on
+    * CLEANED text). Scale notes at the query registration. */
+  def decontaminatePairs(d: DataFrame): DataFrame = {
+    val bg = ngramRows(d, 5, distinctPerDoc = true)
+    // cached: the docfreq aggregate feeds the rare set, the grand
+    // total, and the hot set (clear-between-queries policy)
+    val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
+    val rare = dfreq.where(col("dfreq") <= 20).select("g")
+    val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
+    val hot = dfreq.crossJoin(broadcast(tot))
+      .where(col("dfreq") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("g")
+    Skew.hotSaltedJoin(bg, rare, "g", hot, col("doc_id"))
+      .groupBy("g").agg(
+        collect_set(when(col("doc_id") % 10 === 0, col("doc_id")))
+          .as("evals"),
+        collect_set(when(col("doc_id") % 10 =!= 0, col("doc_id")))
+          .as("trains"))
+      .where(size(col("evals")) > 0 && size(col("trains")) > 0)
+      .select(explode(col("trains")).as("train_doc"), col("evals"))
+      .select(col("train_doc"), explode(col("evals")).as("eval_doc"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+  }
+
   /** Generalized word n-gram explode — the single place the shingle
     * pipeline's disciplines live (ANSI short-doc pre-filter, keyed
     * spread, generator-safe explode-of-expression shape). */
@@ -841,28 +873,7 @@ object TextAnalysis {
       // AQE's skew split cannot fire on this shape (see Skew). Hot keys
       // salt; the surviving rare-gram rows are <= 20 per key, so every
       // downstream aggregate is balanced by construction.
-      val bg = ngramRows(docs(s, dir), 5, distinctPerDoc = true)
-      // cached: the docfreq aggregate feeds the rare set, the grand
-      // total, and the hot set (clear-between-queries policy)
-      val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
-      val rare = dfreq.where(col("dfreq") <= 20).select("g")
-      val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
-      val hot = dfreq.crossJoin(broadcast(tot))
-        .where(col("dfreq") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
-        .select("g")
-      Skew.hotSaltedJoin(bg, rare, "g", hot, col("doc_id"))
-        .groupBy("g").agg(
-          collect_set(when(col("doc_id") % 10 === 0, col("doc_id")))
-            .as("evals"),
-          collect_set(when(col("doc_id") % 10 =!= 0, col("doc_id")))
-            .as("trains"))
-        .where(size(col("evals")) > 0 && size(col("trains")) > 0)
-        .select(explode(col("trains")).as("train_doc"), col("evals"))
-        .select(col("train_doc"), explode(col("evals")).as("eval_doc"))
-        .groupBy("train_doc", "eval_doc")
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 3)
-        .orderBy("train_doc", "eval_doc")
+      decontaminatePairs(docs(s, dir)).orderBy("train_doc", "eval_doc")
     },
 
     // ---- document fingerprint: digest of normalized text ----

@@ -33,7 +33,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_exact_substr_removal", "ann_hamming_mih", "text_nb_langid",
     "dedup_containment",
     // round-10 additions
-    "mm_image_dedup")
+    "mm_image_dedup", "pipeline_full_prepare")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -49,7 +49,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "emb_kmeans_converged", "pipeline_exact_substr", "dedup_jaccard_prefix",
     "pipeline_decontaminate", "text_bigram_logprob", "pipeline_paragraph_dedup",
     "text_unigram_tokenize", "pipeline_exact_substr_removal",
-    "text_nb_langid", "dedup_containment")
+    "text_nb_langid", "dedup_containment",
+    // the pack stage's 1-row min/max bounds broadcast (packSequences)
+    "pipeline_full_prepare")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -317,6 +317,26 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the spread and attach carry
                                         // corpus-scale rows (measured 4)
     // ---- round-10 additions ----
+    "pipeline_full_prepare" -> 12,      // the REPORTING plan: six
+                                        // summary aggregates + output
+                                        // sort + the gate recompute +
+                                        // the pack prefix-sum phases
+                                        // over the checkpointed final
+                                        // corpus. The five stage
+                                        // INTERIORS run once at
+                                        // construction behind eager
+                                        // lineage-truncating
+                                        // checkpoints (Scaladoc) and
+                                        // are budget-pinned by their
+                                        // standalone queries
+                                        // (pipeline_quality_filter 4,
+                                        // pipeline_exact_substr_
+                                        // removal 8, dedup_jaccard_
+                                        // prefix 7, pipeline_
+                                        // decontaminate 5, pipeline_
+                                        // pack_sequences 5) — the
+                                        // composition adds barriers,
+                                        // not exchanges
     "mm_image_dedup" -> 4,              // spread (the per-row PNG
                                         // encode + real ImageIO decode
                                         // is the compute stage) + the

@@ -51,6 +51,8 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
     "pipeline_mix_temperature", // one micro-unit-total row broadcast
     "text_vocab_coverage",      // one occurrence-total row broadcast
+    "pipeline_full_prepare",    // the pack stage's min/max bounds
+                                // row via packSequences
     "text_nb_langid")           // fixed ≤|langs|-row score frame
                                 // broadcast (the eval-token fan-out)
                                 // + the 1-row vocab-size frame
