@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized right sides, where whole-side replication is too
   * expensive: only the (bounded, broadcastable) HOT key set is salted;
   * the Zipf tail joins unsalted. One scan per side, one equijoin.
+  *
+  * Deriving the hot set: callers today compute it from the full df
+  * aggregate they already need (zero extra passes). When a pipeline
+  * does NOT otherwise need per-key counts, the one-pass scale
+  * alternative is the count-min sketch
+  * ([[TextAnalysis.cmsCells]]/[[TextAnalysis.cmsEstimates]],
+  * `q_heavy_hitters`): fixed 4096-cell state, and its one-sided
+  * estimates make the est ≥ cutoff set a guaranteed SUPERSET of the
+  * true hot set (spec'd on a Zipf corpus) — a false-positive hot key
+  * merely gets salted unnecessarily, which is correct, just ~salt×
+  * small-side rows heavier for that key.
   */
 object Skew {
 

@@ -364,6 +364,79 @@ object TextAnalysis {
       .where(col("df") <= maxDf)
   }
 
+  // ---- count-min frequency sketch (heavy hitters) ----
+
+  /** Count-min geometry: 4 rows × 1024 buckets = a 4096-cell table —
+    * FIXED memory regardless of vocabulary size, the whole point of
+    * the sketch at 100 TB (the exact top-k twin needs a full-vocab
+    * aggregate). Hashes are md5-derived (the [[Dedup.md5Scheme]]
+    * discipline) so DuckDB replays every cell bit-for-bit. */
+  val CmsRows = 4
+  val CmsWidth = 1024L
+
+  /** Row-`j` bucket of a token: md5-derived 28-bit int mod width —
+    * identical arithmetic in both engines. */
+  private def cmsBucket(tok: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 7), 16, 10)
+      .cast("long") % CmsWidth
+
+  private def cmsFan(tok: Column): Column =
+    explode(array((0 until CmsRows).map(j =>
+      struct(lit(j).as("j"), cmsBucket(tok, j).as("b"))): _*))
+
+  /** The sketch: ONE keyed aggregate onto the (row, bucket) plane.
+    * Input: a `tok` column, one row per occurrence. */
+  private[operators] def cmsCells(toks: DataFrame): DataFrame =
+    toks.select(cmsFan(col("tok")).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CMS point estimates for a (small) token set: est(t) = min over
+    * rows of that row's bucket count. STRUCTURALLY one-sided — every
+    * bucket sum includes the token's own occurrences, so est ≥ true
+    * count, always; collisions only ever inflate. That one-sidedness
+    * is what makes the sketch a sound CANDIDATE generator: any token
+    * with true count ≥ τ has est ≥ τ, so the est-≥-τ set is a
+    * superset of the true hot set (spec'd on a Zipf corpus). */
+  private[operators] def cmsEstimates(tokens: DataFrame,
+      cells: DataFrame): DataFrame =
+    tokens.select(col("tok"), cmsFan(col("tok")).as("c"))
+      .select(col("tok"), col("c.j").as("j"), col("c.b").as("b"))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy("tok").agg(min("cnt").as("est"))
+
+  /** Heavy hitters with the `q_approx_distinct` discipline: the exact
+    * top-`k` tokens (full-vocab aggregate + salted two-phase global
+    * rank — the oracle-checked twin) side by side with their count-min
+    * estimates, plus the tolerance gate `sketch_ok` (overcount ≤
+    * 3·N/width — CMS's εN bound at ε = 3/width; a broken sketch fails
+    * the oracle instead of going unchecked). The sketch is the scale
+    * path: its memory is the fixed 4096-cell table, ONE corpus pass,
+    * no vocabulary-sized state — the one-pass alternative to the full
+    * df aggregate [[Skew]]'s hot-set cutoff derives today (see the
+    * Skew Scaladoc). */
+  def heavyHitters(d: DataFrame, k: Int = 20): DataFrame = {
+    val toks = Tables.spread(d)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+    // exact counts: cached — feeds the grand total AND the top-k rank
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("n")).cache()
+    val tot = cnt.agg(sum("n").cast("long").as("__n"))
+    val surv = Sampling.partialTopK(cnt.withColumn("__g", lit(0)), "__g",
+      Seq(col("n").desc, col("tok")), k, Sampling.FanOut,
+      saltCol = col("tok"))
+    val w = Window.partitionBy("__g").orderBy(col("n").desc, col("tok"))
+    val topk = surv.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k).drop("__g")
+    val est = cmsEstimates(topk.select("tok"), cmsCells(toks))
+    topk.join(broadcast(est), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("tok"), col("n"), col("est"),
+        (col("est") - col("n")).as("overcount"),
+        ((col("est") - col("n")) * CmsWidth <= lit(3L) * col("__n"))
+          .as("sketch_ok"))
+      .orderBy("rnk")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- corpus quality scoring (pre-training filter heuristics) ----
@@ -1007,6 +1080,40 @@ object TextAnalysis {
     //      so the same salted partial-rank discipline as
     //      `pipeline_stratified_sample` applies, salting on the token.
     //      Result provably equals the naive single-window form. ----
+    // ---- heavy hitters: exact top-20 twin + count-min estimates +
+    //      tolerance gate, every cell (including the sketch table the
+    //      estimates read) replayed bit-for-bit by the mirror. ----
+    Q("q_heavy_hitters", Some(
+      s"""WITH t AS (SELECT unnest(string_split_regex(text, '\\s+'))
+         |      AS tok FROM documents),
+         |cnt AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cnt),
+         |topk AS MATERIALIZED (SELECT tok, n, rnk FROM (
+         |    SELECT tok, n, CAST(ROW_NUMBER() OVER (
+         |      ORDER BY n DESC, tok) AS INTEGER) AS rnk FROM cnt)
+         |  WHERE rnk <= 20),
+         |cells AS MATERIALIZED (SELECT j,
+         |    CAST('0x' || substr(md5(j || ':' || tok), 1, 7) AS BIGINT)
+         |      % ${CmsWidth} AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM t, (SELECT unnest(range(0, ${CmsRows})) AS j)
+         |  GROUP BY 1, 2),
+         |est AS (SELECT tok, CAST(MIN(cnt) AS BIGINT) AS est FROM (
+         |    SELECT tp.tok, c.cnt FROM topk tp
+         |    CROSS JOIN (SELECT unnest(range(0, ${CmsRows})) AS j) jj
+         |    JOIN cells c ON c.j = jj.j
+         |      AND c.b = CAST('0x' || substr(md5(jj.j || ':' || tp.tok),
+         |        1, 7) AS BIGINT) % ${CmsWidth})
+         |  GROUP BY tok)
+         |SELECT tp.rnk, tp.tok, tp.n, e.est,
+         |  CAST(e.est - tp.n AS BIGINT) AS overcount,
+         |  (e.est - tp.n) * ${CmsWidth} <= 3 * tot.nn AS sketch_ok
+         |FROM topk tp JOIN est e USING (tok), tot
+         |ORDER BY tp.rnk""".stripMargin)) { (s, dir) =>
+      heavyHitters(docs(s, dir))
+    },
+
     Q("text_top_tokens_by_lang", Some(
       """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+'))
         |             AS tok FROM documents),

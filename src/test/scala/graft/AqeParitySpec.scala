@@ -33,7 +33,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_exact_substr_removal", "ann_hamming_mih", "text_nb_langid",
     "dedup_containment",
     // round-10 additions
-    "mm_image_dedup", "pipeline_full_prepare")
+    "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

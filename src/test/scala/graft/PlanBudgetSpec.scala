@@ -317,6 +317,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the spread and attach carry
                                         // corpus-scale rows (measured 4)
     // ---- round-10 additions ----
+    "q_heavy_hitters" -> 6,             // spread + exact count agg
+                                        // (cached) + salted partial
+                                        // top-k + final rank window +
+                                        // the 4096-cell CMS aggregate
+                                        // + the estimate min-agg +
+                                        // output sort; the sketch
+                                        // plane is fixed-size, the
+                                        // only vocab-scale shuffle is
+                                        // the exact twin's
     "pipeline_full_prepare" -> 12,      // the REPORTING plan: six
                                         // summary aggregates + output
                                         // sort + the gate recompute +

@@ -485,4 +485,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(10)._1 < total,
       "top-10 covering everything — fixture vocab too small to test")
   }
+
+  test("count-min estimates are one-sided and the est>=tau candidate " +
+      "set is a bounded SUPERSET of the true hot set on a Zipf corpus") {
+    // Zipf-ish corpus: token z_k appears floor(2000/k) times, 200 ranks
+    val rows = for (k <- 1 to 200; _ <- 1 to (2000 / k)) yield s"z$k"
+    val toks = rows.toDF("tok")
+    val cells = TextAnalysis.cmsCells(toks)
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val est = TextAnalysis.cmsEstimates(truth.select("tok"), cells)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = truth.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // structural one-sidedness: every bucket sum contains the token's
+    // own occurrences, so est >= true for EVERY token
+    for ((t, n) <- exact)
+      assert(est(t) >= n, s"$t: est ${est(t)} < true $n")
+    // candidate generation at the true top-20 threshold: the est>=tau
+    // set must contain every truly-hot token (follows from
+    // one-sidedness) and stay bounded (collisions at 4x1024 cells are
+    // rare), never degenerating to the whole vocabulary
+    val tau = exact.values.toSeq.sortBy(-_).take(20).min
+    val trueHot = exact.collect { case (t, n) if n >= tau => t }.toSet
+    val cand = est.collect { case (t, e) if e >= tau => t }.toSet
+    assert(trueHot.subsetOf(cand),
+      s"missed hot tokens: ${trueHot -- cand}")
+    assert(cand.size <= trueHot.size * 3 && cand.size < exact.size,
+      s"candidate set degenerated: ${cand.size} of ${exact.size}")
+  }
 }
