@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ArrayDotProduct, ArrayEqCount, ArrayL2Sq,
-  CommonPrefixLength, RollingHash64}
+  CommonPrefixLength, NfcNormalize, RollingHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_eq_count"),
       new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
       exprs => ArrayEqCount(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      exprs => NfcNormalize(exprs.head)))
   }
 }

@@ -364,6 +364,36 @@ object TextAnalysis {
       .where(col("df") <= maxDf)
   }
 
+  // ---- unicode canonicalization (the pre-dedup normalizer) ----
+
+  /** Canonical text form: NFC normalization (the native
+    * [[graft.functions.NfcNormalize]] expression — mixed encodings of
+    * the same text compose to one representation) → punctuation and
+    * symbol runs folded to a single space → whitespace collapsed →
+    * trimmed. This is the transform every real dedup pass runs FIRST:
+    * without it, `é` (U+00E9) and `e`+U+0301 — or `don't` vs `don`
+    * `'` `t` tokenizations — hash apart and every downstream
+    * shingle/window/digest misses the duplicate. The regex classes
+    * (`\p{P}`, `\p{S}`) are Unicode general categories with identical
+    * semantics in Java regex and DuckDB's RE2.
+    *
+    * Wiring: the canonicalizer is an optional FRONT of the
+    * shingle/window builders — every Dedup entry point takes a
+    * DataFrame, so `dedup over canonical text` is
+    * `xxx(canonicalized(d))` (and exact dedup is
+    * `Dedup.exactKeepMin(d, canonicalCol(), ...)`);
+    * TextAnalysisSpec demonstrates two non-NFC-equal encodings of one
+    * text that dedup together ONLY through this path. */
+  def canonicalCol(textCol: String = "text"): Column =
+    trim(regexp_replace(
+      regexp_replace(expr(s"nfc_normalize($textCol)"),
+        "[\\p{P}\\p{S}]+", " "),
+      "\\s+", " "))
+
+  /** `d` with its `text` column canonicalized — the composable form. */
+  def canonicalized(d: DataFrame): DataFrame =
+    d.withColumn("text", canonicalCol())
+
   // ---- count-min frequency sketch (heavy hitters) ----
 
   /** Count-min geometry: 4 rows × 1024 buckets = a 4096-cell table —
@@ -1080,6 +1110,26 @@ object TextAnalysis {
     //      so the same salted partial-rank discipline as
     //      `pipeline_stratified_sample` applies, salting on the token.
     //      Result provably equals the naive single-window form. ----
+    // ---- unicode canonicalization: NFC (via the native codegen'd
+    //      nfc_normalize expression, DuckDB's function of the same
+    //      name on the mirror side) + punctuation/symbol folding +
+    //      whitespace collapse — the documented pre-dedup front. ----
+    Q("text_canonicalize", Some(
+      """SELECT doc_id, canon, md5(canon) AS canon_md5,
+        |  CAST(LENGTH(canon) AS INTEGER) AS n_chars
+        |FROM (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\p{P}\p{S}]+', ' ', 'g'), '\s+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), canonicalCol().as("canon"))
+        .select(col("doc_id"), col("canon"),
+          md5(col("canon")).as("canon_md5"),
+          length(col("canon")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- heavy hitters: exact top-20 twin + count-min estimates +
     //      tolerance gate, every cell (including the sketch table the
     //      estimates read) replayed bit-for-bit by the mirror. ----

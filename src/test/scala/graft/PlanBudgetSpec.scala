@@ -317,6 +317,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the spread and attach carry
                                         // corpus-scale rows (measured 4)
     // ---- round-10 additions ----
+    "text_canonicalize" -> 1,           // narrow per-row transform
+                                        // (native nfc_normalize +
+                                        // regex folds) + output sort
+                                        // only — canonicalization adds
+                                        // ZERO shuffles to any dedup
+                                        // front it precedes
     "q_heavy_hitters" -> 6,             // spread + exact count agg
                                         // (cached) + salted partial
                                         // top-k + final rank window +

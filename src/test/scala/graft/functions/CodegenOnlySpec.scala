@@ -58,4 +58,23 @@ class CodegenOnlySpec extends SparkSpec {
       .count(r => refHash(r.getString(0)) % 2 == 0)
     assert(n == expect)
   }
+
+  test("nfc_normalize compiles and evaluates under CODEGEN_ONLY " +
+      "(parquet scan, real whole-stage codegen)") {
+    val docs = Tables.load(strict, sfDir, "documents")
+    // fixture text is pure ASCII -> fast-path identity; mix in a
+    // non-ASCII suffix so the Normalizer branch also runs codegen'd
+    val got = docs
+      .select(col("doc_id"),
+        expr("nfc_normalize(concat(substr(text, 1, 8), 'e\u0301')) AS c"))
+      .orderBy("doc_id").limit(10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = docs.select("doc_id", "text").orderBy("doc_id").limit(10)
+      .collect().map(r => r.getLong(0) ->
+        java.text.Normalizer.normalize(
+          r.getString(1).take(8) + "e\u0301",
+          java.text.Normalizer.Form.NFC)).toMap
+    assert(got == expect)
+    assert(expect.values.forall(_.endsWith("\u00e9")))
+  }
 }

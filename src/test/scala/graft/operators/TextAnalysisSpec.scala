@@ -513,4 +513,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cand.size <= trueHot.size * 3 && cand.size < exact.size,
       s"candidate set degenerated: ${cand.size} of ${exact.size}")
   }
+
+  test("canonicalization: two non-NFC-equal encodings of one text dedup " +
+      "together ONLY through the canonical path") {
+    val precomposed = "caf\u00e9 rocks"          // é as U+00E9
+    val decomposed = "cafe\u0301 rocks"          // e + combining U+0301
+    val punct = "caf\u00e9,  rocks!!"            // same text, dirty form
+    val d = Seq((1L, precomposed), (2L, decomposed), (3L, punct),
+      (4L, "unrelated text"))
+      .toDF("doc_id", "text")
+    // raw exact dedup misses all three: they hash apart
+    val rawKept = Dedup.exactKeepMin(d, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rawKept == Set(1L, 2L, 3L, 4L),
+      s"raw dedup should keep all (no two texts byte-equal): $rawKept")
+    // through the canonical front, all three collapse onto doc 1
+    val canonKept = Dedup.exactKeepMin(d,
+        TextAnalysis.canonicalCol(), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(canonKept == Set(1L, 4L),
+      s"canonical dedup should keep the min copy + the stranger: $canonKept")
+    // and the composable form feeds the shingle/window builders
+    val canon = TextAnalysis.canonicalized(d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == canon(2L) && canon(2L) == canon(3L))
+    assert(canon(1L) == "caf\u00e9 rocks")
+  }
+
+  test("nfc_normalize: ASCII fast path is identity, non-NFC input " +
+      "composes, SQL registration works with codegen") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(NfcNormalize.nfc(ascii) eq ascii)   // no copy on the fast path
+    assert(NfcNormalize.nfc(UTF8String.fromString("cafe\u0301")).toString
+      == "caf\u00e9")
+    // already-NFC non-ASCII: returned unchanged
+    val nfc = UTF8String.fromString("caf\u00e9")
+    assert(NfcNormalize.nfc(nfc) eq nfc)
+    val out = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS c").collect()(0).getString(0)
+    assert(out == "caf\u00e9")
+  }
 }
