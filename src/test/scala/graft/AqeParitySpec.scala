@@ -33,7 +33,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_exact_substr_removal", "ann_hamming_mih", "text_nb_langid",
     "dedup_containment",
     // round-10 additions
-    "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters")
+    "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters",
+    "text_canonicalize", "text_quality_trained")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -51,7 +52,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_unigram_tokenize", "pipeline_exact_substr_removal",
     "text_nb_langid", "dedup_containment",
     // the pack stage's 1-row min/max bounds broadcast (packSequences)
-    "pipeline_full_prepare")
+    "pipeline_full_prepare",
+    // the 1-row grand-total broadcast feeding the tolerance gate
+    "q_heavy_hitters")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -317,6 +317,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the spread and attach carry
                                         // corpus-scale rows (measured 4)
     // ---- round-10 additions ----
+    "text_quality_trained" -> 4,        // REPORTING plan: eval-split
+                                        // feature spread + (doc,
+                                        // bucket) tf agg + per-doc
+                                        // score agg (weights
+                                        // broadcast) + confusion
+                                        // agg/sort; the 30 training
+                                        // epochs are <=257-row driver
+                                        // syncs at construction,
+                                        // memoized per dir
     "text_canonicalize" -> 1,           // narrow per-row transform
                                         // (native nfc_normalize +
                                         // regex folds) + output sort
