@@ -44,5 +44,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       exprs => NfcNormalize(exprs.head)))
+    // Spark's OWN runtime-filter machinery, surfaced: the internal
+    // bloom_filter_agg / might_contain expressions exist in Catalyst
+    // (InjectRuntimeFilter builds them) but are not SQL-registered —
+    // injecting them lets the engine build and probe the exact same
+    // bloom filters EXPLICITLY, where the automatic rule's 10 GB
+    // application-side threshold would never fire (see
+    // pipeline_decontaminate_bloom's Scaladoc).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_filter_agg"),
+      exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "might_contain"),
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -63,6 +63,92 @@ object TextAnalysis {
       .where(col("n_shared") >= 3)
   }
 
+  /** The decontamination oracle — shared VERBATIM by
+    * `pipeline_decontaminate` and `pipeline_decontaminate_bloom`: the
+    * bloom prune is provably lossless (no false negatives), so both
+    * must hash-match the same ground truth. */
+  private def sqlDecontaminate: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 5),
+      |rare AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 20),
+      |bgr AS (SELECT bg.doc_id, bg.g FROM bg JOIN rare USING (g))
+      |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+      |  CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared
+      |FROM bgr t JOIN bgr e ON t.g = e.g
+      |  AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+      |GROUP BY train_doc, eval_doc
+      |HAVING COUNT(DISTINCT t.g) >= 3
+      |ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** Per-dir memo of the eval-side gram bloom filter (build once,
+    * probe many — the persisted-index discipline; Spark's own runtime
+    * filter rebuilds per query, a production pipeline would not). */
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** BLOOM-PRUNED decontamination — result-identical to
+    * [[decontaminatePairs]] (same oracle!), with the train-side gram
+    * stream pruned by a bloom filter built over the EVAL slice's
+    * grams BEFORE anything shuffles: a train gram absent from every
+    * eval doc can never produce a pair, and the filter has no false
+    * negatives, so dropping non-members at the scan side is lossless
+    * (false positives merely ride along and fail the evals>0 test —
+    * the `q_zorder_prune` skip-proof discipline applied to semi-join
+    * pushdown; MetricsSpec-style assertions pin the actual row/byte
+    * drop).
+    *
+    * Spark's automatic `InjectRuntimeFilter` CANNOT do this here: its
+    * application-side threshold (10 GB scan) never fires at any
+    * realistic eval-slice size, and the creation side must be a join
+    * child, not an aggregate — so the engine builds the SAME internal
+    * expressions explicitly (`bloom_filter_agg` / `might_contain`,
+    * injected in GraftExtensions) over xxhash64(g). The build is one
+    * pass over the eval slice only (tiny in practice: contamination
+    * sources are benchmark test sets) and the ~128 KB filter is the
+    * bounded driver sync Spark's own rule would broadcast anyway;
+    * rarity (df ≤ 20) stays corpus-wide — the docfreq aggregate is
+    * unchanged, only the expensive occurrence-stream attach shrinks. */
+  def decontaminateBloomPairs(d: DataFrame, dirKey: String): DataFrame = {
+    val bg = ngramRows(d, 5, distinctPerDoc = true)
+    val evalBg = bg.where(col("doc_id") % 10 === 0)
+    val bf = bloomMemo.computeIfAbsent(dirKey, _ =>
+      evalBg.agg(expr(
+        s"bloom_filter_agg(xxhash64(g), ${1L << 16}L, ${1L << 20}L)")
+        .as("bf"))
+        .collect()(0).getAs[Array[Byte]](0))
+    // ONE stream, one filter: eval rows pass outright, train rows only
+    // on a bloom hit — a union of separately-filtered branches would
+    // re-run the gram explode (and its spread exchange) per branch
+    val pruned = bg.where(col("doc_id") % 10 === 0 ||
+      call_function("might_contain", lit(bf), xxhash64(col("g"))))
+    val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
+    val rare = dfreq.where(col("dfreq") <= 20).select("g")
+    val tot = dfreq.agg(sum("dfreq").cast("long").as("__t"))
+    val hot = dfreq.crossJoin(broadcast(tot))
+      .where(col("dfreq") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("g")
+    Skew.hotSaltedJoin(pruned, rare, "g", hot, col("doc_id"))
+      .groupBy("g").agg(
+        collect_set(when(col("doc_id") % 10 === 0, col("doc_id")))
+          .as("evals"),
+        collect_set(when(col("doc_id") % 10 =!= 0, col("doc_id")))
+          .as("trains"))
+      .where(size(col("evals")) > 0 && size(col("trains")) > 0)
+      .select(explode(col("trains")).as("train_doc"), col("evals"))
+      .select(col("train_doc"), explode(col("evals")).as("eval_doc"))
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+  }
+
   /** Generalized word n-gram explode — the single place the shingle
     * pipeline's disciplines live (ANSI short-doc pre-filter, keyed
     * spread, generator-safe explode-of-expression shape). */
@@ -942,24 +1028,7 @@ object TextAnalysis {
     //      never generates candidates). Every stage is a keyed shuffle;
     //      the docfreq join side is left to Catalyst/AQE like
     //      text_common_bigrams ----
-    Q("pipeline_decontaminate", Some(
-      """WITH bg AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(toks) - 3),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-        |           toks[i+3] || ' ' || toks[i+4]))) AS g
-        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 5),
-        |rare AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 20),
-        |bgr AS (SELECT bg.doc_id, bg.g FROM bg JOIN rare USING (g))
-        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
-        |  CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared
-        |FROM bgr t JOIN bgr e ON t.g = e.g
-        |  AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
-        |GROUP BY train_doc, eval_doc
-        |HAVING COUNT(DISTINCT t.g) >= 3
-        |ORDER BY train_doc, eval_doc""".stripMargin)) { (s, dir) =>
+    Q("pipeline_decontaminate", Some(sqlDecontaminate)) { (s, dir) =>
       // NOT a gram self-join (whose pair fan-out shuffles gram strings
       // twice and was measured 2.9x slower): docfreq-filter first via
       // a safe partial-agg count (a universal boilerplate gram never
@@ -977,6 +1046,18 @@ object TextAnalysis {
       // salt; the surviving rare-gram rows are <= 20 per key, so every
       // downstream aggregate is balanced by construction.
       decontaminatePairs(docs(s, dir)).orderBy("train_doc", "eval_doc")
+    },
+
+    // ---- BLOOM-PRUNED decontamination: result-identical to
+    //      pipeline_decontaminate (it shares that query's oracle
+    //      verbatim — the shared-SQL construction makes divergence
+    //      impossible), but the train-side gram stream is pruned by an
+    //      eval-slice bloom filter BEFORE the rarity attach shuffles.
+    //      TextAnalysisSpec pins result equality AND the actual
+    //      shuffle row/byte drop. ----
+    Q("pipeline_decontaminate_bloom", Some(sqlDecontaminate)) { (s, dir) =>
+      decontaminateBloomPairs(docs(s, dir), dir)
+        .orderBy("train_doc", "eval_doc")
     },
 
     // ---- document fingerprint: digest of normalized text ----

@@ -34,7 +34,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "dedup_containment",
     // round-10 additions
     "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters",
-    "text_canonicalize", "text_quality_trained")
+    "text_canonicalize", "text_quality_trained",
+    "pipeline_decontaminate_bloom")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -54,7 +55,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the pack stage's 1-row min/max bounds broadcast (packSequences)
     "pipeline_full_prepare",
     // the 1-row grand-total broadcast feeding the tolerance gate
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // the unpruned variant's hot-key-cutoff total broadcast
+    "pipeline_decontaminate_bloom")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -317,6 +317,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the spread and attach carry
                                         // corpus-scale rows (measured 4)
     // ---- round-10 additions ----
+    "pipeline_decontaminate_bloom" -> 5, // pipeline_decontaminate's
+                                        // exact shape (gram spread +
+                                        // docfreq + salted rarity
+                                        // attach + pair agg) — the
+                                        // bloom prune is a FILTER, it
+                                        // adds zero exchanges (the
+                                        // build is a construction-time
+                                        // pass over the eval slice,
+                                        // memoized per dir)
     "text_quality_trained" -> 4,        // REPORTING plan: eval-split
                                         // feature spread + (doc,
                                         // bucket) tf agg + per-doc

@@ -51,6 +51,9 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_dup_spans",           // one grand-total row (hot-key cutoff)
     "pipeline_mix_temperature", // one micro-unit-total row broadcast
     "text_vocab_coverage",      // one occurrence-total row broadcast
+    "pipeline_decontaminate_bloom", // one grand-total row broadcast
+                                // (hot-key cutoff, as the unpruned
+                                // variant)
     "q_heavy_hitters",          // one grand-total row broadcast
                                 // (the tolerance gate's N)
     "pipeline_full_prepare",    // the pack stage's min/max bounds

@@ -555,4 +555,46 @@ class TextAnalysisSpec extends SparkSpec {
       "SELECT nfc_normalize('cafe\u0301') AS c").collect()(0).getString(0)
     assert(out == "caf\u00e9")
   }
+
+  test("bloom-pruned decontamination: identical pairs, and the bloom " +
+      "filter provably shrinks the gram stream entering the attach") {
+    // engineered corpus: 200 train docs of doc-unique grams (nothing
+    // to find), 3 train docs quoting the eval doc's phrase, 1 eval doc
+    val phrase = "alpha beta gamma delta epsilon zeta eta"
+    // train ids avoid the % 10 = 0 eval split (else they pass the
+    // gate outright and dilute the measured prune)
+    val train = (1 to 200).map(i =>
+      (i * 10L + 1, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+    val leaky = Seq(3L, 7L, 9L).map(i => (i, s"intro $phrase outro"))
+    val evalDoc = Seq((20L, s"heading $phrase closing"))
+    val d = (train ++ leaky ++ evalDoc).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val plainRows = TextAnalysis.decontaminatePairs(d)
+      .orderBy("train_doc", "eval_doc").collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val bloom = TextAnalysis
+      .decontaminateBloomPairs(d, dirKey = "spec-bloom-fixture")
+      .orderBy("train_doc", "eval_doc")
+    val bloomRows = bloom.collect().map(_.toSeq).toSeq
+    // losslessness: exact same pairs out of both plans
+    assert(bloomRows == plainRows && bloomRows.nonEmpty,
+      s"bloom=$bloomRows plain=$plainRows")
+    assert(bloomRows.map(_.head).toSet == Set(3L, 7L, 9L))
+    // the prune is REAL, measured at the operator that does it (the
+    // q_zorder_prune numFiles discipline — shuffle totals cannot see
+    // it here because the rarity attach broadcasts at spec scale):
+    // the might_contain filter's own output is a sliver of the full
+    // gram stream, because the 600 doc-unique train grams miss the
+    // eval-slice bloom
+    val filters = graft.Metrics.executedNodes(bloom).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, "bloom filter node missing from the plan")
+    val kept = filters.map(_.metrics("numOutputRows").value).max
+    val total = TextAnalysis.ngramRows(d, 5, distinctPerDoc = true).count()
+    info(s"gram stream: $total total, $kept past the bloom")
+    assert(kept * 10 <= total,
+      s"bloom kept $kept of $total gram rows — pruning did nothing")
+  }
 }
