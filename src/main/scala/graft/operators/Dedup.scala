@@ -206,19 +206,36 @@ object Dedup {
     * the corpus-scale occurrence stream crosses a single
     * [[Skew.hotSaltedJoin]] attach of the combined per-digest row. */
   def exactSubstrIncremental(fresh: DataFrame, old: DataFrame,
-      minLen: Int = ExactSubstrMinLen): DataFrame = {
-    val L = minLen
-    def windows(d: DataFrame): DataFrame = spread(d)
+      minLen: Int = ExactSubstrMinLen): DataFrame =
+    exactSubstrAgainstIndex(fresh, substrWindowDigests(old, minLen), minLen)
+
+  /** The DISTINCT window-digest index of a corpus — exactly the
+    * structure a production pipeline persists and appends to between
+    * ingestion batches (the old side of [[exactSubstrIncremental]],
+    * and the accumulated state of the streaming twin in
+    * [[graft.streaming.StreamOps]]). One column `h`. */
+  def substrWindowDigests(d: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame =
+    substrWindows(d, minLen).select("h").distinct()
+
+  private def substrWindows(d: DataFrame, minLen: Int): DataFrame =
+    spread(d)
       .select(col("doc_id"), tokensCol.as("ts"))
-      .where(size(col("ts")) >= L)
+      .where(size(col("ts")) >= minLen)
       .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
+        explode(sequence(lit(0L), (size(col("ts")) - minLen).cast("long")))
           .as("p"))
       .select(col("doc_id"), col("p"),
-        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("h"))
-    val oldIdx = windows(old).select("h").distinct()
+        md5(array_join(expr(s"slice(ts, p + 1, $minLen)"), " ")).as("h"))
+
+  /** [[exactSubstrIncremental]] with the old side already reduced to
+    * its digest index — the form a persisted-index consumer calls. */
+  def exactSubstrAgainstIndex(fresh: DataFrame, digestIdx: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame = {
+    val L = minLen
+    val oldIdx = digestIdx.select("h").distinct()
       .withColumn("__old", lit(true))
-    val nw = windows(fresh)
+    val nw = substrWindows(fresh, L)
     // new-side winners + counts, combined with the old index on the
     // digest plane (1 row per digest each side); cached — referenced
     // by the grand total, the hot set, and the join's small side

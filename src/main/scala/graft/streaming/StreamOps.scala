@@ -337,4 +337,52 @@ object StreamOps {
           SessionCount(user, st.sessions, st.events)
       }
   }
+
+  /** STREAMING incremental ExactSubstr — the continuous-ingestion twin
+    * of [[graft.operators.Dedup.exactSubstrIncremental]]: each
+    * micro-batch of new documents is cleaned against the accumulated
+    * DISTINCT window-digest index (initially the existing corpus's
+    * index — exactly the structure a production pipeline persists),
+    * then the batch's own digests are appended to the index before the
+    * next batch. Old always wins; a digest first seen in an earlier
+    * micro-batch wins over later arrivals — so for batches arriving in
+    * doc_id order the accumulated result EQUALS the batch operator run
+    * once over the union of all batches (StreamOpsSpec pins the parity
+    * on a 3-batch feed).
+    *
+    * Implementation is `foreachBatch` + an explicitly-carried index,
+    * not a stream-static join: the "static" side must GROW between
+    * micro-batches (each batch's digests feed the next), which
+    * stream-static joins cannot express — foreachBatch is the
+    * documented Structured Streaming escape hatch for exactly this
+    * evolving-lookup-side shape. The index is lineage-truncated per
+    * batch (`localCheckpoint`, the connectedComponents discipline) so
+    * the plan does not deepen with every batch; its size is the
+    * distinct-digest count — the same state a batch re-clean would
+    * rebuild from scratch each run, persisted instead.
+    *
+    * `sink(cleanedBatch, batchId)` receives each batch's cleaned
+    * output (doc_id, n_tokens, n_removed, kept_md5). */
+  def incrementalSubstrStream(newDocs: DataFrame, initialIndex: DataFrame,
+      minLen: Int = graft.operators.Dedup.ExactSubstrMinLen)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      initialIndex.select("h").distinct().localCheckpoint())
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val idx = state.get()
+        val cleaned = graft.operators.Dedup
+          .exactSubstrAgainstIndex(batch, idx, minLen)
+          .localCheckpoint()
+        sink(cleaned, batchId)
+        state.set(idx
+          .unionAll(graft.operators.Dedup
+            .substrWindowDigests(batch, minLen))
+          .distinct().localCheckpoint())
+        ()
+      }
+      .start()
+  }
 }

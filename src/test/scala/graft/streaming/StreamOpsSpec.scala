@@ -18,6 +18,8 @@ class StreamOpsSpec extends SparkSpec {
   final case class Raw(user_id: Long, event_id: Long, ts: Timestamp,
       event_type: String, value: Double)
 
+  final case class Doc(doc_id: Long, text: String)
+
   test("hourlyCounts: tumbling windows aggregate by hour and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Raw]
@@ -604,5 +606,49 @@ class StreamOpsSpec extends SparkSpec {
         .toSet
       assert(batch == visible, s"stream/batch divergence: $batch vs $visible")
     } finally query.stop()
+  }
+
+  test("incrementalSubstrStream: 3-batch feed equals the batch " +
+      "exactSubstrIncremental over the union — old index wins, and a " +
+      "span first seen in batch 1 cleans batch 2's copy") {
+    implicit val sqlCtx = spark.sqlContext
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val spanS = toks("s", 50)                  // lives in the OLD corpus
+    val spanT = toks("t", 50)                  // first occurs in batch 1
+    val old = Seq((0L, s"${toks("a", 10)} $spanS"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (300L, s"$spanS ${toks("b", 10)}"),      // S removed (old wins)
+      (301L, spanT))                           // T's first occurrence: kept
+    val b2 = Seq(
+      (302L, s"$spanT ${toks("d", 5)}"),       // T removed (batch-1 won)
+      (303L, toks("e", 55)))                   // untouched
+    val b3 = Seq(
+      (304L, s"${toks("e", 55)} x1"))          // batch-2's e-span cleans it
+    val input = MemoryStream[Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = StreamOps.incrementalSubstrStream(
+      input.toDF(), graft.operators.Dedup.substrWindowDigests(old)) {
+      (batch, _) => got ++= batch.collect().map(_.toSeq)
+    }
+    try {
+      for (b <- Seq(b1, b2, b3)) {
+        input.addData(b.map((Doc.apply _).tupled))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val expect = graft.operators.Dedup.exactSubstrIncremental(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), old)
+      .collect().map(_.toSeq)
+    assert(got.sortBy(_.head.asInstanceOf[Long]).toSeq ==
+      expect.sortBy(_.head.asInstanceOf[Long]).toSeq,
+      s"stream=$got batch=${expect.toSeq}")
+    // the engineered casualties really happened
+    val byId = got.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(300L)(2) == 50L, "old-index span not removed from 300")
+    assert(byId(301L)(2) == 0L, "batch-1 first occurrence must survive")
+    assert(byId(302L)(2) == 50L, "cross-batch span not removed from 302")
+    assert(byId(304L)(2) == 55L, "batch-2's span must clean batch 3")
   }
 }
