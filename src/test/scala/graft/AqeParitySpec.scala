@@ -35,7 +35,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // round-10 additions
     "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters",
     "text_canonicalize", "text_quality_trained",
-    "pipeline_decontaminate_bloom")
+    "pipeline_decontaminate_bloom", "dedup_jaccard_prefix3")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -49,6 +49,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
   /** Queries in the allowed-quadratic sets mirror PlanHygieneSpec. */
   private val allowedNl = Set("dedup_ngram_jaccard", "pipeline_drop_near_dups",
     "emb_kmeans_converged", "pipeline_exact_substr", "dedup_jaccard_prefix",
+    "dedup_jaccard_prefix3",
     "pipeline_decontaminate", "text_bigram_logprob", "pipeline_paragraph_dedup",
     "text_unigram_tokenize", "pipeline_exact_substr_removal",
     "text_nb_langid", "dedup_containment",

@@ -291,6 +291,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // global aggregate; the layout
                                         // write and manifest keep-set
                                         // are bounded setup actions
+    "dedup_jaccard_prefix3" -> 7,       // same shape as the bigram
+                                        // flavor below under trigram
+                                        // shingles (50x thinner
+                                        // candidates, measured)
     "dedup_jaccard_prefix" -> 7,        // shingle spread + df agg
                                         // (cached) + salted df attach +
                                         // doc_id prefix window + the

@@ -44,6 +44,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_paragraph_dedup", // one grand-total row (hot-key cutoff)
     "pipeline_exact_substr",    // one grand-total row (hot-key cutoff)
     "dedup_jaccard_prefix",     // one grand-total row (hot-key cutoff)
+    "dedup_jaccard_prefix3",    // same, trigram flavor
     "text_unigram_tokenize",    // one grand-total row (hot-key cutoff)
     "pipeline_exact_substr_removal", // one grand-total row (hot cutoff)
     "pipeline_incremental_substr",   // one grand-total row (hot cutoff)
