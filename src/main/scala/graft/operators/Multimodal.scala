@@ -491,6 +491,15 @@ object Multimodal {
     * `dim` temporal stripes — the same stripe geometry as the
     * image/audio paths, applied across frames instead of within one. */
   def decodeVideoToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val m = videoFrameMeans(bytes)
+    poolStripes(m, 0, m.length, dim)
+  }
+
+  /** Per-frame mean luminance of an AVI payload — the temporal plane
+    * shared by [[decodeVideoToFeatures]] (stripe pooling) and
+    * [[videoFingerprint64]] (gradient signs): one demux, one pooled
+    * JPEG reader per container. */
+  def videoFrameMeans(bytes: Array[Byte]): Array[Double] = {
     val frames = decodeAviFrames(bytes)
     require(frames.nonEmpty, "container has no video frames")
     val reader = javax.imageio.ImageIO
@@ -505,8 +514,7 @@ object Multimodal {
           poolStripes(lum, 0, lum.length, 1)(0).toDouble
         } finally iis.close()
       } finally reader.dispose()
-    val m = means.toArray
-    poolStripes(m, 0, m.length, dim)
+    means.toArray
   }
 
   /** Partition-parallel "decode": binary payload column → fixed-width
@@ -628,6 +636,43 @@ object Multimodal {
     (lo, hi)
   }
 
+  /** Pack 64 predicate bits into the two 32-bit halves ([[dHash64]]'s
+    * convention) — shared by all three modality fingerprints. */
+  private def packBits64(bit: Int => Boolean): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (bit(b)) { if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) }
+      b += 1
+    }
+    (lo, hi)
+  }
+
+  /** 64-bit audio fingerprint over a REAL WAV decode: the sign of each
+    * successive sample difference (the Haitsma-Kalker/chromaprint
+    * family's core bit — gradient SIGNS survive gain changes the same
+    * way dHash survives brightness shifts). Expects the 65-sample
+    * payloads the registered query synthesizes; a production path
+    * pools arbitrary audio to 65 frames first ([[poolStripes]]). */
+  def audioFingerprint64(bytes: Array[Byte]): (Long, Long) = {
+    val amp = decodeWavAmplitudes(bytes)
+    require(amp.length == 65,
+      s"audio fingerprint expects 65 samples (pool first); got ${amp.length}")
+    packBits64(i => amp(i) > amp(i + 1))
+  }
+
+  /** 64-bit video fingerprint over a REAL AVI demux + per-frame JPEG
+    * decode: the sign of each successive FRAME-MEAN difference — the
+    * temporal-gradient signature scene-level video dedup keys on.
+    * Expects 65-frame containers (sample/pool longer video first). */
+  def videoFingerprint64(bytes: Array[Byte]): (Long, Long) = {
+    val m = videoFrameMeans(bytes)
+    require(m.length == 65,
+      s"video fingerprint expects 65 frames (sample first); got ${m.length}")
+    packBits64(i => m(i) > m(i + 1))
+  }
+
   /** Keep-min near-dup survivors over packed 64-bit perceptual
     * signatures via 4×16-bit chunk banding: by pigeonhole any pair at
     * Hamming ≤ 3 differs in at most 3 of the 4 disjoint chunks, so the
@@ -636,7 +681,9 @@ object Multimodal {
     * candidates only; each dropped doc reports its KEEPER (the
     * smallest doc_id among its ≤-maxHamming neighbors below it — the
     * deterministic survivor a dedup pass retains) and the Hamming
-    * distance to that keeper. Input: (doc_id, lo, hi).
+    * distance to that keeper. Input: (doc_id, lo, hi) — MODALITY
+    * AGNOSTIC: the image (dHash), audio (sample-gradient) and video
+    * (frame-gradient) passes all run through this one operator.
     *
     * Scale shape: one signature frame (8 bytes/doc), one chunk
     * explode (4 slim rows/doc), one equijoin on (ci, cv), one
@@ -645,7 +692,7 @@ object Multimodal {
     * keeps bucket occupancy — and so candidate volume — low even on
     * fixture-structured signatures (measured 14.5k candidates : 256
     * results at sf0.1, vs 1.43M candidates under 8-bit chunks). */
-  def imageDedupSurvivors(sigs: DataFrame, maxHamming: Int = 3)
+  def hammingDedupSurvivors(sigs: DataFrame, maxHamming: Int = 3)
       : DataFrame = {
     require(maxHamming <= 3,
       "4-chunk banding guarantees recall only for hamming <= 3")
@@ -696,14 +743,14 @@ object Multimodal {
        |  FROM base)""".stripMargin
   }
 
-  /** Oracle: BRUTE-FORCE all-pairs ground truth (bounded: the oracle
-    * runs at sf0.01) — deliberately NOT a replay of the 4-chunk
-    * banding, so the hash-match proves the banded candidate join loses
-    * no pair the exhaustive join finds (the pigeonhole recall theorem,
-    * checked end-to-end rather than assumed). */
-  private def sqlImageDedup(maxHamming: Int): String =
-    s"""WITH $sqlDHashSig,
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  /** Brute-force keep-min survivor tail over a `sig` CTE (doc_id, lo,
+    * hi) — shared by all three modality-dedup oracles. Deliberately
+    * NOT a replay of the 4-chunk banding: the hash-match proves the
+    * banded candidate join loses no pair the exhaustive join finds
+    * (the pigeonhole recall theorem, checked end-to-end). Bounded —
+    * the oracle runs at sf0.01. */
+  private def sqlSurvivorTail(maxHamming: Int): String =
+    s"""p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        CAST(bit_count(xor(a.lo, b.lo)) +
        |          bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
        |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
@@ -713,6 +760,32 @@ object Multimodal {
        |      FROM p WHERE hamming <= $maxHamming)
        |SELECT doc_id, keeper, hamming FROM k WHERE rk = 1
        |ORDER BY doc_id""".stripMargin
+
+  private def sqlImageDedup(maxHamming: Int): String =
+    s"""WITH $sqlDHashSig,
+       |${sqlSurvivorTail(maxHamming)}""".stripMargin
+
+  /** Oracle for the SEQUENTIAL-gradient fingerprints (audio samples /
+    * video frame means): 65 synthesized values at char `positions`,
+    * bit b set when value(positions(b)) > value(positions(b+1)) — the
+    * same ord() arithmetic discipline as the dHash mirror. */
+  private def sqlSeqDedup(positions: Seq[Int], value: Int => String,
+      maxLen: Int, maxHamming: Int): String = {
+    require(positions.length == 65)
+    def half(range: Range, off: Int): String = range.map { b =>
+      s"CASE WHEN ${value(positions(b))} > ${value(positions(b + 1))} " +
+        s"THEN CAST(${1L << (b - off)} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT doc_id,
+       |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, $maxLen)
+       |      AS s
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |    CAST(${half(0 until 32, 0)} AS BIGINT) AS lo,
+       |    CAST(${half(32 until 64, 32)} AS BIGINT) AS hi
+       |  FROM base),
+       |${sqlSurvivorTail(maxHamming)}""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -952,6 +1025,60 @@ object Multimodal {
           val (lo, hi) = dHash64(encodeGrayPng(px, 9, 8))
           (id, lo, hi)
         }.toDF("doc_id", "lo", "hi")
-      imageDedupSurvivors(sigs, maxHamming = 3)
+      hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // AUDIO near-dup dedup: 65 printable chars → 65 real PCM samples
+    // ((ascii−80)·256, the mm_audio_features scheme) → a genuine WAVE
+    // encode + AudioSystem decode → 64 sample-gradient sign bits (the
+    // Haitsma-Kalker-family fingerprint core) → the same 4×16-bit
+    // banded keep-min survivor operator as the image pass. Oracle:
+    // exhaustive ord()-arithmetic replay (proves banding recall).
+    Q("mm_audio_dedup", Some(sqlSeqDedup(
+      positions = 1 to 65,
+      value = p => s"CASE WHEN len(s) >= $p " +
+        s"THEN (ord(substr(s, $p, 1)) - 80) * 256 ELSE 0 END",
+      maxLen = 65, maxHamming = 3))) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val samples = Array.tabulate(65)(i =>
+            if (i < ascii.length) (ascii.charAt(i).toInt - 80) * 256 else 0)
+          val (lo, hi) = audioFingerprint64(encodePcmWav(samples))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi")
+      hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // VIDEO near-dup dedup: 65 flat 8×8 MJPEG frames (value = ascii−32
+    // of every SECOND char — a distinct plane from the audio bits) →
+    // real AVI mux, demux + per-frame ImageIO decode → 64 frame-mean
+    // gradient sign bits (the temporal signature scene-level video
+    // dedup keys on) → the same banded keep-min survivor operator.
+    Q("mm_video_dedup", Some(sqlSeqDedup(
+      positions = (0 until 65).map(i => 2 * i + 1),
+      value = p => s"CASE WHEN len(s) >= $p " +
+        s"THEN ord(substr(s, $p, 1)) - 32 ELSE 0 END",
+      maxLen = 129, maxHamming = 3))) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val frames = (0 until 65).map { i =>
+            val p = 2 * i
+            flatJpeg8x8(
+              if (p < ascii.length) ascii.charAt(p).toInt - 32 else 0)
+          }
+          val (lo, hi) = videoFingerprint64(encodeMjpegAvi(frames, 8, 8))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi")
+      hammingDedupSurvivors(sigs, maxHamming = 3)
     })
 }

@@ -374,6 +374,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // pack_sequences 5) — the
                                         // composition adds barriers,
                                         // not exchanges
+    "mm_audio_dedup" -> 4,              // same shape as mm_image_dedup
+                                        // over the WAV decode plane
+    "mm_video_dedup" -> 4,              // same, AVI demux + per-frame
+                                        // JPEG decode plane
     "mm_image_dedup" -> 4,              // spread (the per-row PNG
                                         // encode + real ImageIO decode
                                         // is the compute stage) + the

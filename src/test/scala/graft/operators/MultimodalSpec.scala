@@ -280,7 +280,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("imageDedupSurvivors recovers planted perturbed-pixel near-dups " +
+  test("hammingDedupSurvivors recovers planted perturbed-pixel near-dups " +
       "and keeps unrelated images") {
     val base = basePx(1)
     val near1 = base.clone(); near1(31) = 0   // 1 edited pixel, <= 2 flips
@@ -298,7 +298,7 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(sigs(0), sigs(2)) > 0 && ham(sigs(0), sigs(2)) <= 3)
     assert(ham(sigs(0), sigs(3)) > 3 && ham(sigs(0), sigs(4)) > 3)
     val out = Multimodal
-      .imageDedupSurvivors(sigs.toDF("doc_id", "lo", "hi"))
+      .hammingDedupSurvivors(sigs.toDF("doc_id", "lo", "hi"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.get(20L).contains(10L), s"near1 not recovered: $out")
     assert(out.get(30L).contains(10L), s"near2 not recovered: $out")
@@ -307,7 +307,7 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.contains(10L), "the keeper itself must survive")
   }
 
-  test("imageDedupSurvivors == brute-force all-pairs keep-min (banding " +
+  test("hammingDedupSurvivors == brute-force all-pairs keep-min (banding " +
       "pigeonhole recall, end-to-end)") {
     // 20 distinct patterns; every third gets a 1-pixel-perturbed twin
     val imgs = (0 until 20).flatMap { k =>
@@ -329,7 +329,7 @@ class MultimodalSpec extends SparkSpec {
     } yield (b._1, (a._1, h)))
       .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).minBy(_._1)) }
     val got = Multimodal
-      .imageDedupSurvivors(sigs.toDF("doc_id", "lo", "hi"))
+      .hammingDedupSurvivors(sigs.toDF("doc_id", "lo", "hi"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
       .toMap
     assert(got == brute, s"banded=$got brute=$brute")
@@ -340,5 +340,70 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.encodeGrayPng(Array.fill(64)(7), 8, 8)
     val e = intercept[IllegalArgumentException](Multimodal.dHash64(bad))
     assert(e.getMessage.contains("9x8"))
+  }
+
+  // ---- audio / video near-dup fingerprints (shared survivor op) ----
+
+  private def wavOf(samples: Array[Int]): Array[Byte] =
+    Multimodal.encodePcmWav(samples)
+
+  private def baseSamples(seed: Int): Array[Int] =
+    Array.tabulate(65)(i => (((i * 53 + seed * 17) % 97) - 48) * 256)
+
+  test("audioFingerprint64: single-sample edit flips at most 2 bits at " +
+      "EVERY position (gradient-sign locality, audio plane)") {
+    val base = baseSamples(1)
+    val (blo, bhi) = Multimodal.audioFingerprint64(wavOf(base))
+    for (p <- 0 until 65) {
+      val mod = base.clone(); mod(p) = -mod(p) - 256
+      val (mlo, mhi) = Multimodal.audioFingerprint64(wavOf(mod))
+      val flips = java.lang.Long.bitCount(blo ^ mlo) +
+        java.lang.Long.bitCount(bhi ^ mhi)
+      assert(flips <= 2, s"sample $p flipped $flips bits")
+    }
+  }
+
+  test("audio near-dups recover through the banded survivor op; video " +
+      "frame-gradient fingerprints behave identically on frame edits") {
+    // audio: doc 20 = doc 10 with one sample inverted -> Hamming <= 2
+    val a0 = baseSamples(1)
+    val a1 = a0.clone(); a1(30) = -a1(30) - 256
+    val audioSigs = Seq(
+      10L -> Multimodal.audioFingerprint64(wavOf(a0)),
+      20L -> Multimodal.audioFingerprint64(wavOf(a1)),
+      30L -> Multimodal.audioFingerprint64(wavOf(baseSamples(7))))
+      .map { case (id, (lo, hi)) => (id, lo, hi) }
+    val audioOut = Multimodal
+      .hammingDedupSurvivors(audioSigs.toDF("doc_id", "lo", "hi"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audioOut == Map(20L -> 10L), s"audio survivors: $audioOut")
+
+    // video: 65 flat frames; one frame's value perturbed -> <= 2 flips
+    def avi(vals: Array[Int]): Array[Byte] =
+      Multimodal.encodeMjpegAvi(
+        vals.map(v => Multimodal.encodeFlatJpeg(v, 8, 8)).toSeq, 8, 8)
+    val v0 = Array.tabulate(65)(i => (i * 37 + 11) % 256)
+    val v1 = v0.clone(); v1(40) = 255 - v1(40)
+    val (l0, h0) = Multimodal.videoFingerprint64(avi(v0))
+    val (l1, h1) = Multimodal.videoFingerprint64(avi(v1))
+    val flips = java.lang.Long.bitCount(l0 ^ l1) +
+      java.lang.Long.bitCount(h0 ^ h1)
+    assert(flips > 0 && flips <= 2, s"frame edit flipped $flips bits")
+    val videoSigs = Seq((10L, l0, h0), (20L, l1, h1))
+    val videoOut = Multimodal
+      .hammingDedupSurvivors(videoSigs.toDF("doc_id", "lo", "hi"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(videoOut == Map(20L -> 10L), s"video survivors: $videoOut")
+  }
+
+  test("audio/video fingerprints reject wrong payload shapes loudly") {
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.audioFingerprint64(wavOf(Array.fill(10)(0))))
+    assert(e1.getMessage.contains("65 samples"))
+    val shortAvi = Multimodal.encodeMjpegAvi(
+      Seq(Multimodal.encodeFlatJpeg(5, 8, 8)), 8, 8)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.videoFingerprint64(shortAvi))
+    assert(e2.getMessage.contains("65 frames"))
   }
 }
