@@ -54,4 +54,43 @@ class SkewSpec extends SparkSpec {
     assert(saltedParts > 1,
       s"salted join must spread the hot key, got $saltedParts partition(s)")
   }
+
+  test("hotSaltedJoin driven by a COUNT-MIN hot set equals both the " +
+      "exact-hot-set run and the plain join (the one-pass alternative " +
+      "the Skew Scaladoc documents)") {
+    // Zipf stream: one boilerplate key dominating, a long tail
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 2000).map(i => (s"t${i % 400}", i.toLong)))
+      .toDF("g", "doc_id")
+    val small = (Seq("hot") ++ (0 until 400).map(i => s"t$i"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }
+      .toDF("g", "payload")
+    val plain = big.join(small, Seq("g"))
+      .select("g", "doc_id", "payload").collect().toSet
+
+    // exact hot set (the full-aggregate derivation callers use today)
+    val exactHot = big.groupBy("g").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 1000).select("g")
+    val viaExact = Skew
+      .hotSaltedJoin(big, small, "g", exactHot, col("doc_id"))
+      .select("g", "doc_id", "payload").collect().toSet
+    assert(viaExact == plain)
+
+    // CMS hot set: est >= cutoff over the fixed 4096-cell sketch —
+    // one-sided estimates make this a SUPERSET of the exact hot set,
+    // and hotSaltedJoin is correct under ANY hot superset (extra keys
+    // just salt unnecessarily), so the result is identical
+    val cells = TextAnalysis.cmsCells(big.select(col("g").as("tok")))
+    val cmsHot = TextAnalysis
+      .cmsEstimates(big.select(col("g").as("tok")).distinct(), cells)
+      .where(col("est") >= 1000)
+      .select(col("tok").as("g"))
+    val cmsHotKeys = cmsHot.collect().map(_.getString(0)).toSet
+    assert(cmsHotKeys.contains("hot"),
+      "the CMS hot set must contain the truly hot key (one-sidedness)")
+    val viaCms = Skew
+      .hotSaltedJoin(big, small, "g", cmsHot, col("doc_id"))
+      .select("g", "doc_id", "payload").collect().toSet
+    assert(viaCms == plain)
+  }
 }
