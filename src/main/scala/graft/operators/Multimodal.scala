@@ -694,6 +694,22 @@ object Multimodal {
     * results at sf0.1, vs 1.43M candidates under 8-bit chunks). */
   def hammingDedupSurvivors(sigs: DataFrame, maxHamming: Int = 3)
       : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_b").orderBy("doc_a")
+    hammingDedupPairs(sigs, maxHamming)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("keeper"),
+        col("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** The verified near-dup PAIR list (doc_a < doc_b, hamming ≤
+    * `maxHamming`) behind [[hammingDedupSurvivors]] — exposed so the
+    * transitive-closure form (`mm_image_cluster`) can consume the
+    * same banded candidates. */
+  def hammingDedupPairs(sigs: DataFrame, maxHamming: Int = 3)
+      : DataFrame = {
     require(maxHamming <= 3,
       "4-chunk banding guarantees recall only for hamming <= 3")
     val chunkArr = array((0 until 4).map { j =>
@@ -706,20 +722,14 @@ object Multimodal {
       col("doc_id").as("doc_a"), col("lo").as("la"), col("hi").as("ha"))
     val b = chunks.select(col("ci"), col("cv"),
       col("doc_id").as("doc_b"), col("lo").as("lb"), col("hi").as("hb"))
-    val pairs = a.join(b, Seq("ci", "cv"))
+    a.join(b, Seq("ci", "cv"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming",
         (bit_count(col("la").bitwiseXOR(col("lb"))) +
           bit_count(col("ha").bitwiseXOR(col("hb")))).cast("int"))
       .where(col("hamming") <= maxHamming)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_b").orderBy("doc_a")
-    pairs.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("keeper"),
-        col("hamming"))
-      .orderBy("doc_id")
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** The dHash bit algebra as DuckDB `ord()` arithmetic over the same
@@ -785,6 +795,28 @@ object Multimodal {
        |    CAST(${half(32 until 64, 32)} AS BIGINT) AS hi
        |  FROM base),
        |${sqlSurvivorTail(maxHamming)}""".stripMargin
+  }
+
+  /** Per-doc dHash signatures of the synthesized 9×8 images — shared
+    * by the keep-min and cluster forms (spread first: the PNG encode +
+    * real ImageIO decode per row is the expensive stage, the
+    * mm_image_features discipline). */
+  private def imageDHashSigs(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.spread(docs(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ascii = text.replaceAll("[^ -~]", "")
+        val px = new Array[Int](72)
+        var i = 0
+        while (i < 72 && i < ascii.length) {
+          px(i) = ascii.charAt(i).toInt; i += 1
+        }
+        val (lo, hi) = dHash64(encodeGrayPng(px, 9, 8))
+        (id, lo, hi)
+      }.toDF("doc_id", "lo", "hi")
   }
 
   val queries: Seq[Q] = Seq(
@@ -1008,24 +1040,38 @@ object Multimodal {
     // — through an exhaustive all-pairs join, so the hash-match also
     // PROVES the banded join's pigeonhole recall end-to-end.
     Q("mm_image_dedup", Some(sqlImageDedup(maxHamming = 3))) { (s, dir) =>
-      val spark = s
-      import spark.implicits._
-      // spread first: PNG encode + ImageIO decode per row is the
-      // expensive stage (the mm_image_features discipline)
-      val sigs = Tables.spread(docs(s, dir))
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val ascii = text.replaceAll("[^ -~]", "")
-          val px = new Array[Int](72)
-          var i = 0
-          while (i < 72 && i < ascii.length) {
-            px(i) = ascii.charAt(i).toInt; i += 1
-          }
-          val (lo, hi) = dHash64(encodeGrayPng(px, 9, 8))
-          (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
-      hammingDedupSurvivors(sigs, maxHamming = 3)
+      hammingDedupSurvivors(imageDHashSigs(s, dir), maxHamming = 3)
+    },
+
+    // IMAGE dup CLUSTERS — the transitive-closure form of
+    // mm_image_dedup (keep-min is greedy pairwise; LAION-style corpus
+    // reports group whole duplicate CLUSTERS): the same banded
+    // Hamming ≤ 3 pair list fed through connectedComponents'
+    // min-label fixed point, reported as (component, n_members). The
+    // mirror closes the same graph with a recursive CTE over
+    // brute-force pairs — composition across the multimodal and graph
+    // families, both halves already proven on their own.
+    Q("mm_image_cluster", Some(
+      s"""WITH RECURSIVE $sqlDHashSig,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.lo, b.lo)) +
+         |        bit_count(xor(a.hi, b.hi)) <= 3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach
+         |  JOIN edges ON reach.r = edges.src),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin)) {
+      (s, dir) =>
+        Dedup.connectedComponents(
+            hammingDedupPairs(imageDHashSigs(s, dir), maxHamming = 3))
+          .groupBy("component").agg(count(lit(1)).as("n_members"))
+          .orderBy("component")
     },
 
     // AUDIO near-dup dedup: 65 printable chars → 65 real PCM samples

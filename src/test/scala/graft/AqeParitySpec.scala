@@ -36,7 +36,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters",
     "text_canonicalize", "text_quality_trained",
     "pipeline_decontaminate_bloom", "dedup_jaccard_prefix3",
-    "mm_audio_dedup", "mm_video_dedup")
+    "mm_audio_dedup", "mm_video_dedup", "mm_image_cluster")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

@@ -374,6 +374,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // pack_sequences 5) — the
                                         // composition adds barriers,
                                         // not exchanges
+    "mm_image_cluster" -> 2,            // REPORTING plan: component-
+                                        // size agg + sort; the banded
+                                        // pair join (mm_image_dedup's
+                                        // 4) and the CC fixed point
+                                        // run behind localCheckpoint
+                                        // lineage cuts at construction
+                                        // (measured 2)
     "mm_audio_dedup" -> 4,              // same shape as mm_image_dedup
                                         // over the WAV decode plane
     "mm_video_dedup" -> 4,              // same, AVI demux + per-frame
