@@ -502,7 +502,7 @@ object TextAnalysis {
 
   /** The sketch: ONE keyed aggregate onto the (row, bucket) plane.
     * Input: a `tok` column, one row per occurrence. */
-  private[operators] def cmsCells(toks: DataFrame): DataFrame =
+  def cmsCells(toks: DataFrame): DataFrame =
     toks.select(cmsFan(col("tok")).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -514,7 +514,7 @@ object TextAnalysis {
     * is what makes the sketch a sound CANDIDATE generator: any token
     * with true count ≥ τ has est ≥ τ, so the est-≥-τ set is a
     * superset of the true hot set (spec'd on a Zipf corpus). */
-  private[operators] def cmsEstimates(tokens: DataFrame,
+  def cmsEstimates(tokens: DataFrame,
       cells: DataFrame): DataFrame =
     tokens.select(col("tok"), cmsFan(col("tok")).as("c"))
       .select(col("tok"), col("c.j").as("j"), col("c.b").as("b"))

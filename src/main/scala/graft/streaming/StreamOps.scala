@@ -338,6 +338,21 @@ object StreamOps {
       }
   }
 
+  /** STREAMING count-min sketch — the continuously-maintained form of
+    * `q_heavy_hitters`' frequency sketch: the (row, bucket) cell
+    * counts are a plain streaming aggregate (CMS cells are counters —
+    * the sketch is MERGEABLE by construction, which is exactly why
+    * sketches are the streaming answer to frequency questions: state
+    * is the fixed 4096-cell table no matter how many tokens flow).
+    * Update output mode; after any prefix of micro-batches the cell
+    * table equals the batch [[graft.operators.TextAnalysis.cmsCells]]
+    * over the same rows (StreamOpsSpec pins the parity), so every
+    * batch-side guarantee — one-sided estimates, superset candidate
+    * sets — holds mid-stream. Input: a streaming frame with a `tok`
+    * column. */
+  def cmsCellsStream(toks: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.cmsCells(toks)
+
   /** STREAMING incremental ExactSubstr — the continuous-ingestion twin
     * of [[graft.operators.Dedup.exactSubstrIncremental]]: each
     * micro-batch of new documents is cleaned against the accumulated

@@ -651,4 +651,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(byId(302L)(2) == 50L, "cross-batch span not removed from 302")
     assert(byId(304L)(2) == 55L, "batch-2's span must clean batch 3")
   }
+
+  test("cmsCellsStream: after any micro-batch prefix the cell table " +
+      "equals the batch sketch over the same rows (mergeability)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val query = StreamOps.cmsCellsStream(input.toDF().toDF("tok"))
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = (1 to 50).map(i => s"w${i % 7}")
+    val b2 = (1 to 80).map(i => s"z${i % 13}") ++ Seq.fill(20)("w1")
+    try {
+      var fed = Seq.empty[String]
+      for (b <- Seq(b1, b2)) {
+        input.addData(b)
+        query.processAllAvailable()
+        fed ++= b
+        val streamed = spark.table("cms").collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val batch = graft.operators.TextAnalysis.cmsCells(fed.toDF("tok")).collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(streamed == batch,
+          s"sketch diverged after ${fed.size} rows")
+      }
+    } finally query.stop()
+  }
 }
