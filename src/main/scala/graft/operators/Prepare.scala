@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *                            first occurrence wins, WITHIN the gated
   *                            corpus; empty docs drop
   *                            ([[Dedup.exactSubstrCleaned]])
-  *   3. near-dup drop       — prefix-filtered EXACT bigram-shingle
+  *   3. near-dup drop       — prefix-filtered EXACT trigram-shingle
   *                            Jaccard ≥ 0.9 over the CLEANED text,
-  *                            keep-min ([[Dedup.prefixJaccardPairs]])
+  *                            keep-min ([[Dedup.prefixJaccardPairs]];
+  *                            trigram: the position-richer plane
+  *                            thins candidates 50× at the same
+  *                            threshold — dedup_jaccard_prefix3)
   *   4. decontamination     — survivors sharing ≥ 3 rare 5-grams with
   *                            an eval-split doc are dropped, and the
   *                            eval split itself leaves the train
@@ -37,11 +40,12 @@ import org.apache.spark.sql.functions._
   * candidate joins, sharded prefix sums — never all-pairs, never a
   * corpus-wide single-partition window). The stage frames that feed
   * BOTH a count row and the next stage (`cleaned`, `deduped`,
-  * `train`) are cached — at reporting scale that is the
-  * clear-between-queries cache policy; a 100 TB run would checkpoint
-  * those boundaries to storage instead (same DAG, durable edges). The
-  * cached frames are slim (doc_id, text, n_kept) survivor corpora,
-  * never exploded token/window planes. */
+  * `train`) are eager lineage-truncating checkpoints (see
+  * [[fullPrepare]]'s Scaladoc for the measured why); a 100 TB run
+  * would checkpoint those boundaries to durable storage instead (same
+  * DAG, durable edges). The checkpointed frames are slim (doc_id,
+  * text, n_kept) survivor corpora, never exploded token/window
+  * planes. */
 object Prepare {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -77,7 +81,11 @@ object Prepare {
     // feeds its count row, the near-dup pair join AND the anti-join's
     // keep side
     val cleaned = Dedup.exactSubstrCleaned(gated).localCheckpoint()
-    val losers = Dedup.prefixJaccardPairs(cleaned)
+    // trigram shingles: the dedup_jaccard_prefix3 measurement (the
+    // position-richer plane thins candidates 50x at the same
+    // threshold) applied where it matters most — inside the composed
+    // pipeline's hottest stage
+    val losers = Dedup.prefixJaccardPairs(cleaned, shingleWidth = 3)
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = cleaned.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -145,9 +153,9 @@ object Prepare {
        |      string_agg(CASE WHEN NOT rm THEN tok END, ' '
        |        ORDER BY pos) AS ctext
        |    FROM j GROUP BY doc_id) WHERE n_kept > 0),
-       |tk2 AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
-       |    THEN list_distinct(list_transform(range(1, len(ts)),
-       |      i -> ts[i] || ' ' || ts[i+1]))
+       |tk2 AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+       |    THEN list_distinct(list_transform(range(1, len(ts) - 1),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
        |    ELSE [array_to_string(ts, ' ')] END) AS g
        |  FROM (SELECT doc_id, string_split_regex(ctext, '\\s+') AS ts
        |        FROM ne)),
