@@ -323,6 +323,27 @@ object UnigramLm {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Doc-logprob mirror: the tokenize chain's per-word best scores
+    * summed per document (negated to a positive NLL; the per-piece
+    * floor division runs on the positive value so both engines
+    * agree). */
+  private def sqlDocLogprobOracle: String = {
+    val f = EmIters + 1
+    s"""WITH $sqlLearnChain,
+       |${sqlEmCtes(f)},
+       |t AS (SELECT doc_id,
+       |        unnest(string_split_regex(text, '\\s+')) AS word
+       |      FROM documents),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |        CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       |        CAST(-SUM(b.s) AS BIGINT) AS nll_q10
+       |      FROM t JOIN best$f b USING (word)
+       |      GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_pieces, nll_q10,
+       |  CAST(nll_q10 // n_pieces AS BIGINT) AS nll_per_piece_q10
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** Trained-model memo per data dir for the APPLY query — the
     * build-once/tokenize-many split ([[Bpe]]'s mergesCache
     * discipline); `text_unigram_lm` itself never reads this. */
@@ -360,27 +381,7 @@ object UnigramLm {
     //      DISTINCT word; the corpus-scale stages are one explode and
     //      one salted equijoin. ----
     Q("text_unigram_tokenize", Some(sqlTokenizeOracle)) { (s, dir) =>
-      val (ps, _) = trainCache.computeIfAbsent(dir,
-        _ => train(Tables.load(s, dir, "documents").select(col("text"))))
-      val scF = ps.map(p => p._1 -> p._3).toMap
-      val docs = Tables.load(s, dir, "documents")
-      val wf = docs
-        .select(explode(split(col("text"), "\\s+")).as("word"))
-        .where(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-        .cache()
-      val seg = viterbi(wf, scF).select(col("word"), col("np"), col("path"))
-      val tot = wf.agg(sum("freq").cast("long").as("__t"))
-      val hot = wf.crossJoin(broadcast(tot))
-        .where(col("freq") >=
-          greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
-            lit(Skew.MinHotCount)))
-        .select("word")
-      val toks = Tables.spread(docs, col("doc_id"))
-        .select(col("doc_id"),
-          posexplode(split(col("text"), "\\s+")).as(Seq("tpos", "word")))
-        .where(col("word") =!= "")
-      Skew.hotSaltedJoin(toks, seg, "word", hot, col("doc_id"))
+      segmentedTokens(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum("np").cast("long").as("n_pieces"),
@@ -388,5 +389,57 @@ object UnigramLm {
             array_sort(collect_list(struct(col("tpos"), col("path")))),
             p => p.getField("path")), " ")).as("piece_fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- per-document LM negative log-likelihood (the CCNet
+    //      discipline: corpora are FILTERED by LM perplexity, and this
+    //      is the integer-exact score plane that filter reads): each
+    //      doc's words segmented by the trained Unigram-LM's Viterbi,
+    //      nll = -(sum of best-path scores) in q10 log2 units
+    //      (positive — lower is more in-distribution), plus nll per
+    //      piece (the length-normalized proxy; the floor division runs
+    //      on the POSITIVE value so Spark `div` truncation and DuckDB
+    //      `//` flooring agree). Same memoized model + one salted
+    //      attach as the tokenize half — the DP never touches corpus
+    //      rows. ----
+    Q("text_lm_doclogprob", Some(sqlDocLogprobOracle)) { (s, dir) =>
+      segmentedTokens(s, dir)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("np").cast("long").as("n_pieces"),
+          (-sum("s")).cast("long").as("nll_q10"))
+        .withColumn("nll_per_piece_q10",
+          expr("nll_q10 div n_pieces").cast("long"))
+        .orderBy("doc_id")
     })
+
+  /** Per-token-occurrence segmentation frame (doc_id, tpos, word, np,
+    * path, s): the trained model's word-plane Viterbi attached to doc
+    * tokens via ONE hotSaltedJoin — shared by the tokenize and
+    * doc-logprob queries (build-once/segment-many memo per dir). */
+  private def segmentedTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (ps, _) = trainCache.computeIfAbsent(dir,
+      _ => train(Tables.load(s, dir, "documents").select(col("text"))))
+    val scF = ps.map(p => p._1 -> p._3).toMap
+    val docs = Tables.load(s, dir, "documents")
+    val wf = docs
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .cache()
+    val seg = viterbi(wf, scF)
+      .select(col("word"), col("np"), col("path"), col("s"))
+    val tot = wf.agg(sum("freq").cast("long").as("__t"))
+    val hot = wf.crossJoin(broadcast(tot))
+      .where(col("freq") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("word")
+    val toks = Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("tpos", "word")))
+      .where(col("word") =!= "")
+    Skew.hotSaltedJoin(toks, seg, "word", hot, col("doc_id"))
+  }
 }

@@ -36,7 +36,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "mm_image_dedup", "pipeline_full_prepare", "q_heavy_hitters",
     "text_canonicalize", "text_quality_trained",
     "pipeline_decontaminate_bloom", "dedup_jaccard_prefix3",
-    "mm_audio_dedup", "mm_video_dedup", "mm_image_cluster")
+    "mm_audio_dedup", "mm_video_dedup", "mm_image_cluster",
+    "text_lm_doclogprob")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -53,7 +54,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "dedup_jaccard_prefix3",
     "pipeline_decontaminate", "text_bigram_logprob", "pipeline_paragraph_dedup",
     "text_unigram_tokenize", "pipeline_exact_substr_removal",
-    "text_nb_langid", "dedup_containment",
+    "text_nb_langid", "dedup_containment", "text_lm_doclogprob",
     // the pack stage's 1-row min/max bounds broadcast (packSequences)
     "pipeline_full_prepare",
     // the 1-row grand-total broadcast feeding the tolerance gate

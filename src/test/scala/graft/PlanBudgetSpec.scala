@@ -259,6 +259,11 @@ class PlanBudgetSpec extends SparkSpec {
                                         // fold, cost scales with chunk
                                         // collisions (n/32 per query),
                                         // never the corpus square
+    "text_lm_doclogprob" -> 3,          // identical shape to
+                                        // text_unigram_tokenize (the
+                                        // shared segmentedTokens
+                                        // frame), integer-sum agg
+                                        // instead of the md5
     "text_unigram_tokenize" -> 3,       // word-freq agg (feeds the
                                         // vocab-plane Viterbi + hot
                                         // set) + the salted word

@@ -46,6 +46,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "dedup_jaccard_prefix",     // one grand-total row (hot-key cutoff)
     "dedup_jaccard_prefix3",    // same, trigram flavor
     "text_unigram_tokenize",    // one grand-total row (hot-key cutoff)
+    "text_lm_doclogprob",       // same (shared segmentedTokens)
     "pipeline_exact_substr_removal", // one grand-total row (hot cutoff)
     "pipeline_incremental_substr",   // one grand-total row (hot cutoff)
     "dedup_containment",             // one grand-total row (hot cutoff)
