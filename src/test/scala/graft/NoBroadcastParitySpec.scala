@@ -27,7 +27,14 @@ class NoBroadcastParitySpec extends SparkSpec {
     "pipeline_exact_substr",  // count attach + island merge
     "ann_hamming_mih",        // chunk equijoin + sig attach
     "ann_ivf_int",            // cell equijoin + rank
-    "q_semi_join", "q_anti_join", "q_full_outer_join")
+    "q_semi_join", "q_anti_join", "q_full_outer_join",
+    // round-10 additions with joins worth de-broadcasting: the banded
+    // Hamming candidate joins, the CMS estimate attach, the bloom-
+    // pruned rarity attach, the perceptron scoring join and the LM
+    // segmentation attach
+    "mm_image_dedup", "mm_audio_dedup", "q_heavy_hitters",
+    "pipeline_decontaminate_bloom", "text_quality_trained",
+    "text_lm_doclogprob", "dedup_jaccard_prefix3")
 
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {
