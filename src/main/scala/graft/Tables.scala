@@ -34,6 +34,28 @@ object Tables {
     if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*)
   }
 
+  /** Cheap on-disk content fingerprint of a table (file names, lengths,
+    * mtimes — no Spark job, no data read). Build-once/query-many memos
+    * (the IVF/k-means/bloom/perceptron family) key on THIS rather than
+    * the bare dir string, so a table regenerated on disk under the same
+    * path gets a fresh key instead of silently reusing a stale model or
+    * filter (an r10-advice stale-memo hazard: a stale eval-slice bloom
+    * would drop train grams as false negatives, breaking the lossless
+    * guarantee). A path that does not exist (spec fixtures keyed by
+    * synthetic names) folds to a stable `#absent` key, preserving
+    * in-process memo reuse for fixtures. */
+  def fingerprint(dir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$dir/$name.parquet")
+    if (!root.exists()) s"$dir/$name.parquet#absent"
+    else walk(root)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$dir/$name.parquet#", ",", "")
+  }
+
   /** ns-long `ts` → TimestampType(µs); floor semantics match DuckDB's
     * `epoch_us` truncation on the same values. */
   private def normalizeTs(df: DataFrame): DataFrame =

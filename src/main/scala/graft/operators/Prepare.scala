@@ -98,10 +98,15 @@ object Prepare {
       expr(s"(sum(n_tokens) + ${Packing.SeqLen - 1}) div ${Packing.SeqLen}")
         .cast("long").as("n"),
       sum("n_tokens").cast("long").as("tokens"),
-      md5(expr("""array_join(transform(
-        |  array_sort(collect_list(struct(doc_id, tok_start))),
-        |  s -> concat(cast(s.doc_id as string), ':',
-        |              cast(s.tok_start as string))), ',')""".stripMargin))
+      // empty-train guard (r10 advice): DuckDB's string_agg over zero
+      // rows is NULL while Spark's array_join over an empty
+      // collect_list is '' — gate the digest on row count so BOTH
+      // engines return NULL when the pack stage is empty
+      when(count(lit(1)) > 0,
+        md5(expr("""array_join(transform(
+          |  array_sort(collect_list(struct(doc_id, tok_start))),
+          |  s -> concat(cast(s.doc_id as string), ':',
+          |              cast(s.tok_start as string))), ',')""".stripMargin)))
         .as("digest"))
       .select(lit("5_pack").as("stage"), col("n"), col("tokens"),
         col("digest"))

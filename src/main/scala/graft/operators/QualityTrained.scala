@@ -81,7 +81,12 @@ object QualityTrained {
 
   /** One JVM-wide trained-weight memo per data dir (the ivf/kmeans
     * build-once/query-many discipline): training runs its bounded
-    * driver syncs once; repeated bench passes measure SCORING. */
+    * driver syncs once; repeated bench passes measure SCORING. Keyed
+    * on [[graft.Tables.fingerprint]] of the source table, not the bare
+    * dir string, so a documents table regenerated on disk retrains
+    * instead of silently scoring with stale weights (r10 advice);
+    * fixture keys with no backing path fold to a stable `#absent`
+    * fingerprint and keep reusing the memo in-process. */
   private val weightMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Long]]()
 
@@ -121,7 +126,8 @@ object QualityTrained {
   /** Held-out confusion matrix (actual keep, predicted keep, n) of the
     * trained model on the `% 5 = 0` split. */
   def confusion(s: SparkSession, d: DataFrame, dir: String): DataFrame = {
-    val w = weightMemo.computeIfAbsent(dir, _ => trainWeights(s, d))
+    val w = weightMemo.computeIfAbsent(
+      graft.Tables.fingerprint(dir, "documents"), _ => trainWeights(s, d))
     val ev = d.where(col("doc_id") % 5 === 0)
     scores(features(ev), weightsDf(s, w))
       .join(labels(ev), Seq("doc_id"))

@@ -88,7 +88,12 @@ object TextAnalysis {
 
   /** Per-dir memo of the eval-side gram bloom filter (build once,
     * probe many — the persisted-index discipline; Spark's own runtime
-    * filter rebuilds per query, a production pipeline would not). */
+    * filter rebuilds per query, a production pipeline would not).
+    * Keyed on [[graft.Tables.fingerprint]] of the source table, not the
+    * bare dir string: a documents table regenerated on disk invalidates
+    * the memo (a stale eval bloom would drop now-matching train grams
+    * as false negatives — the one failure mode the lossless-prune
+    * guarantee cannot tolerate). */
   private val bloomMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
@@ -117,7 +122,8 @@ object TextAnalysis {
   def decontaminateBloomPairs(d: DataFrame, dirKey: String): DataFrame = {
     val bg = ngramRows(d, 5, distinctPerDoc = true)
     val evalBg = bg.where(col("doc_id") % 10 === 0)
-    val bf = bloomMemo.computeIfAbsent(dirKey, _ =>
+    val bf = bloomMemo.computeIfAbsent(
+      graft.Tables.fingerprint(dirKey, "documents"), _ =>
       evalBg.agg(expr(
         s"bloom_filter_agg(xxhash64(g), ${1L << 16}L, ${1L << 20}L)")
         .as("bf"))

@@ -344,11 +344,14 @@ object StreamOps {
     * the sketch is MERGEABLE by construction, which is exactly why
     * sketches are the streaming answer to frequency questions: state
     * is the fixed 4096-cell table no matter how many tokens flow).
-    * Update output mode; after any prefix of micro-batches the cell
-    * table equals the batch [[graft.operators.TextAnalysis.cmsCells]]
-    * over the same rows (StreamOpsSpec pins the parity), so every
-    * batch-side guarantee — one-sided estimates, superset candidate
-    * sets — holds mid-stream. Input: a streaming frame with a `tok`
+    * After any prefix of micro-batches the AGGREGATE STATE equals the
+    * batch [[graft.operators.TextAnalysis.cmsCells]] over the same
+    * rows, so every batch-side guarantee — one-sided estimates,
+    * superset candidate sets — holds mid-stream. Note the output-mode
+    * nuance: a sink only sees that full cell table in COMPLETE mode
+    * (which is how StreamOpsSpec reads it for the parity pin); update
+    * mode emits just the cells a batch changed, so a consumer there
+    * must merge deltas itself. Input: a streaming frame with a `tok`
     * column. */
   def cmsCellsStream(toks: DataFrame): DataFrame =
     graft.operators.TextAnalysis.cmsCells(toks)
@@ -377,7 +380,18 @@ object StreamOps {
     * rebuild from scratch each run, persisted instead.
     *
     * `sink(cleanedBatch, batchId)` receives each batch's cleaned
-    * output (doc_id, n_tokens, n_removed, kept_md5). */
+    * output (doc_id, n_tokens, n_removed, kept_md5).
+    *
+    * RESTART CONTRACT: the accumulated index lives in process memory
+    * (the AtomicReference below), NOT in the streaming checkpoint — on
+    * a restart-from-checkpoint the source would resume mid-stream
+    * while the index reset to `initialIndex`, silently forgetting
+    * spans first seen in pre-restart batches. The operator is
+    * therefore single-run: to resume, the caller must either re-feed
+    * from batch 0, or persist the accumulated index itself (the sink
+    * sees every batch, and a production pipeline persists exactly this
+    * index anyway) and pass it back as `initialIndex` on the new run.
+    * StreamOpsSpec's parity contract holds within one run. */
   def incrementalSubstrStream(newDocs: DataFrame, initialIndex: DataFrame,
       minLen: Int = graft.operators.Dedup.ExactSubstrMinLen)(
       sink: (DataFrame, Long) => Unit)

@@ -71,6 +71,22 @@ class PrepareSpec extends SparkSpec {
       s"manifest digest drifted: $digest vs $expectedDigest")
   }
 
+  test("fullPrepare: an empty pack stage yields NULL digest/count " +
+      "(DuckDB string_agg-over-zero-rows parity, r10 advice)") {
+    // every doc_id % 10 == 0: the whole surviving corpus is eval split,
+    // so the train/pack stages are empty — Spark must mirror DuckDB's
+    // NULL (string_agg/SUM over zero rows), not md5('')
+    val allEval = Seq(
+      (10L, "aa", 1000L, toks("e", 30)),
+      (20L, "aa", 900L, toks("f", 30))
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val row = Prepare.fullPrepare(allEval)
+      .where(col("stage") === "5_pack").collect()(0)
+    assert(row.isNullAt(3), s"empty pack stage must have NULL digest: $row")
+    assert(row.isNullAt(1) && row.isNullAt(2),
+      s"empty pack stage must have NULL count/tokens: $row")
+  }
+
   test("fullPrepare: cross-stage invariants hold on the real corpus") {
     val rows = Prepare
       .fullPrepare(graft.Tables.load(spark, sfDir, "documents"))
