@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-crawl ingestion front end — the stage BEFORE the `documents`
+  * table exists: parse a crawl archive container into records, strip
+  * the HTML down to text, drop boilerplate lines, and emit
+  * documents-shaped (doc_id, url, text) rows for everything
+  * downstream (quality gates, dedup, decontamination, packing).
+  *
+  * The container is a WARC-style headered, LENGTH-PREFIXED record
+  * format ("GARC/1.0"): file magic, then per record a sentinel line,
+  * `key: value` header lines (id / url / len), a blank line, exactly
+  * `len` payload bytes, and a terminating newline. Parsing walks byte
+  * positions using the DECLARED lengths — never by scanning payload
+  * for delimiters — with the hand-rolled-codec discipline of
+  * [[Multimodal.decodeAviFrames]]: every offset bounds-checked against
+  * the buffer, caps on header size / payload size / record count, and
+  * RESYNC-on-corruption (a malformed record advances to the next
+  * sentinel occurrence, so one bad record never poisons the rest of
+  * the segment — CrawlSpec corrupts archives byte-by-byte to pin
+  * this). Because the walk is length-prefixed, a payload CONTAINING
+  * the sentinel bytes parses as one intact record (spec-pinned) — the
+  * property naive split-on-delimiter ingestion gets wrong.
+  *
+  * Reference note: the reference engine ingests plain newline text
+  * only (/root/reference/src/mapreduce.cpp:19-29); this whole front
+  * end is extension surface a pretraining pipeline needs.
+  *
+  * Scale shape: crawl corpora arrive as MANY segment files (classic
+  * WARC rotation is ~1 GB per segment), and `binaryFile` rows
+  * distribute one segment per task — parallelism is the segment
+  * count, the standard model for WARC processing. The parse is one
+  * forward pass with O(1) state per record; parse and HTML-strip run
+  * in the SAME narrow stage (no shuffle ever carries raw payload
+  * bytes — the only exchange in the registered query is the final
+  * presentation sort). The HTML→text strip is pure codegen'd column
+  * expressions (regexp_replace / replace / filter / transform), no
+  * UDF. At 100 TB nothing changes: more segments, same per-segment
+  * walk, same narrow extraction.
+  *
+  * The fixture WRITER ([[writeArchives]]) is test plumbing on the
+  * q_csv_roundtrip pattern (write the fixture from the current dir's
+  * table, read it back through both engines): it builds a bounded
+  * archive set from the `documents` table driver-side — in production
+  * the archives already exist, written by the crawler; the engine
+  * surface is the reader. Payloads are sanitized to printable ASCII
+  * at write time so the DuckDB oracle's 1-based CHARACTER arithmetic
+  * over `read_text` equals the engine's BYTE arithmetic — the oracle
+  * replays the exact length-prefixed framing with a recursive
+  * position-walk CTE, not a delimiter split.
+  */
+object Crawl {
+
+  // ---- container grammar ----
+  val FileMagic = "GARC/1.0\n"
+  val Sentinel = "--GARC-REC--\n"
+  val MaxRecordsPerFile: Int = 1 << 20
+  val MaxPayloadBytes: Int = 64 << 20
+  val MaxHeaderBytes: Int = 4096
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val MagicBytes = FileMagic.getBytes(Ascii)
+  private val SentinelBytes = Sentinel.getBytes(Ascii)
+
+  /** Serialize records into one archive segment (the writer the spec
+    * and fixture share; production archives come from the crawler). */
+  def encodeArchive(records: Seq[(Long, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(MagicBytes)
+    records.foreach { case (id, url, payload) =>
+      val body = payload.getBytes(Utf8)
+      out.write(SentinelBytes)
+      out.write(s"id: $id\nurl: $url\nlen: ${body.length}\n\n".getBytes(Ascii))
+      out.write(body)
+      out.write('\n')
+    }
+    out.toByteArray
+  }
+
+  /** Walk one archive segment; emit (rec_id, url, payload) for every
+    * well-formed record, resyncing past malformed ones. Never throws
+    * on hostile bytes: every read is bounds-checked, lengths are
+    * capped, and a record is accepted only if its declared payload
+    * ends exactly on a record boundary (terminating newline or EOF) —
+    * a lying `len` that lands mid-text fails that check and the
+    * parser rescans for the next sentinel. */
+  def parseArchive(bytes: Array[Byte]): Seq[(Long, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def startsWith(at: Int, pat: Array[Byte]): Boolean =
+      at >= 0 && at + pat.length <= bytes.length && {
+        var i = 0
+        while (i < pat.length && bytes(at + i) == pat(i)) i += 1
+        i == pat.length
+      }
+    def nextSentinel(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + SentinelBytes.length <= bytes.length &&
+          !startsWith(i, SentinelBytes)) i += 1
+      if (i + SentinelBytes.length <= bytes.length) i else bytes.length
+    }
+    if (!startsWith(0, MagicBytes)) return out.toSeq
+    var pos = MagicBytes.length
+    while (pos < bytes.length && out.size < MaxRecordsPerFile) {
+      if (!startsWith(pos, SentinelBytes)) pos = nextSentinel(pos + 1)
+      else {
+        val hs = pos + SentinelBytes.length
+        // blank line ("\n\n") within the header cap ends the headers
+        var blank = -1
+        var i = hs
+        val lim = math.min(bytes.length - 1, hs + MaxHeaderBytes)
+        while (blank < 0 && i < lim) {
+          if (bytes(i) == '\n' && bytes(i + 1) == '\n') blank = i else i += 1
+        }
+        val parsed = if (blank < 0) None else {
+          val hdrText = new String(bytes, hs, blank - hs, Utf8)
+          // a header block running INTO the next record's sentinel is
+          // a malformed record (its own blank line never came) — treat
+          // as corrupt so resync restarts at that embedded sentinel
+          // instead of silently merging two records' headers
+          if (hdrText.contains(Sentinel.stripLineEnd)) None else {
+          val kv = hdrText.split("\n")
+            .iterator.flatMap { line =>
+              val j = line.indexOf(": ")
+              if (j > 0) Some(line.substring(0, j) -> line.substring(j + 2))
+              else None
+            }.toMap
+          def num(key: String, maxDigits: Int): Option[Long] =
+            kv.get(key).filter(s => s.nonEmpty && s.length <= maxDigits &&
+              s.forall(_.isDigit)).map(_.toLong)
+          val ps = blank + 2
+          (num("id", 18), kv.get("url").filter(_.nonEmpty),
+            num("len", 9)) match {
+            case (Some(id), Some(url), Some(len))
+                if len <= MaxPayloadBytes && ps + len <= bytes.length &&
+                  (ps + len == bytes.length || bytes(ps + len.toInt) == '\n') =>
+              Some((id, url,
+                new String(bytes, ps, len.toInt, Utf8), ps + len.toInt + 1))
+            case _ => None
+          }
+          }
+        }
+        parsed match {
+          case Some((id, url, payload, next)) =>
+            out += ((id, url, payload)); pos = next
+          case None => pos = nextSentinel(pos + 1)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** One segment file per task → typed record rows: the
+    * [[Multimodal.sampleAviFrames]] demux shape (one row in, many
+    * typed rows out, partition-parallel, no driver involvement). */
+  def parseArchives(s: SparkSession, glob: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(glob)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(parseArchive _)
+      .toDF("doc_id", "url", "html")
+  }
+
+  // ---- HTML → text: both engines run THESE patterns (RE2-safe: no
+  //      backreferences, non-greedy supported by both Java regex and
+  //      DuckDB's RE2) ----
+  private val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  private val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  private val CommentRe = "(?s)<!--.*?-->"
+  private val TagRe = "<[^>]*>"
+  /** A content line must carry at least this many purely-alphabetic
+    * words to survive the boilerplate drop (nav bars, "Copyright
+    * 2026", bare headings all fall below it). */
+  val MinContentWords = 4
+
+  /** html column → cleaned text column. Order matters and is the
+    * contract: (1) script/style/comment BLOCKS out first (their
+    * bodies contain `<`, quotes, even `</hi>` close-tags that would
+    * derail a bare tag strip), (2) tags → space, (3) entity decode
+    * AFTER tag strip (`&lt;raw&gt;` must surface as literal text, not
+    * get stripped as a tag) with `&amp;` decoded LAST (so `&amp;lt;`
+    * yields the literal string `&lt;`, the HTML spec's double-escape
+    * semantics), (4) per-LINE whitespace collapse + boilerplate drop:
+    * keep lines with ≥ [[MinContentWords]] alphabetic words. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      ScriptRe, " "), StyleRe, " "), CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val lines = transform(split(decoded, "\n"),
+      l => trim(regexp_replace(l, "\\s+", " ")))
+    val kept = filter(lines, l =>
+      size(filter(split(l, " "), w => w.rlike("^[A-Za-z]+$")))
+        >= lit(MinContentWords))
+    array_join(kept, " ")
+  }
+
+  /** (doc_id, url, html) → (doc_id, url, n_html, text): the full
+    * extraction, pure column expressions in one narrow stage. */
+  def extractText(parsed: DataFrame): DataFrame =
+    parsed.select(col("doc_id"), col("url"),
+      length(col("html")).cast("long").as("n_html"),
+      htmlToText(col("html")).as("text"))
+
+  // ---- fixture ----
+
+  /** Absolute fixture root, embedded verbatim in the oracle SQL (the
+    * [[Sources.FixtureRoot]] static-path discipline). */
+  val FixtureRoot: String = s"${Sources.FixtureRoot}/crawl_garc"
+  private val FixtureFiles = 4
+
+  /** Deterministic HTML page around a document's text: head noise
+    * (title/style/script), nav + heading + footer boilerplate, a
+    * comment, one entity-bearing content line, then the text in
+    * 12-word `<p>` lines. Every strip rule above has a target here. */
+  def wrapHtml(id: Long, text: String): String = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val paras = words.grouped(12)
+      .map(c => s"<p>${c.mkString(" ")}</p>").mkString("\n")
+    s"""<html>
+       |<head><title>Doc $id</title>
+       |<style>body { color: #000; } .nav { display: none; }</style>
+       |<script>var x = 1 < 2; var s = "</hi>"; if (x) { go(s); }</script>
+       |</head>
+       |<body>
+       |<nav>Home | About | Contact</nav>
+       |<h1>Document $id</h1>
+       |<!-- crawl metadata: fetched by graftbot -->
+       |<p>alpha beta gamma delta &amp; epsilon &lt;raw&gt; zeta</p>
+       |$paras
+       |<div class="footer">Copyright 2026 example.org</div>
+       |</body></html>""".stripMargin
+  }
+
+  /** Write the current dir's documents as [[FixtureFiles]] archive
+    * segments (doc_id % n → segment, ascending within). Driver-side
+    * BY DESIGN: this is the fixture writer standing in for the
+    * crawler (q_csv_roundtrip's role), not an engine operator — the
+    * engine surface under test is the reader. Text is sanitized to
+    * printable ASCII so oracle character positions == byte offsets. */
+  def writeArchives(s: SparkSession, dir: String): Unit = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy("doc_id").collect()
+    val root = java.nio.file.Paths.get(FixtureRoot)
+    java.nio.file.Files.createDirectories(root)
+    (0 until FixtureFiles).foreach { f =>
+      val recs = rows.iterator
+        .filter(_.getLong(0) % FixtureFiles == f)
+        .map { r =>
+          val id = r.getLong(0)
+          val ascii = r.getString(1).replaceAll("[^\\x20-\\x7e]", "")
+          (id, s"https://${r.getString(2)}.example.org/doc/$id",
+            wrapHtml(id, ascii))
+        }.toSeq
+      java.nio.file.Files.write(root.resolve(s"part$f.garc"),
+        encodeArchive(recs))
+    }
+  }
+
+  /** DuckDB replays the SAME length-prefixed framing: a recursive CTE
+    * walks 1-based character positions (== byte offsets on the ASCII
+    * fixture) from each segment's magic through sentinel → headers →
+    * blank line → `len`-char payload → next record, then the same
+    * strip/decode/boilerplate algebra. No delimiter splitting. */
+  private def sqlWarcExtract: String = {
+    // position after "--GARC-REC--\n" (13 chars) relative blank-line
+    // offset, reused all over the walk
+    val rel = "strpos(substr(c, pos + 13), chr(10) || chr(10))"
+    val hdr = s"substr(c, pos + 13, $rel - 1)"
+    val len = s"CAST(regexp_extract($hdr, 'len: ([0-9]+)', 1) AS BIGINT)"
+    s"""WITH RECURSIVE raw AS MATERIALIZED (
+       |  SELECT content AS c FROM read_text('$FixtureRoot/*.garc')
+       |  WHERE substr(content, 1, 9) = 'GARC/1.0' || chr(10)),
+       |walk AS (
+       |  SELECT c, CAST(10 AS BIGINT) AS pos, 0 AS step FROM raw
+       |  UNION ALL
+       |  SELECT c, pos + 13 + $rel + 1 + $len + 1, step + 1
+       |  FROM walk
+       |  WHERE substr(c, pos, 13) = '--GARC-REC--' || chr(10)
+       |    AND $rel > 0 AND step < 100000),
+       |recs AS MATERIALIZED (
+       |  SELECT CAST(regexp_extract(h, 'id: ([0-9]+)', 1) AS BIGINT)
+       |      AS doc_id,
+       |    regexp_extract(h, 'url: ([^\n]+)', 1) AS url,
+       |    substr(c, ps, n_html) AS html, n_html
+       |  FROM (
+       |    SELECT c, $hdr AS h, pos + 13 + $rel + 1 AS ps, $len AS n_html
+       |    FROM walk
+       |    WHERE substr(c, pos, 13) = '--GARC-REC--' || chr(10)
+       |      AND $rel > 0)),
+       |stripped AS (
+       |  SELECT doc_id, url, n_html,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      html, '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g'),
+       |      '$CommentRe', ' ', 'g'), '$TagRe', ' ', 'g') AS t0
+       |  FROM recs),
+       |decoded AS (
+       |  SELECT doc_id, url, n_html,
+       |    replace(replace(replace(replace(replace(t0,
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', chr(39)), '&amp;', '&') AS t1
+       |  FROM stripped)
+       |SELECT doc_id, url, n_html,
+       |  array_to_string(list_filter(
+       |    list_transform(string_split(t1, chr(10)),
+       |      l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+       |    l -> len(list_filter(string_split(l, ' '),
+       |      w -> regexp_full_match(w, '[A-Za-z]+')))
+       |      >= $MinContentWords), ' ') AS text
+       |FROM decoded ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- the ingestion front end, end to end: write the archive
+    //      fixture (crawler stand-in), parse the length-prefixed
+    //      container, strip HTML, drop boilerplate, emit
+    //      documents-shaped rows. Both engines parse the same bytes;
+    //      the hash pins framing offsets, header extraction, payload
+    //      lengths, strip order, entity semantics, and the per-line
+    //      boilerplate rule — per document, full text. ----
+    Q("q_warc_extract", Some(sqlWarcExtract)) { (s, dir) =>
+      writeArchives(s, dir)
+      extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
+        .orderBy("doc_id")
+    })
+}
