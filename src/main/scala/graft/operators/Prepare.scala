@@ -8,23 +8,32 @@ import org.apache.spark.sql.functions._
   * stage the engine implements, CHAINED in production order over one
   * corpus, each stage consuming the previous stage's survivors:
   *
-  *   1. quality gate        — per-language top half by n_chars
+  *   1. canonicalization    — NFC normalize + punctuation/symbol fold
+  *                            + whitespace collapse
+  *                            ([[TextAnalysis.canonicalized]]): the
+  *                            front real C4/CCNet pipelines run FIRST,
+  *                            so every downstream shingle/window/
+  *                            digest operates on the canonical plane —
+  *                            two non-NFC-equal encodings of one
+  *                            near-dup collapse HERE or never
+  *                            (PrepareSpec pins exactly that)
+  *   2. quality gate        — per-language top half by n_chars
   *                            ([[Sampling.topHalfByScore]])
-  *   2. ExactSubstr removal — duplicated ≥50-token spans deleted,
+  *   3. ExactSubstr removal — duplicated ≥50-token spans deleted,
   *                            first occurrence wins, WITHIN the gated
   *                            corpus; empty docs drop
   *                            ([[Dedup.exactSubstrCleaned]])
-  *   3. near-dup drop       — prefix-filtered EXACT trigram-shingle
+  *   4. near-dup drop       — prefix-filtered EXACT trigram-shingle
   *                            Jaccard ≥ 0.9 over the CLEANED text,
   *                            keep-min ([[Dedup.prefixJaccardPairs]];
   *                            trigram: the position-richer plane
   *                            thins candidates 50× at the same
   *                            threshold — dedup_jaccard_prefix3)
-  *   4. decontamination     — survivors sharing ≥ 3 rare 5-grams with
+  *   5. decontamination     — survivors sharing ≥ 3 rare 5-grams with
   *                            an eval-split doc are dropped, and the
   *                            eval split itself leaves the train
   *                            corpus ([[TextAnalysis.decontaminatePairs]])
-  *   5. packing             — concat-then-chunk prefix-sum layout of
+  *   6. packing             — concat-then-chunk prefix-sum layout of
   *                            the final corpus
   *                            ([[Packing.packSequences]])
   *
@@ -76,7 +85,11 @@ object Prepare {
     * see a leaf; a 100 TB run would checkpoint these boundaries to
     * durable storage instead (same DAG, durable edges). */
   def fullPrepare(d: DataFrame): DataFrame = {
-    val gated = Sampling.topHalfByScore(d, "lang", "n_chars")
+    // stage 1: the canonical plane — a narrow per-row projection (the
+    // native nfc_normalize expression + two regex folds), no exchange;
+    // everything downstream shingles/windows canonical text
+    val canon = TextAnalysis.canonicalized(d)
+    val gated = Sampling.topHalfByScore(canon, "lang", "n_chars")
     // survivors of the ExactSubstr clean: (doc_id, text, n_kept) —
     // feeds its count row, the near-dup pair join AND the anti-join's
     // keep side
@@ -108,13 +121,14 @@ object Prepare {
           |  s -> concat(cast(s.doc_id as string), ':',
           |              cast(s.tok_start as string))), ',')""".stripMargin)))
         .as("digest"))
-      .select(lit("5_pack").as("stage"), col("n"), col("tokens"),
+      .select(lit("6_pack").as("stage"), col("n"), col("tokens"),
         col("digest"))
     stageRow("0_input", d, wsTokens)
-      .unionByName(stageRow("1_quality_gate", gated, wsTokens))
-      .unionByName(stageRow("2_exact_substr", cleaned, col("n_kept")))
-      .unionByName(stageRow("3_near_dup", deduped, col("n_kept")))
-      .unionByName(stageRow("4_decontaminate", train, col("n_kept")))
+      .unionByName(stageRow("1_canonicalize", canon, wsTokens))
+      .unionByName(stageRow("2_quality_gate", gated, wsTokens))
+      .unionByName(stageRow("3_exact_substr", cleaned, col("n_kept")))
+      .unionByName(stageRow("4_near_dup", deduped, col("n_kept")))
+      .unionByName(stageRow("5_decontaminate", train, col("n_kept")))
       .unionByName(s5)
       .orderBy("stage")
   }
@@ -125,13 +139,18 @@ object Prepare {
     * has multiple consumers, or DuckDB re-inlines the deep chain). */
   private def sqlFullPrepare: String = {
     val L = Dedup.ExactSubstrMinLen
-    s"""WITH gate AS MATERIALIZED (
+    s"""WITH canon AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |      '[\\p{P}\\p{S}]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+       |  FROM documents),
+       |gate AS MATERIALIZED (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |      ROW_NUMBER() OVER (PARTITION BY lang
        |        ORDER BY n_chars DESC, doc_id) AS rnk,
        |      COUNT(*) OVER (PARTITION BY lang) AS nis
-       |    FROM documents)
+       |    FROM canon)
        |  WHERE rnk * 2 <= nis + 1),
        |gtoks AS MATERIALIZED (SELECT doc_id,
        |    string_split_regex(text, '\\s+') AS ts FROM gate),
@@ -220,20 +239,24 @@ object Prepare {
        |      AS tokens,
        |    CAST(NULL AS VARCHAR) AS digest FROM documents
        |  UNION ALL
-       |  SELECT '1_quality_gate', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '1_canonicalize', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
+       |    NULL FROM canon
+       |  UNION ALL
+       |  SELECT '2_quality_gate', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
        |    NULL FROM gate
        |  UNION ALL
-       |  SELECT '2_exact_substr', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '3_exact_substr', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_kept) AS BIGINT), NULL FROM ne
        |  UNION ALL
-       |  SELECT '3_near_dup', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '4_near_dup', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_kept) AS BIGINT), NULL FROM dd
        |  UNION ALL
-       |  SELECT '4_decontaminate', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '5_decontaminate', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_kept) AS BIGINT), NULL FROM train
        |  UNION ALL
-       |  SELECT '5_pack',
+       |  SELECT '6_pack',
        |    CAST((SUM(n_tokens) + ${Packing.SeqLen - 1})
        |      // ${Packing.SeqLen} AS BIGINT),
        |    CAST(SUM(n_tokens) AS BIGINT),

@@ -48,21 +48,25 @@ class PrepareSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
     assert(rows("0_input")._1 == 12L)
+    // canonicalization never drops a doc; the fixture has no
+    // punctuation/symbols so its token total is unchanged too
+    assert(rows("1_canonicalize")._1 == 12L)
+    assert(rows("1_canonicalize")._2 == rows("0_input")._2)
     // gate keeps the top ceil(4/2)=2 per lang by (n_chars desc, doc_id)
-    assert(rows("1_quality_gate")._1 == 6L)
+    assert(rows("2_quality_gate")._1 == 6L)
     // doc2 is one duplicated 50-window; doc1's first occurrence wins,
     // doc2 empties and drops; every other doc is untouched
-    assert(rows("2_exact_substr")._1 == 5L)
-    assert(rows("2_exact_substr")._2 == (120 + 30 + 30 + 11 + 11).toLong)
+    assert(rows("3_exact_substr")._1 == 5L)
+    assert(rows("3_exact_substr")._2 == (120 + 30 + 30 + 11 + 11).toLong)
     // doc6 is a verbatim copy of doc5: Jaccard 1.0 >= 0.9, keep-min
-    assert(rows("3_near_dup")._1 == 4L)
+    assert(rows("4_near_dup")._1 == 4L)
     // doc9 shares 3 distinct rare 5-grams with eval doc 20 -> flagged;
     // the eval doc itself leaves the train corpus
-    assert(rows("4_decontaminate")._1 == 2L)
-    assert(rows("4_decontaminate")._2 == (120 + 30).toLong)
+    assert(rows("5_decontaminate")._1 == 2L)
+    assert(rows("5_decontaminate")._2 == (120 + 30).toLong)
     // pack: (120+1) + (30+1) = 152 tokens -> 1 chunk; manifest is
     // doc1@0, doc5@121
-    val (nChunks, packTokens, digest) = rows("5_pack")
+    val (nChunks, packTokens, digest) = rows("6_pack")
     assert(nChunks == 1L && packTokens == 152L)
     val expectedDigest = java.security.MessageDigest.getInstance("MD5")
       .digest("1:0,5:121".getBytes("UTF-8"))
@@ -81,7 +85,7 @@ class PrepareSpec extends SparkSpec {
       (20L, "aa", 900L, toks("f", 30))
     ).toDF("doc_id", "lang", "n_chars", "text")
     val row = Prepare.fullPrepare(allEval)
-      .where(col("stage") === "5_pack").collect()(0)
+      .where(col("stage") === "6_pack").collect()(0)
     assert(row.isNullAt(3), s"empty pack stage must have NULL digest: $row")
     assert(row.isNullAt(1) && row.isNullAt(2),
       s"empty pack stage must have NULL count/tokens: $row")
@@ -92,8 +96,12 @@ class PrepareSpec extends SparkSpec {
       .fullPrepare(graft.Tables.load(spark, sfDir, "documents"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val stages = Seq("0_input", "1_quality_gate", "2_exact_substr",
-      "3_near_dup", "4_decontaminate")
+    // canonicalization is a per-row rewrite: doc count exactly
+    // preserved (token totals may legitimately move either way as
+    // punctuation runs fold into token separators)
+    assert(rows("1_canonicalize")._1 == rows("0_input")._1)
+    val stages = Seq("1_canonicalize", "2_quality_gate",
+      "3_exact_substr", "4_near_dup", "5_decontaminate")
     // survivor counts and token totals are monotone nonincreasing
     for (Seq(a, b) <- stages.sliding(2)) {
       assert(rows(b)._1 <= rows(a)._1, s"$b grew docs vs $a")
@@ -101,11 +109,43 @@ class PrepareSpec extends SparkSpec {
     }
     // packing adds exactly one separator token per surviving doc and
     // the chunk count is the exact ceiling
-    val (nFinal, tokFinal) = rows("4_decontaminate")
-    val (nChunks, tokPacked) = (rows("5_pack")._1, rows("5_pack")._2)
+    val (nFinal, tokFinal) = rows("5_decontaminate")
+    val (nChunks, tokPacked) = (rows("6_pack")._1, rows("6_pack")._2)
     assert(tokPacked == tokFinal + nFinal)
     assert(nChunks ==
       (tokPacked + Packing.SeqLen - 1) / Packing.SeqLen)
     assert(nFinal > 0, "fixture corpus must survive the pipeline")
+  }
+
+  test("two non-NFC-equal encodings of one near-dup collapse ONLY " +
+      "through the canonical pipeline (the stage-1 wiring's point)") {
+    // docs 31/32: the same ten accented words, composed (NFC) vs
+    // decomposed (e + U+0301); 33/34 are low-quality gate fodder so
+    // the gate keeps exactly 31 and 32
+    val word = "caf\u00e9"          // composed e-acute (NFC)
+    val wordNfd = "cafe\u0301"        // decomposed e + combining acute (NFD)
+    val tenA = (1 to 10).map(i => s"$word$i").mkString(" ")
+    val tenB = (1 to 10).map(i => s"$wordNfd$i").mkString(" ")
+    val d = Seq(
+      (31L, "zz", 1000L, tenA),
+      (32L, "zz", 900L, tenB),
+      (33L, "zz", 10L, "x1 x2"),
+      (34L, "zz", 10L, "x3 x4")
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    // raw plane: every shingle differs byte-wise -> NO candidate pair
+    assert(Dedup.prefixJaccardPairs(d.where(col("doc_id") < 33),
+      shingleWidth = 3).count() == 0L,
+      "raw-plane shingles must hash apart (else the fixture is wrong)")
+    // canonical plane: identical -> the pair exists
+    assert(Dedup.prefixJaccardPairs(
+      TextAnalysis.canonicalized(d.where(col("doc_id") < 33)),
+      shingleWidth = 3).count() == 1L)
+    // and the composed pipeline therefore drops doc 32 at stage 4
+    val rows = Prepare.fullPrepare(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2_quality_gate") == 2L)
+    assert(rows("3_exact_substr") == 2L)
+    assert(rows("4_near_dup") == 1L,
+      "the NFC-decomposed near-dup must collapse inside fullPrepare")
   }
 }
