@@ -636,6 +636,59 @@ object Multimodal {
     (lo, hi)
   }
 
+  /** PRODUCTION dHash: decode an image of ANY size ≥ 9×8 and area-mean
+    * pool it onto the 9×8 dHash grid before hashing — the resize step
+    * [[dHash64]]'s 9×8 precondition delegates to, now part of the
+    * end-to-end path (r10 verdict gap 3). Pooling uses the house
+    * stripe geometry ([[stripeBounds]] per axis: fixed stripe
+    * `max(1, len/dim)`, last stripe extended), and the gradient
+    * comparison is EXACT INTEGER arithmetic throughout: cells compare
+    * area MEANS via cross-multiplied sums (`sumL·cntR > sumR·cntL` —
+    * no division, no float), with luminances scaled ×3 so both the
+    * gray path (3·sample) and the RGB path (r+g+b) stay integral.
+    * On an exactly-9×8 input every cell is one pixel and the bits
+    * equal [[dHash64]]'s (spec-pinned), so this strictly generalizes
+    * the strict form; a nearest-neighbor 2× upscale pools back to
+    * identical cell means → Hamming 0 from its original (spec). */
+  def dHash64Pooled(bytes: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8,
+      s"dHash pooling needs at least 9x8 pixels; got ${w}x$h")
+    val lum = luminances(img)
+    val xs = stripeBounds(w, 9)
+    val ys = stripeBounds(h, 8)
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      val (yf, yt) = ys(cy)
+      var cx = 0
+      while (cx < 9) {
+        val (xf, xt) = xs(cx)
+        var acc = 0L
+        var y = yf
+        while (y < yt) {
+          var x = xf
+          while (x < xt) { acc += math.round(lum(y * w + x) * 3.0); x += 1 }
+          y += 1
+        }
+        sums(cy)(cx) = acc
+        cnts(cy)(cx) = (yt - yf).toLong * (xt - xf)
+        cx += 1
+      }
+      cy += 1
+    }
+    packBits64 { b =>
+      val y = b / 8
+      val x = b % 8
+      sums(y)(x) * cnts(y)(x + 1) > sums(y)(x + 1) * cnts(y)(x)
+    }
+  }
+
   /** Pack 64 predicate bits into the two 32-bit halves ([[dHash64]]'s
     * convention) — shared by all three modality fingerprints. */
   private def packBits64(bit: Int => Boolean): (Long, Long) = {
@@ -773,6 +826,45 @@ object Multimodal {
 
   private def sqlImageDedup(maxHamming: Int): String =
     s"""WITH $sqlDHashSig,
+       |${sqlSurvivorTail(maxHamming)}""".stripMargin
+
+  /** Mirror of the POOLED dHash trajectory: regenerate each doc's
+    * mixed-size pixel plane from ord() arithmetic, replay the stripe
+    * pooling with integer cell sums (`LEAST(v // GREATEST(len //
+    * dim, 1), dim-1)` is [[stripeBounds]]' closed form), compare
+    * area means by cross-multiplied sums, pack the 64 bits, and close
+    * with the EXHAUSTIVE survivor tail — so the hash-match proves
+    * decode + pooling + banding end to end on non-uniform cells. */
+  private def sqlPooledDedup(maxHamming: Int): String =
+    s"""WITH base AS (SELECT doc_id,
+       |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 130) AS s,
+       |    11 + doc_id % 3 AS w, 9 + doc_id % 2 AS h
+       |  FROM documents),
+       |ys AS (SELECT doc_id, s, w, h,
+       |    unnest(generate_series(0, h - 1)) AS y FROM base),
+       |pix AS (SELECT doc_id, s, w, h, y,
+       |    unnest(generate_series(0, w - 1)) AS x FROM ys),
+       |px AS (SELECT doc_id, w, h, y, x,
+       |    CASE WHEN len(s) >= y * w + x + 1
+       |      THEN ord(substr(s, CAST(y * w + x + 1 AS INTEGER), 1))
+       |      ELSE 0 END AS v
+       |  FROM pix),
+       |cells AS MATERIALIZED (SELECT doc_id,
+       |    LEAST(y // GREATEST(h // 8, 1), 7) AS cy,
+       |    LEAST(x // GREATEST(w // 9, 1), 8) AS cx,
+       |    CAST(SUM(v) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM px GROUP BY 1, 2, 3),
+       |bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS b,
+       |    CASE WHEN l.sm * r.c > r.sm * l.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+       |  WHERE l.cx < 8),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id),
        |${sqlSurvivorTail(maxHamming)}""".stripMargin
 
   /** Oracle for the SEQUENTIAL-gradient fingerprints (audio samples /
@@ -1123,6 +1215,36 @@ object Multimodal {
               if (p < ascii.length) ascii.charAt(p).toInt - 32 else 0)
           }
           val (lo, hi) = videoFingerprint64(encodeMjpegAvi(frames, 8, 8))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi")
+      hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // PRODUCTION image dedup on MIXED-SIZE images: per-doc W×H pixel
+    // planes (11..13 × 9..10 — never multiples of the 9×8 grid, so
+    // every pooled cell is a NON-UNIFORM pixel block), real PNG
+    // encode + ImageIO decode, area-mean pool to dHash geometry via
+    // exact cross-multiplied integer sums, then the same banded
+    // keep-min survivor operator — dHash64's 9×8 precondition is gone
+    // from the end-to-end path. The oracle regenerates the pixels,
+    // replays the stripe pooling cell by cell, and closes exhaustive.
+    Q("mm_image_dedup_resized", Some(sqlPooledDedup(maxHamming = 3))) {
+      (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val w = 11 + (id % 3).toInt
+          val h = 9 + (id % 2).toInt
+          val px = new Array[Int](w * h)
+          var i = 0
+          while (i < w * h && i < ascii.length) {
+            px(i) = ascii.charAt(i).toInt; i += 1
+          }
+          val (lo, hi) = dHash64Pooled(encodeGrayPng(px, w, h))
           (id, lo, hi)
         }.toDF("doc_id", "lo", "hi")
       hammingDedupSurvivors(sigs, maxHamming = 3)

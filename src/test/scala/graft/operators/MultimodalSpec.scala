@@ -336,6 +336,68 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must plant at least one near-dup")
   }
 
+  test("dHash64Pooled == dHash64 on exact 9x8 inputs (the pooled form " +
+      "strictly generalizes the strict form)") {
+    for (seed <- 1 to 8) {
+      val p = png(basePx(seed))
+      assert(Multimodal.dHash64Pooled(p) == Multimodal.dHash64(p),
+        s"seed $seed: pooled and strict dHash diverged on 9x8")
+    }
+  }
+
+  test("dHash64Pooled: a 2x nearest-neighbor upscale pools back to " +
+      "Hamming 0 from its original") {
+    for (seed <- 1 to 8) {
+      val base = basePx(seed)
+      val up = new Array[Int](18 * 16)
+      for (y <- 0 until 16; x <- 0 until 18)
+        up(y * 18 + x) = base((y / 2) * 9 + (x / 2))
+      assert(Multimodal.dHash64Pooled(Multimodal.encodeGrayPng(up, 18, 16))
+        == Multimodal.dHash64Pooled(png(base)), s"seed $seed")
+    }
+  }
+
+  test("dHash64Pooled: a noisy 2x upscaled duplicate lands within " +
+      "Hamming <= 3 of its original (the production dedup radius)") {
+    val rnd = new scala.util.Random(42)
+    for (seed <- 1 to 8) {
+      val base = basePx(seed)
+      val (blo, bhi) = Multimodal.dHash64Pooled(png(base))
+      val up = new Array[Int](18 * 16)
+      for (y <- 0 until 16; x <- 0 until 18)
+        up(y * 18 + x) = math.min(255, math.max(0,
+          base((y / 2) * 9 + (x / 2)) + rnd.nextInt(3) - 1))
+      val (ulo, uhi) =
+        Multimodal.dHash64Pooled(Multimodal.encodeGrayPng(up, 18, 16))
+      val d = java.lang.Long.bitCount(blo ^ ulo) +
+        java.lang.Long.bitCount(bhi ^ uhi)
+      assert(d <= 3, s"seed $seed: noisy 2x upscale drifted to Hamming $d")
+    }
+  }
+
+  test("dHash64Pooled: non-multiple sizes pool through non-uniform " +
+      "cells with exact integer area means (hand-computed column case)") {
+    // 11 wide, 9 tall, value = column index c scaled so means strictly
+    // ascend left->right in every pooled cell row: no gradient bit set
+    val w = 11; val h = 9
+    val px = Array.tabulate(w * h)(i => (i % w) * 20)
+    val (lo, hi) = Multimodal.dHash64Pooled(Multimodal.encodeGrayPng(px, w, h))
+    assert(lo == 0L && hi == 0L, "ascending columns must set no bits")
+    // mirrored: strictly descending columns set ALL 64 bits
+    val pxd = Array.tabulate(w * h)(i => (w - 1 - (i % w)) * 20)
+    val (dlo, dhi) =
+      Multimodal.dHash64Pooled(Multimodal.encodeGrayPng(pxd, w, h))
+    assert(dlo == 0xffffffffL && dhi == 0xffffffffL,
+      s"descending columns must set all bits, got $dlo/$dhi")
+  }
+
+  test("dHash64Pooled rejects sub-9x8 images loudly") {
+    val tiny = Multimodal.encodeGrayPng(Array.fill(25)(7), 5, 5)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.dHash64Pooled(tiny))
+    assert(e.getMessage.contains("9x8"))
+  }
+
   test("dHash64 rejects non-dHash geometry loudly (resize first)") {
     val bad = Multimodal.encodeGrayPng(Array.fill(64)(7), 8, 8)
     val e = intercept[IllegalArgumentException](Multimodal.dHash64(bad))
