@@ -1,7 +1,7 @@
 package graft
 
 import graft.mapreduce.Lecture
-import graft.operators.{Bpe, Crawl, Dedup, EventOps, Layout, Multimodal, NbLangid, Packing, Prepare, QualityTrained, Relational, Sampling, Similarity, Sources, TextAnalysis, TextRank, UnigramLm}
+import graft.operators.{Bpe, Crawl, Dedup, EventOps, KnLm, Layout, Multimodal, NbLangid, Packing, Prepare, QualityTrained, Relational, Sampling, Similarity, Sources, TextAnalysis, TextRank, UnigramLm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,8 @@ object SparkEntry {
       Bpe.queries ++ Multimodal.queries ++ Sampling.queries ++
       Packing.queries ++ Layout.queries ++ TextRank.queries ++
       Sources.queries ++ UnigramLm.queries ++ NbLangid.queries ++
-      Prepare.queries ++ QualityTrained.queries ++ Crawl.queries
+      Prepare.queries ++ QualityTrained.queries ++ Crawl.queries ++
+      KnLm.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The 6-way broadcast-dim join — exercises scan, join, agg, sort.) */

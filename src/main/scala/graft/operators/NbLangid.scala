@@ -43,7 +43,8 @@ object NbLangid {
     * identical. */
   private val IlogMax = 1L << 43
 
-  private def withIlog(df: DataFrame, m: String, out: String): DataFrame = {
+  private[operators] def withIlog(df: DataFrame, m: String,
+      out: String): DataFrame = {
     var d = df
       .withColumn("__e", expr(
         s"CASE WHEN $m >= 1 AND $m < $IlogMax " +
@@ -121,7 +122,8 @@ object NbLangid {
   /** The ilog chain as unrolled CTEs over a cte carrying `m` —
     * identical steps to [[withIlog]] (and UnigramLm's generator; kept
     * local because the carried columns differ). */
-  private def sqlIlog(in: String, out: String, keep: String): String = {
+  private[operators] def sqlIlog(in: String, out: String,
+      keep: String): String = {
     val z0 =
       s"""${out}_0 AS (SELECT $keep,
          |  CASE WHEN m >= 1 AND m < $IlogMax
