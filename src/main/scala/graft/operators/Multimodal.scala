@@ -746,34 +746,43 @@ object Multimodal {
     * fixture-structured signatures (measured 14.5k candidates : 256
     * results at sf0.1, vs 1.43M candidates under 8-bit chunks). */
   def hammingDedupSurvivors(sigs: DataFrame, maxHamming: Int = 3)
-      : DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_b").orderBy("doc_a")
-    hammingDedupPairs(sigs, maxHamming)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("keeper"),
-        col("hamming"))
-      .orderBy("doc_id")
-  }
+      : DataFrame =
+    hammingDedupSurvivorsAgainst(sigs, sigs, maxHamming)
 
   /** The verified near-dup PAIR list (doc_a < doc_b, hamming ≤
     * `maxHamming`) behind [[hammingDedupSurvivors]] — exposed so the
     * transitive-closure form (`mm_image_cluster`) can consume the
     * same banded candidates. */
   def hammingDedupPairs(sigs: DataFrame, maxHamming: Int = 3)
-      : DataFrame = {
+      : DataFrame =
+    hammingDedupPairsAgainst(sigs, sigs, maxHamming)
+
+  /** Two-sided generalization of [[hammingDedupPairs]]: banded
+    * candidates where the keeper side `doc_a` comes from `ref` and the
+    * probed side `doc_b` from `probe` (still `doc_a < doc_b`). With
+    * `ref == probe` this is exactly the batch pair list; with `ref` =
+    * an accumulated signature index ∪ the probe batch it is the
+    * incremental form ([[graft.streaming.StreamOps
+    * .incrementalImageDedupStream]]) — new docs dedup against ALL
+    * prior signatures (kept AND dropped: a doc dropped earlier still
+    * witnesses its neighborhood, same as the batch keep-min rule)
+    * plus earlier docs of their own batch. Same scale shape: chunk
+    * equijoin, 8-byte signatures, exact popcount verify on candidates
+    * only. */
+  def hammingDedupPairsAgainst(ref: DataFrame, probe: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk banding guarantees recall only for hamming <= 3")
     val chunkArr = array((0 until 4).map { j =>
       val src = if (j < 2) col("lo") else col("hi")
       shiftright(src, 16 * (j % 2)).bitwiseAND(lit(65535L))
     }: _*)
-    val chunks = sigs.select(col("doc_id"), col("lo"), col("hi"),
-      posexplode(chunkArr).as(Seq("ci", "cv")))
-    val a = chunks.select(col("ci"), col("cv"),
+    def chunks(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lo"), col("hi"),
+        posexplode(chunkArr).as(Seq("ci", "cv")))
+    val a = chunks(ref).select(col("ci"), col("cv"),
       col("doc_id").as("doc_a"), col("lo").as("la"), col("hi").as("ha"))
-    val b = chunks.select(col("ci"), col("cv"),
+    val b = chunks(probe).select(col("ci"), col("cv"),
       col("doc_id").as("doc_b"), col("lo").as("lb"), col("hi").as("hb"))
     a.join(b, Seq("ci", "cv"))
       .where(col("doc_a") < col("doc_b"))
@@ -783,6 +792,21 @@ object Multimodal {
           bit_count(col("ha").bitwiseXOR(col("hb")))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Keep-min survivor report for `probe` docs against `ref` (the
+    * [[hammingDedupSurvivors]] window over the two-sided pair list) —
+    * the per-batch step of the incremental image-dedup stream. */
+  def hammingDedupSurvivorsAgainst(ref: DataFrame, probe: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_b").orderBy("doc_a")
+    hammingDedupPairsAgainst(ref, probe, maxHamming)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("keeper"),
+        col("hamming"))
+      .orderBy("doc_id")
   }
 
   /** The dHash bit algebra as DuckDB `ord()` arithmetic over the same

@@ -392,6 +392,52 @@ object StreamOps {
     * sees every batch, and a production pipeline persists exactly this
     * index anyway) and pass it back as `initialIndex` on the new run.
     * StreamOpsSpec's parity contract holds within one run. */
+  /** STREAMING incremental image (or any modality) dedup — the
+    * [[incrementalSubstrStream]] pattern applied to the perceptual-
+    * signature family: each micro-batch of new (doc_id, lo, hi)
+    * signatures dedups against the ACCUMULATED signature index
+    * (initially the existing corpus's — the 8-bytes/doc structure a
+    * production pipeline persists) plus earlier docs of its own
+    * batch, then appends its own signatures to the index. The per-
+    * batch step is [[graft.operators.Multimodal
+    * .hammingDedupSurvivorsAgainst]](index ∪ batch, batch) — the same
+    * banded chunk equijoin, never all-pairs, state = one 8-byte row
+    * per doc ever seen. ALL signatures accumulate, kept and dropped
+    * alike: a dropped doc still witnesses its neighborhood under the
+    * batch keep-min rule, so for batches arriving in doc_id order the
+    * union of batch outputs EQUALS the batch operator over
+    * (index ∪ all batches) restricted to the new docs (StreamOpsSpec
+    * pins the 3-batch parity including a cross-batch duplicate).
+    *
+    * foreachBatch for the same reason as the substr stream: the
+    * lookup side GROWS between micro-batches, which a stream-static
+    * join cannot express; the index is lineage-truncated per batch.
+    * Same restart contract as [[incrementalSubstrStream]]: the index
+    * lives in process memory, so resume = re-feed from batch 0 or
+    * pass the persisted index back as `initialIndex`.
+    *
+    * `sink(survivorReport, batchId)` receives each batch's dropped
+    * docs as (doc_id, keeper, hamming). */
+  def incrementalImageDedupStream(newSigs: DataFrame,
+      initialIndex: DataFrame, maxHamming: Int = 3)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      initialIndex.select("doc_id", "lo", "hi").localCheckpoint())
+    newSigs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val idx = state.get()
+        val b = batch.select("doc_id", "lo", "hi").localCheckpoint()
+        sink(graft.operators.Multimodal
+          .hammingDedupSurvivorsAgainst(idx.unionAll(b), b, maxHamming)
+          .localCheckpoint(), batchId)
+        state.set(idx.unionAll(b).localCheckpoint())
+        ()
+      }
+      .start()
+  }
+
   def incrementalSubstrStream(newDocs: DataFrame, initialIndex: DataFrame,
       minLen: Int = graft.operators.Dedup.ExactSubstrMinLen)(
       sink: (DataFrame, Long) => Unit)

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
+/** Top-level so Catalyst can instantiate the encoder without an outer
+  * scope (the inner-class encoder limitation). */
+final case class Sig(doc_id: Long, lo: Long, hi: Long)
+
 /** Structured Streaming surface driven through MemoryStream sources —
   * watermarked tumbling windows and stateful sessionization.
   */
@@ -650,6 +654,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(byId(301L)(2) == 0L, "batch-1 first occurrence must survive")
     assert(byId(302L)(2) == 50L, "cross-batch span not removed from 302")
     assert(byId(304L)(2) == 55L, "batch-2's span must clean batch 3")
+  }
+
+  test("incrementalImageDedupStream: 3-batch feed equals the batch " +
+      "survivor operator over index + union, including a CROSS-BATCH " +
+      "duplicate and a duplicate of a pre-existing index doc") {
+    implicit val sqlCtx = spark.sqlContext
+    // signatures chosen at exact Hamming distances: s(x) = base with
+    // low bits perturbed
+    def sig(id: Long, lo: Long, hi: Long) = Sig(id, lo, hi)
+    val old = Seq(sig(0L, 0x1234L, 0x00f0L), sig(1L, 0x7000L, 0x0a0aL))
+    val b1 = Seq(
+      sig(300L, 0x1237L, 0x00f0L),  // hamming 2 from index doc 0 -> drops
+      sig(301L, 0x4444L, 0x4444L))  // novel -> survives
+    val b2 = Seq(
+      sig(302L, 0x4444L, 0x4445L),  // hamming 1 from BATCH-1 doc 301
+      sig(303L, 0x00ffL, 0xff00L))  // novel
+    val b3 = Seq(
+      sig(304L, 0x1234L, 0x00f0L),  // exact dup of index doc 0
+      sig(305L, 0x303L, 0x00ffL),   // novel
+      sig(306L, 0x303L, 0x00ffL))   // within-batch dup of 305
+    val input = MemoryStream[Sig]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val query = StreamOps.incrementalImageDedupStream(
+      input.toDF(), old.toDF()) { (batch, _) =>
+      got ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    try {
+      for (b <- Seq(b1, b2, b3)) {
+        input.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val newIds = (b1 ++ b2 ++ b3).map(_.doc_id).toSet
+    val expect = graft.operators.Multimodal
+      .hammingDedupSurvivors((old ++ b1 ++ b2 ++ b3).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(t => newIds.contains(t._1))
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq,
+      s"stream=$got batch=${expect.toSeq}")
+    // the engineered casualties really happened
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(300L) == (300L, 0L, 2), "index near-dup must drop")
+    assert(byId(302L) == (302L, 301L, 1), "cross-batch dup must drop")
+    assert(byId(304L) == (304L, 0L, 0), "exact index dup must drop")
+    assert(byId(306L) == (306L, 305L, 0), "within-batch dup must drop")
+    assert(!byId.contains(301L) && !byId.contains(303L) &&
+      !byId.contains(305L), "novel signatures must survive")
   }
 
   test("cmsCellsStream: after any micro-batch prefix the cell table " +
