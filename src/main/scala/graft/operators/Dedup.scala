@@ -822,9 +822,20 @@ object Dedup {
     * shingle plane — ONE generator for every width (the sqlIlog
     * discipline), so the bigram and trigram flavors cannot diverge.
     * Threshold fixed at 9/10 like the registered queries. */
-  private def sqlJaccardPrefix(width: Int): String = {
+  private def sqlJaccardPrefix(width: Int): String =
+    s"""WITH ${sqlJaccardPrefixCtes(width)}
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM v WHERE 10 * inter >= 9 * (na + nb - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The CTE body of [[sqlJaccardPrefix]] (`toks` … `v`), exposed so
+    * composing mirrors (the cross-modal `mm_pair_dedup`) can conjoin
+    * the caption plane with another pair plane without restating the
+    * prefix-filter algebra. */
+  private[operators] def sqlJaccardPrefixCtes(width: Int): String = {
     val gram = (0 until width).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
+    s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts
        |      FROM documents),
        |tk AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= $width
        |        THEN list_distinct(list_transform(
@@ -854,11 +865,7 @@ object Dedup {
        |        len(list_intersect(sa.toks, sb.toks)) AS inter,
        |        sa.n AS na, sb.n AS nb
        |      FROM cand JOIN sets sa ON sa.doc_id = doc_a
-       |                JOIN sets sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b,
-       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-       |FROM v WHERE 10 * inter >= 9 * (na + nb - inter)
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |                JOIN sets sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
   def prefixJaccardPairs(d: DataFrame, tNum: Int = 9, tDen: Int = 10,

@@ -913,6 +913,33 @@ object Multimodal {
        |${sqlSurvivorTail(maxHamming)}""".stripMargin
   }
 
+  /** Mirror of the CROSS-MODAL conjunction: the caption plane's CTE
+    * chain ([[Dedup.sqlJaccardPrefixCtes]], trigram) conjoined with
+    * the exhaustive image-pair plane over the dHash sig CTE, then the
+    * keep-min window on the JOINT pair list — both halves are the
+    * already-proven standalone mirrors, composed. */
+  private def sqlPairDedup: String =
+    s"""WITH ${Dedup.sqlJaccardPrefixCtes(width = 3)},
+       |jp AS (SELECT doc_a, doc_b,
+       |        CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |      FROM v WHERE 10 * inter >= 9 * (na + nb - inter)),
+       |$sqlDHashSig,
+       |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(bit_count(xor(a.lo, b.lo)) +
+       |          bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.lo, b.lo)) +
+       |        bit_count(xor(a.hi, b.hi)) <= 3),
+       |jnt AS (SELECT ip.doc_a, ip.doc_b, ip.hamming, jp.jaccard
+       |      FROM ip JOIN jp
+       |        ON ip.doc_a = jp.doc_a AND ip.doc_b = jp.doc_b),
+       |kk AS (SELECT doc_b AS doc_id, doc_a AS keeper, hamming, jaccard,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY doc_a)
+       |          AS rk
+       |      FROM jnt)
+       |SELECT doc_id, keeper, hamming, jaccard FROM kk WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-doc dHash signatures of the synthesized 9×8 images — shared
     * by the keep-min and cluster forms (spread first: the PNG encode +
     * real ImageIO decode per row is the expensive stage, the
@@ -1272,5 +1299,25 @@ object Multimodal {
           (id, lo, hi)
         }.toDF("doc_id", "lo", "hi")
       hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // CROSS-MODAL joint dedup (the LAION-style rule): a pair is a
+    // duplicate only when BOTH the image (dHash Hamming ≤ 3, banded
+    // equijoin) AND the caption (trigram Jaccard ≥ 0.9, prefix-filter
+    // equijoin) agree — an image-dup with a different caption, or a
+    // caption-dup with a different image, SURVIVES (spec-pinned).
+    // Both candidate generators are the existing audited equijoins;
+    // the conjunction is one join on the pair key, then keep-min.
+    Q("mm_pair_dedup", Some(sqlPairDedup)) { (s, dir) =>
+      val ip = hammingDedupPairs(imageDHashSigs(s, dir), maxHamming = 3)
+      val jp = Dedup.prefixJaccardPairs(docs(s, dir), shingleWidth = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_b").orderBy("doc_a")
+      ip.join(jp, Seq("doc_a", "doc_b"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("keeper"),
+          col("hamming"), col("jaccard"))
+        .orderBy("doc_id")
     })
 }

@@ -398,6 +398,56 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("9x8"))
   }
 
+  test("cross-modal joint dedup: image-dup/caption-different and " +
+      "caption-dup/image-different pairs both SURVIVE; only the " +
+      "both-planes pair drops") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val common = words("comm", 12)             // > 72 chars of prefix
+    val d = Seq(
+      (1L, words("a", 40)),                    // dup in BOTH planes
+      (2L, words("a", 40)),
+      (3L, s"$common ${words("x", 40)}"),      // image dup (same first
+      (4L, s"$common ${words("y", 40)}"),      //  72 chars), caption no
+      // caption near-dup (only trigram 0 differs, J = 57/59), image
+      // no: word0's GRADIENT PATTERN flips (dHash is brightness-
+      // invariant, so a constant-run change would be invisible)
+      (5L, s"qaqaqaqaqa ${words("m", 59)}"),
+      (6L, s"azazazazaz ${words("m", 59)}")
+    ).toDF("doc_id", "text")
+    def sig(t: String): (Long, Long) = {
+      val px = new Array[Int](72)
+      t.take(72).zipWithIndex.foreach { case (c, i) => px(i) = c.toInt }
+      Multimodal.dHash64(Multimodal.encodeGrayPng(px, 9, 8))
+    }
+    val byId = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fixture premises really hold
+    assert(sig(byId(3L)) == sig(byId(4L)), "3/4 must be image dups")
+    val (l5, h5) = sig(byId(5L)); val (l6, h6) = sig(byId(6L))
+    assert(java.lang.Long.bitCount(l5 ^ l6) +
+      java.lang.Long.bitCount(h5 ^ h6) > 3, "5/6 must differ as images")
+    val jp = Dedup.prefixJaccardPairs(d, shingleWidth = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jp.contains((5L, 6L)), "5/6 must be caption near-dups")
+    assert(!jp.contains((3L, 4L)), "3/4 must NOT be caption near-dups")
+    // the conjunction
+    val sigs = d.collect().map { r =>
+      val (lo, hi) = sig(r.getString(1)); (r.getLong(0), lo, hi)
+    }.toSeq.toDF("doc_id", "lo", "hi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_b").orderBy("doc_a")
+    val joint = Multimodal.hammingDedupPairs(sigs, 3)
+      .join(Dedup.prefixJaccardPairs(d, shingleWidth = 3),
+        Seq("doc_a", "doc_b"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_b"), col("doc_a"), col("hamming"), col("jaccard"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(joint.toSeq == Seq((2L, 1L, 0, 1.0d)),
+      s"only the both-planes duplicate may drop: ${joint.toSeq}")
+  }
+
   test("dHash64 rejects non-dHash geometry loudly (resize first)") {
     val bad = Multimodal.encodeGrayPng(Array.fill(64)(7), 8, 8)
     val e = intercept[IllegalArgumentException](Multimodal.dHash64(bad))
