@@ -114,4 +114,31 @@ object Skew {
       .drop("__hot")
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** [[hotSaltedJoin]] with the hot DECISION as a per-row PREDICATE
+    * instead of broadcast set membership — the count-min form of the
+    * Scaladoc's "one-pass alternative" made real: `isHot(key)` probes
+    * a foldable sketch literal ([[TextAnalysis.cmsEstCol]] over a
+    * collected 4×1024 cell table — a 32 KB bounded driver sync, the
+    * bloom-literal precedent), so deriving hotness costs NO per-key
+    * count aggregate, NO grand-total pass, and NO hot-set broadcast
+    * join: one fixed-state sketch pass replaces the full df plane.
+    * Correctness is UNCONDITIONAL in the predicate (both sides
+    * evaluate the same deterministic expression, so they agree on
+    * every key's bucket) — and CMS one-sidedness makes the est ≥ τ
+    * predicate a superset of the true hot set, i.e. the same
+    * result with at-worst unnecessary salting of false positives
+    * (SkewSpec pins superset + output equality). */
+  def hotSaltedJoinBy(big: DataFrame, small: DataFrame, key: String,
+      isHot: Column => Column, saltSrc: Column, salt: Int = 16)
+      : DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val bigS = big.withColumn("__salt",
+      when(isHot(col(key)), pmod(xxhash64(saltSrc), lit(salt)).cast("int"))
+        .otherwise(lit(0)))
+    val smallS = small.withColumn("__salt", explode(
+      when(isHot(col(key)), sequence(lit(0), lit(salt - 1)))
+        .otherwise(array(lit(0)))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -527,6 +527,50 @@ object TextAnalysis {
       .join(broadcast(cells), Seq("j", "b"))
       .groupBy("tok").agg(min("cnt").as("est"))
 
+  /** The sketch as a FOLDABLE LITERAL plus its grand total: build the
+    * 4×1024 cell table in one fixed-state pass, collect it (≤ 4096
+    * rows / 32 KB — the bloom-literal / Layout-manifest bounded-sync
+    * precedent), and return (2-D array literal, N). N falls out for
+    * free: every sketch row's cells sum to the total token count, so
+    * the [[Skew]] cutoff `max(N div fanout, MinHotCount)` needs no
+    * separate aggregate. This is the hot-set derivation for pipelines
+    * that do NOT otherwise need per-key counts ([[Skew.hotSaltedJoinBy]]). */
+  def cmsSketchLiteral(toks: DataFrame): (Column, Long) = {
+    val arr = Array.fill(CmsRows, CmsWidth.toInt)(0L)
+    cmsCells(toks).collect().foreach { r =>
+      arr(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    (typedlit(arr.map(_.toSeq).toSeq), arr(0).sum)
+  }
+
+  /** Point estimate of `tok` against a sketch literal: min over rows
+    * of the row's bucket cell — a pure codegen'd expression (four md5
+    * probes into a constant array), usable as [[Skew.hotSaltedJoinBy]]'s
+    * per-row hot predicate. Same one-sidedness as [[cmsEstimates]]. */
+  def cmsEstCol(tok: Column, cellsLit: Column): Column =
+    least((0 until CmsRows).map { j =>
+      element_at(element_at(cellsLit, j + 1),
+        (cmsBucket(tok, j) + 1L).cast("int"))
+    }: _*)
+
+  /** Shared by the exact and CMS-hot-set forms of the common-bigrams
+    * query — one oracle string because the two are result-identical
+    * by the superset-hot-set argument. */
+  private val sqlCommonBigrams: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)),
+      |df AS (SELECT g, COUNT(*) AS dfreq FROM bg GROUP BY g)
+      |SELECT bg.doc_id,
+      |  CAST(SUM(CASE WHEN df.dfreq >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_common,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+      |FROM bg JOIN df USING (g)
+      |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
+
   /** Heavy hitters with the `q_approx_distinct` discipline: the exact
     * top-`k` tokens (full-vocab aggregate + salted two-phase global
     * rank — the oracle-checked twin) side by side with their count-min
@@ -846,20 +890,7 @@ object TextAnalysis {
     //      an aggregate-fed join (see Skew's scaladoc) — the bounded
     //      hot set (df >= total div 2^20) spreads exactly the keys that
     //      could dominate a partition. ----
-    Q("text_common_bigrams", Some(
-      """WITH bg AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(toks)),
-        |      i -> toks[i] || ' ' || toks[i+1]))) AS g
-        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |        FROM documents)),
-        |df AS (SELECT g, COUNT(*) AS dfreq FROM bg GROUP BY g)
-        |SELECT bg.doc_id,
-        |  CAST(SUM(CASE WHEN df.dfreq >= 20 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_common,
-        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
-        |FROM bg JOIN df USING (g)
-        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Q("text_common_bigrams", Some(sqlCommonBigrams)) { (s, dir) =>
       val bg = bigramRows(docs(s, dir), distinctPerDoc = true)
       // cached: referenced by the grand total, the hot set, and the
       // salted join's small side (clear-between-queries policy)
@@ -869,6 +900,30 @@ object TextAnalysis {
         .where(col("dfreq") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"), lit(Skew.MinHotCount)))
         .select("g")
       Skew.hotSaltedJoin(bg, dfreq, "g", hot, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("dfreq") >= 20, 1).otherwise(0)).cast("long")
+          .as("n_common"),
+          count(lit(1)).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
+    // ---- text_common_bigrams with the HOT-SET PATH swapped for the
+    //      count-min sketch (the Skew-doc claim made real, result-
+    //      identical — SHARES the exact query's oracle): hotness is a
+    //      per-row probe of the foldable 32 KB sketch literal via
+    //      hotSaltedJoinBy, so the hot-set derivation needs no grand-
+    //      total pass and no hot-set broadcast join — the shape a
+    //      pipeline uses when it does NOT otherwise hold per-key
+    //      counts. CMS one-sidedness ⇒ est ≥ τ is a superset of the
+    //      true hot set ⇒ identical join output, at worst a few
+    //      unnecessarily-salted keys (SkewSpec pins both halves). ----
+    Q("text_common_bigrams_cms", Some(sqlCommonBigrams)) { (s, dir) =>
+      val bg = bigramRows(docs(s, dir), distinctPerDoc = true)
+      val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq"))
+      val (cells, n) = cmsSketchLiteral(bg.select(col("g").as("tok")))
+      val cutoff = math.max(n / Skew.HotKeyFanout, Skew.MinHotCount)
+      Skew.hotSaltedJoinBy(bg, dfreq, "g",
+        t => cmsEstCol(t, cells) >= cutoff, col("doc_id"))
         .groupBy("doc_id")
         .agg(sum(when(col("dfreq") >= 20, 1).otherwise(0)).cast("long")
           .as("n_common"),

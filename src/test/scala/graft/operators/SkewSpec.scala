@@ -93,4 +93,47 @@ class SkewSpec extends SparkSpec {
       .select("g", "doc_id", "payload").collect().toSet
     assert(viaCms == plain)
   }
+
+  test("hotSaltedJoinBy with the foldable sketch-literal predicate " +
+      "equals the plain join, marks a SUPERSET of the exact hot set, " +
+      "and derives its cutoff total from the sketch itself") {
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 2000).map(i => (s"t${i % 400}", i.toLong)))
+      .toDF("g", "doc_id")
+    val small = (Seq("hot") ++ (0 until 400).map(i => s"t$i"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }
+      .toDF("g", "payload")
+    val (cells, n) = TextAnalysis
+      .cmsSketchLiteral(big.select(col("g").as("tok")))
+    // N comes from the sketch row sums — no separate total aggregate
+    assert(n == 7000L, s"sketch-derived total: $n")
+    val cutoff = 1000L
+    // superset: every truly-hot key passes the predicate (one-sided)
+    val exactHot = big.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= cutoff).select("g")
+      .collect().map(_.getString(0)).toSet
+    val predHot = big.select(col("g")).distinct()
+      .where(TextAnalysis.cmsEstCol(col("g"), cells) >= cutoff)
+      .collect().map(_.getString(0)).toSet
+    assert(exactHot.subsetOf(predHot),
+      s"CMS predicate must be a superset: $exactHot vs $predHot")
+    // and the join output is identical to the plain join
+    val plain = big.join(small, Seq("g"))
+      .select("g", "doc_id", "payload").collect().toSet
+    val viaBy = Skew.hotSaltedJoinBy(big, small, "g",
+      t => TextAnalysis.cmsEstCol(t, cells) >= cutoff, col("doc_id"))
+      .select("g", "doc_id", "payload").collect().toSet
+    assert(viaBy == plain)
+  }
+
+  test("text_common_bigrams_cms equals text_common_bigrams row for " +
+      "row (the hot-set swap is invisible in the result)") {
+    val exact = graft.SparkEntry
+      .queries("text_common_bigrams")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val cms = graft.SparkEntry
+      .queries("text_common_bigrams_cms")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && exact == cms)
+  }
 }
