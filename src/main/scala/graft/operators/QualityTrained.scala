@@ -123,19 +123,66 @@ object QualityTrained {
       StructType(Seq(StructField("bucket", LongType, nullable = false),
         StructField("wt", LongType, nullable = false))))
 
-  /** Held-out confusion matrix (actual keep, predicted keep, n) of the
-    * trained model on the `% 5 = 0` split. */
-  def confusion(s: SparkSession, d: DataFrame, dir: String): DataFrame = {
-    val w = weightMemo.computeIfAbsent(
+  private def memoWeights(s: SparkSession, d: DataFrame,
+      dir: String): Map[Long, Long] =
+    weightMemo.computeIfAbsent(
       graft.Tables.fingerprint(dir, "documents"), _ => trainWeights(s, d))
+
+  /** Held-out (doc_id, y, score) under the memoized trained weights —
+    * the shared front of the confusion matrix and the PR curve. */
+  private def heldOutScores(s: SparkSession, d: DataFrame,
+      dir: String): DataFrame = {
+    val w = memoWeights(s, d, dir)
     val ev = d.where(col("doc_id") % 5 === 0)
     scores(features(ev), weightsDf(s, w))
       .join(labels(ev), Seq("doc_id"))
+  }
+
+  /** Held-out confusion matrix (actual keep, predicted keep, n) of the
+    * trained model on the `% 5 = 0` split. */
+  def confusion(s: SparkSession, d: DataFrame, dir: String): DataFrame =
+    heldOutScores(s, d, dir)
       .select((col("y") === 1L).as("actual"),
         (col("score") > 0).as("pred"))
       .groupBy("actual", "pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "pred")
+
+  /** OPERATING CURVE of the trained filter: precision/recall at every
+    * observed integer score threshold on the held-out split (pred =
+    * score > thr) — the artifact a deployment needs to PICK its
+    * threshold, where `confusion` only reports the fixed thr = 0
+    * point. Computed the O(n log n) way: per-distinct-score
+    * pos/neg counts, then cumulative window sums over scores
+    * strictly above each threshold — never a scores × thresholds
+    * cross join. The single global window runs over the
+    * DISTINCT-SCORE frame only (bounded by the held-out doc count;
+    * at corpus scale a deployment quantizes scores to a fixed grid
+    * first, shrinking this frame to the grid size — the curve's
+    * row count is the operator's own output size either way).
+    * Precision at the empty-prediction point (the maximum score's
+    * threshold) is NULL in both engines. */
+  def prCurve(s: SparkSession, d: DataFrame, dir: String): DataFrame = {
+    val g = heldOutScores(s, d, dir)
+      .groupBy("score")
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") =!= 1L, 1L).otherwise(0L)).as("nn"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val tot = g.agg(sum("np").cast("long").as("__p"))
+    g.withColumn("tp", coalesce(sum("np").over(wnd), lit(0L)).cast("long"))
+      .withColumn("fp", coalesce(sum("nn").over(wnd), lit(0L)).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("score").as("thr"),
+        (col("tp") + col("fp")).as("n_pred_pos"),
+        col("tp"), col("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        (col("tp").cast("double") / col("__p")).as("recall"))
+      .orderBy("thr")
   }
 
   // ------------------------------------------------------------------
@@ -175,11 +222,14 @@ object QualityTrained {
       .stripMargin
   }
 
-  private def sqlConfusion: String = {
+  /** The full train→held-out-score chain (`lblall` … `ev`) shared by
+    * the confusion and PR-curve mirrors — 30 unrolled epochs, one
+    * chain, two tails. */
+  private def sqlModelCtes: String = {
     val epochs = (1 to Epochs).map(e =>
       sqlEpoch(e, if (e == 1) None else Some(s"w${e - 1}")))
       .mkString(",\n")
-    s"""WITH lblall AS MATERIALIZED (SELECT doc_id,
+    s"""lblall AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN $sqlKeep THEN 1 ELSE -1 END AS y FROM documents),
        |lbl AS (SELECT * FROM lblall WHERE doc_id % 5 <> 0),
        |t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+'))
@@ -194,18 +244,43 @@ object QualityTrained {
        |  SELECT doc_id, $BiasBucket, 1 FROM documents),
        |trf AS MATERIALIZED (SELECT * FROM feat WHERE doc_id % 5 <> 0),
        |$epochs,
-       |ev AS (SELECT l.doc_id, l.y, CAST(COALESCE(x.s, 0) AS BIGINT)
-       |      AS score
+       |ev AS MATERIALIZED (SELECT l.doc_id, l.y,
+       |      CAST(COALESCE(x.s, 0) AS BIGINT) AS score
        |  FROM (SELECT * FROM lblall WHERE doc_id % 5 = 0) l
        |  LEFT JOIN (
        |    SELECT f.doc_id, SUM(f.tf * w.w) AS s
        |    FROM (SELECT * FROM feat WHERE doc_id % 5 = 0) f
        |    JOIN w$Epochs w USING (bucket) GROUP BY f.doc_id) x
-       |  USING (doc_id))
+       |  USING (doc_id))""".stripMargin
+  }
+
+  private def sqlConfusion: String =
+    s"""WITH $sqlModelCtes
        |SELECT (y = 1) AS actual, (score > 0) AS pred,
        |  CAST(COUNT(*) AS BIGINT) AS n
        |FROM ev GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
-  }
+
+  private def sqlPrCurve: String =
+    s"""WITH $sqlModelCtes,
+       |g AS (SELECT score,
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM ev GROUP BY score),
+       |c AS (SELECT score, np, nn,
+       |    CAST(COALESCE(SUM(np) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tp,
+       |    CAST(COALESCE(SUM(nn) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS fp
+       |  FROM g),
+       |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS p FROM g)
+       |SELECT score AS thr, tp + fp AS n_pred_pos, tp, fp,
+       |  CAST(p - tp AS BIGINT) AS fn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+       |  CAST(tp AS DOUBLE) / p AS recall
+       |FROM c CROSS JOIN tot ORDER BY thr""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -215,5 +290,14 @@ object QualityTrained {
     //      trajectory hash-matched against the unrolled mirror. ----
     Q("text_quality_trained", Some(sqlConfusion)) { (s, dir) =>
       confusion(s, docs(s, dir), dir)
+    },
+
+    // ---- the operating curve of the same trained model: precision/
+    //      recall at every observed held-out score threshold — reuses
+    //      the memoized weights (training runs once per dir), mirror
+    //      reuses the identical unrolled-epoch CTE chain with a curve
+    //      tail instead of the confusion tail. ----
+    Q("text_quality_pr", Some(sqlPrCurve)) { (s, dir) =>
+      prCurve(s, docs(s, dir), dir)
     })
 }

@@ -80,6 +80,36 @@ class QualityTrainedSpec extends SparkSpec {
       s"misclassified held-out docs: $conf")
   }
 
+  test("prCurve: recall and predicted-positive counts are monotone " +
+      "nonincreasing in the threshold, tp+fn is the constant positive " +
+      "total, and the extremes behave (full recall at the bottom, " +
+      "NULL precision at the empty-prediction top)") {
+    val rows = QualityTrained.prCurve(spark, fixture, "spec-fixture")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val p = rows.head._3 + rows.head._5 // tp + fn
+    rows.foreach { case (thr, npp, tp, fp, fn, prec, rec) =>
+      assert(tp + fn == p, s"thr $thr: tp+fn drifted")
+      assert(npp == tp + fp, s"thr $thr: pred-pos identity")
+      assert(rec == tp.toDouble / p, s"thr $thr: recall identity")
+      assert(prec.forall(x => x >= 0.0 && x <= 1.0))
+    }
+    // thresholds ascend (the ORDER BY); the curve must descend
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1, "thresholds must be strictly ascending")
+      assert(b._2 <= a._2, s"pred-pos grew from thr ${a._1} to ${b._1}")
+      assert(b._7 <= a._7, s"recall grew from thr ${a._1} to ${b._1}")
+      case _ => ()
+    }
+    // bottom threshold predicts everything above it: recall counts all
+    // positives except those AT the minimum score
+    assert(rows.last._2 == 0L && rows.last._6.isEmpty,
+      "top threshold must predict nothing, with NULL precision")
+  }
+
   test("weights are memoized per dir (the build-once/query-many memo)") {
     val before = QualityTrained.confusion(spark, fixture, "spec-fixture")
       .collect().toSeq
