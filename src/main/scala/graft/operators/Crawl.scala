@@ -153,16 +153,24 @@ object Crawl {
     out.toSeq
   }
 
-  /** One segment file per task → typed record rows: the
-    * [[Multimodal.sampleAviFrames]] demux shape (one row in, many
-    * typed rows out, partition-parallel, no driver involvement). */
-  def parseArchives(s: SparkSession, glob: String): DataFrame = {
-    import s.implicits._
-    s.read.format("binaryFile").load(glob)
-      .select(col("content")).as[Array[Byte]]
+  /** The transformation half of [[parseArchives]]: any frame with a
+    * binary `content` column — batch OR STREAMING — to typed record
+    * rows. Stateless per segment, so the identical narrow plan serves
+    * the continuous-ingestion form
+    * ([[graft.streaming.StreamOps.crawlIngestStream]]). */
+  def extractFromSegments(segments: DataFrame): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments.select(col("content")).as[Array[Byte]]
       .flatMap(parseArchive _)
       .toDF("doc_id", "url", "html")
   }
+
+  /** One segment file per task → typed record rows: the
+    * [[Multimodal.sampleAviFrames]] demux shape (one row in, many
+    * typed rows out, partition-parallel, no driver involvement). */
+  def parseArchives(s: SparkSession, glob: String): DataFrame =
+    extractFromSegments(s.read.format("binaryFile").load(glob))
 
   // ---- HTML → text: both engines run THESE patterns (RE2-safe: no
   //      backreferences, non-greedy supported by both Java regex and
@@ -268,14 +276,17 @@ object Crawl {
     * walks 1-based character positions (== byte offsets on the ASCII
     * fixture) from each segment's magic through sentinel → headers →
     * blank line → `len`-char payload → next record, then the same
-    * strip/decode/boilerplate algebra. No delimiter splitting. */
-  private def sqlWarcExtract: String = {
+    * strip/decode/boilerplate algebra. No delimiter splitting.
+    * Exposed as a CTE body (`raw` … `warc_docs`) so composing mirrors
+    * (`pipeline_crawl_prepare`) can re-root downstream chains on the
+    * extracted corpus; callers must prefix `WITH RECURSIVE`. */
+  private[operators] def sqlWarcCtes: String = {
     // position after "--GARC-REC--\n" (13 chars) relative blank-line
     // offset, reused all over the walk
     val rel = "strpos(substr(c, pos + 13), chr(10) || chr(10))"
     val hdr = s"substr(c, pos + 13, $rel - 1)"
     val len = s"CAST(regexp_extract($hdr, 'len: ([0-9]+)', 1) AS BIGINT)"
-    s"""WITH RECURSIVE raw AS MATERIALIZED (
+    s"""raw AS MATERIALIZED (
        |  SELECT content AS c FROM read_text('$FixtureRoot/*.garc')
        |  WHERE substr(content, 1, 9) = 'GARC/1.0' || chr(10)),
        |walk AS (
@@ -306,16 +317,35 @@ object Crawl {
        |    replace(replace(replace(replace(replace(t0,
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |      '&#39;', chr(39)), '&amp;', '&') AS t1
-       |  FROM stripped)
-       |SELECT doc_id, url, n_html,
-       |  array_to_string(list_filter(
-       |    list_transform(string_split(t1, chr(10)),
-       |      l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
-       |    l -> len(list_filter(string_split(l, ' '),
-       |      w -> regexp_full_match(w, '[A-Za-z]+')))
-       |      >= $MinContentWords), ' ') AS text
-       |FROM decoded ORDER BY doc_id""".stripMargin
+       |  FROM stripped),
+       |warc_docs AS MATERIALIZED (
+       |  SELECT doc_id, url, n_html,
+       |    array_to_string(list_filter(
+       |      list_transform(string_split(t1, chr(10)),
+       |        l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+       |      l -> len(list_filter(string_split(l, ' '),
+       |        w -> regexp_full_match(w, '[A-Za-z]+')))
+       |        >= $MinContentWords), ' ') AS text
+       |  FROM decoded)""".stripMargin
   }
+
+  private def sqlWarcExtract: String =
+    s"""WITH RECURSIVE $sqlWarcCtes
+       |SELECT doc_id, url, n_html, text FROM warc_docs
+       |ORDER BY doc_id""".stripMargin
+
+  /** Mirror of the crawl→corpus composition: the warc extraction
+    * chain, a documents-shaping CTE (lang from the URL host's source
+    * label, n_chars recomputed from the extracted text), then the
+    * ENTIRE fullPrepare chain re-rooted on it. */
+  private def sqlCrawlPrepare: String =
+    s"""WITH RECURSIVE $sqlWarcCtes,
+       |crawl_docs AS MATERIALIZED (SELECT doc_id,
+       |    regexp_extract(url, 'https://([^.]+)\\.', 1) AS lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars, text
+       |  FROM warc_docs),
+       |${Prepare.sqlFullPrepareCtes("crawl_docs")}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -330,5 +360,24 @@ object Crawl {
       writeArchives(s, dir)
       extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
         .orderBy("doc_id")
+    },
+
+    // ---- the TRUE end-to-end pretraining pipeline: raw crawl
+    //      archives → parse → HTML strip → documents-shaped rows →
+    //      the ENTIRE composed corpus prep (canonicalize → quality
+    //      gate → ExactSubstr → near-dup → decontaminate → pack) —
+    //      one hash pin from archive bytes to packing manifest. The
+    //      gate's language key comes from the URL host's source
+    //      label; n_chars is recomputed from the extracted text
+    //      (crawl docs have no metadata columns, exactly as in
+    //      production — everything derives from the archive). ----
+    Q("pipeline_crawl_prepare", Some(sqlCrawlPrepare)) { (s, dir) =>
+      writeArchives(s, dir)
+      val crawled = extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "https://([^.]+)\\.", 1).as("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("text"))
+      Prepare.fullPrepare(crawled)
     })
 }

@@ -136,14 +136,19 @@ object Prepare {
   /** The oracle replays the SAME five stage algebras as one CTE chain
     * — each stage's CTEs are its standalone query's oracle re-rooted
     * at the previous stage's survivors (MATERIALIZED where a frame
-    * has multiple consumers, or DuckDB re-inlines the deep chain). */
-  private def sqlFullPrepare: String = {
+    * has multiple consumers, or DuckDB re-inlines the deep chain).
+    * `src` is the corpus source relation (columns doc_id, lang,
+    * n_chars, text) — `documents` for the registered query, a crawl
+    * extraction CTE for the composed `pipeline_crawl_prepare`. The
+    * body is exposed so composing mirrors can prepend their own
+    * chains; callers add the WITH prefix and final SELECT. */
+  private[operators] def sqlFullPrepareCtes(src: String): String = {
     val L = Dedup.ExactSubstrMinLen
-    s"""WITH canon AS MATERIALIZED (
+    s"""canon AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars,
        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
        |      '[\\p{P}\\p{S}]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
-       |  FROM documents),
+       |  FROM $src),
        |gate AS MATERIALIZED (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
@@ -237,7 +242,7 @@ object Prepare {
        |  SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
        |      AS tokens,
-       |    CAST(NULL AS VARCHAR) AS digest FROM documents
+       |    CAST(NULL AS VARCHAR) AS digest FROM $src
        |  UNION ALL
        |  SELECT '1_canonicalize', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
@@ -261,9 +266,12 @@ object Prepare {
        |      // ${Packing.SeqLen} AS BIGINT),
        |    CAST(SUM(n_tokens) AS BIGINT),
        |    md5(string_agg(doc_id || ':' || tok_start, ','
-       |      ORDER BY doc_id)) FROM pk)
-       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+       |      ORDER BY doc_id)) FROM pk)""".stripMargin
   }
+
+  private def sqlFullPrepare: String =
+    s"""WITH ${sqlFullPrepareCtes("documents")}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
   val queries: Seq[Q] = Seq(
 

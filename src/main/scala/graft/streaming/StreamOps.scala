@@ -392,6 +392,38 @@ object StreamOps {
     * sees every batch, and a production pipeline persists exactly this
     * index anyway) and pass it back as `initialIndex` on the new run.
     * StreamOpsSpec's parity contract holds within one run. */
+  /** STREAMING crawl ingestion — the continuous form of
+    * `q_warc_extract`: archive SEGMENTS arriving in a watched
+    * directory parse (length-prefixed walk, resync-on-corruption) and
+    * HTML-strip in the IDENTICAL narrow stage as the batch query —
+    * the transformation is stateless per segment, so there is no
+    * foreachBatch and no state store; the file source's
+    * processed-files log is the only bookkeeping, which is what gives
+    * exactly-once per segment across restarts (unlike the in-memory
+    * index streams above, this one restarts cleanly from its
+    * checkpoint). Append output mode; emits the same (doc_id, url,
+    * n_html, text) documents-shaped rows. This is how a production
+    * pipeline actually ingests a live crawl: the crawler rotates
+    * segments into a landing directory and the engine tails it.
+    * StreamOpsSpec pins multi-batch parity with the batch extractor
+    * over the same segment files. */
+  def crawlIngestStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val segs = s.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+    graft.operators.Crawl.extractText(
+      graft.operators.Crawl.extractFromSegments(segs))
+  }
+
   /** STREAMING incremental image (or any modality) dedup — the
     * [[incrementalSubstrStream]] pattern applied to the perceptual-
     * signature family: each micro-batch of new (doc_id, lo, hi)

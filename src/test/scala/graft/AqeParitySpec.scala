@@ -37,7 +37,11 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_canonicalize", "text_quality_trained",
     "pipeline_decontaminate_bloom", "dedup_jaccard_prefix3",
     "mm_audio_dedup", "mm_video_dedup", "mm_image_cluster",
-    "text_lm_doclogprob")
+    "text_lm_doclogprob",
+    // round-11 additions
+    "q_warc_extract", "mm_image_dedup_resized", "mm_pair_dedup",
+    "text_kn_logprob", "text_common_bigrams_cms", "text_quality_pr",
+    "pipeline_crawl_prepare")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -60,7 +64,11 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the 1-row grand-total broadcast feeding the tolerance gate
     "q_heavy_hitters",
     // the unpruned variant's hot-key-cutoff total broadcast
-    "pipeline_decontaminate_bloom")
+    "pipeline_decontaminate_bloom",
+    // round-11 1-row-total broadcasts (PlanHygieneSpec's list)
+    "text_kn_logprob", "text_quality_pr", "mm_pair_dedup",
+    // the pack-stage bounds row, as pipeline_full_prepare
+    "pipeline_crawl_prepare")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -34,7 +34,12 @@ class NoBroadcastParitySpec extends SparkSpec {
     // segmentation attach
     "mm_image_dedup", "mm_audio_dedup", "q_heavy_hitters",
     "pipeline_decontaminate_bloom", "text_quality_trained",
-    "text_lm_doclogprob", "dedup_jaccard_prefix3")
+    "text_lm_doclogprob", "dedup_jaccard_prefix3",
+    // round-11 additions with joins worth de-broadcasting: the pooled
+    // banded join, the cross-modal conjunction, the KN score attaches,
+    // the sketch-predicate salted join, the curve's score join
+    "mm_image_dedup_resized", "mm_pair_dedup", "text_kn_logprob",
+    "text_common_bigrams_cms", "text_quality_pr")
 
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {

@@ -359,8 +359,11 @@ class PlanBudgetSpec extends SparkSpec {
                                         // plane is fixed-size, the
                                         // only vocab-scale shuffle is
                                         // the exact twin's
-    "pipeline_full_prepare" -> 12,      // the REPORTING plan: six
-                                        // summary aggregates + output
+    "pipeline_full_prepare" -> 13,      // the REPORTING plan: SEVEN
+                                        // summary aggregates (r11 adds
+                                        // the 1_canonicalize row; the
+                                        // canonical rewrite itself is
+                                        // a narrow projection) + output
                                         // sort + the gate recompute +
                                         // the pack prefix-sum phases
                                         // over the checkpointed final
@@ -400,6 +403,69 @@ class PlanBudgetSpec extends SparkSpec {
                                         // only 8-byte signatures ever
                                         // ride a shuffle, never pixels
                                         // (measured 4, 95 KB)
+    // ---- round-11 additions (measured at sf0.001) ----
+    "q_warc_extract" -> 1,              // output sort ONLY: segment
+                                        // parse and the whole HTML→text
+                                        // strip run in one narrow stage
+                                        // — no shuffle ever carries
+                                        // payload bytes (measured 1,
+                                        // 97 KB = the final doc rows)
+    "mm_image_dedup_resized" -> 4,      // identical shape to
+                                        // mm_image_dedup: spread (PNG
+                                        // encode + decode + POOL is
+                                        // compute) + chunk equijoin +
+                                        // candidate dedup + keep-min —
+                                        // pooling adds zero exchanges
+    "mm_pair_dedup" -> 10,              // the image plane's 4 + the
+                                        // caption plane's prefix-filter
+                                        // side (df agg + rank window +
+                                        // candidate agg) + the pair-key
+                                        // conjunction join + keep-min
+                                        // window/sort; both candidate
+                                        // generators stay equijoins.
+                                        // Measured 8–10: the caption
+                                        // plane's CACHED dfreq lets AQE
+                                        // flip two attaches between
+                                        // broadcast and shuffle
+                                        // depending on which branch's
+                                        // job materialized it first
+                                        // (the text_bigram_logprob
+                                        // nondeterminism, benign here —
+                                        // the flip swaps exchange kinds
+                                        // on vocab-sized frames only)
+    "text_kn_logprob" -> 13,            // bigram spread + c2 agg
+                                        // (cached) + c1/nc/type-total
+                                        // vocab aggregates + the three
+                                        // pinned shuffle-hash attaches
+                                        // on the eval TYPE plane + the
+                                        // salted occurrence attach +
+                                        // doc agg + sort; the q10 log
+                                        // chains are narrow projections.
+                                        // Measured 12–13 (the cached-c2
+                                        // AQE broadcast flip on the
+                                        // UNHINTED hot-set branch —
+                                        // benign, vocab-sized frames)
+    "text_common_bigrams_cms" -> 3,     // bigram spread + dfreq agg +
+                                        // doc agg/sort — ONE exchange
+                                        // fewer than the exact twin's
+                                        // hot-set path (its grand-total
+                                        // agg is gone; hotness is a
+                                        // per-row probe of the foldable
+                                        // sketch literal, built in a
+                                        // fixed-state pass at
+                                        // construction)
+    "pipeline_crawl_prepare" -> 13,     // exactly pipeline_full_prepare's
+                                        // reporting plan (measured 13) —
+                                        // the crawl front (parse + HTML
+                                        // strip) is one narrow stage and
+                                        // adds ZERO exchanges to the
+                                        // composed corpus prep
+    "text_quality_pr" -> 6,             // the text_quality_trained
+                                        // reporting shape (eval feature
+                                        // spread + tf agg + score agg)
+                                        // + per-score group agg + the
+                                        // bounded distinct-score curve
+                                        // window + sort
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -60,9 +60,18 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // (the tolerance gate's N)
     "pipeline_full_prepare",    // the pack stage's min/max bounds
                                 // row via packSequences
-    "text_nb_langid")           // fixed ≤|langs|-row score frame
+    "text_nb_langid",           // fixed ≤|langs|-row score frame
                                 // broadcast (the eval-token fan-out)
                                 // + the 1-row vocab-size frame
+    "text_kn_logprob",          // two 1-row totals (the ntypes/V1
+                                // scalar frame + the hot-key cutoff)
+    "text_quality_pr",          // one 1-row positive-total row (the
+                                // curve's recall denominator)
+    "mm_pair_dedup",            // one grand-total row (the caption
+                                // plane's hot-key cutoff, as
+                                // dedup_jaccard_prefix3)
+    "pipeline_crawl_prepare")   // the pack stage's min/max bounds
+                                // row, as pipeline_full_prepare
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

@@ -116,6 +116,26 @@ class CrawlSpec extends SparkSpec {
       s"got: $out")
   }
 
+  test("pipeline_crawl_prepare: the crawl front feeds the full corpus " +
+      "prep — stage 0 counts every archived record, the chain is " +
+      "monotone, and a packed corpus survives") {
+    val rows = graft.SparkEntry
+      .queries("pipeline_crawl_prepare")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(rows("0_input") == nDocs,
+      "every archived record must reach the pipeline input")
+    assert(rows("1_canonicalize") == nDocs)
+    val stages = Seq("1_canonicalize", "2_quality_gate",
+      "3_exact_substr", "4_near_dup", "5_decontaminate")
+    for (Seq(a, b) <- stages.sliding(2))
+      assert(rows(b) <= rows(a), s"$b grew docs vs $a")
+    assert(rows("5_decontaminate") > 0 && rows("6_pack") > 0,
+      "a training corpus must survive the crawl-rooted pipeline")
+  }
+
   test("parseArchives distributes one segment per task and the " +
       "composed query equals a direct per-doc recompute") {
     Crawl.writeArchives(spark, sfDir)

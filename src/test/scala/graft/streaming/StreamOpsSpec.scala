@@ -656,6 +656,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(byId(304L)(2) == 55L, "batch-2's span must clean batch 3")
   }
 
+  test("crawlIngestStream: segments dropped into a watched directory " +
+      "across micro-batches extract identically to the batch query " +
+      "over the same files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crawl_stream").toFile
+    dir.deleteOnExit()
+    def words(p: String, n: Int) =
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    def seg(name: String, recs: Seq[(Long, String, String)]): Unit =
+      java.nio.file.Files.write(dir.toPath.resolve(name),
+        graft.operators.Crawl.encodeArchive(recs))
+    def page(id: Long, body: String) =
+      graft.operators.Crawl.wrapHtml(id, body)
+    val b1 = Seq(
+      (1L, "https://a.example.org/1", page(1L, words("alpha", 20))),
+      (2L, "https://a.example.org/2", page(2L, words("beta", 14))))
+    val b2 = Seq(
+      (3L, "https://b.example.org/3", page(3L, words("gamma", 30))))
+    val query = StreamOps.crawlIngestStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("crawl_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      seg("part0.garc", b1)
+      query.processAllAvailable()
+      assert(spark.table("crawl_stream").count() == 2L)
+      seg("part1.garc", b2)
+      query.processAllAvailable()
+      val streamed = spark.table("crawl_stream").collect()
+        .map(_.toSeq).toSet
+      val batch = graft.operators.Crawl.extractText(
+          graft.operators.Crawl.parseArchives(spark,
+            s"${dir.getAbsolutePath}/*.garc"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch extraction diverged: $streamed vs $batch")
+      assert(streamed.size == 3)
+    } finally query.stop()
+  }
+
   test("incrementalImageDedupStream: 3-batch feed equals the batch " +
       "survivor operator over index + union, including a CROSS-BATCH " +
       "duplicate and a duplicate of a pre-existing index doc") {
