@@ -72,4 +72,57 @@ class FileStreamRecoverySpec extends SparkSpec {
       "lost or duplicated ids across the restart")
     assert(rows.forall { case (i, t) => t == s"row_$i!" })
   }
+
+  test("incrementalSubstrStreamDurable: a span first seen BEFORE a " +
+      "hard restart still cleans its post-restart copy (the persisted " +
+      "index closes the in-memory form's documented restart gap)") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val spanS = toks("s", 50)              // lives in the OLD corpus
+    val spanT = toks("t", 50)              // first occurs pre-restart
+    val root = Files.createTempDirectory("graft_substr_durable")
+    val in = Files.createDirectory(root.resolve("in"))
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val old = Seq((0L, s"${toks("a", 10)} $spanS")).toDF("doc_id", "text")
+    val oldIdx = graft.operators.Dedup.substrWindowDigests(old)
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(name).toString)
+    val got = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    def startQ() = StreamOps.incrementalSubstrStreamDurable(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(in.toString),
+      idxDir, oldIdx, ckpt) { (batch, id) =>
+      got(id) = batch.collect().map(_.toSeq).toSeq // replay: last wins
+    }
+    writeDocs("b0", Seq(
+      (300L, s"$spanS ${toks("b", 10)}"),  // old-index span: removed
+      (301L, spanT)))                      // T's first occurrence: kept
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // HARD RESTART; the copy of T arrives only after the stop
+    writeDocs("b1", Seq(
+      (302L, s"$spanT ${toks("d", 5)}"),   // must be cleaned via the
+                                           // PERSISTED index
+      (303L, toks("e", 55))))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = got.values.flatten.toSeq
+      .map(r => r.head.asInstanceOf[Long] -> r).toMap
+    val expect = graft.operators.Dedup.exactSubstrIncremental(
+        Seq((300L, s"$spanS ${toks("b", 10)}"), (301L, spanT),
+          (302L, s"$spanT ${toks("d", 5)}"), (303L, toks("e", 55)))
+          .toDF("doc_id", "text"), old)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(rows == expect, s"stream=$rows batch=$expect")
+    assert(rows(302L)(2) == 50L,
+      "the pre-restart span must clean its post-restart copy — the " +
+        "exact failure mode the in-memory form documents")
+  }
 }
