@@ -4,17 +4,18 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Smoothed bigram language model — interpolated Kneser-Ney, the model
-  * class CCNet's actual perplexity filter uses (the unsmoothed planes
-  * `text_bigram_logprob` / `text_lm_doclogprob` assign unseen events
-  * probability zero, so they cannot score held-out text at all; a
-  * deployable filter MUST smooth). Reference note: no counterpart —
-  * pure extension surface (the reference reads plain text only,
-  * /root/reference/src/mapreduce.cpp:19).
+/** Smoothed n-gram language models — interpolated Kneser-Ney, the
+  * model class CCNet's actual perplexity filter uses (the unsmoothed
+  * planes `text_bigram_logprob` / `text_lm_doclogprob` assign unseen
+  * events probability zero, so they cannot score held-out text at
+  * all; a deployable filter MUST smooth). Reference note: no
+  * counterpart — pure extension surface (the reference reads plain
+  * text only, /root/reference/src/mapreduce.cpp:19).
   *
-  * INTEGER-EXACT smoothing (the [[UnigramLm]]/[[NbLangid]] q10
-  * discipline): with discount D = 1/2 carried in DOUBLED counts, every
-  * interpolated Kneser-Ney probability is a ratio of integers —
+  * BIGRAM level ([[knLogprob]], `text_kn_logprob`) — INTEGER-EXACT
+  * smoothing (the [[UnigramLm]]/[[NbLangid]] q10 discipline): with
+  * discount D = 1/2 carried in DOUBLED counts, every interpolated
+  * Kneser-Ney probability is a ratio of integers —
   *
   *   seen pair:      P = [(2·c12 − 1)·T + N1p(w1)·(Nc(w2)+1)]
   *                       / (2·c1·T)
@@ -34,32 +35,56 @@ import org.apache.spark.sql.functions._
   * engines ([[NbLangid.withIlog]] table-level here, the unrolled CTE
   * chain in the mirror), with the loud 2^43 domain guard in both.
   *
-  * Scale shape: counts are vocabulary-plane aggregates (c2 one row
-  * per bigram TYPE); the fixed-point log runs on the DISTINCT
-  * eval-bigram-type plane — never per corpus token — and the scored
-  * table attaches back to eval occurrences via [[Skew.hotSaltedJoin]]
-  * (Zipf-headed bigrams hold one row per occurrence, the corpus-plane
-  * attach discipline), followed by one per-doc aggregate. The scalar
-  * (ntypes, V+1) totals ride a 1-row broadcast. Headroom: den =
-  * 2·c1·T must stay < 2^43 — ~8.8e12, far past sf0.1 (measured ~1e11)
-  * but a guard a web-scale run would hit; the documented escape is
-  * splitting the log over the factors (ilog(2c1) + ilog(T), one extra
-  * ulp) or widening the mantissa — the loud error() is the contract
-  * that the switch cannot be forgotten. */
+  * TRIGRAM level ([[kn3Logprob]], `text_kn3_logprob`) — the backoff
+  * RECURSION, one level up: P3(w3|w1w2) interpolates the discounted
+  * trigram MLE with the bigram-KN backoff P2(w3|w2). A nested exact
+  * rational would square the denominators past every integer domain,
+  * so the trigram level works on Q20 FIXED-POINT probabilities —
+  * p = floor(num·2^20 / den), floored at 1 (events below 2^-20
+  * saturate; a perplexity filter thresholds far above) — with every
+  * floor division a DEFINED, engine-identical operation:
+  *
+  *   p2  = max(1, (num2 · 2^20) div den2)        (bigram KN, Q20)
+  *   p3  = p2                                    if ctx (w1,w2) unseen
+  *       = clamp[1, 2^20](
+  *           ((2·c123 − 1)·2^20) div (2·c12)     (0 if trigram unseen)
+  *         + (N1p(w1w2) · p2) div (2·c12))       otherwise
+  *   nll = ilog(2^20) − ilog(p3) = 20480 − ilog(p3)   (≥ 0, exact)
+  *
+  * Overflow audit: the num2·2^20 product needs num2 < 2^43 — num2 ≤
+  * den2, so the loud den2 < 2^43 guard (mirrored with error())
+  * bounds it; all other products stay far inside BIGINT.
+  *
+  * Scale shape (both levels): counts are vocabulary-plane aggregates
+  * (one row per n-gram TYPE); the fixed-point arithmetic and q10 log
+  * chains run on the DISTINCT eval-type planes — never per corpus
+  * token — and the scored tables attach back to eval occurrences via
+  * [[Skew.hotSaltedJoin]] (Zipf-headed n-grams hold one row per
+  * occurrence, the corpus-plane attach discipline). Scalar totals
+  * ride a 1-row broadcast; shuffle_hash pins the cached-frame join
+  * strategy (the bigramLogprob determinism precedent). Headroom: the
+  * 2^43 guard is the documented web-scale switch point (split the
+  * log over factors at one ulp, or widen the mantissa) — it cannot
+  * be silently outgrown. */
 object KnLm {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Per-held-out-doc negative log-likelihood under the train-split
-    * (doc_id % 5 ≠ 0) interpolated-KN bigram model: (doc_id,
-    * n_bigrams, nll_q10, nll_per_bigram_q10). */
-  def knLogprob(d: DataFrame): DataFrame = {
-    val bg = TextAnalysis.bigramRows(d, distinctPerDoc = false)
-    val train = bg.where(col("doc_id") % 5 =!= 0)
-    val ev = bg.where(col("doc_id") % 5 === 0)
-    // vocabulary-plane model tables; c2 cached (feeds c1, nc, totals
-    // and the hot set — the bigramLogprob clear-between-queries policy)
+  /** Q20 fixed-point scale and its exact q10 log (2^20 is a power of
+    * two, so ilog2Q10(2^20) = 20·1024 exactly). */
+  val Q20 = 1L << 20
+  private val IlogQ20 = 20L * 1024L
+  private val IlogMax = 1L << 43
+
+  /** Train-split bigram model tables: per-bigram counts (cached —
+    * feeds everything below plus the hot set), per-w1 totals and
+    * continuation counts, per-w2 left-context counts, and the scalar
+    * (ntypes, V+1) frame. */
+  private[operators] final case class BigramModel(c2: DataFrame,
+      c1: DataFrame, nc: DataFrame, tot: DataFrame)
+
+  private[operators] def bigramModel(train: DataFrame): BigramModel = {
     val c2 = train.groupBy("g")
       .agg(count(lit(1)).cast("long").as("n2")).cache()
     val c1 = c2.groupBy(substring_index(col("g"), " ", 1).as("w1"))
@@ -70,17 +95,22 @@ object KnLm {
     val tot = c2.agg(count(lit(1)).cast("long").as("__ntypes"),
       (countDistinct(substring_index(col("g"), " ", -1)) + 1L)
         .cast("long").as("__v1"))
-    // score on the DISTINCT eval type plane (vocab-sized), logs never
-    // touch the occurrence stream; shuffle_hash pins determinism (the
-    // cached-frame broadcast-flip hazard documented at bigramLogprob)
-    val et = ev.select("g").distinct()
+    BigramModel(c2, c1, nc, tot)
+  }
+
+  /** Attach the exact KN integers to a frame of DISTINCT bigram types
+    * (column `g`): adds `m` (the probability numerator) and `den`.
+    * shuffle_hash pins determinism against the cached-c2 AQE
+    * broadcast flip. */
+  private[operators] def attachNumDen(types: DataFrame,
+      mdl: BigramModel): DataFrame =
+    types
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
-    val attached = et
-      .join(c2.hint("shuffle_hash"), Seq("g"), "left")
-      .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
-      .join(nc.hint("shuffle_hash"), Seq("w2"), "left")
-      .crossJoin(broadcast(tot))
+      .join(mdl.c2.hint("shuffle_hash"), Seq("g"), "left")
+      .join(mdl.c1.hint("shuffle_hash"), Seq("w1"), "left")
+      .join(mdl.nc.hint("shuffle_hash"), Seq("w2"), "left")
+      .crossJoin(broadcast(mdl.tot))
       .withColumn("t", col("__ntypes") + col("__v1"))
       .withColumn("ncp", coalesce(col("ncont"), lit(0L)) + 1L)
       .withColumn("m",
@@ -91,18 +121,32 @@ object KnLm {
       .withColumn("den",
         when(col("n1").isNull, col("t"))
           .otherwise(col("n1") * 2L * col("t")))
+
+  /** Hot-key set for the occurrence attach, from the train counts —
+    * a perf hint only, correctness is unconditional. */
+  private def hotKeys(cnt: DataFrame, nCol: String): DataFrame = {
+    val tt = cnt.agg(sum(nCol).cast("long").as("__t"))
+    cnt.crossJoin(broadcast(tt))
+      .where(col(nCol) >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+        lit(Skew.MinHotCount)))
+      .select("g")
+  }
+
+  /** Per-held-out-doc negative log-likelihood under the train-split
+    * (doc_id % 5 ≠ 0) interpolated-KN bigram model: (doc_id,
+    * n_bigrams, nll_q10, nll_per_bigram_q10). */
+  def knLogprob(d: DataFrame): DataFrame = {
+    val bg = TextAnalysis.bigramRows(d, distinctPerDoc = false)
+    val ev = bg.where(col("doc_id") % 5 === 0)
+    val mdl = bigramModel(bg.where(col("doc_id") % 5 =!= 0))
+    // score on the DISTINCT eval type plane (vocab-sized), logs never
+    // touch the occurrence stream
+    val attached = attachNumDen(ev.select("g").distinct(), mdl)
     val sc = NbLangid.withIlog(
       NbLangid.withIlog(attached, "m", "ilog_num")
         .withColumn("m2", col("den")), "m2", "ilog_den")
       .select(col("g"), (col("ilog_den") - col("ilog_num")).as("nll"))
-    // the corpus-plane attach: Zipf-headed bigrams salt (hot set from
-    // the TRAIN counts — a perf hint only, correctness is unconditional)
-    val tt = c2.agg(sum("n2").cast("long").as("__t"))
-    val hot = c2.crossJoin(broadcast(tt))
-      .where(col("n2") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
-        lit(Skew.MinHotCount)))
-      .select("g")
-    Skew.hotSaltedJoin(ev, sc, "g", hot, col("doc_id"))
+    Skew.hotSaltedJoin(ev, sc, "g", hotKeys(mdl.c2, "n2"), col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum("nll").cast("long").as("nll_q10"))
@@ -110,22 +154,77 @@ object KnLm {
         expr("nll_q10 div n_bigrams").cast("long"))
   }
 
-  /** Mirror: the same split/counts/KN algebra, with the q10 chains
-    * unrolled per plane ([[NbLangid.sqlIlog]]) — num first (carrying
-    * den), then den (carrying ilog_num). */
-  private def sqlKnLogprob: String =
-    s"""WITH tb AS MATERIALIZED (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-       |    i -> toks[i] || ' ' || toks[i+1])) AS g
+  /** Per-held-out-doc nll under the TRIGRAM interpolated-KN model
+    * with Q20-quantized bigram backoff: (doc_id, n_trigrams, nll_q10,
+    * nll_per_trigram_q10). See the object Scaladoc for the algebra. */
+  def kn3Logprob(d: DataFrame): DataFrame = {
+    val bg = TextAnalysis.bigramRows(d, distinctPerDoc = false)
+    val mdl = bigramModel(bg.where(col("doc_id") % 5 =!= 0))
+    val tg = TextAnalysis.ngramRows(d, 3, distinctPerDoc = false)
+    val ev3 = tg.where(col("doc_id") % 5 === 0)
+    val c3 = tg.where(col("doc_id") % 5 =!= 0).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n3")).cache()
+    val c12 = c3.groupBy(substring_index(col("g"), " ", 2).as("ctx"))
+      .agg(sum("n3").cast("long").as("n12"),
+        count(lit(1)).cast("long").as("n1p12"))
+    val et3 = ev3.select("g").distinct()
+      .withColumn("ctx", substring_index(col("g"), " ", 2))
+      .withColumn("pair", concat(
+        substring_index(substring_index(col("g"), " ", 2), " ", -1),
+        lit(" "), substring_index(col("g"), " ", -1)))
+    // Q20 backoff on the DISTINCT (w2,w3) pair plane
+    val nd = attachNumDen(
+        et3.select(col("pair").as("g")).distinct(), mdl)
+      .select(col("g").as("pair"), col("m").as("num2"),
+        col("den").as("den2"))
+    val attached = et3
+      .join(c3.hint("shuffle_hash"), Seq("g"), "left")
+      .join(c12.hint("shuffle_hash"), Seq("ctx"), "left")
+      .join(nd.hint("shuffle_hash"), Seq("pair"))
+      // loud Q20 domain guard: num2 <= den2, so den2 < 2^43 bounds
+      // the num2 * 2^20 product inside BIGINT (mirrored with error())
+      .withColumn("den2", expr(
+        s"CASE WHEN den2 < $IlogMax THEN den2 ELSE " +
+          "CAST(raise_error(concat('kn3 q20 domain: den2 must be < " +
+          "2^43, got ', CAST(den2 AS STRING))) AS BIGINT) END"))
+      .withColumn("p2",
+        greatest(expr(s"(num2 * $Q20) div den2"), lit(1L)))
+      .withColumn("p3",
+        least(lit(Q20), greatest(lit(1L),
+          when(col("n12").isNull, col("p2"))
+            .otherwise(
+              coalesce(expr(s"((2 * n3 - 1) * $Q20) div (2 * n12)"),
+                lit(0L)) +
+                expr("(n1p12 * p2) div (2 * n12)")))))
+    val sc = NbLangid.withIlog(attached, "p3", "ilog_p3")
+      .select(col("g"), (lit(IlogQ20) - col("ilog_p3")).as("nll"))
+    Skew.hotSaltedJoin(ev3, sc, "g", hotKeys(c3, "n3"), col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_trigrams"),
+        sum("nll").cast("long").as("nll_q10"))
+      .withColumn("nll_per_trigram_q10",
+        expr("nll_q10 div n_trigrams").cast("long"))
+  }
+
+  // ------------------------------------------------------------------
+  // Mirrors
+  // ------------------------------------------------------------------
+
+  /** n-gram occurrence CTE over one split. */
+  private def sqlNgrams(name: String, n: Int, split: String): String = {
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""$name AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-       |        FROM documents WHERE doc_id % 5 <> 0)
-       |  WHERE len(toks) >= 2),
-       |eb AS MATERIALIZED (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-       |    i -> toks[i] || ' ' || toks[i+1])) AS g
-       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-       |        FROM documents WHERE doc_id % 5 = 0)
-       |  WHERE len(toks) >= 2),
+       |        FROM documents WHERE doc_id % 5 $split)
+       |  WHERE len(toks) >= $n)""".stripMargin
+  }
+
+  /** The train bigram model as CTEs `tb`, `c2`, `c1`, `nc`, `tot` —
+    * shared by both mirrors. */
+  private def sqlBigramModelCtes: String =
+    s"""${sqlNgrams("tb", 2, "<> 0")},
        |c2 AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS n2
        |  FROM tb GROUP BY g),
        |c1 AS MATERIALIZED (SELECT string_split(g, ' ')[1] AS w1,
@@ -138,9 +237,12 @@ object KnLm {
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes,
        |    CAST(COUNT(DISTINCT string_split(g, ' ')[2]) + 1 AS BIGINT)
        |      AS v1
-       |  FROM c2),
-       |et AS MATERIALIZED (SELECT DISTINCT g FROM eb),
-       |sc0 AS (SELECT et.g,
+       |  FROM c2)""".stripMargin
+
+  /** `$out` = (g, m, den) for the distinct bigram types of `$src.g`
+    * under the train model — [[attachNumDen]]'s algebra verbatim. */
+  private def sqlAttachNumDen(src: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT et.g,
        |    CASE WHEN c1.w1 IS NULL THEN COALESCE(nc.ncont, 0) + 1
        |      WHEN c2.n2 IS NULL
        |        THEN c1.n1p * (COALESCE(nc.ncont, 0) + 1)
@@ -148,10 +250,16 @@ object KnLm {
        |        c1.n1p * (COALESCE(nc.ncont, 0) + 1) END AS m,
        |    CASE WHEN c1.w1 IS NULL THEN tot.ntypes + tot.v1
        |      ELSE 2 * c1.n1 * (tot.ntypes + tot.v1) END AS den
-       |  FROM et LEFT JOIN c2 ON et.g = c2.g
+       |  FROM $src et LEFT JOIN c2 ON et.g = c2.g
        |    LEFT JOIN c1 ON string_split(et.g, ' ')[1] = c1.w1
        |    LEFT JOIN nc ON string_split(et.g, ' ')[2] = nc.w2
-       |    CROSS JOIN tot),
+       |    CROSS JOIN tot)""".stripMargin
+
+  private def sqlKnLogprob: String =
+    s"""WITH $sqlBigramModelCtes,
+       |${sqlNgrams("eb", 2, "= 0")},
+       |et AS MATERIALIZED (SELECT DISTINCT g FROM eb),
+       |${sqlAttachNumDen("et", "sc0")},
        |${NbLangid.sqlIlog("sc0", "iln", "g, den")},
        |scd AS (SELECT g, ilog AS ilog_num, den AS m FROM iln),
        |${NbLangid.sqlIlog("scd", "ild", "g, ilog_num")},
@@ -163,6 +271,51 @@ object KnLm {
        |FROM eb JOIN sc USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def sqlKn3Logprob: String =
+    s"""WITH $sqlBigramModelCtes,
+       |${sqlNgrams("t3", 3, "<> 0")},
+       |${sqlNgrams("e3", 3, "= 0")},
+       |c3 AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS n3
+       |  FROM t3 GROUP BY g),
+       |c12 AS MATERIALIZED (SELECT
+       |    string_split(g, ' ')[1] || ' ' || string_split(g, ' ')[2]
+       |      AS ctx,
+       |    CAST(SUM(n3) AS BIGINT) AS n12,
+       |    CAST(COUNT(*) AS BIGINT) AS n1p12
+       |  FROM c3 GROUP BY 1),
+       |et3 AS MATERIALIZED (SELECT DISTINCT g FROM e3),
+       |prs AS MATERIALIZED (SELECT DISTINCT
+       |    string_split(g, ' ')[2] || ' ' || string_split(g, ' ')[3]
+       |      AS g
+       |  FROM et3),
+       |${sqlAttachNumDen("prs", "nd")},
+       |sc30 AS (SELECT et3.g,
+       |    LEAST($Q20, GREATEST(1, CASE WHEN c12.n12 IS NULL THEN
+       |      GREATEST((nd2.m * $Q20) // nd2.den, 1)
+       |    ELSE COALESCE(((2 * c3.n3 - 1) * $Q20) // (2 * c12.n12), 0)
+       |      + (c12.n1p12 * GREATEST((nd2.m * $Q20) // nd2.den, 1))
+       |        // (2 * c12.n12) END)) AS m
+       |  FROM et3
+       |    LEFT JOIN c3 ON et3.g = c3.g
+       |    LEFT JOIN c12 ON string_split(et3.g, ' ')[1] || ' ' ||
+       |      string_split(et3.g, ' ')[2] = c12.ctx
+       |    JOIN (SELECT g, m,
+       |        CASE WHEN den < $IlogMax THEN den
+       |          ELSE CAST(error(concat('kn3 q20 domain: den2 must ' ||
+       |            'be < 2^43, got ', CAST(den AS VARCHAR)))
+       |            AS BIGINT) END AS den
+       |      FROM nd) nd2
+       |      ON string_split(et3.g, ' ')[2] || ' ' ||
+       |        string_split(et3.g, ' ')[3] = nd2.g),
+       |${NbLangid.sqlIlog("sc30", "il3", "g")},
+       |sc AS MATERIALIZED (SELECT g,
+       |    CAST($IlogQ20 - ilog AS BIGINT) AS nll FROM il3)
+       |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_trigrams,
+       |  CAST(SUM(nll) AS BIGINT) AS nll_q10,
+       |  CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per_trigram_q10
+       |FROM e3 JOIN sc USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- the CCNet filter plane, properly smoothed: held-out docs
@@ -172,5 +325,49 @@ object KnLm {
     //      the positive nll (Spark div == DuckDB //). ----
     Q("text_kn_logprob", Some(sqlKnLogprob)) { (s, dir) =>
       knLogprob(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- the backoff recursion one level up: trigram interpolated
+    //      KN over the Q20-quantized bigram-KN backoff — the
+    //      higher-order chain the real (5-gram) CCNet filter stacks,
+    //      every floor division a defined engine-identical op. ----
+    Q("text_kn3_logprob", Some(sqlKn3Logprob)) { (s, dir) =>
+      kn3Logprob(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- the KN plane APPLIED as CCNet's actual filter: held-out
+    //      docs bucketed head/middle/tail by per-bigram perplexity
+    //      terciles (NTILE(3) over the deterministic (nll, doc_id)
+    //      order — identical tie semantics in both engines). The
+    //      bucket window runs on the DOC-level plane (thousands of
+    //      times smaller than the token plane); at corpus scale the
+    //      tercile cutoffs come from the pipeline_score_quantiles
+    //      histogram discipline instead, with identical buckets at
+    //      any parallelism. head = lowest perplexity = the split
+    //      CCNet keeps for LM training. ----
+    Q("pipeline_ppl_buckets", Some(
+      s"""WITH $sqlBigramModelCtes,
+         |${sqlNgrams("eb", 2, "= 0")},
+         |et AS MATERIALIZED (SELECT DISTINCT g FROM eb),
+         |${sqlAttachNumDen("et", "sc0")},
+         |${NbLangid.sqlIlog("sc0", "iln", "g, den")},
+         |scd AS (SELECT g, ilog AS ilog_num, den AS m FROM iln),
+         |${NbLangid.sqlIlog("scd", "ild", "g, ilog_num")},
+         |sc AS MATERIALIZED (SELECT g,
+         |    CAST(ilog - ilog_num AS BIGINT) AS nll FROM ild),
+         |per_doc AS (SELECT doc_id,
+         |    CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per
+         |  FROM eb JOIN sc USING (g) GROUP BY doc_id)
+         |SELECT doc_id, nll_per,
+         |  CAST(NTILE(3) OVER (ORDER BY nll_per, doc_id) AS INTEGER)
+         |    AS bucket
+         |FROM per_doc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("nll_per"), col("doc_id"))
+      knLogprob(docs(s, dir))
+        .select(col("doc_id"),
+          col("nll_per_bigram_q10").as("nll_per"))
+        .withColumn("bucket", ntile(3).over(w))
+        .orderBy("doc_id")
     })
 }

@@ -41,7 +41,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // round-11 additions
     "q_warc_extract", "mm_image_dedup_resized", "mm_pair_dedup",
     "text_kn_logprob", "text_common_bigrams_cms", "text_quality_pr",
-    "pipeline_crawl_prepare")
+    "pipeline_crawl_prepare", "text_kn3_logprob",
+    "pipeline_ppl_buckets")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -67,6 +68,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_decontaminate_bloom",
     // round-11 1-row-total broadcasts (PlanHygieneSpec's list)
     "text_kn_logprob", "text_quality_pr", "mm_pair_dedup",
+    "text_kn3_logprob", "pipeline_ppl_buckets",
     // the pack-stage bounds row, as pipeline_full_prepare
     "pipeline_crawl_prepare")
 

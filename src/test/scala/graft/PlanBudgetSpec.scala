@@ -445,6 +445,23 @@ class PlanBudgetSpec extends SparkSpec {
                                         // AQE broadcast flip on the
                                         // UNHINTED hot-set branch —
                                         // benign, vocab-sized frames)
+    "text_kn3_logprob" -> 21,           // the bigram model's aggregates
+                                        // + trigram spread/c3 (cached)
+                                        // + ctx aggregate + the pair-
+                                        // plane num/den attaches + the
+                                        // trigram-type attaches + the
+                                        // salted occurrence attach +
+                                        // doc agg/sort — every extra
+                                        // exchange is a VOCAB-plane
+                                        // frame (measured 19 + the ±2
+                                        // cached-frame AQE flip margin
+                                        // the bigram plane documents)
+    "pipeline_ppl_buckets" -> 14,       // text_kn_logprob's scoring
+                                        // shape (measured 12, same ±1
+                                        // cached-frame flip margin) +
+                                        // the doc-level tercile window
+                                        // + sort — bucketing adds only
+                                        // doc-plane exchanges
     "text_common_bigrams_cms" -> 3,     // bigram spread + dfreq agg +
                                         // doc agg/sort — ONE exchange
                                         // fewer than the exact twin's

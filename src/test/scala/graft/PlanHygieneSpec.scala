@@ -65,6 +65,9 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // + the 1-row vocab-size frame
     "text_kn_logprob",          // two 1-row totals (the ntypes/V1
                                 // scalar frame + the hot-key cutoff)
+    "text_kn3_logprob",         // the same two 1-row totals, through
+                                // the shared bigram-model builders
+    "pipeline_ppl_buckets",     // the same two, via knLogprob
     "text_quality_pr",          // one 1-row positive-total row (the
                                 // curve's recall denominator)
     "mm_pair_dedup",            // one grand-total row (the caption

@@ -43,6 +43,59 @@ class KnLmSpec extends SparkSpec {
       s"2 OOV bigrams must cost more than 1: ${rows(10L)} vs ${rows(15L)}")
   }
 
+  test("kn3Logprob: the backoff LEVELS discriminate — unseen trigram " +
+      "with a seen backoff bigram costs less than one whose backoff " +
+      "is also unseen, and fully-seen text costs least") {
+    val d = Seq(
+      // train: trigram/bigram vocabulary over {a,b,c,d} incl. the dc
+      // bigram the eB backoff needs
+      (1L, "a b c d a b c d a"),
+      (2L, "b c a b c a b c a"),
+      (3L, "d c d c d c d c d"),
+      // eval: 9 tokens -> 7 trigrams each; identical prefix, tails
+      // engineered per backoff level
+      (5L, "a b c d a b c d a"),   // eA: all trigrams seen
+      (10L, "a b c d a b x d c"),  // eB: unseen tris, backoffs reach
+                                   //     SEEN bigrams (xd->d ctx, dc)
+      (15L, "a b c d a b x q z")   // eC: unseen tris, backoffs land
+                                   //     on the OOV continuation floor
+    ).toDF("doc_id", "text")
+    val rows = KnLm.kn3Logprob(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(5L, 10L, 15L))
+    rows.foreach { case (id, (nt, nll)) =>
+      assert(nt == 7, s"doc $id trigram count")
+      assert(nll >= 0L, s"doc $id negative nll")
+    }
+    assert(rows(5L)._2 < rows(10L)._2,
+      s"seen text must cost less: ${rows(5L)} vs ${rows(10L)}")
+    assert(rows(10L)._2 < rows(15L)._2,
+      "a seen-bigram backoff must cost less than the OOV floor: " +
+        s"${rows(10L)} vs ${rows(15L)}")
+  }
+
+  test("pipeline_ppl_buckets: terciles are balanced, monotone in the " +
+      "perplexity score, and deterministic under ties") {
+    val rows = graft.SparkEntry
+      .queries("pipeline_ppl_buckets")(spark, sf01Dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // NTILE balance: sizes differ by at most one
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3), s"buckets: $sizes")
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // monotone: ordering docs by (nll, doc_id) never decreases bucket
+    val ordered = rows.sortBy(t => (t._2, t._1)).map(_._3).toSeq
+    assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b },
+      "bucket must be monotone in the (nll_per, doc_id) order")
+    // head bucket holds the LOWEST perplexity (what CCNet keeps)
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1).max <= byBucket(3).min ||
+      byBucket(1).max <= byBucket(2).min,
+      "head tercile must sit at the low-perplexity end")
+  }
+
   test("an all-OOV held-out doc (unseen w1 AND w2 everywhere) still " +
       "scores finitely through the +1 continuation floor") {
     val d = fixture.unionByName(
