@@ -252,11 +252,21 @@ object Crawl {
     * crawler (q_csv_roundtrip's role), not an engine operator — the
     * engine surface under test is the reader. Text is sanitized to
     * printable ASCII so oracle character positions == byte offsets. */
-  def writeArchives(s: SparkSession, dir: String): Unit = {
+  def writeArchives(s: SparkSession, dir: String): Unit =
+    writeArchivesWith(s, dir, FixtureRoot) { (id, ascii) =>
+      wrapHtml(id, ascii)
+    }
+
+  /** Shared fixture writer: one archive set under `root`, payload per
+    * doc from `payloadOf(doc_id, asciiText)`. Bounded driver-side
+    * loop over the doc-count rows (the crawler stand-in, not an
+    * engine data path). */
+  private def writeArchivesWith(s: SparkSession, dir: String,
+      rootDir: String)(payloadOf: (Long, String) => String): Unit = {
     val rows = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .orderBy("doc_id").collect()
-    val root = java.nio.file.Paths.get(FixtureRoot)
+    val root = java.nio.file.Paths.get(rootDir)
     java.nio.file.Files.createDirectories(root)
     (0 until FixtureFiles).foreach { f =>
       val recs = rows.iterator
@@ -265,12 +275,32 @@ object Crawl {
           val id = r.getLong(0)
           val ascii = r.getString(1).replaceAll("[^\\x20-\\x7e]", "")
           (id, s"https://${r.getString(2)}.example.org/doc/$id",
-            wrapHtml(id, ascii))
+            payloadOf(id, ascii))
         }.toSeq
       java.nio.file.Files.write(root.resolve(s"part$f.garc"),
         encodeArchive(recs))
     }
   }
+
+  /** MEDIA fixture root + writer: archives whose records carry an
+    * IMAGE payload — a 9×8 raw gray pixel plane hex-encoded (144
+    * chars for 72 bytes; hex keeps the segment ASCII so the oracle's
+    * character walk still equals byte offsets, and hex-pair
+    * arithmetic lets SQL read pixel VALUES straight off the payload).
+    * Pixels follow the mm_image_dedup scheme (first 72 printable
+    * chars of the doc text), so the media trajectory is
+    * independently recomputable. */
+  val MediaFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_media"
+
+  def writeMediaArchives(s: SparkSession, dir: String): Unit =
+    writeArchivesWith(s, dir, MediaFixtureRoot) { (_, ascii) =>
+      val px = new Array[Int](72)
+      var i = 0
+      while (i < 72 && i < ascii.length) {
+        px(i) = ascii.charAt(i).toInt; i += 1
+      }
+      px.map(p => f"$p%02x").mkString
+    }
 
   /** DuckDB replays the SAME length-prefixed framing: a recursive CTE
     * walks 1-based character positions (== byte offsets on the ASCII
@@ -280,14 +310,18 @@ object Crawl {
     * Exposed as a CTE body (`raw` … `warc_docs`) so composing mirrors
     * (`pipeline_crawl_prepare`) can re-root downstream chains on the
     * extracted corpus; callers must prefix `WITH RECURSIVE`. */
-  private[operators] def sqlWarcCtes: String = {
+  /** Just the framing walk (`raw` … `recs`) over the archives under
+    * `root` — the binary-record consumers (`mm_warc_media`) reuse the
+    * walk without the HTML strip stages. Callers prefix
+    * `WITH RECURSIVE`. */
+  private[operators] def sqlWalkCtes(root: String): String = {
     // position after "--GARC-REC--\n" (13 chars) relative blank-line
     // offset, reused all over the walk
     val rel = "strpos(substr(c, pos + 13), chr(10) || chr(10))"
     val hdr = s"substr(c, pos + 13, $rel - 1)"
     val len = s"CAST(regexp_extract($hdr, 'len: ([0-9]+)', 1) AS BIGINT)"
     s"""raw AS MATERIALIZED (
-       |  SELECT content AS c FROM read_text('$FixtureRoot/*.garc')
+       |  SELECT content AS c FROM read_text('$root/*.garc')
        |  WHERE substr(content, 1, 9) = 'GARC/1.0' || chr(10)),
        |walk AS (
        |  SELECT c, CAST(10 AS BIGINT) AS pos, 0 AS step FROM raw
@@ -305,7 +339,11 @@ object Crawl {
        |    SELECT c, $hdr AS h, pos + 13 + $rel + 1 AS ps, $len AS n_html
        |    FROM walk
        |    WHERE substr(c, pos, 13) = '--GARC-REC--' || chr(10)
-       |      AND $rel > 0)),
+       |      AND $rel > 0))""".stripMargin
+  }
+
+  private[operators] def sqlWarcCtes: String = {
+    s"""${sqlWalkCtes(FixtureRoot)},
        |stripped AS (
        |  SELECT doc_id, url, n_html,
        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -347,6 +385,28 @@ object Crawl {
        |${Prepare.sqlFullPrepareCtes("crawl_docs")}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  /** Mirror of the media trajectory: the framing walk over the media
+    * archives, pixel values read straight off the hex payload
+    * (`CAST('0x' || substr(...) AS BIGINT)` per byte pair), the dHash
+    * bit algebra, then [[Multimodal.sqlSurvivorTail]]'s EXHAUSTIVE
+    * close — archive bytes to dedup survivors, one hash pin. */
+  private def sqlMediaDedup(maxHamming: Int): String = {
+    def px(p: Int): String =
+      s"CAST('0x' || substr(html, ${2 * p - 1}, 2) AS BIGINT)"
+    def half(range: Range, off: Int): String = range.map { bit =>
+      val y = bit / 8
+      val x = bit % 8
+      s"CASE WHEN ${px(y * 9 + x + 1)} > ${px(y * 9 + x + 2)} " +
+        s"THEN CAST(${1L << (bit - off)} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE ${sqlWalkCtes(MediaFixtureRoot)},
+       |sig AS (SELECT doc_id,
+       |    CAST(${half(0 until 32, 0)} AS BIGINT) AS lo,
+       |    CAST(${half(32 until 64, 32)} AS BIGINT) AS hi
+       |  FROM recs),
+       |${Multimodal.sqlSurvivorTail(maxHamming)}""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- the ingestion front end, end to end: write the archive
@@ -379,5 +439,33 @@ object Crawl {
           length(col("text")).cast("long").as("n_chars"),
           col("text"))
       Prepare.fullPrepare(crawled)
+    },
+
+    // ---- crawl archives carrying MEDIA records: the same length-
+    //      prefixed walk extracts hex-encoded raw 9×8 pixel planes
+    //      (crawl corpora carry images next to text; hex keeps the
+    //      segment ASCII so the oracle's walk still equals byte
+    //      offsets AND pixel values read straight off the payload),
+    //      then the REAL codec path — decode hex → gray PNG encode →
+    //      ImageIO decode → dHash64 → the banded keep-min survivor
+    //      operator. Archive bytes to image-dedup survivors, one
+    //      hash pin; the mirror closes exhaustive (banding recall
+    //      proven on the media trajectory too). ----
+    Q("mm_warc_media", Some(sqlMediaDedup(maxHamming = 3))) { (s, dir) =>
+      writeMediaArchives(s, dir)
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(
+          parseArchives(s, s"$MediaFixtureRoot/*.garc"), col("doc_id"))
+        .select(col("doc_id"), col("html").as("hex"))
+        .as[(Long, String)]
+        .map { case (id, hex) =>
+          val px = Array.tabulate(72)(i =>
+            Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16))
+          val (lo, hi) = Multimodal.dHash64(
+            Multimodal.encodeGrayPng(px, 9, 8))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi")
+      Multimodal.hammingDedupSurvivors(sigs, maxHamming = 3)
     })
 }

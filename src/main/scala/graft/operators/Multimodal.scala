@@ -836,7 +836,7 @@ object Multimodal {
     * banded candidate join loses no pair the exhaustive join finds
     * (the pigeonhole recall theorem, checked end-to-end). Bounded —
     * the oracle runs at sf0.01. */
-  private def sqlSurvivorTail(maxHamming: Int): String =
+  private[operators] def sqlSurvivorTail(maxHamming: Int): String =
     s"""p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        CAST(bit_count(xor(a.lo, b.lo)) +
        |          bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming

@@ -39,7 +39,8 @@ class NoBroadcastParitySpec extends SparkSpec {
     // banded join, the cross-modal conjunction, the KN score attaches,
     // the sketch-predicate salted join, the curve's score join
     "mm_image_dedup_resized", "mm_pair_dedup", "text_kn_logprob",
-    "text_common_bigrams_cms", "text_quality_pr", "text_kn3_logprob")
+    "text_common_bigrams_cms", "text_quality_pr", "text_kn3_logprob",
+    "mm_warc_media")
 
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {

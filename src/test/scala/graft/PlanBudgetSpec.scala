@@ -456,6 +456,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // frame (measured 19 + the ±2
                                         // cached-frame AQE flip margin
                                         // the bigram plane documents)
+    "mm_warc_media" -> 4,               // mm_image_dedup's exact shape
+                                        // (spread + chunk equijoin +
+                                        // candidate dedup + keep-min):
+                                        // the archive walk is the scan-
+                                        // side narrow stage, hex rows
+                                        // are the only spread payload
     "pipeline_ppl_buckets" -> 14,       // text_kn_logprob's scoring
                                         // shape (measured 12, same ±1
                                         // cached-frame flip margin) +

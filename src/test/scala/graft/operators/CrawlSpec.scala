@@ -136,6 +136,19 @@ class CrawlSpec extends SparkSpec {
       "a training corpus must survive the crawl-rooted pipeline")
   }
 
+  test("mm_warc_media: survivors extracted from the media archives " +
+      "equal mm_image_dedup's direct-plane survivors (the crawl round " +
+      "trip preserves the signature plane exactly)") {
+    val viaArchive = graft.SparkEntry
+      .queries("mm_warc_media")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.SparkEntry
+      .queries("mm_image_dedup")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaArchive == direct,
+      "archive-extracted pixels must reproduce the direct dHash plane")
+  }
+
   test("parseArchives distributes one segment per task and the " +
       "composed query equals a direct per-doc recompute") {
     Crawl.writeArchives(spark, sfDir)
