@@ -715,6 +715,37 @@ object Multimodal {
     packBits64(i => amp(i) > amp(i + 1))
   }
 
+  /** PRODUCTION audio fingerprint: decode a WAV of ANY length ≥ 65
+    * samples and area-mean pool it onto the 65-frame fingerprint
+    * geometry before taking gradient signs — the resize step
+    * [[audioFingerprint64]]'s exact-65 precondition delegates to, now
+    * part of the end-to-end path (the [[dHash64Pooled]] discipline
+    * applied to the audio modality). Pooling uses the house stripe
+    * geometry; frame MEANS compare via cross-multiplied integer sums
+    * (PCM sample values are integral; counts are positive, so the
+    * cross-multiplication preserves order for negative amplitudes
+    * too). On an exactly-65-sample input every frame is one sample
+    * and the bits equal the strict form (spec-pinned). */
+  def audioFingerprint64Pooled(bytes: Array[Byte]): (Long, Long) = {
+    val amp = decodeWavAmplitudes(bytes)
+    require(amp.length >= 65,
+      s"pooled audio fingerprint needs >= 65 samples; got ${amp.length}")
+    val bounds = stripeBounds(amp.length, 65)
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < 65) {
+      val (f, t) = bounds(i)
+      var s = 0L
+      var j = f
+      while (j < t) { s += math.round(amp(j)); j += 1 }
+      sums(i) = s
+      cnts(i) = (t - f).toLong
+      i += 1
+    }
+    packBits64(i => sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+  }
+
   /** 64-bit video fingerprint over a REAL AVI demux + per-frame JPEG
     * decode: the sign of each successive FRAME-MEAN difference — the
     * temporal-gradient signature scene-level video dedup keys on.
@@ -912,6 +943,40 @@ object Multimodal {
        |  FROM base),
        |${sqlSurvivorTail(maxHamming)}""".stripMargin
   }
+
+  /** Mirror of the POOLED audio trajectory: per-doc variable-length
+    * sample streams regenerated from ord() arithmetic, the 65-stripe
+    * pooling replayed with integer sums and cross-multiplied mean
+    * comparisons (stripe closed form as in the pooled-image mirror),
+    * then the exhaustive survivor close. */
+  private def sqlPooledAudioDedup(maxHamming: Int): String =
+    s"""WITH base AS (SELECT doc_id,
+       |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 139) AS s,
+       |    130 + (doc_id % 4) * 3 AS n
+       |  FROM documents),
+       |pos AS (SELECT doc_id, s, n,
+       |    unnest(generate_series(0, n - 1)) AS p FROM base),
+       |v AS (SELECT doc_id, n, p,
+       |    CASE WHEN len(s) >= p + 1
+       |      THEN (ord(substr(s, CAST(p + 1 AS INTEGER), 1)) - 80) * 256
+       |      ELSE 0 END AS val
+       |  FROM pos),
+       |cells AS MATERIALIZED (SELECT doc_id,
+       |    LEAST(p // GREATEST(n // 65, 1), 64) AS si,
+       |    CAST(SUM(val) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM v GROUP BY 1, 2),
+       |bits AS (SELECT l.doc_id, l.si AS b,
+       |    CASE WHEN l.sm * r.c > r.sm * l.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON l.doc_id = r.doc_id AND r.si = l.si + 1
+       |  WHERE l.si < 64),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id),
+       |${sqlSurvivorTail(maxHamming)}""".stripMargin
 
   /** Mirror of the CROSS-MODAL conjunction: the caption plane's CTE
     * chain ([[Dedup.sqlJaccardPrefixCtes]], trigram) conjoined with
@@ -1296,6 +1361,33 @@ object Multimodal {
             px(i) = ascii.charAt(i).toInt; i += 1
           }
           val (lo, hi) = dHash64Pooled(encodeGrayPng(px, w, h))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi")
+      hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // PRODUCTION audio dedup on VARIABLE-LENGTH streams: per-doc PCM
+    // at 130..139 samples (2× the fingerprint geometry plus a ragged
+    // tail, so every pooled frame is a multi-sample block and the
+    // last one non-uniform), real WAVE encode + AudioSystem decode,
+    // area-mean pool to 65 frames via exact cross-multiplied integer
+    // sums, then the same banded keep-min survivor operator —
+    // audioFingerprint64's exact-65 precondition is gone from the
+    // end-to-end path (the mm_image_dedup_resized symmetry).
+    Q("mm_audio_dedup_pooled",
+        Some(sqlPooledAudioDedup(maxHamming = 3))) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val n = 130 + (id % 4).toInt * 3
+          val samples = Array.tabulate(n)(i =>
+            if (i < ascii.length) (ascii.charAt(i).toInt - 80) * 256
+            else 0)
+          val (lo, hi) = audioFingerprint64Pooled(encodePcmWav(samples))
           (id, lo, hi)
         }.toDF("doc_id", "lo", "hi")
       hammingDedupSurvivors(sigs, maxHamming = 3)

@@ -42,7 +42,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_warc_extract", "mm_image_dedup_resized", "mm_pair_dedup",
     "text_kn_logprob", "text_common_bigrams_cms", "text_quality_pr",
     "pipeline_crawl_prepare", "text_kn3_logprob",
-    "pipeline_ppl_buckets", "mm_warc_media")
+    "pipeline_ppl_buckets", "mm_warc_media", "mm_audio_dedup_pooled")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

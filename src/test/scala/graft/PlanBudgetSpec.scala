@@ -456,6 +456,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // frame (measured 19 + the ±2
                                         // cached-frame AQE flip margin
                                         // the bigram plane documents)
+    "mm_audio_dedup_pooled" -> 4,       // mm_audio_dedup's exact shape:
+                                        // spread (WAV round trip + POOL
+                                        // is compute) + chunk equijoin
+                                        // + candidate dedup + keep-min
     "mm_warc_media" -> 4,               // mm_image_dedup's exact shape
                                         // (spread + chunk equijoin +
                                         // candidate dedup + keep-min):

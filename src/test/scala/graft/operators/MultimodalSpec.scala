@@ -508,6 +508,30 @@ class MultimodalSpec extends SparkSpec {
     assert(videoOut == Map(20L -> 10L), s"video survivors: $videoOut")
   }
 
+  test("audioFingerprint64Pooled == audioFingerprint64 on exactly-65-" +
+      "sample input, a 2x sample-repeat pools to Hamming 0, and " +
+      "sub-65 input is rejected loudly") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val samples = Array.fill(65)(rnd.nextInt(24000) - 12000)
+      val strict = Multimodal.audioFingerprint64(
+        Multimodal.encodePcmWav(samples))
+      assert(Multimodal.audioFingerprint64Pooled(
+        Multimodal.encodePcmWav(samples)) == strict,
+        "pooled and strict fingerprints diverged on 65 samples")
+      // nearest-neighbor 2x: every pooled frame sums two copies of
+      // one sample -> identical mean comparisons
+      val doubled = samples.flatMap(v => Array(v, v))
+      assert(Multimodal.audioFingerprint64Pooled(
+        Multimodal.encodePcmWav(doubled)) == strict,
+        "2x-repeated stream must pool back to its original")
+    }
+    val tiny = Multimodal.encodePcmWav(Array.fill(40)(5))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.audioFingerprint64Pooled(tiny))
+    assert(e.getMessage.contains("65"))
+  }
+
   test("audio/video fingerprints reject wrong payload shapes loudly") {
     val e1 = intercept[IllegalArgumentException](
       Multimodal.audioFingerprint64(wavOf(Array.fill(10)(0))))
