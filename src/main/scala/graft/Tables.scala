@@ -45,15 +45,38 @@ object Tables {
     * synthetic names) folds to a stable `#absent` key, preserving
     * in-process memo reuse for fixtures. */
   def fingerprint(dir: String, name: String): String = {
+    // listFiles returns null on an I/O error or when the directory
+    // vanishes between exists() and the walk (a concurrent table
+    // rewrite) — treat that as an empty listing, same as latestIndex
+    // in StreamOps (r11 advice)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
-        f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val root = new java.io.File(s"$dir/$name.parquet")
     if (!root.exists()) s"$dir/$name.parquet#absent"
     else walk(root)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString(s"$dir/$name.parquet#", ",", "")
+  }
+
+  /** computeIfAbsent on a [[fingerprint]]-keyed memo that EVICTS stale
+    * entries for the same table path once a fresh fingerprint commits:
+    * the key prefix before `#` identifies the table, so after a table
+    * regeneration the superseded model/filter entry is dropped instead
+    * of accumulating for the JVM's life (r11 advice — a long-lived
+    * driver regenerating tables would otherwise leak one stale weight
+    * map / ~128 KB bloom array per regeneration). At most one live
+    * entry per table path; concurrent readers of the old key simply
+    * recompute. */
+  def memoFresh[V](memo: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String)(compute: String => V): V = {
+    val v = memo.computeIfAbsent(key, k => compute(k))
+    val prefix = key.takeWhile(_ != '#')
+    memo.keySet.removeIf(k =>
+      k != key && k.takeWhile(_ != '#') == prefix)
+    v
   }
 
   /** ns-long `ts` → TimestampType(µs); floor semantics match DuckDB's

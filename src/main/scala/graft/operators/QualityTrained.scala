@@ -125,8 +125,8 @@ object QualityTrained {
 
   private def memoWeights(s: SparkSession, d: DataFrame,
       dir: String): Map[Long, Long] =
-    weightMemo.computeIfAbsent(
-      graft.Tables.fingerprint(dir, "documents"), _ => trainWeights(s, d))
+    graft.Tables.memoFresh(weightMemo,
+      graft.Tables.fingerprint(dir, "documents"))(_ => trainWeights(s, d))
 
   /** Held-out (doc_id, y, score) under the memoized trained weights —
     * the shared front of the confusion matrix and the PR curve. */

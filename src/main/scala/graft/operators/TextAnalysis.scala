@@ -122,8 +122,8 @@ object TextAnalysis {
   def decontaminateBloomPairs(d: DataFrame, dirKey: String): DataFrame = {
     val bg = ngramRows(d, 5, distinctPerDoc = true)
     val evalBg = bg.where(col("doc_id") % 10 === 0)
-    val bf = bloomMemo.computeIfAbsent(
-      graft.Tables.fingerprint(dirKey, "documents"), _ =>
+    val bf = graft.Tables.memoFresh(bloomMemo,
+      graft.Tables.fingerprint(dirKey, "documents"))(_ =>
       evalBg.agg(expr(
         s"bloom_filter_agg(xxhash64(g), ${1L << 16}L, ${1L << 20}L)")
         .as("bf"))

@@ -356,41 +356,6 @@ object StreamOps {
   def cmsCellsStream(toks: DataFrame): DataFrame =
     graft.operators.TextAnalysis.cmsCells(toks)
 
-  /** STREAMING incremental ExactSubstr — the continuous-ingestion twin
-    * of [[graft.operators.Dedup.exactSubstrIncremental]]: each
-    * micro-batch of new documents is cleaned against the accumulated
-    * DISTINCT window-digest index (initially the existing corpus's
-    * index — exactly the structure a production pipeline persists),
-    * then the batch's own digests are appended to the index before the
-    * next batch. Old always wins; a digest first seen in an earlier
-    * micro-batch wins over later arrivals — so for batches arriving in
-    * doc_id order the accumulated result EQUALS the batch operator run
-    * once over the union of all batches (StreamOpsSpec pins the parity
-    * on a 3-batch feed).
-    *
-    * Implementation is `foreachBatch` + an explicitly-carried index,
-    * not a stream-static join: the "static" side must GROW between
-    * micro-batches (each batch's digests feed the next), which
-    * stream-static joins cannot express — foreachBatch is the
-    * documented Structured Streaming escape hatch for exactly this
-    * evolving-lookup-side shape. The index is lineage-truncated per
-    * batch (`localCheckpoint`, the connectedComponents discipline) so
-    * the plan does not deepen with every batch; its size is the
-    * distinct-digest count — the same state a batch re-clean would
-    * rebuild from scratch each run, persisted instead.
-    *
-    * `sink(cleanedBatch, batchId)` receives each batch's cleaned
-    * output (doc_id, n_tokens, n_removed, kept_md5).
-    *
-    * RESTART CONTRACT: the accumulated index lives in process memory
-    * (the AtomicReference below), NOT in the streaming checkpoint — on
-    * a restart-from-checkpoint the source would resume mid-stream
-    * while the index reset to `initialIndex`, silently forgetting
-    * spans first seen in pre-restart batches. This form is therefore
-    * single-run (StreamOpsSpec's parity contract holds within one
-    * run); use [[incrementalSubstrStreamDurable]] when restart
-    * matters — it persists the index per batch id and reloads the
-    * latest committed state, restart-proof by construction. */
   /** STREAMING crawl ingestion — the continuous form of
     * `q_warc_extract`: archive SEGMENTS arriving in a watched
     * directory parse (length-prefixed walk, resync-on-corruption) and
@@ -463,6 +428,7 @@ object StreamOps {
           batchId: java.lang.Long) =>
         val idx = state.get()
         val b = batch.select("doc_id", "lo", "hi").localCheckpoint()
+        assertIdOrder(idx, b, batchId)
         sink(graft.operators.Multimodal
           .hammingDedupSurvivorsAgainst(idx.unionAll(b), b, maxHamming)
           .localCheckpoint(), batchId)
@@ -470,6 +436,26 @@ object StreamOps {
         ()
       }
       .start()
+  }
+
+  /** Loud runtime enforcement of the incremental-dedup ordering
+    * contract (r11 advice): the pairing rule keeps `doc_a < doc_b`,
+    * so a batch doc whose id is BELOW an index doc's would silently
+    * survive its own near-duplicate. Every batch therefore asserts
+    * max(index doc_id) < min(batch doc_id) — two scalar aggregates
+    * over the (already lineage-truncated) 8-byte signature frames, a
+    * bounded per-batch driver sync on the kmeans/CC precedent. */
+  private def assertIdOrder(idx: DataFrame, batch: DataFrame,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val hiRow = idx.agg(fmax("doc_id")).head()
+    val loRow = batch.agg(fmin("doc_id")).head()
+    if (!hiRow.isNullAt(0) && !loRow.isNullAt(0))
+      require(hiRow.getLong(0) < loRow.getLong(0),
+        s"incremental dedup batch $batchId violates the doc_id " +
+          s"ordering contract: index max ${hiRow.getLong(0)} >= " +
+          s"batch min ${loRow.getLong(0)} — new docs must carry ids " +
+          "above every indexed doc (assign monotone ingest ids)")
   }
 
   /** Latest persisted index state `idx_<j>` with j < `beforeBatch`
@@ -539,6 +525,41 @@ object StreamOps {
       .start()
   }
 
+  /** STREAMING incremental ExactSubstr — the continuous-ingestion twin
+    * of [[graft.operators.Dedup.exactSubstrIncremental]]: each
+    * micro-batch of new documents is cleaned against the accumulated
+    * DISTINCT window-digest index (initially the existing corpus's
+    * index — exactly the structure a production pipeline persists),
+    * then the batch's own digests are appended to the index before the
+    * next batch. Old always wins; a digest first seen in an earlier
+    * micro-batch wins over later arrivals — so for batches arriving in
+    * doc_id order the accumulated result EQUALS the batch operator run
+    * once over the union of all batches (StreamOpsSpec pins the parity
+    * on a 3-batch feed).
+    *
+    * Implementation is `foreachBatch` + an explicitly-carried index,
+    * not a stream-static join: the "static" side must GROW between
+    * micro-batches (each batch's digests feed the next), which
+    * stream-static joins cannot express — foreachBatch is the
+    * documented Structured Streaming escape hatch for exactly this
+    * evolving-lookup-side shape. The index is lineage-truncated per
+    * batch (`localCheckpoint`, the connectedComponents discipline) so
+    * the plan does not deepen with every batch; its size is the
+    * distinct-digest count — the same state a batch re-clean would
+    * rebuild from scratch each run, persisted instead.
+    *
+    * `sink(cleanedBatch, batchId)` receives each batch's cleaned
+    * output (doc_id, n_tokens, n_removed, kept_md5).
+    *
+    * RESTART CONTRACT: the accumulated index lives in process memory
+    * (the AtomicReference below), NOT in the streaming checkpoint — on
+    * a restart-from-checkpoint the source would resume mid-stream
+    * while the index reset to `initialIndex`, silently forgetting
+    * spans first seen in pre-restart batches. This form is therefore
+    * single-run (StreamOpsSpec's parity contract holds within one
+    * run); use [[incrementalSubstrStreamDurable]] when restart
+    * matters — it persists the index per batch id and reloads the
+    * latest committed state, restart-proof by construction. */
   def incrementalSubstrStream(newDocs: DataFrame, initialIndex: DataFrame,
       minLen: Int = graft.operators.Dedup.ExactSubstrMinLen)(
       sink: (DataFrame, Long) => Unit)
