@@ -61,10 +61,36 @@ object Crawl {
   val MaxPayloadBytes: Int = 64 << 20
   val MaxHeaderBytes: Int = 4096
 
+  /** Loud cap on one segment's RAW bytes: the parsers materialize one
+    * whole segment as `Array[Byte]` per task (the standard model —
+    * crawlers rotate segments at ~1 GB, so one segment is one task's
+    * working set). An unsplittable over-rotated segment must fail
+    * LOUDLY here, not OOM an executor mid-shuffle; the fix is on the
+    * producer side (rotate smaller segments), so the guard names it. */
+  val MaxSegmentBytes: Int = 1 << 30
+
+  /** Loud cap on a gz segment's DECOMPRESSED bytes (the gzip-bomb /
+    * over-rotation guard for [[gunzipMembers]]): the decompressed
+    * stream must also fit one task's array. Real WARC rotation (~1 GB
+    * compressed, ~3-4x inflation) sits under this only when segments
+    * are rotated on UNCOMPRESSED size too — the guard message says so
+    * instead of letting the copy loop exhaust the heap. */
+  val MaxInflatedBytes: Int = Int.MaxValue - 64
+
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
   private val MagicBytes = FileMagic.getBytes(Ascii)
   private val SentinelBytes = Sentinel.getBytes(Ascii)
+
+  /** `cap` is a test seam (specs pin the loud failure without
+    * allocating gigabyte arrays); every production call site uses the
+    * [[MaxSegmentBytes]] default. */
+  private[operators] def guardSegmentSize(n: Int,
+      cap: Int = MaxSegmentBytes): Unit =
+    require(n <= cap,
+      s"crawl segment is $n bytes, over the $cap-byte " +
+        "per-task cap — rotate smaller segments at the crawler " +
+        "(standard WARC rotation is ~1 GB)")
 
   /** Serialize records into one archive segment (the writer the spec
     * and fixture share; production archives come from the crawler). */
@@ -89,6 +115,7 @@ object Crawl {
     * a lying `len` that lands mid-text fails that check and the
     * parser rescans for the next sentinel. */
   def parseArchive(bytes: Array[Byte]): Seq[(Long, String, String)] = {
+    guardSegmentSize(bytes.length)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
     def startsWith(at: Int, pat: Array[Byte]): Boolean =
       at >= 0 && at + pat.length <= bytes.length && {
@@ -171,6 +198,218 @@ object Crawl {
     * typed rows out, partition-parallel, no driver involvement). */
   def parseArchives(s: SparkSession, glob: String): DataFrame =
     extractFromSegments(s.read.format("binaryFile").load(glob))
+
+  // ---- REAL WARC/1.0: gzip-compressed, WARC-grammar segments (the
+  //      CommonCrawl layout) ----
+
+  /** WARC/1.0 record grammar, per the ISO 28500 family as CommonCrawl
+    * ships it: version line `WARC/1.0\r\n`, `Name: value\r\n` header
+    * lines, a blank `\r\n`, exactly `Content-Length` payload bytes,
+    * then the `\r\n\r\n` record separator. `WARC-Type: response`
+    * records wrap a full HTTP response (status line + HTTP headers +
+    * `\r\n\r\n` + body); warcinfo/request/metadata records interleave
+    * and must be filtered out by type, not position. */
+  val WarcVersion = "WARC/1.0\r\n"
+  private val WarcVersionBytes = WarcVersion.getBytes(Ascii)
+  private val CrlfCrlfBytes = "\r\n\r\n".getBytes(Ascii)
+
+  /** Decompress a multi-member gzip segment — CommonCrawl writes ONE
+    * gzip member PER RECORD and concatenates them, so a whole segment
+    * decompresses in one pass and any record boundary is also a
+    * member boundary. The walk is MEMBER-AT-A-TIME with each member's
+    * output held back until its own CRC32 + ISIZE trailer verifies:
+    * a bit-flipped member is therefore dropped WHOLE — never streamed
+    * through garbled for the grammar walk to misparse (a plain
+    * GZIPInputStream pass has exactly that leak: deflate happily
+    * inflates flipped bytes and the CRC only trips after they're
+    * out — CrawlSpec pins the difference). Decompression stops at the
+    * first damaged or truncated member: deflate carries no sync
+    * points, so the tail of a damaged segment is lost by construction
+    * (every real WARC reader shares this; record-level
+    * WARC-Block-Digest re-verification is the layer above).
+    * Grammar-level corruption INSIDE CRC-clean members is the WARC
+    * walk's resync job, one layer up. Never throws on hostile bytes;
+    * the only loud exits are the segment-size guards. */
+  def gunzipMembers(bytes: Array[Byte],
+      maxInflated: Long = MaxInflatedBytes): Array[Byte] = {
+    guardSegmentSize(bytes.length)
+    val len = bytes.length
+    def u32le(at: Int): Long =
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4L, 1L << 20).toInt)
+    var pos = 0
+    var halt = false
+    while (!halt && pos + 10 <= len) {
+      // RFC 1952 member header: magic 1f 8b, CM=deflate, FLG, then
+      // optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
+      if (bytes(pos) != 0x1f.toByte || bytes(pos + 1) != 0x8b.toByte ||
+          bytes(pos + 2) != 8.toByte) halt = true
+      else {
+        val flg = bytes(pos + 3)
+        var p = pos + 10
+        if ((flg & 4) != 0) {
+          if (p + 2 > len) { halt = true; p = len }
+          else p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+        }
+        if (!halt && (flg & 8) != 0) {
+          while (p < len && bytes(p) != 0) p += 1
+          p += 1
+        }
+        if (!halt && (flg & 16) != 0) {
+          while (p < len && bytes(p) != 0) p += 1
+          p += 1
+        }
+        if (!halt && (flg & 2) != 0) p += 2
+        if (halt || p >= len) halt = true
+        else {
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(bytes, p, len - p)
+            val member = new java.io.ByteArrayOutputStream()
+            val crc = new java.util.zip.CRC32()
+            val buf = new Array[Byte](64 << 10)
+            var memberOk = true
+            try {
+              while (memberOk && !inf.finished()) {
+                val n = inf.inflate(buf)
+                if (n > 0) {
+                  require(out.size().toLong + member.size() + n
+                      <= maxInflated,
+                    s"gz crawl segment inflates past $maxInflated " +
+                      "bytes per task — rotate segments on " +
+                      "UNCOMPRESSED size at the crawler (or this is " +
+                      "a gzip bomb)")
+                  member.write(buf, 0, n)
+                  crc.update(buf, 0, n)
+                } else if (inf.needsInput() || inf.needsDictionary())
+                  memberOk = false // truncated deflate stream
+              }
+            } catch {
+              case _: java.util.zip.DataFormatException => memberOk = false
+            }
+            val trailerAt = p + inf.getBytesRead.toInt
+            if (memberOk && inf.finished() && trailerAt + 8 <= len &&
+                u32le(trailerAt) == crc.getValue &&
+                u32le(trailerAt + 4) ==
+                  (member.size().toLong & 0xffffffffL)) {
+              member.writeTo(out)
+              pos = trailerAt + 8
+            } else halt = true // damaged/truncated member: drop whole
+          } finally inf.end()
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Walk one DECOMPRESSED WARC/1.0 segment; emit (uri, html_body)
+    * for every well-formed `WARC-Type: response` record, resyncing
+    * past malformed ones. The same length-prefixed discipline as
+    * [[parseArchive]]: positions advance by the DECLARED
+    * Content-Length — never by scanning payload for delimiters — so a
+    * payload containing the version string parses as one intact
+    * record; every read is bounds-checked; a record is accepted only
+    * if its declared payload ends exactly on the `\r\n\r\n` record
+    * separator (or EOF), and a lying length fails that check and
+    * rescans for the next version line. The HTTP header block inside
+    * a response payload is skipped up to its own first `\r\n\r\n`; a
+    * response payload with no HTTP break is malformed HTTP and yields
+    * no row (the WARC walk itself continues normally — its framing
+    * was valid). Never throws on hostile bytes. */
+  def parseWarc(bytes: Array[Byte]): Seq[(String, String)] = {
+    guardSegmentSize(bytes.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def startsWith(at: Int, pat: Array[Byte]): Boolean =
+      at >= 0 && at + pat.length <= bytes.length && {
+        var i = 0
+        while (i < pat.length && bytes(at + i) == pat(i)) i += 1
+        i == pat.length
+      }
+    def nextVersion(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + WarcVersionBytes.length <= bytes.length &&
+          !startsWith(i, WarcVersionBytes)) i += 1
+      if (i + WarcVersionBytes.length <= bytes.length) i else bytes.length
+    }
+    if (!startsWith(0, WarcVersionBytes)) return out.toSeq
+    var pos = 0
+    var nRecs = 0
+    while (pos < bytes.length && nRecs < MaxRecordsPerFile) {
+      if (!startsWith(pos, WarcVersionBytes)) pos = nextVersion(pos + 1)
+      else {
+        nRecs += 1
+        val hs = pos + WarcVersionBytes.length
+        // blank line (\r\n\r\n) within the header cap ends the headers
+        var blank = -1
+        var i = hs
+        val lim = math.min(bytes.length - 3, hs + MaxHeaderBytes)
+        while (blank < 0 && i < lim) {
+          if (startsWith(i, CrlfCrlfBytes)) blank = i else i += 1
+        }
+        val parsed = if (blank < 0) None else {
+          val hdrText = new String(bytes, hs, blank - hs, Utf8)
+          // a header block running INTO the next record's version line
+          // means this record's own blank line never came — corrupt;
+          // resync restarts at that embedded version line
+          if (hdrText.contains(WarcVersion.stripLineEnd)) None else {
+            val kv = hdrText.split("\r\n")
+              .iterator.flatMap { line =>
+                val j = line.indexOf(": ")
+                if (j > 0) Some(line.substring(0, j) -> line.substring(j + 2))
+                else None
+              }.toMap
+            val len = kv.get("Content-Length")
+              .filter(s => s.nonEmpty && s.length <= 9 &&
+                s.forall(_.isDigit)).map(_.toInt)
+              .filter(_ <= MaxPayloadBytes)
+            val ps = blank + 4
+            len match {
+              case Some(l) if ps + l <= bytes.length &&
+                  (ps + l == bytes.length ||
+                    startsWith(ps + l, CrlfCrlfBytes)) =>
+                Some((kv, ps, l, ps + l + 4))
+              case _ => None
+            }
+          }
+        }
+        parsed match {
+          case Some((kv, ps, l, next)) =>
+            if (kv.get("WARC-Type").contains("response")) {
+              kv.get("WARC-Target-URI").filter(_.nonEmpty).foreach { uri =>
+                // skip the wrapped HTTP response's own header block
+                var j = ps
+                val plim = ps + l - 3
+                var break = -1
+                while (break < 0 && j < plim) {
+                  if (startsWith(j, CrlfCrlfBytes)) break = j else j += 1
+                }
+                if (break >= 0) {
+                  val bs = break + 4
+                  out += ((uri, new String(bytes, bs, ps + l - bs, Utf8)))
+                }
+              }
+            }
+            pos = next
+          case None => pos = nextVersion(pos + 1)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** One gz WARC segment per task → (url, html) rows for the response
+    * records: gunzip + grammar walk + HTTP skip in the SAME narrow
+    * stage as the GARC path — no shuffle ever carries raw bytes. */
+  def parseWarcSegments(s: SparkSession, glob: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parseWarc(gunzipMembers(b)))
+      .toDF("url", "html")
+  }
 
   // ---- HTML → text: both engines run THESE patterns (RE2-safe: no
   //      backreferences, non-greedy supported by both Java regex and
@@ -302,6 +541,95 @@ object Crawl {
       px.map(p => f"$p%02x").mkString
     }
 
+  /** WARC fixture root: each segment is written TWICE — `partN.warc`
+    * (the raw record stream) and `partN.warc.gz` (the same records,
+    * one gzip member each, concatenated — the CommonCrawl layout).
+    * The engine reads ONLY the `.warc.gz` twin; the oracle walks the
+    * raw twin (DuckDB cannot gunzip), so the hash-match pins
+    * member-per-record decompression + the WARC grammar walk against
+    * the independently-parsed identical bytes (the md5-twin oracle
+    * discipline). */
+  val WarcFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_warc"
+
+  /** Serialize one WARC/1.0 record; Content-Length is appended as the
+    * final header (derived from the payload, as crawlers write it). */
+  def encodeWarcRecord(headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(WarcVersionBytes)
+    headers.foreach { case (k, v) =>
+      b.write(s"$k: $v\r\n".getBytes(Ascii))
+    }
+    b.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(Ascii))
+    b.write(payload)
+    b.write(CrlfCrlfBytes)
+    b.toByteArray
+  }
+
+  /** One complete gzip member around one record's bytes. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(b)
+    gz.write(record)
+    gz.close()
+    b.toByteArray
+  }
+
+  /** Write the current dir's documents as WARC/1.0 segments (raw +
+    * gzipped twins): per segment a `warcinfo` head record, then per
+    * doc a `request` record AND a `response` record wrapping an HTTP
+    * response around the page — so the extractor's WARC-Type filter
+    * and HTTP-header skip both have real targets. Driver-side fixture
+    * writer standing in for the crawler ([[writeArchives]]'s role);
+    * payload text sanitized to printable ASCII so the raw twin's
+    * character positions equal byte offsets for the oracle walk. */
+  def writeWarcArchives(s: SparkSession, dir: String): Unit = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy("doc_id").collect()
+    val root = java.nio.file.Paths.get(WarcFixtureRoot)
+    java.nio.file.Files.createDirectories(root)
+    def recId(n: Long): String =
+      f"<urn:uuid:00000000-0000-4000-8000-$n%012d>"
+    (0 until FixtureFiles).foreach { f =>
+      val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      recs += encodeWarcRecord(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> recId(900000000L + f),
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/warc-fields"),
+        ("software: graftbot/1.0\r\n" +
+          "format: WARC File Format 1.0\r\n").getBytes(Ascii))
+      rows.iterator.filter(_.getLong(0) % FixtureFiles == f).foreach { r =>
+        val id = r.getLong(0)
+        val host = s"${r.getString(2)}.example.org"
+        val url = s"https://$host/doc/$id"
+        val ascii = r.getString(1).replaceAll("[^\\x20-\\x7e]", "")
+        recs += encodeWarcRecord(Seq(
+          "WARC-Type" -> "request",
+          "WARC-Record-ID" -> recId(2 * id),
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/http; msgtype=request"),
+          (s"GET /doc/$id HTTP/1.1\r\nHost: $host\r\n" +
+            "User-Agent: graftbot/1.0\r\n\r\n").getBytes(Ascii))
+        recs += encodeWarcRecord(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> recId(2 * id + 1),
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/http; msgtype=response"),
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+            s"charset=UTF-8\r\nX-Crawl-Doc: $id\r\n\r\n" +
+            wrapHtml(id, ascii)).getBytes(Ascii))
+      }
+      java.nio.file.Files.write(root.resolve(s"part$f.warc"),
+        recs.toArray.flatten)
+      java.nio.file.Files.write(root.resolve(s"part$f.warc.gz"),
+        recs.toArray.flatMap(gzipMember))
+    }
+  }
+
   /** DuckDB replays the SAME length-prefixed framing: a recursive CTE
     * walks 1-based character positions (== byte offsets on the ASCII
     * fixture) from each segment's magic through sentinel → headers →
@@ -342,14 +670,16 @@ object Crawl {
        |      AND $rel > 0))""".stripMargin
   }
 
-  private[operators] def sqlWarcCtes: String = {
-    s"""${sqlWalkCtes(FixtureRoot)},
-       |stripped AS (
+  /** The HTML→text strip algebra as CTEs (`stripped` … `warc_docs`)
+    * over any `src` relation with (doc_id, url, html, n_html) — the
+    * GARC and WARC walks share it verbatim. */
+  private[operators] def sqlStripCtes(src: String): String = {
+    s"""stripped AS (
        |  SELECT doc_id, url, n_html,
        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |      html, '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g'),
        |      '$CommentRe', ' ', 'g'), '$TagRe', ' ', 'g') AS t0
-       |  FROM recs),
+       |  FROM $src),
        |decoded AS (
        |  SELECT doc_id, url, n_html,
        |    replace(replace(replace(replace(replace(t0,
@@ -367,8 +697,60 @@ object Crawl {
        |  FROM decoded)""".stripMargin
   }
 
+  private[operators] def sqlWarcCtes: String =
+    s"""${sqlWalkCtes(FixtureRoot)},
+       |${sqlStripCtes("recs")}""".stripMargin
+
+  /** DuckDB replays the WARC/1.0 grammar over the RAW `.warc` twin of
+    * the gz fixture: the recursive walk advances by 10 (version line)
+    * + header block + 4 (blank) + Content-Length + 4 (record
+    * separator); `recs` then keeps `WARC-Type: response` records,
+    * skips each payload's HTTP header block to its first CRLFCRLF,
+    * and derives doc_id from the target URI — exactly the engine's
+    * walk, minus only the gunzip the twin layout pins. */
+  private[operators] def sqlWarcGzWalkCtes(root: String): String = {
+    val crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    val rel = s"strpos(substr(c, pos + 10), $crlf2)"
+    val hdr = s"substr(c, pos + 10, $rel - 1)"
+    val clen =
+      s"CAST(regexp_extract($hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    s"""raw AS MATERIALIZED (
+       |  SELECT content AS c FROM read_text('$root/*.warc')
+       |  WHERE substr(content, 1, 10) = 'WARC/1.0' || chr(13) || chr(10)),
+       |walk AS (
+       |  SELECT c, CAST(1 AS BIGINT) AS pos, 0 AS step FROM raw
+       |  UNION ALL
+       |  SELECT c, pos + 10 + $rel + 3 + $clen + 4, step + 1
+       |  FROM walk
+       |  WHERE substr(c, pos, 10) = 'WARC/1.0' || chr(13) || chr(10)
+       |    AND $rel > 0 AND step < 100000),
+       |recs AS MATERIALIZED (
+       |  SELECT CAST(regexp_extract(url, '/doc/([0-9]+)$$', 1) AS BIGINT)
+       |      AS doc_id,
+       |    url, substr(pay, hb + 4) AS html,
+       |    CAST(length(substr(pay, hb + 4)) AS BIGINT) AS n_html
+       |  FROM (
+       |    SELECT
+       |      regexp_extract(h, 'WARC-Type: ([a-z]+)', 1) AS typ,
+       |      regexp_extract(h, 'WARC-Target-URI: ([^\\r\\n]+)', 1) AS url,
+       |      substr(c, ps, n) AS pay,
+       |      strpos(substr(c, ps, n), $crlf2) AS hb
+       |    FROM (
+       |      SELECT c, $hdr AS h, pos + 10 + $rel + 3 AS ps, $clen AS n
+       |      FROM walk
+       |      WHERE substr(c, pos, 10) = 'WARC/1.0' || chr(13) || chr(10)
+       |        AND $rel > 0))
+       |  WHERE typ = 'response' AND url <> '' AND hb > 0)""".stripMargin
+  }
+
   private def sqlWarcExtract: String =
     s"""WITH RECURSIVE $sqlWarcCtes
+       |SELECT doc_id, url, n_html, text FROM warc_docs
+       |ORDER BY doc_id""".stripMargin
+
+  private def sqlWarcGzExtract: String =
+    s"""WITH RECURSIVE ${sqlWarcGzWalkCtes(WarcFixtureRoot)},
+       |${sqlStripCtes("recs")}
        |SELECT doc_id, url, n_html, text FROM warc_docs
        |ORDER BY doc_id""".stripMargin
 
@@ -420,6 +802,29 @@ object Crawl {
       writeArchives(s, dir)
       extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
         .orderBy("doc_id")
+    },
+
+    // ---- REAL WARC: the same front end over gzip-compressed
+    //      WARC/1.0 segments in the CommonCrawl layout — one gzip
+    //      member per record, warcinfo/request records interleaved
+    //      with the responses, each response wrapping a full HTTP
+    //      message. The engine gunzips the multi-member stream, walks
+    //      the WARC grammar by DECLARED Content-Length, filters
+    //      `WARC-Type: response`, skips the HTTP header block, then
+    //      runs the identical strip chain. The oracle walks the RAW
+    //      `.warc` twin of the same segments (byte-identical to the
+    //      decompressed stream by construction), so the hash pins
+    //      decompression + grammar + type filter + HTTP skip + strip,
+    //      end to end. Same narrow one-exchange shape as
+    //      q_warc_extract. ----
+    Q("q_warc_extract_gz", Some(sqlWarcGzExtract)) { (s, dir) =>
+      writeWarcArchives(s, dir)
+      val recs = parseWarcSegments(s, s"$WarcFixtureRoot/*.warc.gz")
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("html"))
+      extractText(recs).orderBy("doc_id")
     },
 
     // ---- the TRUE end-to-end pretraining pipeline: raw crawl

@@ -493,6 +493,14 @@ class PlanBudgetSpec extends SparkSpec {
                                         // + per-score group agg + the
                                         // bounded distinct-score curve
                                         // window + sort
+    // ---- round-12 additions (measured at sf0.001) ----
+    "q_warc_extract_gz" -> 1,           // q_warc_extract's exact shape
+                                        // over the gz WARC twin: member
+                                        // gunzip + grammar walk + HTTP
+                                        // skip + strip all in ONE
+                                        // narrow stage; the only
+                                        // exchange is the output sort
+                                        // (measured 1)
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -149,6 +149,152 @@ class CrawlSpec extends SparkSpec {
       "archive-extracted pixels must reproduce the direct dHash plane")
   }
 
+  // ---- REAL WARC/1.0 over multi-member gzip ----
+
+  private def httpResponse(id: Long, html: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"X-Crawl-Doc: $id\r\n\r\n" + html)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def responseRec(id: Long, url: String,
+      payload: Array[Byte]): Array[Byte] =
+    Crawl.encodeWarcRecord(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "WARC-Target-URI" -> url,
+      "Content-Type" -> "application/http; msgtype=response"), payload)
+
+  private def warcSegment(docs: Seq[(Long, String, String)])
+      : Seq[Array[Byte]] = {
+    val info = Crawl.encodeWarcRecord(Seq(
+      "WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graftbot/1.0\r\n".getBytes)
+    info +: docs.flatMap { case (id, url, html) =>
+      Seq(
+        Crawl.encodeWarcRecord(Seq(
+          "WARC-Type" -> "request",
+          "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/http; msgtype=request"),
+          s"GET / HTTP/1.1\r\nHost: h\r\n\r\n".getBytes),
+        responseRec(id, url, httpResponse(id, html)))
+    }
+  }
+
+  private val wrecs = recs
+  private def wantWarc = wrecs.map { case (_, url, html) => (url, html) }
+
+  test("gz WARC round trip: gunzip the member-per-record stream, keep " +
+      "only WARC-Type: response, skip the HTTP headers") {
+    val gz = warcSegment(wrecs).flatMap(Crawl.gzipMember).toArray
+    assert(Crawl.parseWarc(Crawl.gunzipMembers(gz)) == wantWarc,
+      "responses must survive; warcinfo and request records must not")
+  }
+
+  test("WARC: a payload CONTAINING the version line parses as ONE " +
+      "intact record (Content-Length framing, not delimiter splitting)") {
+    val trap = (7L, "https://t.example.org/doc/7",
+      s"<p>before before before before</p>\n${Crawl.WarcVersion}" +
+        "WARC-Type: response\r\nContent-Length: 0\r\n\r\n" +
+        "<p>after after after after</p>")
+    val seg = warcSegment(Seq(wrecs.head, trap)).flatten.toArray
+    assert(Crawl.parseWarc(seg) ==
+      Seq(wantWarc.head, (trap._2, trap._3)),
+      "declared length must carry the walk OVER embedded version bytes")
+  }
+
+  test("WARC: a lying Content-Length fails the record-separator check " +
+      "and the parser resyncs to the NEXT record") {
+    val seg = warcSegment(wrecs).flatten.toArray
+    val s = new String(seg, java.nio.charset.StandardCharsets.US_ASCII)
+    // record 2's response payload: HTTP head (49 bytes) + 30-byte body
+    val want = httpResponse(2L, wrecs(1)._3).length
+    val lied = s.replaceFirst(s"Content-Length: $want",
+      s"Content-Length: ${want - 13}")
+    assert(s != lied, "fixture layout changed; update the lied length")
+    val parsed = Crawl.parseWarc(
+      lied.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    assert(parsed == Seq(wantWarc(0), wantWarc(2)),
+      s"got $parsed")
+  }
+
+  test("WARC: a response payload with no HTTP header break yields no " +
+      "row, but the walk continues to later records") {
+    val bad = responseRec(9L, "https://x.example.org/doc/9",
+      "no http break here at all".getBytes)
+    val seg = (warcSegment(Seq(wrecs.head)) ++ Seq(bad) ++
+      warcSegment(wrecs.drop(2)).drop(1)).flatten.toArray
+    assert(Crawl.parseWarc(seg) == Seq(wantWarc(0), wantWarc(2)))
+  }
+
+  test("WARC gz: a truncated final member keeps every intact earlier " +
+      "record and never throws") {
+    val members = warcSegment(wrecs).map(Crawl.gzipMember)
+    val gz = members.flatten.toArray
+    val cut = java.util.Arrays.copyOfRange(gz, 0,
+      gz.length - members.last.length / 2)
+    val parsed = Crawl.parseWarc(Crawl.gunzipMembers(cut))
+    assert(parsed == wantWarc.dropRight(1),
+      "records before the truncated member must survive")
+  }
+
+  test("WARC gz: a bit flip inside a middle member drops that member " +
+      "WHOLE (per-member CRC gate — garbled bytes never reach the " +
+      "grammar walk) and truncates there; earlier records are intact") {
+    val members = warcSegment(wrecs).map(Crawl.gzipMember)
+    val gz = members.flatten.toArray
+    // members: info, req1, resp1, req2, resp2, ... — flip a byte
+    // inside member 4 (response #2)'s deflate data
+    val off = members.take(4).map(_.length).sum + members(4).length / 2
+    gz(off) = (gz(off) ^ 0x55).toByte
+    val parsed = Crawl.parseWarc(Crawl.gunzipMembers(gz))
+    assert(parsed == Seq(wantWarc.head),
+      "response #1 must survive byte-exact; the damaged response #2 " +
+        "must be dropped whole, never surfaced garbled; the tail " +
+        "after the damage is lost (deflate has no sync points)")
+  }
+
+  test("WARC: seeded byte-flip fuzz on the decompressed grammar never " +
+      "throws and never over-emits") {
+    val base = warcSegment(wrecs).flatten.toArray
+    val rnd = new scala.util.Random(0xBEEF)
+    (1 to 200).foreach { _ =>
+      val mutated = base.clone()
+      (1 to 1 + rnd.nextInt(6)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      assert(Crawl.parseWarc(mutated).size <= wantWarc.size)
+    }
+  }
+
+  test("WARC gz: garbage that is not gzip at all yields no records") {
+    assert(Crawl.parseWarc(Crawl.gunzipMembers(
+      "totally not gzip".getBytes)) == Nil)
+    assert(Crawl.parseWarc(Array.emptyByteArray) == Nil)
+  }
+
+  test("segment-size guards fail LOUDLY: raw cap and inflation cap " +
+      "both name the rotation fix (never a silent truncate or OOM)") {
+    val e1 = intercept[IllegalArgumentException](
+      Crawl.guardSegmentSize(101, cap = 100))
+    assert(e1.getMessage.contains("rotate smaller segments"))
+    val member = Crawl.gzipMember(("x" * 4096).getBytes)
+    val e2 = intercept[IllegalArgumentException](
+      Crawl.gunzipMembers(member, maxInflated = 1024L))
+    assert(e2.getMessage.contains("UNCOMPRESSED"))
+  }
+
+  test("q_warc_extract_gz equals q_warc_extract row for row: the gz " +
+      "WARC path and the GARC path extract the identical corpus") {
+    val gz = graft.SparkEntry
+      .queries("q_warc_extract_gz")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val garc = graft.SparkEntry
+      .queries("q_warc_extract")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(gz == garc)
+  }
+
   test("parseArchives distributes one segment per task and the " +
       "composed query equals a direct per-doc recompute") {
     Crawl.writeArchives(spark, sfDir)
