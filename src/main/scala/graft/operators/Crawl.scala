@@ -838,11 +838,19 @@ object Crawl {
     //      production — everything derives from the archive). ----
     Q("pipeline_crawl_prepare", Some(sqlCrawlPrepare)) { (s, dir) =>
       writeArchives(s, dir)
+      // parse ONCE: the extraction is eagerly checkpointed before the
+      // composed prepare, whose stage-report legs reference the crawl
+      // corpus from several consumers — without this the plan re-ran
+      // the archive scan + parse once per leg (3 binaryFile scans
+      // measured in r11's PLANS.md; the fullPrepare stage-boundary
+      // discipline, applied to the stage BEFORE stage 0). At 100 TB
+      // that is one pass over raw bytes instead of three.
       val crawled = extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
         .select(col("doc_id"),
           regexp_extract(col("url"), "https://([^.]+)\\.", 1).as("lang"),
           length(col("text")).cast("long").as("n_chars"),
           col("text"))
+        .localCheckpoint()
       Prepare.fullPrepare(crawled)
     },
 

@@ -486,7 +486,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the crawl front (parse + HTML
                                         // strip) is one narrow stage and
                                         // adds ZERO exchanges to the
-                                        // composed corpus prep
+                                        // composed corpus prep; since
+                                        // r12 the extraction is eagerly
+                                        // checkpointed, so the archive
+                                        // scan+parse runs ONCE (r11's
+                                        // plan re-parsed it per
+                                        // stage-report leg — 3 scans)
     "text_quality_pr" -> 6,             // the text_quality_trained
                                         // reporting shape (eval feature
                                         // spread + tf agg + score agg)
