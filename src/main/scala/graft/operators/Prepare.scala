@@ -69,7 +69,19 @@ object Prepare {
       .select(lit(stage).as("stage"), col("n"), col("tokens"),
         lit(null).cast("string").as("digest"))
 
+  /** The default stage-2 gate: per-language top half by n_chars (the
+    * rule-heuristic operating point the pipeline shipped with). */
+  private def heuristicGate(canon: DataFrame): DataFrame =
+    Sampling.topHalfByScore(canon, "lang", "n_chars")
+
   /** Run the full pipeline; returns the 6-row stage summary.
+    *
+    * `gate` is the stage-2 quality filter over the CANONICALIZED
+    * corpus (columns doc_id, lang, n_chars, text in — at least
+    * (doc_id, text) out): the heuristic per-language top half by
+    * default, the TRAINED classifier at its PR-chosen threshold in
+    * `pipeline_full_prepare_trained` — the same composition seam
+    * canonicalization got in r11.
     *
     * Stage boundaries are EAGER lineage-truncating checkpoints, not
     * caches: each stage's logical plan is itself a deep DAG
@@ -84,12 +96,13 @@ object Prepare {
     * (slim survivor rows) persists on executors and downstream plans
     * see a leaf; a 100 TB run would checkpoint these boundaries to
     * durable storage instead (same DAG, durable edges). */
-  def fullPrepare(d: DataFrame): DataFrame = {
+  def fullPrepare(d: DataFrame,
+      gate: DataFrame => DataFrame = heuristicGate): DataFrame = {
     // stage 1: the canonical plane — a narrow per-row projection (the
     // native nfc_normalize expression + two regex folds), no exchange;
     // everything downstream shingles/windows canonical text
     val canon = TextAnalysis.canonicalized(d)
-    val gated = Sampling.topHalfByScore(canon, "lang", "n_chars")
+    val gated = gate(canon)
     // survivors of the ExactSubstr clean: (doc_id, text, n_kept) —
     // feeds its count row, the near-dup pair join AND the anti-join's
     // keep side
@@ -142,21 +155,27 @@ object Prepare {
     * extraction CTE for the composed `pipeline_crawl_prepare`. The
     * body is exposed so composing mirrors can prepend their own
     * chains; callers add the WITH prefix and final SELECT. */
-  private[operators] def sqlFullPrepareCtes(src: String): String = {
+  /** The default (heuristic) stage-2 gate CTE: per-language top half
+    * by n_chars over `canon`. */
+  private[operators] val sqlHeuristicGateCte: String =
+    """gate AS MATERIALIZED (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY n_chars DESC, doc_id) AS rnk,
+      |      COUNT(*) OVER (PARTITION BY lang) AS nis
+      |    FROM canon)
+      |  WHERE rnk * 2 <= nis + 1)""".stripMargin
+
+  private[operators] def sqlFullPrepareCtes(src: String,
+      gateCtes: String = sqlHeuristicGateCte): String = {
     val L = Dedup.ExactSubstrMinLen
     s"""canon AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars,
        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
        |      '[\\p{P}\\p{S}]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
        |  FROM $src),
-       |gate AS MATERIALIZED (
-       |  SELECT doc_id, text FROM (
-       |    SELECT doc_id, text,
-       |      ROW_NUMBER() OVER (PARTITION BY lang
-       |        ORDER BY n_chars DESC, doc_id) AS rnk,
-       |      COUNT(*) OVER (PARTITION BY lang) AS nis
-       |    FROM canon)
-       |  WHERE rnk * 2 <= nis + 1),
+       |$gateCtes,
        |gtoks AS MATERIALIZED (SELECT doc_id,
        |    string_split_regex(text, '\\s+') AS ts FROM gate),
        |ww AS MATERIALIZED (SELECT doc_id, p,
@@ -273,6 +292,11 @@ object Prepare {
     s"""WITH ${sqlFullPrepareCtes("documents")}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  private def sqlFullPrepareTrained: String =
+    s"""WITH ${QualityTrained.sqlModelCtes},
+       |${sqlFullPrepareCtes("documents", QualityTrained.sqlTrainedGateCtes)}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- the full prepare trajectory, hash-matched: quality gate →
@@ -280,5 +304,20 @@ object Prepare {
     //      one pinned summary row per stage. ----
     Q("pipeline_full_prepare", Some(sqlFullPrepare)) { (s, dir) =>
       fullPrepare(docs(s, dir))
+    },
+
+    // ---- the composed prepare with the TRAINED quality gate: the
+    //      perceptron of text_quality_trained, at the operating point
+    //      text_quality_pr's curve picks (max recall at held-out
+    //      precision ≥ 0.9, integer-exact), replaces the heuristic
+    //      top-half stage — the r11 canonicalization playbook applied
+    //      to the classifier, closing the last exists-standalone-but-
+    //      not-composed gap. Mirror = the 30-epoch model chain + the
+    //      curve/threshold CTEs + the identical fullPrepare chain with
+    //      only its gate CTE swapped; one hash pins train → threshold
+    //      → gate → substr → dedup → decontaminate → pack. ----
+    Q("pipeline_full_prepare_trained",
+        Some(sqlFullPrepareTrained)) { (s, dir) =>
+      fullPrepare(docs(s, dir), QualityTrained.trainedGate(s, dir))
     })
 }

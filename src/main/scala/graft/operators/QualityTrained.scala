@@ -185,6 +185,34 @@ object QualityTrained {
       .orderBy("thr")
   }
 
+  /** The TRAINED stage-2 gate for the composed prepare
+    * (`pipeline_full_prepare_trained`): keep docs whose perceptron
+    * score under the memoized trained weights EXCEEDS the PR-chosen
+    * operating threshold — the highest-recall point with held-out
+    * precision ≥ 0.9, picked INTEGER-EXACTLY off the [[prCurve]]
+    * frame (prec ≥ 0.9 ⟺ tp ≥ 9·fp; MIN qualifying thr = max
+    * recall; tp > 0 excludes the degenerate empty-prediction point;
+    * COALESCE to 0 — [[confusion]]'s fixed operating point — if no
+    * threshold qualifies). Scores the CANONICAL text (the plane every
+    * downstream stage consumes); training/threshold selection run on
+    * the raw `documents` table exactly as `text_quality_trained` /
+    * `text_quality_pr` do, so the gate reuses their memoized model.
+    * The threshold rides a 1-row broadcast; scoring is one
+    * feature-hash aggregate + one broadcast-weight join — the same
+    * bounded shapes as the standalone queries. */
+  def trainedGate(s: SparkSession, dir: String)(
+      canon: DataFrame): DataFrame = {
+    val d = docs(s, dir)
+    val w = memoWeights(s, d, dir)
+    val thr = prCurve(s, d, dir)
+      .where(col("tp") > 0 && col("tp") >= col("fp") * 9L)
+      .agg(coalesce(min("thr"), lit(0L)).as("__thr"))
+    canon.join(scores(features(canon), weightsDf(s, w)), Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .where(col("score") > col("__thr"))
+      .select(col("doc_id"), col("text"))
+  }
+
   // ------------------------------------------------------------------
   // Oracle: the identical bounded-epoch loop as unrolled CTEs.
   // ------------------------------------------------------------------
@@ -223,9 +251,9 @@ object QualityTrained {
   }
 
   /** The full train→held-out-score chain (`lblall` … `ev`) shared by
-    * the confusion and PR-curve mirrors — 30 unrolled epochs, one
-    * chain, two tails. */
-  private def sqlModelCtes: String = {
+    * the confusion and PR-curve mirrors (and prepended whole by the
+    * trained-gate composition) — 30 unrolled epochs, one chain. */
+  private[operators] def sqlModelCtes: String = {
     val epochs = (1 to Epochs).map(e =>
       sqlEpoch(e, if (e == 1) None else Some(s"w${e - 1}")))
       .mkString(",\n")
@@ -253,6 +281,50 @@ object QualityTrained {
        |    JOIN w$Epochs w USING (bucket) GROUP BY f.doc_id) x
        |  USING (doc_id))""".stripMargin
   }
+
+  /** [[trainedGate]] as CTEs for the composed-prepare mirror: canon
+    * features → scores under `w$Epochs`, the PR curve replayed off
+    * `ev`, the integer threshold rule, then the `gate` CTE the
+    * fullPrepare chain expects. Assumes [[sqlModelCtes]] precedes and
+    * a `canon` CTE is in scope. */
+  private[operators] def sqlTrainedGateCtes: String =
+    s"""ctok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+'))
+       |      AS tok FROM canon),
+       |cfeat AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+       |      % $NumBuckets AS BIGINT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM ctok GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, $BiasBucket, 1 FROM canon),
+       |csc AS MATERIALIZED (SELECT c.doc_id,
+       |    CAST(COALESCE(x.s, 0) AS BIGINT) AS score
+       |  FROM canon c LEFT JOIN (
+       |    SELECT f.doc_id, SUM(f.tf * w.w) AS s
+       |    FROM cfeat f JOIN w$Epochs w USING (bucket)
+       |    GROUP BY f.doc_id) x
+       |  USING (doc_id)),
+       |gcur AS (SELECT score,
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM ev GROUP BY score),
+       |ccur AS (SELECT score,
+       |    CAST(COALESCE(SUM(np) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tp,
+       |    CAST(COALESCE(SUM(nn) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS fp
+       |  FROM gcur),
+       |thrv AS (SELECT CAST(COALESCE(MIN(score)
+       |      FILTER (WHERE tp > 0 AND tp >= 9 * fp), 0) AS BIGINT)
+       |      AS thr
+       |  FROM ccur),
+       |gate AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text FROM canon c
+       |  JOIN csc USING (doc_id) CROSS JOIN thrv
+       |  WHERE csc.score > thrv.thr)""".stripMargin
 
   private def sqlConfusion: String =
     s"""WITH $sqlModelCtes

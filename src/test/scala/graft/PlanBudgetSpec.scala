@@ -506,6 +506,18 @@ class PlanBudgetSpec extends SparkSpec {
                                         // narrow stage; the only
                                         // exchange is the output sort
                                         // (measured 1)
+    "pipeline_full_prepare_trained" -> 20, // pipeline_full_prepare's 13
+                                        // + the trained gate's scoring
+                                        // legs (canon feature-hash agg,
+                                        // score agg, gate attach, and
+                                        // the bounded PR-curve/threshold
+                                        // frames; training itself is
+                                        // the memoized driver-side
+                                        // pass, not in this plan).
+                                        // Measured 19 (+1 margin for
+                                        // the gate-attach AQE
+                                        // broadcast/shuffle flip at
+                                        // other data scales)
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -73,8 +73,12 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "mm_pair_dedup",            // one grand-total row (the caption
                                 // plane's hot-key cutoff, as
                                 // dedup_jaccard_prefix3)
-    "pipeline_crawl_prepare")   // the pack stage's min/max bounds
+    "pipeline_crawl_prepare",   // the pack stage's min/max bounds
                                 // row, as pipeline_full_prepare
+    "pipeline_full_prepare_trained") // the pack bounds row + two
+                                // 1-row frames of the trained gate
+                                // (PR-curve positive total, chosen
+                                // threshold)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

@@ -117,6 +117,31 @@ class PrepareSpec extends SparkSpec {
     assert(nFinal > 0, "fixture corpus must survive the pipeline")
   }
 
+  test("trained gate vs heuristic gate: a low-quality doc long enough " +
+      "to pass the per-language top half is dropped by the trained " +
+      "classifier at its PR-chosen threshold") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val canon = TextAnalysis.canonicalized(d)
+    val heurKept = Sampling.topHalfByScore(canon, "lang", "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    val trainedKept = QualityTrained.trainedGate(spark, sfDir)(canon)
+      .select("doc_id").as[Long].collect().toSet
+    // the labels the model was trained toward: the rule heuristic
+    val lowQuality = TextAnalysis.qualityScore(d)
+      .where(!col("keep")).select("doc_id").as[Long].collect().toSet
+    val caught = (heurKept -- trainedKept) intersect lowQuality
+    assert(caught.nonEmpty,
+      "the trained gate must catch at least one low-quality doc that " +
+        "sails through the length-based top-half heuristic " +
+        s"(heuristic kept ${heurKept.size}, trained kept " +
+        s"${trainedKept.size}, low-quality ${lowQuality.size})")
+    // and the composed query's stage-2 row is exactly the trained set
+    val stage2 = graft.SparkEntry
+      .queries("pipeline_full_prepare_trained")(spark, sfDir)
+      .where(col("stage") === "2_quality_gate").collect()(0).getLong(1)
+    assert(stage2 == trainedKept.size.toLong)
+  }
+
   test("two non-NFC-equal encodings of one near-dup collapse ONLY " +
       "through the canonical pipeline (the stage-1 wiring's point)") {
     // docs 31/32: the same ten accented words, composed (NFC) vs
