@@ -409,11 +409,10 @@ object StreamOps {
     * lookup side GROWS between micro-batches, which a stream-static
     * join cannot express; the index is lineage-truncated per batch.
     * Same restart contract as [[incrementalSubstrStream]]: the index
-    * lives in process memory, so resume = re-feed from batch 0 or
-    * pass the persisted index back as `initialIndex` — or apply the
-    * [[incrementalSubstrStreamDurable]] batch-id-keyed persistence
-    * pattern verbatim (the index here is an even smaller
-    * (doc_id, lo, hi) parquet).
+    * lives in process memory, so this form is single-run — use
+    * [[incrementalImageDedupStreamDurable]] when restart matters (the
+    * batch-id-keyed persistence pattern, index = one slim
+    * (doc_id, lo, hi) parquet per committed batch).
     *
     * `sink(survivorReport, batchId)` receives each batch's dropped
     * docs as (doc_id, keeper, hamming). */
@@ -519,6 +518,48 @@ object StreamOps {
         prev.unionAll(graft.operators.Dedup
           .substrWindowDigests(batch, minLen))
           .distinct()
+          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** DURABLE incremental image (or any modality) dedup —
+    * [[incrementalImageDedupStream]] with the accumulated signature
+    * index PERSISTED per batch id, closing that operator's documented
+    * restart gap exactly as [[incrementalSubstrStreamDurable]] closed
+    * the substr stream's (the same mechanics, applied verbatim as its
+    * Scaladoc promised): state `idx_<batchId>` is the (doc_id, lo,
+    * hi) index AFTER that batch, written with a _SUCCESS marker; each
+    * batch reloads the newest committed `idx_<j>` with j < its own id
+    * via [[latestIndex]], dedups against it via the banded
+    * [[graft.operators.Multimodal.hammingDedupSurvivorsAgainst]], and
+    * idempotently overwrites its own state — a replayed batch
+    * reproduces byte-identical output and index, and a signature
+    * first seen in a PRE-restart batch still dedups a post-restart
+    * near-copy (FileStreamRecoverySpec drives the hard stop +
+    * restart). The per-batch doc_id ordering contract is enforced
+    * loudly ([[assertIdOrder]]). Index size: 24 bytes per doc ever
+    * seen — the structure a production pipeline persists anyway. */
+  def incrementalImageDedupStreamDurable(newSigs: DataFrame,
+      indexDir: String, initialIndex: DataFrame,
+      checkpointDir: String, maxHamming: Int = 3)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newSigs.sparkSession
+    val init = initialIndex.select("doc_id", "lo", "hi").localCheckpoint()
+    newSigs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val prev = latestIndex(indexDir, batchId, init, spark)
+          .select("doc_id", "lo", "hi").localCheckpoint()
+        val b = batch.select("doc_id", "lo", "hi").localCheckpoint()
+        assertIdOrder(prev, b, batchId)
+        sink(graft.operators.Multimodal
+          .hammingDedupSurvivorsAgainst(prev.unionAll(b), b, maxHamming)
+          .localCheckpoint(), batchId)
+        prev.unionAll(b)
           .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
         ()
       }

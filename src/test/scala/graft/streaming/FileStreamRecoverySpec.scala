@@ -125,4 +125,58 @@ class FileStreamRecoverySpec extends SparkSpec {
       "the pre-restart span must clean its post-restart copy — the " +
         "exact failure mode the in-memory form documents")
   }
+
+  test("incrementalImageDedupStreamDurable: a signature first seen " +
+      "BEFORE a hard restart still dedups its post-restart near-copy " +
+      "(the persisted index closes the in-memory form's restart gap)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_imgdedup_durable")
+    val in = Files.createDirectory(root.resolve("in"))
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lo", LongType), StructField("hi", LongType)))
+    val old = Seq((0L, 0x1234L, 0x00f0L)).toDF("doc_id", "lo", "hi")
+    def writeSigs(name: String, sigs: Seq[(Long, Long, Long)]): Unit =
+      sigs.toDF("doc_id", "lo", "hi").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(name).toString)
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Int)]]
+    def startQ() = StreamOps.incrementalImageDedupStreamDurable(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(in.toString),
+      idxDir, old, ckpt) { (batch, id) =>
+      got(id) = batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    val b0 = Seq(
+      (300L, 0x4444L, 0x4444L),   // novel: survives, enters the index
+      (301L, 0x00ffL, 0xff00L))   // novel
+    val b1 = Seq(
+      (302L, 0x4444L, 0x4445L),   // hamming 1 from PRE-restart doc 300:
+                                  // must drop via the PERSISTED index
+      (303L, 0x1234L, 0x00f1L))   // hamming 1 from ORIGINAL index doc 0
+    writeSigs("b0", b0)
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // HARD RESTART; the near-copies arrive only after the stop
+    writeSigs("b1", b1)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = got.values.flatten.map(t => t._1 -> t).toMap
+    val newIds = (b0 ++ b1).map(_._1).toSet
+    val expect = graft.operators.Multimodal
+      .hammingDedupSurvivors(
+        (Seq((0L, 0x1234L, 0x00f0L)) ++ b0 ++ b1)
+          .toDF("doc_id", "lo", "hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(t => newIds.contains(t._1)).map(t => t._1 -> t).toMap
+    assert(rows == expect, s"stream=$rows batch=$expect")
+    assert(rows(302L) == (302L, 300L, 1),
+      "the pre-restart signature must dedup its post-restart copy — " +
+        "the exact failure mode the in-memory form documents")
+    assert(rows(303L) == (303L, 0L, 1),
+      "the original index must survive the restart too")
+  }
 }
