@@ -207,6 +207,116 @@ object KnLm {
   }
 
   // ------------------------------------------------------------------
+  // Order-n generalization (the 5-gram CCNet model order)
+  // ------------------------------------------------------------------
+
+  /** (g, cnt) train n-gram type counts. */
+  private def ngramCounts(tr: DataFrame): DataFrame =
+    tr.groupBy("g").agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** (ctx, cx, n1p) context totals and continuation-type counts of an
+    * order-n count table — the level-n analog of `c12`. */
+  private def ctxCounts(cn: DataFrame, n: Int): DataFrame =
+    cn.groupBy(substring_index(col("g"), " ", n - 1).as("ctx"))
+      .agg(sum("cnt").cast("long").as("cx"),
+        count(lit(1)).cast("long").as("n1p"))
+
+  /** ONE Q20 backoff level, the generalized [[kn3Logprob]] recursion:
+    * attach p_n to a DISTINCT order-n type plane `et` (column g) given
+    * the train counts `cn` (g, cnt), the context table `cctx`
+    * (ctx, cx, n1p), and the level-(n−1) Q20 probabilities `prev`
+    * (g, p) on the SUFFIX plane:
+    *
+    *   p_n = p_{n−1}(suffix)                        if ctx unseen
+    *       = clamp[1, 2^20](
+    *           ((2·c_n − 1)·2^20) div (2·cx)        (0 if gram unseen)
+    *         + (n1p · p_{n−1}) div (2·cx))          otherwise
+    *
+    * Overflow audit per level (the 2^43-family guards, one per
+    * level): with cx < 2^41 enforced LOUDLY here (mirrored with
+    * error()), (2·c_n − 1) < 2^42 so its ·2^20 product < 2^62, and
+    * n1p·p ≤ cx·2^20 < 2^61 — every product stays inside BIGINT; the
+    * level-2 input is bounded by its own den < 2^43 guard in the
+    * caller. All joins shuffle_hash-pinned (the cached-frame AQE flip
+    * precedent); every frame is a vocabulary-plane type table. */
+  private def q20Level(et: DataFrame, cn: DataFrame, cctx: DataFrame,
+      prev: DataFrame, n: Int): DataFrame =
+    et
+      .withColumn("ctx", substring_index(col("g"), " ", n - 1))
+      .withColumn("sfx", substring_index(col("g"), " ", -(n - 1)))
+      .join(cn.hint("shuffle_hash"), Seq("g"), "left")
+      .join(cctx.hint("shuffle_hash"), Seq("ctx"), "left")
+      .join(prev.select(col("g").as("sfx"), col("p").as("pv"))
+        .hint("shuffle_hash"), Seq("sfx"))
+      .withColumn("cx", expr(
+        s"CASE WHEN cx IS NULL OR cx < ${1L << 41} THEN cx ELSE " +
+          s"CAST(raise_error(concat('kn q20 domain: context count " +
+          s"must be < 2^41 at level $n, got ', CAST(cx AS STRING))) " +
+          "AS BIGINT) END"))
+      .withColumn("p", least(lit(Q20), greatest(lit(1L),
+        when(col("cx").isNull, col("pv"))
+          .otherwise(
+            coalesce(expr(s"((2 * cnt - 1) * $Q20) div (2 * cx)"),
+              lit(0L)) + expr("(n1p * pv) div (2 * cx)")))))
+      .select(col("g"), col("p"))
+
+  /** The level-2 entry of the Q20 chain: exact bigram-KN num/den on a
+    * DISTINCT pair plane, quantized (with the loud den < 2^43 guard
+    * that bounds the num·2^20 product). */
+  private def q20Pairs(pairs: DataFrame, mdl: BigramModel): DataFrame =
+    attachNumDen(pairs, mdl)
+      .withColumn("den", expr(
+        s"CASE WHEN den < $IlogMax THEN den ELSE " +
+          "CAST(raise_error(concat('kn q20 domain: den2 must be < " +
+          "2^43, got ', CAST(den AS STRING))) AS BIGINT) END"))
+      .select(col("g"),
+        greatest(expr(s"(m * $Q20) div den"), lit(1L)).as("p"))
+
+  /** Per-held-out-doc nll under the 5-GRAM interpolated-KN model —
+    * CCNet's actual model order — via the level-over-level Q20 chain:
+    * bigram-KN exact rationals → Q20 at level 2, then levels 3, 4, 5
+    * each interpolating the discounted MLE with the level below
+    * ([[q20Level]] ×3). Output: (doc_id, n_5grams, nll_q10,
+    * nll_per_5gram_q10).
+    *
+    * Scale shape: the type planes shrink going DOWN the chain (5-gram
+    * types ⊇ distinct 4-suffixes ⊇ …), every level is a few
+    * vocab-plane equijoins, and only the final scored table attaches
+    * to the occurrence stream (hot-salted). The per-level overflow
+    * audit lives on [[q20Level]]. */
+  def kn5Logprob(d: DataFrame): DataFrame = {
+    val bg = TextAnalysis.bigramRows(d, distinctPerDoc = false)
+    val mdl = bigramModel(bg.where(col("doc_id") % 5 =!= 0))
+    def train(n: Int): DataFrame =
+      TextAnalysis.ngramRows(d, n, distinctPerDoc = false)
+        .where(col("doc_id") % 5 =!= 0)
+    val ev5 = TextAnalysis.ngramRows(d, 5, distinctPerDoc = false)
+      .where(col("doc_id") % 5 === 0)
+    val c3 = ngramCounts(train(3)).cache()
+    val c4 = ngramCounts(train(4)).cache()
+    val c5 = ngramCounts(train(5)).cache()
+    val et5 = ev5.select("g").distinct()
+    val et4 = et5.select(substring_index(col("g"), " ", -4).as("g"))
+      .distinct()
+    val et3 = et4.select(substring_index(col("g"), " ", -3).as("g"))
+      .distinct()
+    val prs = et3.select(substring_index(col("g"), " ", -2).as("g"))
+      .distinct()
+    val p2 = q20Pairs(prs, mdl)
+    val p3 = q20Level(et3, c3, ctxCounts(c3, 3), p2, 3)
+    val p4 = q20Level(et4, c4, ctxCounts(c4, 4), p3, 4)
+    val p5 = q20Level(et5, c5, ctxCounts(c5, 5), p4, 5)
+    val sc = NbLangid.withIlog(p5, "p", "ilog_p")
+      .select(col("g"), (lit(IlogQ20) - col("ilog_p")).as("nll"))
+    Skew.hotSaltedJoin(ev5, sc, "g", hotKeys(c5, "cnt"), col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_5grams"),
+        sum("nll").cast("long").as("nll_q10"))
+      .withColumn("nll_per_5gram_q10",
+        expr("nll_q10 div n_5grams").cast("long"))
+  }
+
+  // ------------------------------------------------------------------
   // Mirrors
   // ------------------------------------------------------------------
 
@@ -269,6 +379,93 @@ object KnLm {
        |  CAST(SUM(nll) AS BIGINT) AS nll_q10,
        |  CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per_bigram_q10
        |FROM eb JOIN sc USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** [[q20Level]]'s algebra verbatim as one CTE: `$out` = (g, p) for
+    * the order-`n` types of `$et.g` given counts `$cn` (g, cnt),
+    * contexts `$cctx` (ctx, cx, n1p) and the suffix-plane `$prev`
+    * (g, p) — including the loud per-level cx < 2^41 guard. */
+  private def sqlLevelCte(n: Int, et: String, cn: String, cctx: String,
+      prev: String, out: String): String = {
+    val ctx = s"array_to_string(list_slice(string_split($et.g, ' '), " +
+      s"1, ${n - 1}), ' ')"
+    val sfx = s"array_to_string(list_slice(string_split($et.g, ' '), " +
+      s"2, $n), ' ')"
+    s"""$out AS MATERIALIZED (SELECT $et.g,
+       |    LEAST($Q20, GREATEST(1, CASE WHEN cx.cx IS NULL THEN pv.p
+       |      ELSE COALESCE(((2 * cc.cnt - 1) * $Q20) // (2 * cx.cx), 0)
+       |        + (cx.n1p * pv.p) // (2 * cx.cx) END)) AS p
+       |  FROM $et
+       |    LEFT JOIN $cn cc ON $et.g = cc.g
+       |    LEFT JOIN (SELECT ctx,
+       |        CASE WHEN cx < ${1L << 41} THEN cx
+       |          ELSE CAST(error('kn q20 domain: context count must ' ||
+       |            'be < 2^41 at level $n, got ' || cx) AS BIGINT)
+       |          END AS cx,
+       |        n1p FROM $cctx) cx ON $ctx = cx.ctx
+       |    JOIN $prev pv ON $sfx = pv.g)""".stripMargin
+  }
+
+  /** The shared 5-gram scoring chain (`tb` … `sc`): bigram model,
+    * train 3/4/5-gram counts + contexts, the nested eval type planes,
+    * the Q20 pair entry, three unrolled levels, and the final q10 log
+    * — both the kn5 score query and its bucket application reuse it
+    * verbatim. */
+  private def sqlKn5Ctes: String = {
+    def cnt(src: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT)
+         |      AS cnt
+         |  FROM $src GROUP BY g)""".stripMargin
+    def ctx(src: String, n: Int, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT
+         |    array_to_string(list_slice(string_split(g, ' '), 1,
+         |      ${n - 1}), ' ') AS ctx,
+         |    CAST(SUM(cnt) AS BIGINT) AS cx,
+         |    CAST(COUNT(*) AS BIGINT) AS n1p
+         |  FROM $src GROUP BY 1)""".stripMargin
+    def sfxPlane(src: String, n: Int, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT DISTINCT
+         |    array_to_string(list_slice(string_split(g, ' '), 2,
+         |      ${n + 1}), ' ') AS g
+         |  FROM $src)""".stripMargin
+    s"""$sqlBigramModelCtes,
+       |${sqlNgrams("t3", 3, "<> 0")},
+       |${sqlNgrams("t4", 4, "<> 0")},
+       |${sqlNgrams("t5", 5, "<> 0")},
+       |${sqlNgrams("e5", 5, "= 0")},
+       |${cnt("t3", "c3m")},
+       |${cnt("t4", "c4m")},
+       |${cnt("t5", "c5m")},
+       |${ctx("c3m", 3, "x3")},
+       |${ctx("c4m", 4, "x4")},
+       |${ctx("c5m", 5, "x5")},
+       |et5 AS MATERIALIZED (SELECT DISTINCT g FROM e5),
+       |${sfxPlane("et5", 4, "et4")},
+       |${sfxPlane("et4", 3, "et3")},
+       |${sfxPlane("et3", 2, "prs")},
+       |${sqlAttachNumDen("prs", "nd")},
+       |p2c AS MATERIALIZED (SELECT g,
+       |    GREATEST((m * $Q20) // den2, 1) AS p
+       |  FROM (SELECT g, m,
+       |      CASE WHEN den < $IlogMax THEN den
+       |        ELSE CAST(error('kn q20 domain: den2 must be < 2^43, ' ||
+       |          'got ' || den) AS BIGINT) END AS den2
+       |    FROM nd)),
+       |${sqlLevelCte(3, "et3", "c3m", "x3", "p2c", "p3c")},
+       |${sqlLevelCte(4, "et4", "c4m", "x4", "p3c", "p4c")},
+       |${sqlLevelCte(5, "et5", "c5m", "x5", "p4c", "p5c")},
+       |sc50 AS (SELECT g, p AS m FROM p5c),
+       |${NbLangid.sqlIlog("sc50", "il5", "g")},
+       |sc AS MATERIALIZED (SELECT g,
+       |    CAST($IlogQ20 - ilog AS BIGINT) AS nll FROM il5)""".stripMargin
+  }
+
+  private def sqlKn5Logprob: String =
+    s"""WITH $sqlKn5Ctes
+       |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_5grams,
+       |  CAST(SUM(nll) AS BIGINT) AS nll_q10,
+       |  CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per_5gram_q10
+       |FROM e5 JOIN sc USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def sqlKn3Logprob: String =
@@ -335,6 +532,18 @@ object KnLm {
       kn3Logprob(docs(s, dir)).orderBy("doc_id")
     },
 
+    // ---- the backoff recursion at CCNet's ACTUAL model order: 5-gram
+    //      interpolated KN through the generalized order-n Q20 chain —
+    //      levels 3, 4 and 5 each interpolate their discounted MLE
+    //      with the level below, grounded in the exact bigram-KN
+    //      rationals; every floor division engine-identical, a loud
+    //      domain guard at every level (den < 2^43 at the entry,
+    //      cx < 2^41 above). Mirror unrolls the identical chain over
+    //      the shared bigram-model / attach CTEs. ----
+    Q("text_kn5_logprob", Some(sqlKn5Logprob)) { (s, dir) =>
+      kn5Logprob(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ---- the KN plane APPLIED as CCNet's actual filter: held-out
     //      docs bucketed head/middle/tail by per-bigram perplexity
     //      terciles (NTILE(3) over the deterministic (nll, doc_id)
@@ -367,6 +576,29 @@ object KnLm {
       knLogprob(docs(s, dir))
         .select(col("doc_id"),
           col("nll_per_bigram_q10").as("nll_per"))
+        .withColumn("bucket", ntile(3).over(w))
+        .orderBy("doc_id")
+    },
+
+    // ---- the tercile filter at the 5-GRAM model order (the twin of
+    //      pipeline_ppl_buckets, re-pointed at CCNet's real model):
+    //      head/middle/tail by per-5-gram perplexity — docs shorter
+    //      than 5 tokens carry no 5-grams and leave the filter's
+    //      domain, identically in both engines. ----
+    Q("pipeline_ppl_buckets_kn5", Some(
+      s"""WITH $sqlKn5Ctes,
+         |per_doc AS (SELECT doc_id,
+         |    CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per
+         |  FROM e5 JOIN sc USING (g) GROUP BY doc_id)
+         |SELECT doc_id, nll_per,
+         |  CAST(NTILE(3) OVER (ORDER BY nll_per, doc_id) AS INTEGER)
+         |    AS bucket
+         |FROM per_doc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("nll_per"), col("doc_id"))
+      kn5Logprob(docs(s, dir))
+        .select(col("doc_id"),
+          col("nll_per_5gram_q10").as("nll_per"))
         .withColumn("bucket", ntile(3).over(w))
         .orderBy("doc_id")
     })

@@ -518,6 +518,24 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the gate-attach AQE
                                         // broadcast/shuffle flip at
                                         // other data scales)
+    "text_kn5_logprob" -> 35,           // the bigram model's aggregates
+                                        // + 3/4/5-gram count + context
+                                        // aggregates + the nested type
+                                        // planes + the pair entry + 3
+                                        // shuffle-hash-pinned joins per
+                                        // Q20 level + the salted
+                                        // occurrence attach + doc agg/
+                                        // sort — EVERY frame in the
+                                        // chain is a vocab-plane type
+                                        // table; only the occurrence
+                                        // attach carries corpus rows
+                                        // (measured 33 + the ±2 cached-
+                                        // frame AQE flip margin the
+                                        // bigram plane documents)
+    "pipeline_ppl_buckets_kn5" -> 35,   // the same scoring chain
+                                        // (measured 33) + the doc-level
+                                        // tercile window rides the
+                                        // existing doc-agg exchange
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -68,6 +68,10 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_kn3_logprob",         // the same two 1-row totals, through
                                 // the shared bigram-model builders
     "pipeline_ppl_buckets",     // the same two, via knLogprob
+    "text_kn5_logprob",         // the same two 1-row totals (the
+                                // scalar ntypes/V1 frame at the pair
+                                // entry + the hot-key cutoff)
+    "pipeline_ppl_buckets_kn5", // the same two, via kn5Logprob
     "text_quality_pr",          // one 1-row positive-total row (the
                                 // curve's recall denominator)
     "mm_pair_dedup",            // one grand-total row (the caption

@@ -74,6 +74,35 @@ class KnLmSpec extends SparkSpec {
         s"${rows(10L)} vs ${rows(15L)}")
   }
 
+  test("kn5Logprob: ALL FIVE backoff levels discriminate — each one " +
+      "level deeper into the backoff chain costs strictly more") {
+    val d = Seq(
+      // train: one 9-token line, twice — every n-gram context has
+      // exactly ONE continuation, so at each level the interpolated
+      // probability of a seen gram strictly exceeds its own backoff
+      (1L, "a b c d e f g h a"),
+      (2L, "a b c d e f g h a"),
+      // eval: ONE 5-gram each, engineered to ground at exactly one
+      // level of the chain
+      (5L, "a b c d e"),   // seen 5-gram
+      (10L, "x b c d e"),  // unseen 5-gram, SEEN 4-gram suffix
+      (15L, "x y c d e"),  // grounds at the seen trigram "c d e"
+      (20L, "x y z d e"),  // grounds at the seen bigram "d e"
+      (25L, "x y z w v")   // fully OOV: the continuation floor
+    ).toDF("doc_id", "text")
+    val rows = KnLm.kn5Logprob(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(5L, 10L, 15L, 20L, 25L))
+    rows.foreach { case (id, (n5, nll)) =>
+      assert(n5 == 1, s"doc $id 5-gram count")
+      assert(nll >= 0L, s"doc $id negative nll")
+    }
+    val chain = Seq(5L, 10L, 15L, 20L, 25L).map(rows(_)._2)
+    assert(chain == chain.sorted && chain.distinct == chain,
+      "each backoff level deeper must cost STRICTLY more " +
+        s"(seen5 < back4 < back3 < back2 < floor): $chain")
+  }
+
   test("pipeline_ppl_buckets: terciles are balanced, monotone in the " +
       "perplexity score, and deterministic under ties") {
     val rows = graft.SparkEntry
