@@ -868,13 +868,30 @@ object Dedup {
        |                JOIN sets sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
+  /** `pinAttach` materializes the shared dfreq frame EAGERLY
+    * (`localCheckpoint`, the fullPrepare stage-boundary discipline)
+    * instead of lazily caching it: when this operator runs as ONE
+    * PLANE of a composition whose other plane races it inside the
+    * same job (`mm_pair_dedup`), the lazy cache materializes on
+    * whichever consumer branch executes first, and AQE then plans
+    * the OTHER consumers against either the in-memory frame or a
+    * re-executed aggregate — flipping the measured exchange count
+    * across a range run to run (8–10 observed; shuffle_hash hints
+    * alone do not close it because the race is in cache
+    * materialization, not join strategy). The eager checkpoint makes
+    * every consumer see one stable leaf — one deterministic plan,
+    * one pinnable number. Standalone callers keep the lazy default
+    * (single consumer chain, no race, and the aggregate stays inside
+    * the measured plan). */
   def prefixJaccardPairs(d: DataFrame, tNum: Int = 9, tDen: Int = 10,
-      shingleWidth: Int = 2): DataFrame = {
+      shingleWidth: Int = 2, pinAttach: Boolean = false): DataFrame = {
     val tk = shingles(d, shingleWidth)
     // per-shingle document frequency: one map-side-combinable
     // aggregate; cached — referenced by the grand total, the hot set,
     // and the join's small side (clear-between-queries policy)
-    val dfreq = tk.groupBy("g").agg(count(lit(1)).as("df")).cache()
+    val dfreq0 = tk.groupBy("g").agg(count(lit(1)).as("df"))
+    val dfreq = if (pinAttach) dfreq0.localCheckpoint()
+      else dfreq0.cache()
     val tot = dfreq.agg(sum("df").cast("long").as("__t"))
     val hot = dfreq.crossJoin(broadcast(tot))
       .where(col("df") >=

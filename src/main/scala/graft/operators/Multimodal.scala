@@ -757,6 +757,42 @@ object Multimodal {
     packBits64(i => m(i) > m(i + 1))
   }
 
+  /** PRODUCTION video fingerprint: demux an AVI of ANY length ≥ 65
+    * frames and area-mean pool the per-frame means onto the 65-frame
+    * fingerprint geometry before taking temporal gradient signs —
+    * the third leg of the pooled-modality symmetry
+    * ([[dHash64Pooled]], [[audioFingerprint64Pooled]]), removing
+    * [[videoFingerprint64]]'s exact-65 precondition from the
+    * end-to-end path. Stripe means compare via cross-multiplied
+    * integer sums; each frame's (fractional) mean is rounded at ×64 —
+    * one 8×8 frame's pixel count, so a flat frame's scaled mean is
+    * exact and six fractional bits of a real frame's mean survive
+    * the rounding — and the positive scale CANCELS in the
+    * cross-multiplication, so the comparisons equal the
+    * unscaled-integer algebra the mirror replays. On exactly-65-frame
+    * input every stripe is one frame and the bits equal the strict
+    * form; a frame-rate-doubled video pools back to identical stripe
+    * comparisons → Hamming 0 from its original (both spec-pinned). */
+  def videoFingerprint64Pooled(bytes: Array[Byte]): (Long, Long) = {
+    val m = videoFrameMeans(bytes)
+    require(m.length >= 65,
+      s"pooled video fingerprint needs >= 65 frames; got ${m.length}")
+    val bounds = stripeBounds(m.length, 65)
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < 65) {
+      val (f, t) = bounds(i)
+      var s = 0L
+      var j = f
+      while (j < t) { s += math.round(m(j) * 64.0); j += 1 }
+      sums(i) = s
+      cnts(i) = (t - f).toLong
+      i += 1
+    }
+    packBits64(i => sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+  }
+
   /** Keep-min near-dup survivors over packed 64-bit perceptual
     * signatures via 4×16-bit chunk banding: by pigeonhole any pair at
     * Hamming ≤ 3 differs in at most 3 of the 4 disjoint chunks, so the
@@ -959,6 +995,42 @@ object Multimodal {
        |v AS (SELECT doc_id, n, p,
        |    CASE WHEN len(s) >= p + 1
        |      THEN (ord(substr(s, CAST(p + 1 AS INTEGER), 1)) - 80) * 256
+       |      ELSE 0 END AS val
+       |  FROM pos),
+       |cells AS MATERIALIZED (SELECT doc_id,
+       |    LEAST(p // GREATEST(n // 65, 1), 64) AS si,
+       |    CAST(SUM(val) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM v GROUP BY 1, 2),
+       |bits AS (SELECT l.doc_id, l.si AS b,
+       |    CASE WHEN l.sm * r.c > r.sm * l.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON l.doc_id = r.doc_id AND r.si = l.si + 1
+       |  WHERE l.si < 64),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id),
+       |${sqlSurvivorTail(maxHamming)}""".stripMargin
+
+  /** Mirror of the POOLED video trajectory: per-doc variable-length
+    * flat-frame sequences regenerated from ord() arithmetic, the
+    * 65-stripe pooling replayed with integer sums and cross-multiplied
+    * mean comparisons (the engine's ×64 mean scale cancels in the
+    * cross-multiplication — flat 8×8 JPEG frames decode bit-exactly,
+    * so stripe sums are exact integers in both engines), then the
+    * exhaustive survivor close. */
+  private def sqlPooledVideoDedup(maxHamming: Int): String =
+    s"""WITH base AS (SELECT doc_id,
+       |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 139) AS s,
+       |    130 + (doc_id % 4) * 3 AS n
+       |  FROM documents),
+       |pos AS (SELECT doc_id, s, n,
+       |    unnest(generate_series(0, n - 1)) AS p FROM base),
+       |v AS (SELECT doc_id, n, p,
+       |    CASE WHEN len(s) >= p + 1
+       |      THEN ord(substr(s, CAST(p + 1 AS INTEGER), 1)) - 32
        |      ELSE 0 END AS val
        |  FROM pos),
        |cells AS MATERIALIZED (SELECT doc_id,
@@ -1393,6 +1465,36 @@ object Multimodal {
       hammingDedupSurvivors(sigs, maxHamming = 3)
     },
 
+    // PRODUCTION video dedup on VARIABLE-LENGTH containers: per-doc
+    // MJPEG AVIs at 130..139 flat 8×8 frames (2× the fingerprint
+    // geometry plus a ragged tail — every pooled stripe is a
+    // multi-frame block and the last one non-uniform), real AVI mux +
+    // demux + per-frame ImageIO decode, area-mean pool of the frame
+    // means to 65 stripes via exact cross-multiplied integer sums,
+    // then the same banded keep-min survivor operator — the third
+    // modality's exact-geometry precondition is gone from the
+    // end-to-end path, completing the pooled symmetry.
+    Q("mm_video_dedup_pooled",
+        Some(sqlPooledVideoDedup(maxHamming = 3))) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(docs(s, dir))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ascii = text.replaceAll("[^ -~]", "")
+          val n = 130 + (id % 4).toInt * 3
+          val frames = (0 until n).map { i =>
+            flatJpeg8x8(
+              if (i < ascii.length) ascii.charAt(i).toInt - 32 else 0)
+          }
+          val (lo, hi) =
+            videoFingerprint64Pooled(encodeMjpegAvi(frames, 8, 8))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi")
+      hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
     // CROSS-MODAL joint dedup (the LAION-style rule): a pair is a
     // duplicate only when BOTH the image (dHash Hamming ≤ 3, banded
     // equijoin) AND the caption (trigram Jaccard ≥ 0.9, prefix-filter
@@ -1402,7 +1504,11 @@ object Multimodal {
     // the conjunction is one join on the pair key, then keep-min.
     Q("mm_pair_dedup", Some(sqlPairDedup)) { (s, dir) =>
       val ip = hammingDedupPairs(imageDHashSigs(s, dir), maxHamming = 3)
-      val jp = Dedup.prefixJaccardPairs(docs(s, dir), shingleWidth = 3)
+      // pinAttach: the image plane races this plane to materialize the
+      // shared dfreq cache — shuffle_hash makes the exchange count one
+      // number instead of the 8-10 AQE flip range (budget pinned exact)
+      val jp = Dedup.prefixJaccardPairs(docs(s, dir), shingleWidth = 3,
+        pinAttach = true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_b").orderBy("doc_a")
       ip.join(jp, Seq("doc_a", "doc_b"))

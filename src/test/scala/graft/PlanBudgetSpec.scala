@@ -416,23 +416,22 @@ class PlanBudgetSpec extends SparkSpec {
                                         // compute) + chunk equijoin +
                                         // candidate dedup + keep-min —
                                         // pooling adds zero exchanges
-    "mm_pair_dedup" -> 10,              // the image plane's 4 + the
-                                        // caption plane's prefix-filter
-                                        // side (df agg + rank window +
-                                        // candidate agg) + the pair-key
-                                        // conjunction join + keep-min
-                                        // window/sort; both candidate
-                                        // generators stay equijoins.
-                                        // Measured 8–10: the caption
-                                        // plane's CACHED dfreq lets AQE
-                                        // flip two attaches between
-                                        // broadcast and shuffle
-                                        // depending on which branch's
-                                        // job materialized it first
-                                        // (the text_bigram_logprob
-                                        // nondeterminism, benign here —
-                                        // the flip swaps exchange kinds
-                                        // on vocab-sized frames only)
+    "mm_pair_dedup" -> 7,               // EXACT since r12 (was a
+                                        // measured 8–10 range): the
+                                        // caption plane's shared dfreq
+                                        // is eagerly checkpointed under
+                                        // pinAttach, so the cache-
+                                        // materialization race that let
+                                        // AQE re-plan consumer branches
+                                        // run-to-run is gone — 4
+                                        // consecutive measurements
+                                        // byte-identical at
+                                        // ShuffleSummary(7,4220,263057).
+                                        // Image plane + prefix-filter
+                                        // caption plane + pair-key
+                                        // conjunction + keep-min; both
+                                        // candidate generators stay
+                                        // equijoins
     "text_kn_logprob" -> 13,            // bigram spread + c2 agg
                                         // (cached) + c1/nc/type-total
                                         // vocab aggregates + the three
@@ -518,6 +517,11 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the gate-attach AQE
                                         // broadcast/shuffle flip at
                                         // other data scales)
+    "mm_video_dedup_pooled" -> 4,       // mm_video_dedup's exact shape:
+                                        // spread (AVI mux/demux + per-
+                                        // frame JPEG decode + POOL is
+                                        // compute) + chunk equijoin +
+                                        // candidate dedup + keep-min
     "text_kn5_logprob" -> 35,           // the bigram model's aggregates
                                         // + 3/4/5-gram count + context
                                         // aggregates + the nested type

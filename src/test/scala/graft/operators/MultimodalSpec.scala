@@ -532,6 +532,30 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("65"))
   }
 
+  test("videoFingerprint64Pooled == videoFingerprint64 on exactly-65-" +
+      "frame input, a 2x frame-rate doubling pools to Hamming 0, and " +
+      "sub-65 input is rejected loudly") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 4) {
+      val values = Array.fill(65)(rnd.nextInt(256))
+      def avi(vs: Array[Int]) = Multimodal.encodeMjpegAvi(
+        vs.toSeq.map(v => Multimodal.encodeFlatJpeg(v, 8, 8)), 8, 8)
+      val strict = Multimodal.videoFingerprint64(avi(values))
+      assert(Multimodal.videoFingerprint64Pooled(avi(values)) == strict,
+        "pooled and strict fingerprints diverged on 65 frames")
+      // frame-rate doubling: every pooled stripe sums two copies of
+      // one frame mean -> identical cross-multiplied comparisons
+      assert(Multimodal.videoFingerprint64Pooled(
+        avi(values.flatMap(v => Array(v, v)))) == strict,
+        "frame-rate-doubled video must pool back to its original")
+    }
+    val short = Multimodal.encodeMjpegAvi(
+      (1 to 40).map(v => Multimodal.encodeFlatJpeg(v, 8, 8)), 8, 8)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.videoFingerprint64Pooled(short))
+    assert(e.getMessage.contains("65"))
+  }
+
   test("audio/video fingerprints reject wrong payload shapes loudly") {
     val e1 = intercept[IllegalArgumentException](
       Multimodal.audioFingerprint64(wavOf(Array.fill(10)(0))))
