@@ -213,6 +213,31 @@ object Crawl {
   private val WarcVersionBytes = WarcVersion.getBytes(Ascii)
   private val CrlfCrlfBytes = "\r\n\r\n".getBytes(Ascii)
 
+  /** `sha1:BASE32` of a payload block — the `WARC-Block-Digest` value
+    * grammar CommonCrawl writes (RFC 4648 base32, SHA-1 over the
+    * record's content block). */
+  def warcBlockDigest(payload: Array[Byte], from: Int, len: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(payload, from, len)
+    val d = md.digest()
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    while (i < d.length) {
+      acc = (acc << 8) | (d(i) & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(alpha(((acc >> (bits - 5)) & 31L).toInt))
+        bits -= 5
+      }
+      i += 1
+    }
+    if (bits > 0) sb.append(alpha(((acc << (5 - bits)) & 31L).toInt))
+    s"sha1:${sb.toString}"
+  }
+
   /** Decompress a multi-member gzip segment — CommonCrawl writes ONE
     * gzip member PER RECORD and concatenates them, so a whole segment
     * decompresses in one pass and any record boundary is also a
@@ -376,7 +401,14 @@ object Crawl {
         }
         parsed match {
           case Some((kv, ps, l, next)) =>
-            if (kv.get("WARC-Type").contains("response")) {
+            // record-level integrity, the layer ABOVE the gzip member
+            // CRC: a present sha1 WARC-Block-Digest must match the
+            // payload block or the record is dropped (the walk
+            // continues — its framing was consistent); digests in
+            // other algorithms pass through unverified
+            val digestOk = kv.get("WARC-Block-Digest").forall(d =>
+              !d.startsWith("sha1:") || d == warcBlockDigest(bytes, ps, l))
+            if (digestOk && kv.get("WARC-Type").contains("response")) {
               kv.get("WARC-Target-URI").filter(_.nonEmpty).foreach { uri =>
                 // skip the wrapped HTTP response's own header block
                 var j = ps
@@ -399,17 +431,35 @@ object Crawl {
     out.toSeq
   }
 
-  /** One gz WARC segment per task → (url, html) rows for the response
-    * records: gunzip + grammar walk + HTTP skip in the SAME narrow
-    * stage as the GARC path — no shuffle ever carries raw bytes. */
-  def parseWarcSegments(s: SparkSession, glob: String): DataFrame = {
-    val spark = s
+  /** The transformation half of the gz-WARC path — any frame with a
+    * binary `content` column, batch OR STREAMING, to (url, html)
+    * response rows: gunzip (member CRC gate) + grammar walk + digest
+    * check + HTTP skip in one narrow stage ([[extractFromSegments]]'s
+    * role for the real-WARC grammar). */
+  def extractWarcFromSegments(segments: DataFrame): DataFrame = {
+    val spark = segments.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
-      .select(col("content")).as[Array[Byte]]
+    segments.select(col("content")).as[Array[Byte]]
       .flatMap(b => parseWarc(gunzipMembers(b)))
       .toDF("url", "html")
   }
+
+  /** One gz WARC segment per task → (url, html) rows for the response
+    * records — no shuffle ever carries raw bytes. */
+  def parseWarcSegments(s: SparkSession, glob: String): DataFrame =
+    extractWarcFromSegments(s.read.format("binaryFile").load(glob))
+
+  /** (url, html) response rows → documents-shaped (doc_id, url,
+    * n_html, text): doc_id parsed off the crawler's `/doc/<id>` URL
+    * convention (a production ingest assigns monotone ids here — the
+    * incremental-dedup ordering contract), then the shared HTML→text
+    * strip. Used identically by the batch query and the streaming
+    * ingestion form, so their plans share one narrow stage. */
+  def warcDocs(recs: DataFrame): DataFrame =
+    extractText(recs.select(
+      regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+        .cast("long").as("doc_id"),
+      col("url"), col("html")))
 
   // ---- HTML → text: both engines run THESE patterns (RE2-safe: no
   //      backreferences, non-greedy supported by both Java regex and
@@ -551,8 +601,11 @@ object Crawl {
     * discipline). */
   val WarcFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_warc"
 
-  /** Serialize one WARC/1.0 record; Content-Length is appended as the
-    * final header (derived from the payload, as crawlers write it). */
+  /** Serialize one WARC/1.0 record; the `WARC-Block-Digest` (sha1,
+    * base32 — the CommonCrawl grammar) and `Content-Length` headers
+    * are appended last, derived from the payload as crawlers write
+    * them — so every fixture record carries a real digest for
+    * [[parseWarc]]'s record-level integrity check to verify. */
   def encodeWarcRecord(headers: Seq[(String, String)],
       payload: Array[Byte]): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
@@ -560,6 +613,8 @@ object Crawl {
     headers.foreach { case (k, v) =>
       b.write(s"$k: $v\r\n".getBytes(Ascii))
     }
+    b.write((s"WARC-Block-Digest: " +
+      s"${warcBlockDigest(payload, 0, payload.length)}\r\n").getBytes(Ascii))
     b.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(Ascii))
     b.write(payload)
     b.write(CrlfCrlfBytes)
@@ -767,6 +822,21 @@ object Crawl {
        |${Prepare.sqlFullPrepareCtes("crawl_docs")}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  /** Mirror of the REAL-WARC crawl→corpus composition: the gz-twin
+    * grammar walk + strip chain, the same documents-shaping CTE as
+    * [[sqlCrawlPrepare]], then the ENTIRE fullPrepare chain re-rooted
+    * on it — one hash from a CommonCrawl-layout segment's bytes to
+    * the packing-manifest digest. */
+  private def sqlWarcPrepare: String =
+    s"""WITH RECURSIVE ${sqlWarcGzWalkCtes(WarcFixtureRoot)},
+       |${sqlStripCtes("recs")},
+       |crawl_docs AS MATERIALIZED (SELECT doc_id,
+       |    regexp_extract(url, 'https://([^.]+)\\.', 1) AS lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars, text
+       |  FROM warc_docs),
+       |${Prepare.sqlFullPrepareCtes("crawl_docs")}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+
   /** Mirror of the media trajectory: the framing walk over the media
     * archives, pixel values read straight off the hex payload
     * (`CAST('0x' || substr(...) AS BIGINT)` per byte pair), the dHash
@@ -819,12 +889,8 @@ object Crawl {
     //      q_warc_extract. ----
     Q("q_warc_extract_gz", Some(sqlWarcGzExtract)) { (s, dir) =>
       writeWarcArchives(s, dir)
-      val recs = parseWarcSegments(s, s"$WarcFixtureRoot/*.warc.gz")
-        .select(
-          regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
-            .cast("long").as("doc_id"),
-          col("url"), col("html"))
-      extractText(recs).orderBy("doc_id")
+      warcDocs(parseWarcSegments(s, s"$WarcFixtureRoot/*.warc.gz"))
+        .orderBy("doc_id")
     },
 
     // ---- the TRUE end-to-end pretraining pipeline: raw crawl
@@ -854,6 +920,28 @@ object Crawl {
       Prepare.fullPrepare(crawled)
     },
 
+    // ---- the same composition over the REAL crawl format: gz
+    //      WARC/1.0 segments (member-per-record gzip, digest-gated
+    //      grammar walk, HTTP skip) → documents-shaped rows → the
+    //      ENTIRE composed corpus prep. With q_warc_extract_gz
+    //      pinning the front end and pipeline_crawl_prepare pinning
+    //      the composition, this closes the triangle: an actual
+    //      CommonCrawl-layout dump to a training-ready packing
+    //      manifest, one hash. Same single-parse checkpoint
+    //      discipline — one pass over raw bytes. ----
+    Q("pipeline_warc_prepare", Some(sqlWarcPrepare)) { (s, dir) =>
+      writeWarcArchives(s, dir)
+      val crawled =
+        warcDocs(parseWarcSegments(s, s"$WarcFixtureRoot/*.warc.gz"))
+          .select(col("doc_id"),
+            regexp_extract(col("url"), "https://([^.]+)\\.", 1)
+              .as("lang"),
+            length(col("text")).cast("long").as("n_chars"),
+            col("text"))
+          .localCheckpoint()
+      Prepare.fullPrepare(crawled)
+    },
+
     // ---- crawl archives carrying MEDIA records: the same length-
     //      prefixed walk extracts hex-encoded raw 9×8 pixel planes
     //      (crawl corpora carry images next to text; hex keeps the
@@ -878,7 +966,7 @@ object Crawl {
           val (lo, hi) = Multimodal.dHash64(
             Multimodal.encodeGrayPng(px, 9, 8))
           (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
       Multimodal.hammingDedupSurvivors(sigs, maxHamming = 3)
     })
 }

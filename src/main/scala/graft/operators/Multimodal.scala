@@ -1080,7 +1080,15 @@ object Multimodal {
   /** Per-doc dHash signatures of the synthesized 9×8 images — shared
     * by the keep-min and cluster forms (spread first: the PNG encode +
     * real ImageIO decode per row is the expensive stage, the
-    * mm_image_features discipline). */
+    * mm_image_features discipline).
+    *
+    * All modality signature frames (here and in every dedup query)
+    * are EAGERLY checkpointed since r12: `hammingDedupSurvivors`
+    * references its input from BOTH join sides (ref and probe), so an
+    * unmaterialized frame ran the whole codec decode TWICE per query
+    * — the checkpoint decodes once and the banded join reads the
+    * 24-byte/doc signature table twice instead (at 100 TB: persist
+    * the fingerprint table, never re-decode the corpus). */
   private def imageDHashSigs(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -1096,7 +1104,7 @@ object Multimodal {
         }
         val (lo, hi) = dHash64(encodeGrayPng(px, 9, 8))
         (id, lo, hi)
-      }.toDF("doc_id", "lo", "hi")
+      }.toDF("doc_id", "lo", "hi").localCheckpoint()
   }
 
   val queries: Seq[Q] = Seq(
@@ -1376,7 +1384,7 @@ object Multimodal {
             if (i < ascii.length) (ascii.charAt(i).toInt - 80) * 256 else 0)
           val (lo, hi) = audioFingerprint64(encodePcmWav(samples))
           (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
       hammingDedupSurvivors(sigs, maxHamming = 3)
     },
 
@@ -1404,7 +1412,7 @@ object Multimodal {
           }
           val (lo, hi) = videoFingerprint64(encodeMjpegAvi(frames, 8, 8))
           (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
       hammingDedupSurvivors(sigs, maxHamming = 3)
     },
 
@@ -1434,7 +1442,7 @@ object Multimodal {
           }
           val (lo, hi) = dHash64Pooled(encodeGrayPng(px, w, h))
           (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
       hammingDedupSurvivors(sigs, maxHamming = 3)
     },
 
@@ -1461,7 +1469,7 @@ object Multimodal {
             else 0)
           val (lo, hi) = audioFingerprint64Pooled(encodePcmWav(samples))
           (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
       hammingDedupSurvivors(sigs, maxHamming = 3)
     },
 
@@ -1491,7 +1499,7 @@ object Multimodal {
           val (lo, hi) =
             videoFingerprint64Pooled(encodeMjpegAvi(frames, 8, 8))
           (id, lo, hi)
-        }.toDF("doc_id", "lo", "hi")
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
       hammingDedupSurvivors(sigs, maxHamming = 3)
     },
 

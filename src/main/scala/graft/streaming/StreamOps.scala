@@ -372,8 +372,15 @@ object StreamOps {
     * StreamOpsSpec pins multi-batch parity with the batch extractor
     * over the same segment files. */
   def crawlIngestStream(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val segs = s.readStream.format("binaryFile")
+      dir: String): DataFrame =
+    graft.operators.Crawl.extractText(
+      graft.operators.Crawl.extractFromSegments(segmentStream(s, dir)))
+
+  /** Streaming `binaryFile` source over a watched segment directory
+    * (the explicit schema the format requires on readStream). */
+  private def segmentStream(s: org.apache.spark.sql.SparkSession,
+      dir: String, glob: Option[String] = None): DataFrame = {
+    val r = s.readStream.format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),
@@ -383,10 +390,24 @@ object StreamOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
-      .load(dir)
-    graft.operators.Crawl.extractText(
-      graft.operators.Crawl.extractFromSegments(segs))
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
+
+  /** STREAMING REAL-WARC ingestion — the continuous form of
+    * `q_warc_extract_gz`, exactly as [[crawlIngestStream]] is of
+    * `q_warc_extract`: gzip'd WARC/1.0 segments rotating into a
+    * landing directory gunzip (per-member CRC gate) + grammar-walk +
+    * digest-check + HTTP-skip + HTML-strip in the IDENTICAL narrow
+    * stage as the batch query (shared `Crawl.extractWarcFromSegments`
+    * / `Crawl.warcDocs`). Stateless per segment ⇒ no state store; the
+    * file source's processed-files log gives exactly-once per segment
+    * across restarts. StreamOpsSpec pins multi-batch parity with the
+    * batch extractor over the same segment files. */
+  def warcIngestStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Crawl.warcDocs(
+      graft.operators.Crawl.extractWarcFromSegments(
+        segmentStream(s, dir, Some("*.warc.gz"))))
 
   /** STREAMING incremental image (or any modality) dedup — the
     * [[incrementalSubstrStream]] pattern applied to the perceptual-

@@ -42,7 +42,11 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_warc_extract", "mm_image_dedup_resized", "mm_pair_dedup",
     "text_kn_logprob", "text_common_bigrams_cms", "text_quality_pr",
     "pipeline_crawl_prepare", "text_kn3_logprob",
-    "pipeline_ppl_buckets", "mm_warc_media", "mm_audio_dedup_pooled")
+    "pipeline_ppl_buckets", "mm_warc_media", "mm_audio_dedup_pooled",
+    // round-12 additions
+    "q_warc_extract_gz", "pipeline_full_prepare_trained",
+    "text_kn5_logprob", "pipeline_ppl_buckets_kn5",
+    "mm_video_dedup_pooled", "pipeline_warc_prepare")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -70,7 +74,10 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_kn_logprob", "text_quality_pr", "mm_pair_dedup",
     "text_kn3_logprob", "pipeline_ppl_buckets",
     // the pack-stage bounds row, as pipeline_full_prepare
-    "pipeline_crawl_prepare")
+    "pipeline_crawl_prepare",
+    // round-12 1-row-total broadcasts (PlanHygieneSpec's list)
+    "pipeline_full_prepare_trained", "text_kn5_logprob",
+    "pipeline_ppl_buckets_kn5", "pipeline_warc_prepare")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

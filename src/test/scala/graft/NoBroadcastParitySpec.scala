@@ -40,7 +40,12 @@ class NoBroadcastParitySpec extends SparkSpec {
     // the sketch-predicate salted join, the curve's score join
     "mm_image_dedup_resized", "mm_pair_dedup", "text_kn_logprob",
     "text_common_bigrams_cms", "text_quality_pr", "text_kn3_logprob",
-    "mm_warc_media", "mm_audio_dedup_pooled")
+    "mm_warc_media", "mm_audio_dedup_pooled",
+    // round-12 additions with joins worth de-broadcasting: the trained
+    // gate's score attach inside the composed prepare, the 3-level Q20
+    // chain's per-level attaches, the pooled video banded join
+    "pipeline_full_prepare_trained", "text_kn5_logprob",
+    "mm_video_dedup_pooled")
 
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {

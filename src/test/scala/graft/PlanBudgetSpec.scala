@@ -393,7 +393,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // over the WAV decode plane
     "mm_video_dedup" -> 4,              // same, AVI demux + per-frame
                                         // JPEG decode plane
-    "mm_image_dedup" -> 4,              // spread (the per-row PNG
+    "mm_image_dedup" -> 3,              // r12: the signature frame is
+                                        // eagerly checkpointed (decode
+                                        // ONCE; spread runs at
+                                        // checkpoint time) — measured
+                                        // 3: chunk equijoin + candidate
+                                        // dedup + keep-min. Previously
+                                        // 4 incl. spread (the per-row PNG
                                         // encode + real ImageIO decode
                                         // is the compute stage) + the
                                         // 4x16-bit chunk equijoin (both
@@ -410,13 +416,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // — no shuffle ever carries
                                         // payload bytes (measured 1,
                                         // 97 KB = the final doc rows)
-    "mm_image_dedup_resized" -> 4,      // identical shape to
+    "mm_image_dedup_resized" -> 3,      // identical (checkpointed) shape to
                                         // mm_image_dedup: spread (PNG
                                         // encode + decode + POOL is
                                         // compute) + chunk equijoin +
                                         // candidate dedup + keep-min —
                                         // pooling adds zero exchanges
-    "mm_pair_dedup" -> 7,               // EXACT since r12 (was a
+    "mm_pair_dedup" -> 6,               // EXACT since r12 (was a
                                         // measured 8–10 range): the
                                         // caption plane's shared dfreq
                                         // is eagerly checkpointed under
@@ -425,8 +431,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // AQE re-plan consumer branches
                                         // run-to-run is gone — 4
                                         // consecutive measurements
-                                        // byte-identical at
-                                        // ShuffleSummary(7,4220,263057).
+                                        // byte-identical; the r12
+                                        // signature checkpoint then
+                                        // dropped the image plane's
+                                        // spread from the plan (7 -> 6).
                                         // Image plane + prefix-filter
                                         // caption plane + pair-key
                                         // conjunction + keep-min; both
@@ -455,11 +463,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // frame (measured 19 + the ±2
                                         // cached-frame AQE flip margin
                                         // the bigram plane documents)
-    "mm_audio_dedup_pooled" -> 4,       // mm_audio_dedup's exact shape:
+    "mm_audio_dedup_pooled" -> 3,       // mm_audio_dedup's exact
+                                        // (checkpointed) shape:
                                         // spread (WAV round trip + POOL
                                         // is compute) + chunk equijoin
                                         // + candidate dedup + keep-min
-    "mm_warc_media" -> 4,               // mm_image_dedup's exact shape
+    "mm_warc_media" -> 3,               // mm_image_dedup's exact
+                                        // (checkpointed) shape
                                         // (spread + chunk equijoin +
                                         // candidate dedup + keep-min):
                                         // the archive walk is the scan-
@@ -505,6 +515,14 @@ class PlanBudgetSpec extends SparkSpec {
                                         // narrow stage; the only
                                         // exchange is the output sort
                                         // (measured 1)
+    "pipeline_warc_prepare" -> 13,      // pipeline_crawl_prepare's
+                                        // exact shape over the REAL
+                                        // gz-WARC front: gunzip +
+                                        // grammar walk + digest check +
+                                        // strip stay one narrow stage
+                                        // (checkpointed once), the
+                                        // composed prepare's reporting
+                                        // plan is unchanged
     "pipeline_full_prepare_trained" -> 20, // pipeline_full_prepare's 13
                                         // + the trained gate's scoring
                                         // legs (canon feature-hash agg,
@@ -517,7 +535,8 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the gate-attach AQE
                                         // broadcast/shuffle flip at
                                         // other data scales)
-    "mm_video_dedup_pooled" -> 4,       // mm_video_dedup's exact shape:
+    "mm_video_dedup_pooled" -> 3,       // mm_video_dedup's exact
+                                        // (checkpointed) shape:
                                         // spread (AVI mux/demux + per-
                                         // frame JPEG decode + POOL is
                                         // compute) + chunk equijoin +

@@ -695,6 +695,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("warcIngestStream: gz WARC segments arriving across " +
+      "micro-batches extract identically to the batch query over the " +
+      "same files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warc_stream").toFile
+    dir.deleteOnExit()
+    def words(p: String, n: Int) =
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    def seg(name: String, docs: Seq[(Long, String)]): Unit = {
+      val members = docs.map { case (id, body) =>
+        graft.operators.Crawl.gzipMember(
+          graft.operators.Crawl.encodeWarcRecord(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://a.example.org/doc/$id",
+            "Content-Type" -> "application/http; msgtype=response"),
+            (s"HTTP/1.1 200 OK\r\n\r\n" +
+              graft.operators.Crawl.wrapHtml(id, body)).getBytes))
+      }
+      java.nio.file.Files.write(dir.toPath.resolve(name),
+        members.toArray.flatten)
+    }
+    val query = StreamOps.warcIngestStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      seg("part0.warc.gz", Seq(1L -> words("alpha", 20),
+        2L -> words("beta", 14)))
+      query.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 2L)
+      seg("part1.warc.gz", Seq(3L -> words("gamma", 30)))
+      query.processAllAvailable()
+      val streamed = spark.table("warc_stream").collect()
+        .map(_.toSeq).toSet
+      val batch = graft.operators.Crawl.warcDocs(
+          graft.operators.Crawl.parseWarcSegments(spark,
+            s"${dir.getAbsolutePath}/*.warc.gz"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch extraction diverged: $streamed vs $batch")
+      assert(streamed.size == 3)
+    } finally query.stop()
+  }
+
   test("incrementalImageDedupStream: 3-batch feed equals the batch " +
       "survivor operator over index + union, including a CROSS-BATCH " +
       "duplicate and a duplicate of a pre-existing index doc") {
