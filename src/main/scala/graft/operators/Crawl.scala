@@ -343,7 +343,18 @@ object Crawl {
     * response payload with no HTTP break is malformed HTTP and yields
     * no row (the WARC walk itself continues normally — its framing
     * was valid). Never throws on hostile bytes. */
-  def parseWarc(bytes: Array[Byte]): Seq[(String, String)] = {
+  def parseWarc(bytes: Array[Byte]): Seq[(String, String)] =
+    parseWarcRecords(bytes, wantType = "response", skipHttp = true)
+
+  /** The general form of [[parseWarc]]: keep `wantType` records; with
+    * `skipHttp` the payload is treated as a wrapped HTTP message and
+    * everything up to its first `\r\n\r\n` is dropped (the `response`
+    * contract), without it the whole payload block IS the content
+    * (the `conversion` contract — WET records carry bare text). The
+    * walk, bounds checks, resync, and WARC-Block-Digest gate are
+    * identical for every record type. */
+  def parseWarcRecords(bytes: Array[Byte], wantType: String,
+      skipHttp: Boolean): Seq[(String, String)] = {
     guardSegmentSize(bytes.length)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def startsWith(at: Int, pat: Array[Byte]): Boolean =
@@ -408,19 +419,21 @@ object Crawl {
             // other algorithms pass through unverified
             val digestOk = kv.get("WARC-Block-Digest").forall(d =>
               !d.startsWith("sha1:") || d == warcBlockDigest(bytes, ps, l))
-            if (digestOk && kv.get("WARC-Type").contains("response")) {
+            if (digestOk && kv.get("WARC-Type").contains(wantType)) {
               kv.get("WARC-Target-URI").filter(_.nonEmpty).foreach { uri =>
-                // skip the wrapped HTTP response's own header block
-                var j = ps
-                val plim = ps + l - 3
-                var break = -1
-                while (break < 0 && j < plim) {
-                  if (startsWith(j, CrlfCrlfBytes)) break = j else j += 1
-                }
-                if (break >= 0) {
-                  val bs = break + 4
-                  out += ((uri, new String(bytes, bs, ps + l - bs, Utf8)))
-                }
+                if (skipHttp) {
+                  // skip the wrapped HTTP response's own header block
+                  var j = ps
+                  val plim = ps + l - 3
+                  var break = -1
+                  while (break < 0 && j < plim) {
+                    if (startsWith(j, CrlfCrlfBytes)) break = j else j += 1
+                  }
+                  if (break >= 0) {
+                    val bs = break + 4
+                    out += ((uri, new String(bytes, bs, ps + l - bs, Utf8)))
+                  }
+                } else out += ((uri, new String(bytes, ps, l, Utf8)))
               }
             }
             pos = next
@@ -504,6 +517,60 @@ object Crawl {
     parsed.select(col("doc_id"), col("url"),
       length(col("html")).cast("long").as("n_html"),
       htmlToText(col("html")).as("text"))
+
+  // ---- URL canonicalization: the FIRST dedup layer of crawl prep
+  //      (a crawler sees the same page under many spellings long
+  //      before content dedup can) ----
+
+  /** Query parameters that never change the page: the tracking names
+    * both engines drop, as one anchored pattern (`p` is one
+    * `name[=value]` token). */
+  private val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)"
+
+  /** Canonical spelling of an absolute http(s) URL — the contract
+    * (each rule is individually spec-pinned, and the whole map is
+    * IDEMPOTENT, property-tested):
+    *
+    *   1. the fragment goes (`#...` is client-side only);
+    *   2. scheme and host are case-folded (RFC 3986 §6.2.2.1 — the
+    *      PATH is case-sensitive and is NOT folded);
+    *   3. a default port is dropped (`:80` on http, `:443` on https;
+    *      any other explicit port is meaningful and kept);
+    *   4. trailing `/` runs are stripped from the path, and an empty
+    *      path becomes `/` (so `…org`, `…org/`, `…org//` agree);
+    *   5. tracking query parameters ([[TrackingParamRe]]: `utm_*`,
+    *      `fbclid`, `gclid`) are dropped; surviving parameters keep
+    *      their original ORDER (reordering `?a=1&b=2` is not safe in
+    *      general — servers may care), and a query left empty drops
+    *      its `?`.
+    *
+    * Anything that is not an absolute http(s) URL fails LOUDLY in
+    * both engines (Spark `raise_error` in the CASE's else branch;
+    * the mirror's `error()`) — canonical identity for relative or
+    * exotic-scheme strings would silently merge distinct pages.
+    * Pure codegen'd column expressions; at 100 TB this is a narrow
+    * per-row projection feeding one map-side-combinable aggregate. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(regexp_replace(hostport, ":443$", ""))
+    val rest =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)", 1)
+    val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)", 1)
+    val keptQuery = array_join(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)), "&")
+    when((scheme === "http" || scheme === "https") && length(hostport) > 0,
+      concat(scheme, lit("://"), host, path,
+        when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery))))
+      .otherwise(raise_error(concat(
+        lit("canonicalizeUrl: absolute http(s) URL required, got: "), u)))
+  }
 
   // ---- fixture ----
 
@@ -590,6 +657,50 @@ object Crawl {
       }
       px.map(p => f"$p%02x").mkString
     }
+
+  /** URL-variant fixture root: archives where the crawler saw the
+    * SAME page under several URL spellings — exactly the situation
+    * [[canonicalizeUrl]] exists for. */
+  val UrlFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_url"
+
+  /** Per doc: the base URL always, then (deterministically by doc_id)
+    * a case/port respelling, a tracking-param + fragment respelling,
+    * a trailing-slash respelling — all of which must canonicalize TO
+    * the base — plus a genuinely distinct `?page=2` variant (kept
+    * distinct), a `?page=2` + tracking mix (merges with the page-2
+    * variant, not the base), and an `http://…:80` respelling (a
+    * DIFFERENT scheme — stays its own page). Record ids are
+    * `doc_id*8 + variant` so first-crawled-wins is checkable from
+    * the id algebra alone. */
+  def writeUrlArchives(s: SparkSession, dir: String): Unit = {
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source")).orderBy("doc_id").collect()
+    val root = java.nio.file.Paths.get(UrlFixtureRoot)
+    java.nio.file.Files.createDirectories(root)
+    (0 until FixtureFiles).foreach { f =>
+      val recs = rows.iterator.filter(_.getLong(0) % FixtureFiles == f)
+        .flatMap { r =>
+          val d = r.getLong(0)
+          val src = r.getString(1)
+          val base = s"https://$src.example.org/doc/$d"
+          def page(k: Long, u: String): (Long, String, String) =
+            (d * 8 + k, u, s"<p>url variant $k of crawled document $d</p>")
+          Seq(page(0, base)) ++
+            (if (d % 2 == 0) Seq(page(1,
+              s"HTTPS://${src.toUpperCase}.Example.ORG:443/doc/$d")) else Nil) ++
+            (if (d % 3 == 0) Seq(page(2,
+              s"$base?utm_source=feed&utm_medium=rss#sec-2")) else Nil) ++
+            (if (d % 4 == 0) Seq(page(3, s"$base/")) else Nil) ++
+            (if (d % 5 == 0) Seq(page(4, s"$base?page=2")) else Nil) ++
+            (if (d % 10 == 0) Seq(page(5,
+              s"$base?page=2&utm_campaign=x&gclid=abc")) else Nil) ++
+            (if (d % 7 == 0) Seq(page(6,
+              s"http://$src.example.org:80/doc/$d")) else Nil)
+        }.toSeq
+      java.nio.file.Files.write(root.resolve(s"part$f.garc"),
+        encodeArchive(recs))
+    }
+  }
 
   /** WARC fixture root: each segment is written TWICE — `partN.warc`
     * (the raw record stream) and `partN.warc.gz` (the same records,
@@ -683,6 +794,79 @@ object Crawl {
       java.nio.file.Files.write(root.resolve(s"part$f.warc.gz"),
         recs.toArray.flatMap(gzipMember))
     }
+  }
+
+  // ---- WET output: the engine WRITES the WARC family too ----
+
+  /** WET output root — engine OUTPUT (re-created per run), not a
+    * fixture: the extracted-text corpus serialized back out as
+    * WARC/1.0 `conversion` records, the WET layout crawl pipelines
+    * ship alongside their WARC inputs. */
+  val WetRoot: String = s"${Sources.FixtureRoot}/wet_out"
+
+  /** Distributed WET writer: a (doc_id, url, text) frame → one
+    * `part-<partitionId>.warc.gz` shard PER TASK, each a warcinfo
+    * head record followed by one gzip member per `conversion` record
+    * (the CommonCrawl WET layout; [[encodeWarcRecord]] stamps the
+    * real `WARC-Block-Digest` + `Content-Length`, so the read path's
+    * integrity gates have teeth against the engine's own output).
+    * This is the standard shared-storage shard model — every task
+    * writes its own file, no driver involvement, no shuffle; the
+    * local filesystem stands in for the shared store exactly as it
+    * does for the parquet sinks. Stale shards from a previous run
+    * (possibly MORE partitions than this one) are cleared first so a
+    * re-run's directory holds exactly this frame's corpus. */
+  def writeWetSegments(docs: DataFrame, outDir: String): Unit = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.list(root).forEach(p =>
+        java.nio.file.Files.delete(p))
+    else java.nio.file.Files.createDirectories(root)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("url"), col("text"))
+      .as[(Long, String, String)]
+      .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(gzipMember(encodeWarcRecord(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" ->
+              f"<urn:uuid:00000000-0000-4000-8000-${800000000L + pid}%012d>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> "application/warc-fields"),
+            ("software: graft-wet/1.0\r\n" +
+              "format: WARC File Format 1.0\r\n").getBytes(Ascii))))
+          it.foreach { case (id, url, text) =>
+            out.write(gzipMember(encodeWarcRecord(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Record-ID" ->
+                f"<urn:uuid:00000000-0000-4000-8000-$id%012d>",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "WARC-Target-URI" -> url,
+              "Content-Type" -> "text/plain"),
+              text.getBytes(Utf8))))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, f"part-$pid%05d.warc.gz"),
+            out.toByteArray)
+          ()
+        }
+      }
+  }
+
+  /** Read a WET shard set back: the IDENTICAL gunzip + grammar walk +
+    * digest gate as the response path, keeping `conversion` records
+    * whose payload block IS the text (no HTTP skip). */
+  def parseWetSegments(s: SparkSession, glob: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    s.read.format("binaryFile").load(glob)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parseWarcRecords(gunzipMembers(b),
+        wantType = "conversion", skipHttp = false))
+      .toDF("url", "text")
   }
 
   /** DuckDB replays the SAME length-prefixed framing: a recursive CTE
@@ -797,6 +981,60 @@ object Crawl {
        |        AND $rel > 0))
        |  WHERE typ = 'response' AND url <> '' AND hb > 0)""".stripMargin
   }
+
+  /** Mirror of the URL-dedup layer: the framing walk over the
+    * URL-variant archives, then [[canonicalizeUrl]]'s EXACT algebra —
+    * fragment drop, scheme/host fold, default-port strip, trailing-
+    * slash collapse, ordered tracking-param filter, the loud
+    * non-http(s) guard — then first-crawled-wins per canonical URL. */
+  private def sqlUrlDedup: String =
+    s"""WITH RECURSIVE ${sqlWalkCtes(UrlFixtureRoot)},
+       |parts AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(nf,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+       |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)', 1)
+       |      AS rest
+       |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf
+       |        FROM recs)),
+       |canon AS MATERIALIZED (
+       |  SELECT doc_id, url,
+       |    CASE WHEN scheme IN ('http', 'https') AND length(hostport) > 0
+       |      THEN scheme || '://' ||
+       |        (CASE WHEN scheme = 'http'
+       |          THEN regexp_replace(hostport, ':80$$', '')
+       |          ELSE regexp_replace(hostport, ':443$$', '') END) ||
+       |        (CASE WHEN p = '' THEN '/' ELSE p END) ||
+       |        (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
+       |      ELSE CAST(error('canonicalizeUrl: absolute http(s) URL '
+       |        || 'required, got: ' || url) AS VARCHAR) END AS canon_url
+       |  FROM (
+       |    SELECT doc_id, url, scheme, hostport,
+       |      regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '')
+       |        AS p,
+       |      coalesce(array_to_string(list_filter(
+       |        string_split(regexp_extract(rest, '^[^?]*\\?(.*)', 1), '&'),
+       |        q -> q <> '' AND NOT regexp_matches(q, '$TrackingParamRe')),
+       |        '&'), '') AS kq
+       |    FROM parts))
+       |SELECT canon_url,
+       |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       |  min_by(url, doc_id) AS keeper_url,
+       |  CAST(count(*) AS BIGINT) AS n_variants
+       |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
+  /** Mirror of the WET round trip: the oracle never sees the WET
+    * shards at all — it replays the PROVEN extraction (walk + strip)
+    * and the hash asserts the engine's WET write → gunzip → grammar
+    * walk → digest gate → read is the IDENTITY on the extracted
+    * corpus (the q_csv_roundtrip discipline on the WARC family's
+    * write side). */
+  private def sqlWetRoundtrip: String =
+    s"""WITH RECURSIVE $sqlWarcCtes
+       |SELECT doc_id, url, text FROM warc_docs
+       |ORDER BY doc_id""".stripMargin
 
   private def sqlWarcExtract: String =
     s"""WITH RECURSIVE $sqlWarcCtes
@@ -940,6 +1178,48 @@ object Crawl {
             col("text"))
           .localCheckpoint()
       Prepare.fullPrepare(crawled)
+    },
+
+    // ---- the FIRST dedup layer of crawl prep: a crawler sees the
+    //      same page under many URL spellings (case, default ports,
+    //      fragments, tracking params, trailing slashes) long before
+    //      content dedup can run. Canonicalize every crawled URL
+    //      (pure codegen'd projection), then first-crawled-wins per
+    //      canonical spelling — one map-side-combinable aggregate.
+    //      The hash pins every canonicalization rule AND the merge /
+    //      stay-distinct decisions (http vs https, ?page=2 vs base)
+    //      record for record. ----
+    Q("q_warc_url_dedup", Some(sqlUrlDedup)) { (s, dir) =>
+      writeUrlArchives(s, dir)
+      parseArchives(s, s"$UrlFixtureRoot/*.garc")
+        .select(col("doc_id"), col("url"),
+          canonicalizeUrl(col("url")).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(min("doc_id").as("keeper_id"),
+          min_by(col("url"), col("doc_id")).as("keeper_url"),
+          count(lit(1)).as("n_variants"))
+        .orderBy("canon_url")
+    },
+
+    // ---- the WRITE side of the WARC family: serialize the extracted
+    //      corpus back out as WET shards (WARC/1.0 `conversion`
+    //      records, one gzip member each, one shard per task — the
+    //      layout real pipelines ship), then read it back through the
+    //      same gunzip + grammar walk + digest gate. The oracle
+    //      replays only the proven EXTRACTION, so the hash asserts
+    //      the write→read loop is the identity on the corpus — full
+    //      text, per document. ----
+    Q("q_warc_wet_roundtrip", Some(sqlWetRoundtrip)) { (s, dir) =>
+      writeArchives(s, dir)
+      val docs = extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
+        .localCheckpoint()
+      writeWetSegments(docs, WetRoot)
+      parseWetSegments(s, s"$WetRoot/*.warc.gz")
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("text"))
+        .orderBy("doc_id")
     },
 
     // ---- crawl archives carrying MEDIA records: the same length-

@@ -46,7 +46,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // round-12 additions
     "q_warc_extract_gz", "pipeline_full_prepare_trained",
     "text_kn5_logprob", "pipeline_ppl_buckets_kn5",
-    "mm_video_dedup_pooled", "pipeline_warc_prepare")
+    "mm_video_dedup_pooled", "pipeline_warc_prepare",
+    "q_warc_url_dedup", "q_warc_wet_roundtrip")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

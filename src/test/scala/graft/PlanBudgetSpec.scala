@@ -559,6 +559,20 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (measured 33) + the doc-level
                                         // tercile window rides the
                                         // existing doc-agg exchange
+    "q_warc_url_dedup" -> 2,            // canonicalize is a narrow
+                                        // codegen'd projection riding
+                                        // the archive walk's stage; the
+                                        // first-wins group is ONE map-
+                                        // side-combinable aggregate +
+                                        // the output sort (measured 2)
+    "q_warc_wet_roundtrip" -> 1,        // read-back is q_warc_extract's
+                                        // exact narrow shape (gunzip +
+                                        // walk + digest gate per shard
+                                        // task); the WET WRITE side is
+                                        // its own shuffle-free
+                                        // foreachPartition action, not
+                                        // in this plan — the only
+                                        // exchange is the output sort
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

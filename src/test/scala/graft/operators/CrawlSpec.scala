@@ -357,4 +357,164 @@ class CrawlSpec extends SparkSpec {
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) => assert(g == w, s"doc ${w._1}") }
   }
+
+  // ---- URL canonicalization (the first dedup layer of crawl prep) ----
+
+  test("canonicalizeUrl: every rule individually — fragment, case fold " +
+      "(path case KEPT), scheme-matched default ports, trailing slash, " +
+      "tracking params with survivor ORDER preserved") {
+    val cases = Seq(
+      "https://a.example.org/doc/1#sec" -> "https://a.example.org/doc/1",
+      "HTTPS://A.Example.ORG/Doc/X" -> "https://a.example.org/Doc/X",
+      "https://a.example.org:443/doc/1" -> "https://a.example.org/doc/1",
+      "http://a.example.org:80/doc/1" -> "http://a.example.org/doc/1",
+      // a NON-default port is meaningful and kept
+      "https://a.example.org:8443/d" -> "https://a.example.org:8443/d",
+      // the OTHER scheme's default is not this scheme's default
+      "https://a.example.org:80/d" -> "https://a.example.org:80/d",
+      "https://a.example.org/doc/1///" -> "https://a.example.org/doc/1",
+      "https://a.example.org" -> "https://a.example.org/",
+      "https://a.example.org/" -> "https://a.example.org/",
+      "https://a.example.org/p?utm_source=x&b=2&gclid=1&a=1" ->
+        "https://a.example.org/p?b=2&a=1",
+      "https://a.example.org/p?utm_campaign=x&fbclid=y" ->
+        "https://a.example.org/p",
+      // utm_* is a name rule, not a substring rule
+      "https://a.example.org/p?utmx=1" -> "https://a.example.org/p?utmx=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(Crawl.canonicalizeUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("canonicalizeUrl is IDEMPOTENT over a seeded URL grid: " +
+      "canon(canon(u)) == canon(u)") {
+    val rnd = new scala.util.Random(42)
+    val urls = (1 to 300).map { _ =>
+      val scheme = Seq("https", "HTTP", "http")(rnd.nextInt(3))
+      val host = Seq("A.ex.org", "b.ex.org", "C.EX.ORG")(rnd.nextInt(3))
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/", "/p", "/P/q", "/p///")(rnd.nextInt(5))
+      val query =
+        Seq("", "?a=1", "?utm_source=x", "?a=1&utm_c=2&b=3")(rnd.nextInt(4))
+      val frag = Seq("", "#f")(rnd.nextInt(2))
+      s"$scheme://$host$port$path$query$frag"
+    }
+    val once = urls.toDF("url")
+      .select(Crawl.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("c")
+      .select(Crawl.canonicalizeUrl(col("c"))).as[String].collect().toSeq
+    assert(once == twice)
+  }
+
+  test("canonicalizeUrl fails LOUDLY on anything that is not an " +
+      "absolute http(s) URL") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+    Seq("ftp://a.example.org/x", "relative/path", "//no.scheme/x")
+      .foreach { bad =>
+        val e = intercept[Exception](Seq(bad).toDF("url")
+          .select(Crawl.canonicalizeUrl(col("url"))).collect())
+        assert(chain(e).contains("canonicalizeUrl"), bad)
+      }
+  }
+
+  test("q_warc_url_dedup: groups and keepers recomputed INDEPENDENTLY " +
+      "from the fixture's id algebra — merge set, first-crawled keeper, " +
+      "keeper spelling, and stay-distinct pages all agree") {
+    val got = graft.SparkEntry.queries("q_warc_url_dedup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect()
+    val expected = docs.flatMap { case (d, src) =>
+      val base = s"https://$src.example.org/doc/$d"
+      val baseGroup = (base, d * 8, base,
+        1L + Seq(2, 3, 4).count(m => d % m == 0))
+      val page2 = if (d % 5 == 0)
+        Some((s"$base?page=2", d * 8 + 4, s"$base?page=2",
+          1L + (if (d % 10 == 0) 1L else 0L)))
+      else None
+      val http = if (d % 7 == 0)
+        Some((s"http://$src.example.org/doc/$d", d * 8 + 6,
+          s"http://$src.example.org:80/doc/$d", 1L))
+      else None
+      Seq(baseGroup) ++ page2 ++ http
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+
+  // ---- WET: the WRITE side of the WARC family ----
+
+  test("WET round trip is the identity across partitions, including an " +
+      "empty text and a text CONTAINING the WARC version line") {
+    val docs = Seq(
+      (1L, "https://a.example.org/doc/1", "plain text body one"),
+      (2L, "https://a.example.org/doc/2",
+        s"evil ${Crawl.WarcVersion}embedded version line"),
+      (3L, "https://b.example.org/doc/3", ""),
+      (4L, "https://b.example.org/doc/4", "four four four four"))
+    val dir = java.nio.file.Files.createTempDirectory("wet_rt").toString
+    Crawl.writeWetSegments(
+      docs.toDF("doc_id", "url", "text").repartition(3), dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".warc.gz")))
+    val back = Crawl.parseWetSegments(spark, s"$dir/*.warc.gz")
+      .as[(String, String)].collect().toSet
+    assert(back == docs.map(d => (d._2, d._3)).toSet)
+  }
+
+  test("writeWetSegments clears STALE shards from a wider previous " +
+      "run — a re-run's directory holds exactly this frame's corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_stale").toString
+    val wide = (1L to 9L)
+      .map(i => (i, s"https://a.example.org/doc/$i", s"doc $i"))
+    Crawl.writeWetSegments(wide.toDF("doc_id", "url", "text")
+      .repartition(4), dir)
+    val narrow = Seq((99L, "https://a.example.org/doc/99", "only doc"))
+    Crawl.writeWetSegments(narrow.toDF("doc_id", "url", "text")
+      .coalesce(1), dir)
+    val back = Crawl.parseWetSegments(spark, s"$dir/*.warc.gz")
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("https://a.example.org/doc/99", "only doc")))
+  }
+
+  test("WET: a tampered text byte in the engine's OWN output drops " +
+      "that record at read (the digest gate holds on conversion " +
+      "records); intact siblings survive") {
+    val docs = Seq(
+      (1L, "https://a.example.org/doc/1", "distinctive payload body"),
+      (2L, "https://a.example.org/doc/2", "sibling record text here"))
+    val dir = java.nio.file.Files.createTempDirectory("wet_tamper").toString
+    Crawl.writeWetSegments(docs.toDF("doc_id", "url", "text").coalesce(1),
+      dir)
+    val shard = new java.io.File(dir).listFiles().head
+    val raw = Crawl.gunzipMembers(
+      java.nio.file.Files.readAllBytes(shard.toPath))
+    val s = new String(raw, java.nio.charset.StandardCharsets.US_ASCII)
+    // same-LENGTH flip keeps the framing walk consistent — only the
+    // record-level digest can catch it
+    val tampered = s.replace("distinctive payload body",
+      "distinctivX payload body")
+    assert(s != tampered)
+    val back = Crawl.parseWarcRecords(
+      tampered.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      wantType = "conversion", skipHttp = false)
+    assert(back == Seq(
+      ("https://a.example.org/doc/2", "sibling record text here")))
+  }
+
+  test("q_warc_wet_roundtrip equals the direct extraction row for row") {
+    val rt = graft.SparkEntry.queries("q_warc_wet_roundtrip")(spark, sfDir)
+      .select("doc_id", "url", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val direct = Crawl.extractText(
+        Crawl.parseArchives(spark, s"${Crawl.FixtureRoot}/*.garc"))
+      .orderBy("doc_id").select("doc_id", "url", "text")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rt == direct)
+  }
 }
