@@ -572,6 +572,24 @@ object Crawl {
         lit("canonicalizeUrl: absolute http(s) URL required, got: "), u)))
   }
 
+  /** Keeper RECORDS under URL canonicalization: one row per canonical
+    * URL — the record with the smallest doc_id — with its payload
+    * intact. Slim-key discipline (the crawl module's "no shuffle ever
+    * carries payload bytes" contract): the group shuffles only
+    * (canon_url, doc_id); keepers join back to the record set on the
+    * UNIQUE record id, `shuffle_hash`-pinned because at corpus scale
+    * the keeper side is corpus-sized (never a broadcast candidate)
+    * and the pin keeps the spec-scale plan deterministic under AQE
+    * (the bigramLogprob precedent). Callers checkpoint `recs` once
+    * (the single-parse discipline) so the walk never re-runs. */
+  def urlKeeperRecords(recs: DataFrame): DataFrame = {
+    val keepers = recs
+      .select(canonicalizeUrl(col("url")).as("canon_url"), col("doc_id"))
+      .groupBy("canon_url").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    recs.join(keepers.hint("shuffle_hash"), Seq("doc_id"))
+  }
+
   // ---- fixture ----
 
   /** Absolute fixture root, embedded verbatim in the oracle SQL (the
@@ -674,7 +692,8 @@ object Crawl {
     * the id algebra alone. */
   def writeUrlArchives(s: SparkSession, dir: String): Unit = {
     val rows = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source")).orderBy("doc_id").collect()
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy("doc_id").collect()
     val root = java.nio.file.Paths.get(UrlFixtureRoot)
     java.nio.file.Files.createDirectories(root)
     (0 until FixtureFiles).foreach { f =>
@@ -683,8 +702,14 @@ object Crawl {
           val d = r.getLong(0)
           val src = r.getString(1)
           val base = s"https://$src.example.org/doc/$d"
+          // every spelling serves the SAME page (it IS the same page —
+          // that's why URL dedup is sound); content keyed on the DOC,
+          // not the record, so the composed-prepare stages downstream
+          // see realistic duplicated-content keepers too
+          val html = wrapHtml(d,
+            r.getString(2).replaceAll("[^\\x20-\\x7e]", ""))
           def page(k: Long, u: String): (Long, String, String) =
-            (d * 8 + k, u, s"<p>url variant $k of crawled document $d</p>")
+            (d * 8 + k, u, html)
           Seq(page(0, base)) ++
             (if (d % 2 == 0) Seq(page(1,
               s"HTTPS://${src.toUpperCase}.Example.ORG:443/doc/$d")) else Nil) ++
@@ -822,6 +847,31 @@ object Crawl {
       java.nio.file.Files.list(root).forEach(p =>
         java.nio.file.Files.delete(p))
     else java.nio.file.Files.createDirectories(root)
+    writeWetShards(docs, outDir, "part")
+  }
+
+  /** The batch-id-keyed form for the STREAMING sink
+    * ([[graft.streaming.StreamOps.wetWriteStream]]): shards named
+    * `part-<batchId>-<pid>.warc.gz`, and ONLY this batch's own shards
+    * cleared before writing — a replayed batch (even one whose
+    * earlier attempt ran with a different partition count) leaves
+    * exactly its final shard set while other batches' shards are
+    * never touched. */
+  def writeWetShardsForBatch(docs: DataFrame, outDir: String,
+      batchId: Long): Unit = {
+    val prefix = f"part-$batchId%05d"
+    val root = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.list(root)
+      .filter(p => p.getFileName.toString.startsWith(s"$prefix-"))
+      .forEach(p => java.nio.file.Files.delete(p))
+    writeWetShards(docs, outDir, prefix)
+  }
+
+  /** Shared distributed shard writer: one
+    * `<prefix>-<partitionId>.warc.gz` per non-empty task. */
+  private def writeWetShards(docs: DataFrame, outDir: String,
+      prefix: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("url"), col("text"))
@@ -849,7 +899,7 @@ object Crawl {
               text.getBytes(Utf8))))
           }
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(outDir, f"part-$pid%05d.warc.gz"),
+            java.nio.file.Paths.get(outDir, f"$prefix-$pid%05d.warc.gz"),
             out.toByteArray)
           ()
         }
@@ -982,13 +1032,15 @@ object Crawl {
        |  WHERE typ = 'response' AND url <> '' AND hb > 0)""".stripMargin
   }
 
-  /** Mirror of the URL-dedup layer: the framing walk over the
-    * URL-variant archives, then [[canonicalizeUrl]]'s EXACT algebra —
-    * fragment drop, scheme/host fold, default-port strip, trailing-
-    * slash collapse, ordered tracking-param filter, the loud
-    * non-http(s) guard — then first-crawled-wins per canonical URL. */
-  private def sqlUrlDedup: String =
-    s"""WITH RECURSIVE ${sqlWalkCtes(UrlFixtureRoot)},
+  /** [[canonicalizeUrl]]'s EXACT algebra as CTEs (`parts` … `ucanon`)
+    * over the framing walk's `recs` — fragment drop, scheme/host
+    * fold, default-port strip, trailing-slash collapse, ordered
+    * tracking-param filter, the loud non-http(s) guard. Shared by the
+    * standalone dedup mirror and the composed-prepare mirror (the
+    * proven-chain CTE-reuse discipline). Callers prefix
+    * `WITH RECURSIVE`. */
+  private[operators] def sqlUrlCanonCtes(root: String): String =
+    s"""${sqlWalkCtes(root)},
        |parts AS (
        |  SELECT doc_id, url,
        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -999,7 +1051,7 @@ object Crawl {
        |      AS rest
        |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf
        |        FROM recs)),
-       |canon AS MATERIALIZED (
+       |ucanon AS MATERIALIZED (
        |  SELECT doc_id, url,
        |    CASE WHEN scheme IN ('http', 'https') AND length(hostport) > 0
        |      THEN scheme || '://' ||
@@ -1008,8 +1060,8 @@ object Crawl {
        |          ELSE regexp_replace(hostport, ':443$$', '') END) ||
        |        (CASE WHEN p = '' THEN '/' ELSE p END) ||
        |        (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
-       |      ELSE CAST(error('canonicalizeUrl: absolute http(s) URL '
-       |        || 'required, got: ' || url) AS VARCHAR) END AS canon_url
+       |      ELSE CAST(error('canonicalizeUrl: absolute http(s) URL ' ||
+       |        'required, got: ' || url) AS VARCHAR) END AS canon_url
        |  FROM (
        |    SELECT doc_id, url, scheme, hostport,
        |      regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '')
@@ -1018,12 +1070,39 @@ object Crawl {
        |        string_split(regexp_extract(rest, '^[^?]*\\?(.*)', 1), '&'),
        |        q -> q <> '' AND NOT regexp_matches(q, '$TrackingParamRe')),
        |        '&'), '') AS kq
-       |    FROM parts))
+       |    FROM parts))""".stripMargin
+
+  /** Mirror of the standalone URL-dedup layer: the canon algebra,
+    * then first-crawled-wins per canonical URL. */
+  private def sqlUrlDedup: String =
+    s"""WITH RECURSIVE ${sqlUrlCanonCtes(UrlFixtureRoot)}
        |SELECT canon_url,
        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
        |  min_by(url, doc_id) AS keeper_url,
        |  CAST(count(*) AS BIGINT) AS n_variants
-       |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
+       |FROM ucanon GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
+  /** Mirror of the URL-dedup → corpus-prep composition: the canon
+    * algebra picks one keeper RECORD per canonical URL (slim min
+    * aggregate + join back on the unique record id — payload bytes
+    * never ride the group), then the keeper pages run the shared
+    * strip chain, the documents-shaping CTE (lang off the keeper
+    * URL's host, scheme-agnostic since an `http://` keeper is a
+    * legitimate page), and the ENTIRE fullPrepare chain. */
+  private def sqlUrlPrepare: String =
+    s"""WITH RECURSIVE ${sqlUrlCanonCtes(UrlFixtureRoot)},
+       |keepers AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+       |  FROM ucanon GROUP BY canon_url),
+       |kept AS MATERIALIZED (
+       |  SELECT r.doc_id, r.url, r.html, r.n_html
+       |  FROM recs r JOIN keepers k USING (doc_id)),
+       |${sqlStripCtes("kept")},
+       |crawl_docs AS MATERIALIZED (SELECT doc_id,
+       |    regexp_extract(url, '://([^.]+)\\.', 1) AS lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars, text
+       |  FROM warc_docs),
+       |${Prepare.sqlFullPrepareCtes("crawl_docs")}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
   /** Mirror of the WET round trip: the oracle never sees the WET
     * shards at all — it replays the PROVEN extraction (walk + strip)
@@ -1199,6 +1278,32 @@ object Crawl {
           min_by(col("url"), col("doc_id")).as("keeper_url"),
           count(lit(1)).as("n_variants"))
         .orderBy("canon_url")
+    },
+
+    // ---- URL dedup COMPOSED into corpus prep (the order real crawl
+    //      prep runs: collapse URL spellings FIRST — it's free, the
+    //      key is metadata — then let content dedup handle the
+    //      same-page-different-canonical-URL remainder). One keeper
+    //      record per canonical URL feeds the ENTIRE fullPrepare
+    //      chain; one hash from URL-variant archive bytes to the
+    //      packing-manifest digest. Stage 0 counts canonical PAGES,
+    //      not crawl records — the spec pins that independently from
+    //      the fixture's id algebra. ----
+    Q("pipeline_url_prepare", Some(sqlUrlPrepare)) { (s, dir) =>
+      writeUrlArchives(s, dir)
+      // parse ONCE (the single-parse checkpoint discipline): the
+      // record set is referenced from both sides of the keeper join
+      val recs = parseArchives(s, s"$UrlFixtureRoot/*.garc")
+        .localCheckpoint()
+      val crawled = extractText(urlKeeperRecords(recs))
+        .select(col("doc_id"),
+          // scheme-agnostic host extraction: an http:// keeper is a
+          // legitimate page of its own
+          regexp_extract(col("url"), "://([^.]+)\\.", 1).as("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("text"))
+        .localCheckpoint()
+      Prepare.fullPrepare(crawled)
     },
 
     // ---- the WRITE side of the WARC family: serialize the extracted

@@ -644,4 +644,87 @@ object StreamOps {
       }
       .start()
   }
+
+  /** STREAMING WET sink — the continuous form of the
+    * `q_warc_wet_roundtrip` write side: each micro-batch of
+    * (doc_id, url, text) rows is serialized as WET shards named
+    * `part-<batchId>-<partitionId>.warc.gz` (one per task, via the
+    * shared [[graft.operators.Crawl.writeWetShards]] — warcinfo head
+    * + one gzip member per `conversion` record with real block
+    * digests).
+    *
+    * Exactly-once mechanics, the batch-id-keyed SINK twin of
+    * [[incrementalSubstrStreamDurable]]'s state pattern: shard names
+    * embed the batch id, and each batch first clears ONLY its own
+    * `part-<batchId>-*` shards before writing — so a replayed batch
+    * (including one whose earlier attempt wrote with a DIFFERENT
+    * partition count) leaves exactly its own final shard set, and
+    * other batches' shards are never touched. The output directory
+    * accumulates batches append-style, exactly how WET dumps
+    * accumulate next to a growing crawl. */
+  def wetWriteStream(docs: DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        graft.operators.Crawl.writeWetShardsForBatch(batch.toDF(),
+          outDir, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** DURABLE streaming URL dedup — the crawl FRONTIER's "have I seen
+    * this page" filter, continuous and restart-proof: each
+    * micro-batch of crawled (doc_id, url, …) records is collapsed to
+    * one keeper record per canonical URL within the batch
+    * ([[graft.operators.Crawl.urlKeeperRecords]] — the composed-
+    * prepare operator, shared verbatim), then keepers whose canonical
+    * URL is already in the ACCUMULATED seen-set are dropped
+    * (left_anti equijoin on the canonical string — first-crawled-wins
+    * ACROSS batches needs no id-ordering contract: the index side
+    * always wins, whatever the ids), and the batch's canonical URLs
+    * join the seen-set for the next batch.
+    *
+    * State is the batch-id-keyed persistence pattern of
+    * [[incrementalSubstrStreamDurable]], applied to the seen-set:
+    * `idx_<batchId>` holds the DISTINCT canonical URLs seen through
+    * that batch (one slim string column — the structure a crawler
+    * persists anyway), written with a _SUCCESS marker; each batch
+    * reloads the newest committed `idx_<j>` below its own id and
+    * idempotently overwrites its own. A URL spelling first seen
+    * before a hard restart still drops its post-restart respelling
+    * (FileStreamRecoverySpec drives the stop + restart).
+    *
+    * `sink(freshKeepers, batchId)` receives each batch's
+    * never-seen-before keeper records with their `canon_url`. */
+  def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
+      indexDir: String, initialSeen: DataFrame, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newRecs.sparkSession
+    val init = initialSeen.select("canon_url").distinct().localCheckpoint()
+    newRecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val seen = latestIndex(indexDir, batchId, init, spark)
+          .select("canon_url").localCheckpoint()
+        val keepers = graft.operators.Crawl
+          .urlKeeperRecords(batch.toDF())
+          .withColumn("canon_url", graft.operators.Crawl
+            .canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
+          .localCheckpoint()
+        sink(keepers.join(seen.hint("shuffle_hash"),
+          Seq("canon_url"), "left_anti").localCheckpoint(), batchId)
+        seen.unionAll(keepers.select("canon_url"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        ()
+      }
+      .start()
+  }
 }

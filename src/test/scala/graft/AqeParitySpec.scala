@@ -47,7 +47,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_warc_extract_gz", "pipeline_full_prepare_trained",
     "text_kn5_logprob", "pipeline_ppl_buckets_kn5",
     "mm_video_dedup_pooled", "pipeline_warc_prepare",
-    "q_warc_url_dedup", "q_warc_wet_roundtrip")
+    "q_warc_url_dedup", "q_warc_wet_roundtrip", "pipeline_url_prepare")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -78,7 +78,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_crawl_prepare",
     // round-12 1-row-total broadcasts (PlanHygieneSpec's list)
     "pipeline_full_prepare_trained", "text_kn5_logprob",
-    "pipeline_ppl_buckets_kn5", "pipeline_warc_prepare")
+    "pipeline_ppl_buckets_kn5", "pipeline_warc_prepare",
+    // the pack-stage bounds row, via the URL-dedup front
+    "pipeline_url_prepare")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

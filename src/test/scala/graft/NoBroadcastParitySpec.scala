@@ -45,7 +45,9 @@ class NoBroadcastParitySpec extends SparkSpec {
     // gate's score attach inside the composed prepare, the 3-level Q20
     // chain's per-level attaches, the pooled video banded join
     "pipeline_full_prepare_trained", "text_kn5_logprob",
-    "mm_video_dedup_pooled")
+    "mm_video_dedup_pooled",
+    // the URL-dedup keeper join back to the record set
+    "pipeline_url_prepare")
 
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {

@@ -559,6 +559,18 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (measured 33) + the doc-level
                                         // tercile window rides the
                                         // existing doc-agg exchange
+    "pipeline_url_prepare" -> 14,       // pipeline_crawl_prepare's 13
+                                        // (the composed prepare's
+                                        // reporting plan, unchanged) +
+                                        // the URL-dedup front (measured
+                                        // 14): keeper agg on the slim
+                                        // (canon_url, doc_id) plane —
+                                        // payload never rides the
+                                        // group — + the shuffle_hash-
+                                        // pinned join back on the
+                                        // record id; the extraction
+                                        // checkpoint truncates the
+                                        // front out of the report legs
     "q_warc_url_dedup" -> 2,            // canonicalize is a narrow
                                         // codegen'd projection riding
                                         // the archive walk's stage; the

@@ -80,6 +80,7 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_crawl_prepare",   // the pack stage's min/max bounds
                                 // row, as pipeline_full_prepare
     "pipeline_warc_prepare",    // same, via the gz-WARC front
+    "pipeline_url_prepare",     // same, via the URL-dedup front
     "pipeline_full_prepare_trained") // the pack bounds row + two
                                 // 1-row frames of the trained gate
                                 // (PR-curve positive total, chosen

@@ -507,6 +507,48 @@ class CrawlSpec extends SparkSpec {
       ("https://a.example.org/doc/2", "sibling record text here")))
   }
 
+  test("pipeline_url_prepare: stage 0 counts canonical PAGES — URL " +
+      "spellings collapse BEFORE content prep (count recomputed " +
+      "independently from the fixture's id algebra), the chain is " +
+      "monotone, and a packed corpus survives") {
+    val rows = graft.SparkEntry
+      .queries("pipeline_url_prepare")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // canonical group count from the fixture's id-divisibility algebra:
+    // one base group per doc, a ?page=2 group iff d%5==0, an http://
+    // group iff d%7==0 (the same recompute q_warc_url_dedup pins)
+    val expectedPages = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+      .map(d => 1L + (if (d % 5 == 0) 1L else 0L) +
+        (if (d % 7 == 0) 1L else 0L)).sum
+    assert(rows("0_input") == expectedPages,
+      "the pipeline input must be canonical pages, not crawl records")
+    val stages = Seq("1_canonicalize", "2_quality_gate",
+      "3_exact_substr", "4_near_dup", "5_decontaminate")
+    for (Seq(a, b) <- stages.sliding(2))
+      assert(rows(b) <= rows(a), s"$b grew docs vs $a")
+    assert(rows("5_decontaminate") > 0 && rows("6_pack") > 0,
+      "a training corpus must survive the URL-dedup-rooted pipeline")
+  }
+
+  test("urlKeeperRecords keeps exactly one record per canonical URL — " +
+      "the smallest record id — with its payload intact") {
+    val recs = Seq(
+      (10L, "https://a.example.org/p", "<p>page body one two three</p>"),
+      (11L, "https://A.example.org:443/p#x", "<p>same page spelled twice</p>"),
+      (12L, "https://a.example.org/p?utm_source=x", "<p>and thrice</p>"),
+      (20L, "https://a.example.org/p?page=2", "<p>a different page</p>"))
+      .toDF("doc_id", "url", "html")
+    val kept = Crawl.urlKeeperRecords(recs)
+      .select("doc_id", "url", "html")
+      .as[(Long, String, String)].collect().toSet
+    assert(kept == Set(
+      (10L, "https://a.example.org/p", "<p>page body one two three</p>"),
+      (20L, "https://a.example.org/p?page=2", "<p>a different page</p>")))
+  }
+
   test("q_warc_wet_roundtrip equals the direct extraction row for row") {
     val rt = graft.SparkEntry.queries("q_warc_wet_roundtrip")(spark, sfDir)
       .select("doc_id", "url", "text")

@@ -179,4 +179,44 @@ class FileStreamRecoverySpec extends SparkSpec {
     assert(rows(303L) == (303L, 0L, 1),
       "the original index must survive the restart too")
   }
+
+  test("incrementalUrlDedupStreamDurable: a URL spelling first seen " +
+      "BEFORE a hard restart still drops its post-restart respelling " +
+      "(the persisted seen-set survives the stop)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_urlseen_durable")
+    val in = Files.createDirectory(root.resolve("in"))
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType), StructField("html", StringType)))
+    def writeRecs(name: String,
+        recs: Seq[(Long, String, String)]): Unit =
+      recs.toDF("doc_id", "url", "html").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(name).toString)
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def startQ() = StreamOps.incrementalUrlDedupStreamDurable(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(in.toString),
+      idxDir,
+      Seq.empty[String].toDF("canon_url"), ckpt) { (batch, id) =>
+      got(id) = batch.select("doc_id").as[Long].collect().toSet
+    }
+    writeRecs("b0", Seq(
+      (10L, "https://a.example.org/page", "<p>the page</p>")))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // HARD RESTART; the respelling arrives only after the stop
+    writeRecs("b1", Seq(
+      (20L, "HTTPS://A.EXAMPLE.ORG:443/page#top", "<p>same page</p>"),
+      (21L, "https://a.example.org/other", "<p>fresh page</p>")))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got(0L) == Set(10L))
+    assert(got(1L) == Set(21L),
+      "the pre-restart URL must drop its post-restart respelling via " +
+        s"the PERSISTED seen-set: ${got(1L)}")
+  }
 }

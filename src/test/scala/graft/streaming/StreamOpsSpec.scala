@@ -810,4 +810,131 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("wetWriteStream: micro-batches accumulate batch-id-keyed WET " +
+      "shards; the read-back union equals everything fed") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wet_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_wet_stream_ckpt").toString
+    val src = MemoryStream[(Long, String, String)]
+    val query = StreamOps.wetWriteStream(
+      src.toDF().toDF("doc_id", "url", "text"), dir, ckpt)
+    try {
+      src.addData((1L, "https://a.example.org/doc/1", "first batch text"),
+        (2L, "https://a.example.org/doc/2", "more first batch"))
+      query.processAllAvailable()
+      src.addData((3L, "https://b.example.org/doc/3", "second batch"))
+      query.processAllAvailable()
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      assert(names.nonEmpty &&
+        names.forall(_.matches("part-\\d{5}-\\d{5}\\.warc\\.gz")),
+        s"batch-id-keyed shard names expected, got $names")
+      assert(names.exists(_.startsWith("part-00000-")) &&
+        names.exists(_.startsWith("part-00001-")),
+        s"each batch must own its shards: $names")
+      val back = graft.operators.Crawl
+        .parseWetSegments(spark, s"$dir/*.warc.gz")
+        .as[(String, String)].collect().toSet
+      assert(back == Set(
+        ("https://a.example.org/doc/1", "first batch text"),
+        ("https://a.example.org/doc/2", "more first batch"),
+        ("https://b.example.org/doc/3", "second batch")))
+    } finally query.stop()
+  }
+
+  test("writeWetShardsForBatch is idempotent PER BATCH: a replay with " +
+      "a different partition count replaces exactly its own shards " +
+      "and never touches another batch's") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wet_replay").toString
+    val b4 = Seq((40L, "https://a.example.org/doc/40", "batch four"))
+      .toDF("doc_id", "url", "text").coalesce(1)
+    val b5wide = (50L to 55L)
+      .map(i => (i, s"https://a.example.org/doc/$i", s"five $i"))
+      .toDF("doc_id", "url", "text").repartition(4)
+    graft.operators.Crawl.writeWetShardsForBatch(b4, dir, 4L)
+    graft.operators.Crawl.writeWetShardsForBatch(b5wide, dir, 5L)
+    val wide = new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.startsWith("part-00005-"))
+    assert(wide > 1, "fixture needs a multi-shard first attempt")
+    // the REPLAY of batch 5 lands narrower (1 partition)
+    val b5narrow = (50L to 55L)
+      .map(i => (i, s"https://a.example.org/doc/$i", s"five $i"))
+      .toDF("doc_id", "url", "text").coalesce(1)
+    graft.operators.Crawl.writeWetShardsForBatch(b5narrow, dir, 5L)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(names.count(_.startsWith("part-00005-")) == 1,
+      s"stale wide-attempt shards must be cleared on replay: $names")
+    assert(names.count(_.startsWith("part-00004-")) == 1,
+      s"other batches' shards must never be touched: $names")
+    val back = graft.operators.Crawl
+      .parseWetSegments(spark, s"$dir/*.warc.gz")
+      .as[(String, String)].collect().toSet
+    assert(back == ((50L to 55L).map(i =>
+      (s"https://a.example.org/doc/$i", s"five $i")).toSet +
+      (("https://a.example.org/doc/40", "batch four"))))
+  }
+
+  test("incrementalUrlDedupStreamDurable: respellings of URLs seen in " +
+      "EARLIER batches drop (first-crawled-wins across batches), " +
+      "within-batch spellings collapse to one keeper, fresh pages " +
+      "pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_urlseen")
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val src = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, String, String)]]
+    val query = StreamOps.incrementalUrlDedupStreamDurable(
+      src.toDF().toDF("doc_id", "url", "html"),
+      idxDir,
+      Seq("https://old.example.org/seeded").toDF("canon_url"), ckpt) {
+      (batch, id) =>
+        got(id) = batch.select("doc_id", "url", "canon_url")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    }
+    try {
+      src.addData(
+        (10L, "https://a.example.org/p", "<p>page p</p>"),
+        (11L, "https://a.example.org/p?utm_source=x", "<p>page p</p>"),
+        (12L, "https://old.example.org/seeded#frag", "<p>seeded</p>"))
+      query.processAllAvailable()
+      src.addData(
+        (20L, "HTTPS://A.Example.ORG:443/p", "<p>page p again</p>"),
+        (21L, "https://a.example.org/q", "<p>fresh page q</p>"))
+      query.processAllAvailable()
+      assert(got(0L) == Set((10L, "https://a.example.org/p",
+        "https://a.example.org/p")),
+        s"batch 0: keeper 10 only (11 respells it, 12 is pre-seeded): " +
+          s"${got(0L)}")
+      assert(got(1L) == Set((21L, "https://a.example.org/q",
+        "https://a.example.org/q")),
+        s"batch 1: 20 respells a batch-0 page, only 21 is fresh: " +
+          s"${got(1L)}")
+      // the persisted seen-set is the union of seed + both batches
+      val idx = StreamOpsSpecHelpers.latestCommitted(idxDir)
+      val seen = spark.read.parquet(idx)
+        .as[String].collect().toSet
+      assert(seen == Set("https://old.example.org/seeded",
+        "https://a.example.org/p", "https://a.example.org/q"))
+    } finally query.stop()
+  }
+}
+
+/** File helpers for the durable-index assertions. */
+object StreamOpsSpecHelpers {
+  /** Newest committed `idx_<j>` dir (with _SUCCESS) under `indexDir`. */
+  def latestCommitted(indexDir: String): String = {
+    val cands = Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("idx_") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    require(cands.nonEmpty, s"no committed index under $indexDir")
+    cands.maxBy(_.getName.stripPrefix("idx_").toLong).getAbsolutePath
+  }
 }
