@@ -843,10 +843,11 @@ object Crawl {
     * re-run's directory holds exactly this frame's corpus. */
   def writeWetSegments(docs: DataFrame, outDir: String): Unit = {
     val root = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.list(root).forEach(p =>
-        java.nio.file.Files.delete(p))
-    else java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.createDirectories(root)
+    // listFiles, not Files.list: no stream handle to close, and the
+    // null-on-IO-error shape matches the latestIndex discipline
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
     writeWetShards(docs, outDir, "part")
   }
 
@@ -862,9 +863,9 @@ object Crawl {
     val prefix = f"part-$batchId%05d"
     val root = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(root)
-    java.nio.file.Files.list(root)
-      .filter(p => p.getFileName.toString.startsWith(s"$prefix-"))
-      .forEach(p => java.nio.file.Files.delete(p))
+    Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"$prefix-"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
     writeWetShards(docs, outDir, prefix)
   }
 
