@@ -284,17 +284,26 @@ object KnLm {
     * vocab-plane equijoins, and only the final scored table attaches
     * to the occurrence stream (hot-salted). The per-level overflow
     * audit lives on [[q20Level]]. */
-  def kn5Logprob(d: DataFrame): DataFrame = {
-    val bg = TextAnalysis.bigramRows(d, distinctPerDoc = false)
-    val mdl = bigramModel(bg.where(col("doc_id") % 5 =!= 0))
-    def train(n: Int): DataFrame =
-      TextAnalysis.ngramRows(d, n, distinctPerDoc = false)
-        .where(col("doc_id") % 5 =!= 0)
-    val ev5 = TextAnalysis.ngramRows(d, 5, distinctPerDoc = false)
-      .where(col("doc_id") % 5 === 0)
-    val c3 = ngramCounts(train(3)).cache()
-    val c4 = ngramCounts(train(4)).cache()
-    val c5 = ngramCounts(train(5)).cache()
+  def kn5Logprob(d: DataFrame): DataFrame =
+    kn5LogprobOver(d.where(col("doc_id") % 5 =!= 0),
+      d.where(col("doc_id") % 5 === 0))
+
+  /** The general two-corpus form: the model trains on `train` and
+    * scores every doc of `eval` — the production CCNet shape, where
+    * the reference LM comes from a TRUSTED corpus and the crawl is
+    * what gets scored. [[kn5Logprob]] is the held-out special case
+    * (train = doc_id%5≠0, eval = %5=0 of one frame); the gram
+    * extraction is per-doc row-wise, so splitting the frame before
+    * extraction is identical to filtering grams after it. */
+  def kn5LogprobOver(train: DataFrame, eval: DataFrame): DataFrame = {
+    val mdl = bigramModel(
+      TextAnalysis.bigramRows(train, distinctPerDoc = false))
+    def trainG(n: Int): DataFrame =
+      TextAnalysis.ngramRows(train, n, distinctPerDoc = false)
+    val ev5 = TextAnalysis.ngramRows(eval, 5, distinctPerDoc = false)
+    val c3 = ngramCounts(trainG(3)).cache()
+    val c4 = ngramCounts(trainG(4)).cache()
+    val c5 = ngramCounts(trainG(5)).cache()
     val et5 = ev5.select("g").distinct()
     val et4 = et5.select(substring_index(col("g"), " ", -4).as("g"))
       .distinct()
@@ -316,25 +325,78 @@ object KnLm {
         expr("nll_q10 div n_5grams").cast("long"))
   }
 
+  /** CCNet's PERPLEXITY gate for the composed prepare
+    * (`pipeline_full_prepare_ppl`): score every CANONICAL doc under
+    * the 5-gram interpolated-KN model and keep the head + middle
+    * perplexity terciles (NTILE(3) over the deterministic
+    * (nll_per, doc_id) order — `pipeline_ppl_buckets_kn5`'s exact
+    * bucket rule, applied as the filter CCNet actually runs). Here
+    * the model trains on the same canonical plane it scores — the
+    * spec-scale stand-in for production, where [[kn5LogprobOver]]'s
+    * `train` side points at a TRUSTED reference corpus instead. Docs
+    * too short to carry a 5-gram have no perplexity and leave the
+    * gate's domain (identically in both engines), the same rule the
+    * standalone bucket query documents. The tercile window runs on
+    * the slim per-doc score plane; at corpus scale the cutoffs come
+    * from the score-quantiles histogram discipline instead. */
+  def pplGate(canon: DataFrame): DataFrame = {
+    val scored = kn5LogprobOver(canon, canon)
+      .select(col("doc_id"), col("nll_per_5gram_q10").as("nll_per"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll_per"), col("doc_id"))
+    canon.join(scored, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .where(col("bucket") <= 2)
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** [[pplGate]] as CTEs for the composed-prepare mirror: the full
+    * 5-gram chain re-rooted on `canon` for BOTH train and eval, the
+    * per-doc score, the tercile rule, then the `gate` CTE the
+    * fullPrepare chain expects. Assumes a `canon` CTE is in scope. */
+  private[operators] def sqlPplGateCtes: String =
+    s"""${sqlKn5CtesOver("canon", "canon")},
+       |per_doc AS (SELECT doc_id,
+       |    CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per
+       |  FROM e5 JOIN sc USING (g) GROUP BY doc_id),
+       |pbuck AS (SELECT doc_id,
+       |    NTILE(3) OVER (ORDER BY nll_per, doc_id) AS bucket
+       |  FROM per_doc),
+       |gate AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text
+       |  FROM canon c JOIN pbuck b USING (doc_id)
+       |  WHERE b.bucket <= 2)""".stripMargin
+
   // ------------------------------------------------------------------
   // Mirrors
   // ------------------------------------------------------------------
 
-  /** n-gram occurrence CTE over one split. */
-  private def sqlNgrams(name: String, n: Int, split: String): String = {
+  /** n-gram occurrence CTE over one split of the documents table. */
+  private def sqlNgrams(name: String, n: Int, split: String): String =
+    sqlNgramsOver(name, n, s"documents WHERE doc_id % 5 $split")
+
+  /** The general form: n-gram occurrences over any `fromWhere`
+    * relation (a table + predicate, or a CTE name) with (doc_id,
+    * text) — the composed ppl-gate mirror points this at `canon`. */
+  private def sqlNgramsOver(name: String, n: Int,
+      fromWhere: String): String = {
     val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""$name AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_transform(
        |    range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-       |        FROM documents WHERE doc_id % 5 $split)
+       |        FROM $fromWhere)
        |  WHERE len(toks) >= $n)""".stripMargin
   }
 
   /** The train bigram model as CTEs `tb`, `c2`, `c1`, `nc`, `tot` —
     * shared by both mirrors. */
   private def sqlBigramModelCtes: String =
-    s"""${sqlNgrams("tb", 2, "<> 0")},
+    sqlBigramModelCtesOver("documents WHERE doc_id % 5 <> 0")
+
+  /** The general form over any train relation. */
+  private def sqlBigramModelCtesOver(trainFrom: String): String =
+    s"""${sqlNgramsOver("tb", 2, trainFrom)},
        |c2 AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS n2
        |  FROM tb GROUP BY g),
        |c1 AS MATERIALIZED (SELECT string_split(g, ' ')[1] AS w1,
@@ -411,7 +473,16 @@ object KnLm {
     * the Q20 pair entry, three unrolled levels, and the final q10 log
     * — both the kn5 score query and its bucket application reuse it
     * verbatim. */
-  private def sqlKn5Ctes: String = {
+  private def sqlKn5Ctes: String =
+    sqlKn5CtesOver("documents WHERE doc_id % 5 <> 0",
+      "documents WHERE doc_id % 5 = 0")
+
+  /** The general two-corpus form ([[kn5LogprobOver]]'s mirror): the
+    * model trains on `trainFrom`, the eval planes come from
+    * `evalFrom` — the composed ppl-gate mirror points both at
+    * `canon`. */
+  private def sqlKn5CtesOver(trainFrom: String,
+      evalFrom: String): String = {
     def cnt(src: String, out: String): String =
       s"""$out AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT)
          |      AS cnt
@@ -428,11 +499,11 @@ object KnLm {
          |    array_to_string(list_slice(string_split(g, ' '), 2,
          |      ${n + 1}), ' ') AS g
          |  FROM $src)""".stripMargin
-    s"""$sqlBigramModelCtes,
-       |${sqlNgrams("t3", 3, "<> 0")},
-       |${sqlNgrams("t4", 4, "<> 0")},
-       |${sqlNgrams("t5", 5, "<> 0")},
-       |${sqlNgrams("e5", 5, "= 0")},
+    s"""${sqlBigramModelCtesOver(trainFrom)},
+       |${sqlNgramsOver("t3", 3, trainFrom)},
+       |${sqlNgramsOver("t4", 4, trainFrom)},
+       |${sqlNgramsOver("t5", 5, trainFrom)},
+       |${sqlNgramsOver("e5", 5, evalFrom)},
        |${cnt("t3", "c3m")},
        |${cnt("t4", "c4m")},
        |${cnt("t5", "c5m")},

@@ -297,6 +297,10 @@ object Prepare {
        |${sqlFullPrepareCtes("documents", QualityTrained.sqlTrainedGateCtes)}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  private def sqlFullPreparePpl: String =
+    s"""WITH ${sqlFullPrepareCtes("documents", KnLm.sqlPplGateCtes)}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- the full prepare trajectory, hash-matched: quality gate →
@@ -319,5 +323,22 @@ object Prepare {
     Q("pipeline_full_prepare_trained",
         Some(sqlFullPrepareTrained)) { (s, dir) =>
       fullPrepare(docs(s, dir), QualityTrained.trainedGate(s, dir))
+    },
+
+    // ---- the composed prepare with CCNet's PERPLEXITY gate: the
+    //      5-gram interpolated-KN chain of text_kn5_logprob scores
+    //      every canonical doc and the head+middle terciles pass
+    //      (pipeline_ppl_buckets_kn5's exact bucket rule, applied as
+    //      the filter it exists for). The quality-gate seam now holds
+    //      all three real-world gate families — heuristic, trained
+    //      classifier, reference-LM perplexity — behind one
+    //      composition point. Mirror = the full Q20 chain re-rooted
+    //      on the canon CTE + the tercile rule + the identical
+    //      fullPrepare chain with only its gate CTE swapped; one hash
+    //      pins model → score → tercile → gate → substr → dedup →
+    //      decontaminate → pack. ----
+    Q("pipeline_full_prepare_ppl",
+        Some(sqlFullPreparePpl)) { (s, dir) =>
+      fullPrepare(docs(s, dir), KnLm.pplGate)
     })
 }

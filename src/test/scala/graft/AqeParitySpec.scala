@@ -47,7 +47,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_warc_extract_gz", "pipeline_full_prepare_trained",
     "text_kn5_logprob", "pipeline_ppl_buckets_kn5",
     "mm_video_dedup_pooled", "pipeline_warc_prepare",
-    "q_warc_url_dedup", "q_warc_wet_roundtrip", "pipeline_url_prepare")
+    "q_warc_url_dedup", "q_warc_wet_roundtrip", "pipeline_url_prepare",
+    "pipeline_full_prepare_ppl")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -80,7 +81,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_full_prepare_trained", "text_kn5_logprob",
     "pipeline_ppl_buckets_kn5", "pipeline_warc_prepare",
     // the pack-stage bounds row, via the URL-dedup front
-    "pipeline_url_prepare")
+    "pipeline_url_prepare",
+    // the pack bounds row + the kn5 chain's 1-row totals
+    "pipeline_full_prepare_ppl")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

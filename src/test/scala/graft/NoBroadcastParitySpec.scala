@@ -47,7 +47,9 @@ class NoBroadcastParitySpec extends SparkSpec {
     "pipeline_full_prepare_trained", "text_kn5_logprob",
     "mm_video_dedup_pooled",
     // the URL-dedup keeper join back to the record set
-    "pipeline_url_prepare")
+    "pipeline_url_prepare",
+    // the kn5 chain's per-level attaches inside the composed gate
+    "pipeline_full_prepare_ppl")
 
   private def canon(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {

@@ -559,6 +559,18 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (measured 33) + the doc-level
                                         // tercile window rides the
                                         // existing doc-agg exchange
+    "pipeline_full_prepare_ppl" -> 45,  // the kn5 scoring chain's 35
+                                        // (text_kn5_logprob's budget —
+                                        // all vocab-plane type frames,
+                                        // shuffle_hash-pinned) rooted
+                                        // on canon + the slim tercile
+                                        // window + fullPrepare's
+                                        // post-gate stages (substr /
+                                        // near-dup / decontaminate /
+                                        // pack report legs); measured
+                                        // 43 + the ±2 cached-frame AQE
+                                        // flip margin the bigram plane
+                                        // documents
     "pipeline_url_prepare" -> 14,       // pipeline_crawl_prepare's 13
                                         // (the composed prepare's
                                         // reporting plan, unchanged) +

@@ -81,6 +81,10 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // row, as pipeline_full_prepare
     "pipeline_warc_prepare",    // same, via the gz-WARC front
     "pipeline_url_prepare",     // same, via the URL-dedup front
+    "pipeline_full_prepare_ppl", // the pack bounds row + the kn5
+                                // chain's two 1-row totals (the
+                                // ntypes/V1 scalar frame at the pair
+                                // entry + the hot-key cutoff)
     "pipeline_full_prepare_trained") // the pack bounds row + two
                                 // 1-row frames of the trained gate
                                 // (PR-curve positive total, chosen

@@ -142,6 +142,38 @@ class PrepareSpec extends SparkSpec {
     assert(stage2 == trainedKept.size.toLong)
   }
 
+  test("ppl gate: a gibberish doc (tokens the model never saw) lands " +
+      "in the TAIL tercile and is dropped; the composed stage-2 count " +
+      "is exactly scored-docs minus the NTILE tail") {
+    // engineered canon frame: the gate trains on the frame it scores,
+    // so two docs of mutually-reinforcing common word sequences score
+    // LOW perplexity while the one-off rare-token soup (appearing
+    // once, never reinforced) scores the floor-heavy tail
+    val mk = (1 to 4).flatMap(_ => Seq("the", "cat", "sat", "on",
+      "the", "mat")).mkString(" ")
+    val canon = Seq(
+      (1L, "zz", 100L, mk),
+      (2L, "zz", 100L, mk),
+      (3L, "zz", 100L, "zqxv kjwq vbnm plrt ywce qofd zzyx")
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val kept = KnLm.pplGate(canon)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L),
+      s"the gibberish doc must land in the tail tercile: kept $kept")
+    // composed query: stage 2 == scored docs minus floor(n/3) (the
+    // NTILE tail), scored docs == canon docs with >= 5 tokens
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val scored = TextAnalysis.canonicalized(d)
+      .where(size(split(col("text"), "\\s+")) >= 5)
+      .count()
+    val stage2 = graft.SparkEntry
+      .queries("pipeline_full_prepare_ppl")(spark, sfDir)
+      .where(col("stage") === "2_quality_gate").collect()(0).getLong(1)
+    assert(stage2 == scored - scored / 3,
+      s"stage 2 must keep head+middle terciles of $scored scored docs" +
+        s", got $stage2")
+  }
+
   test("two non-NFC-equal encodings of one near-dup collapse ONLY " +
       "through the canonical pipeline (the stage-1 wiring's point)") {
     // docs 31/32: the same ten accented words, composed (NFC) vs
