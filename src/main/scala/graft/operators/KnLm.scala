@@ -336,17 +336,29 @@ object KnLm {
     * `train` side points at a TRUSTED reference corpus instead. Docs
     * too short to carry a 5-gram have no perplexity and leave the
     * gate's domain (identically in both engines), the same rule the
-    * standalone bucket query documents. The tercile window runs on
-    * the slim per-doc score plane; at corpus scale the cutoffs come
-    * from the score-quantiles histogram discipline instead. */
+    * standalone bucket query documents.
+    *
+    * Tercile shape: the buckets come from
+    * [[Sampling.ntileByScore]]'s histogram discipline on the SLIM
+    * per-doc score plane — one (nll_per → count) aggregate, exact
+    * cutoff ranks on the metadata-sized histogram, doc_id ranking only
+    * inside the ≤ 2 boundary-score tie groups — row-for-row equal to
+    * the mirror's NTILE(3) OVER (ORDER BY nll_per, doc_id) but with no
+    * corpus-sized single-partition window anywhere; the surviving
+    * doc_ids then semi-join back to canon, so document text never
+    * rides the bucket machinery. The score plane is an eager
+    * lineage-truncating checkpoint (the [[Prepare.fullPrepare]] stage
+    * discipline): the 5-gram chain runs ONCE and the bucket branches
+    * read its slim materialized rows; the chain's own shuffle
+    * discipline is pinned by text_kn5_logprob's budget. */
   def pplGate(canon: DataFrame): DataFrame = {
     val scored = kn5LogprobOver(canon, canon)
       .select(col("doc_id"), col("nll_per_5gram_q10").as("nll_per"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("nll_per"), col("doc_id"))
-    canon.join(scored, Seq("doc_id"))
-      .withColumn("bucket", ntile(3).over(w))
+      .localCheckpoint()
+    val kept = Sampling.ntileByScore(scored, "nll_per", "doc_id", 3)
       .where(col("bucket") <= 2)
+      .select("doc_id")
+    canon.join(kept, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
   }
 
@@ -617,14 +629,16 @@ object KnLm {
 
     // ---- the KN plane APPLIED as CCNet's actual filter: held-out
     //      docs bucketed head/middle/tail by per-bigram perplexity
-    //      terciles (NTILE(3) over the deterministic (nll, doc_id)
-    //      order — identical tie semantics in both engines). The
-    //      bucket window runs on the DOC-level plane (thousands of
-    //      times smaller than the token plane); at corpus scale the
-    //      tercile cutoffs come from the pipeline_score_quantiles
-    //      histogram discipline instead, with identical buckets at
-    //      any parallelism. head = lowest perplexity = the split
-    //      CCNet keeps for LM training. ----
+    //      terciles. The oracle states the semantics as NTILE(3) over
+    //      the deterministic (nll, doc_id) order; the engine computes
+    //      the IDENTICAL buckets via Sampling.ntileByScore's histogram
+    //      discipline — one (score → count) aggregate on the slim
+    //      per-doc plane (an eager checkpoint, so the scoring chain
+    //      runs once), exact cutoff ranks on the metadata-sized
+    //      histogram, doc_id ranking only inside boundary-score ties —
+    //      no corpus-sized single-partition window at any scale.
+    //      head = lowest perplexity = the split CCNet keeps for LM
+    //      training. ----
     Q("pipeline_ppl_buckets", Some(
       s"""WITH $sqlBigramModelCtes,
          |${sqlNgrams("eb", 2, "= 0")},
@@ -642,12 +656,12 @@ object KnLm {
          |  CAST(NTILE(3) OVER (ORDER BY nll_per, doc_id) AS INTEGER)
          |    AS bucket
          |FROM per_doc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("nll_per"), col("doc_id"))
-      knLogprob(docs(s, dir))
+      val scored = knLogprob(docs(s, dir))
         .select(col("doc_id"),
           col("nll_per_bigram_q10").as("nll_per"))
-        .withColumn("bucket", ntile(3).over(w))
+        .localCheckpoint()
+      Sampling.ntileByScore(scored, "nll_per", "doc_id", 3)
+        .select(col("doc_id"), col("nll_per"), col("bucket"))
         .orderBy("doc_id")
     },
 
@@ -655,7 +669,10 @@ object KnLm {
     //      pipeline_ppl_buckets, re-pointed at CCNet's real model):
     //      head/middle/tail by per-5-gram perplexity — docs shorter
     //      than 5 tokens carry no 5-grams and leave the filter's
-    //      domain, identically in both engines. ----
+    //      domain, identically in both engines. Buckets via the same
+    //      ntileByScore histogram discipline over the checkpointed
+    //      slim score plane — the oracle's NTILE is the semantic
+    //      statement, never the engine's plan. ----
     Q("pipeline_ppl_buckets_kn5", Some(
       s"""WITH $sqlKn5Ctes,
          |per_doc AS (SELECT doc_id,
@@ -665,12 +682,12 @@ object KnLm {
          |  CAST(NTILE(3) OVER (ORDER BY nll_per, doc_id) AS INTEGER)
          |    AS bucket
          |FROM per_doc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("nll_per"), col("doc_id"))
-      kn5Logprob(docs(s, dir))
+      val scored = kn5Logprob(docs(s, dir))
         .select(col("doc_id"),
           col("nll_per_5gram_q10").as("nll_per"))
-        .withColumn("bucket", ntile(3).over(w))
+        .localCheckpoint()
+      Sampling.ntileByScore(scored, "nll_per", "doc_id", 3)
+        .select(col("doc_id"), col("nll_per"), col("bucket"))
         .orderBy("doc_id")
     })
 }

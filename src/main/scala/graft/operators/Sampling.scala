@@ -155,6 +155,71 @@ object Sampling {
     keptFull.unionByName(keptTies)
   }
 
+  /** NTILE's bucket-of-rank arithmetic as a column expression: with `n`
+    * rows and `k` tiles, ascending 1-based rank `rk` lands in bucket
+    *
+    *   rk ≤ (q+1)·r  →  (rk + q) div (q+1)          (q = n div k,
+    *   otherwise     →  r + (rk − (q+1)·r + q − 1) div q    r = n mod k)
+    *
+    * — the first r tiles carry q+1 rows, the rest q (the SQL-standard
+    * NTILE split both engines implement). The n < k edge (q = 0) falls
+    * entirely into the first branch (rk ≤ n = 1·r), so the else-branch
+    * q division never evaluates (CASE is lazy per row in both engines). */
+  private def ntileBucket(rk: String, n: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN $rk <= (($n div $k) + 1) * ($n % $k)
+         |  THEN CAST(($rk + ($n div $k)) div (($n div $k) + 1) AS INT)
+         |  ELSE CAST(($n % $k) +
+         |    ($rk - (($n div $k) + 1) * ($n % $k) + ($n div $k) - 1)
+         |      div ($n div $k) AS INT)
+         |END""".stripMargin)
+
+  /** EXACT global NTILE(`k`) over ascending (`scoreCol`, `idCol`)
+    * WITHOUT a corpus-sized single-partition window — the tercile
+    * machinery of the perplexity gate ([[KnLm.pplGate]],
+    * `pipeline_ppl_buckets*`). Returns every row of `d` plus `bucket`
+    * (INT, 1-based), row-for-row equal to
+    * `ntile(k) OVER (ORDER BY scoreCol, idCol)` (SamplingSpec pins the
+    * equality on boundary-straddling tie groups, n % k ∈ {0,1,2}, and
+    * n < k).
+    *
+    * Scale shape (the [[topHalfByScore]] discipline, globalized): the
+    * doc plane passes ONE map-side-combined (score → count) histogram
+    * aggregate and broadcast equijoins back — never a sort. The
+    * cumulative ranks and the [[ntileBucket]] arithmetic run on the
+    * METADATA-sized histogram (the [[requireHistogramScore]] contract
+    * bounds its cardinality — integral scores only); score groups whose
+    * first and last global ranks land in the SAME bucket attach it by
+    * equijoin, rank-free, and the only per-row ranking is by `idCol`
+    * WITHIN the ≤ k−1 boundary score groups that straddle a tile cut —
+    * the residual serial unit, vastly smaller than the corpus. */
+  def ntileByScore(d: DataFrame, scoreCol: String, idCol: String,
+      k: Int): DataFrame = {
+    requireHistogramScore(d, scoreCol)
+    val hist = d.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    // cached: the interior and boundary branches both derive from this
+    // frame (the topHalfByScore precedent); it is histogram-sized
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(Window.orderBy(col(scoreCol))))
+      .withColumn("__n", sum("__c").over(Window.partitionBy()))
+      .withColumn("__before", col("__cum") - col("__c"))
+      .withColumn("__rk1", col("__before") + lit(1L))
+      .withColumn("__blo", ntileBucket("__rk1", "__n", k))
+      .withColumn("__bhi", ntileBucket("__cum", "__n", k))
+      .cache()
+    val interior = cum.where(col("__blo") === col("__bhi"))
+      .select(col(scoreCol), col("__blo").as("bucket"))
+    val boundary = cum.where(col("__blo") =!= col("__bhi"))
+      .select(col(scoreCol), col("__before"), col("__n"))
+    val wTie = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+    val inRows = d.join(broadcast(interior), Seq(scoreCol))
+    val bRows = d.join(broadcast(boundary), Seq(scoreCol))
+      .withColumn("__grk", col("__before") + row_number().over(wTie))
+      .withColumn("bucket", ntileBucket("__grk", "__n", k))
+      .drop("__grk", "__before", "__n")
+    inRows.unionByName(bRows)
+  }
+
   /** EXACT rank-based quantiles per stratum WITHOUT a full-stratum sort:
     * the value at ascending (score, doc_id)-rank ceil(q·n/d) for each
     * requested q/d. Bulk data passes one map-side-combined

@@ -475,12 +475,18 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the archive walk is the scan-
                                         // side narrow stage, hex rows
                                         // are the only spread payload
-    "pipeline_ppl_buckets" -> 14,       // text_kn_logprob's scoring
-                                        // shape (measured 12, same ±1
-                                        // cached-frame flip margin) +
-                                        // the doc-level tercile window
-                                        // + sort — bucketing adds only
-                                        // doc-plane exchanges
+    "pipeline_ppl_buckets" -> 5,        // since r13 the scoring chain
+                                        // runs ONCE behind an eager
+                                        // checkpoint (its own shuffle
+                                        // discipline is text_kn_logprob's
+                                        // budget); this plan is the
+                                        // bucket machinery only: the
+                                        // (score → count) histogram agg,
+                                        // the histogram-sized cum
+                                        // window, the boundary-tie
+                                        // window, + output sort
+                                        // (measured 4 + ±1 flip margin)
+                                        // — NO doc-plane window anywhere
     "text_common_bigrams_cms" -> 3,     // bigram spread + dfreq agg +
                                         // doc agg/sort — ONE exchange
                                         // fewer than the exact twin's
@@ -555,21 +561,24 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (measured 33 + the ±2 cached-
                                         // frame AQE flip margin the
                                         // bigram plane documents)
-    "pipeline_ppl_buckets_kn5" -> 35,   // the same scoring chain
-                                        // (measured 33) + the doc-level
-                                        // tercile window rides the
-                                        // existing doc-agg exchange
-    "pipeline_full_prepare_ppl" -> 45,  // the kn5 scoring chain's 35
-                                        // (text_kn5_logprob's budget —
-                                        // all vocab-plane type frames,
-                                        // shuffle_hash-pinned) rooted
-                                        // on canon + the slim tercile
-                                        // window + fullPrepare's
-                                        // post-gate stages (substr /
-                                        // near-dup / decontaminate /
-                                        // pack report legs); measured
-                                        // 43 + the ±2 cached-frame AQE
-                                        // flip margin the bigram plane
+    "pipeline_ppl_buckets_kn5" -> 5,    // same bucket-machinery plan as
+                                        // pipeline_ppl_buckets over the
+                                        // checkpointed kn5 score plane
+                                        // (text_kn5_logprob's budget
+                                        // pins the chain); measured 4
+                                        // + ±1 flip margin
+    "pipeline_full_prepare_ppl" -> 17,  // since r13 the kn5 score plane
+                                        // is an eager checkpoint inside
+                                        // pplGate (the crawl-prepare
+                                        // truncation precedent — the
+                                        // chain's 35-budget shape is
+                                        // text_kn5_logprob's pin and
+                                        // runs once); this plan is the
+                                        // histogram-tercile gate (4) +
+                                        // fullPrepare's post-gate
+                                        // report legs; measured 15 +
+                                        // the ±2 cached-frame AQE flip
+                                        // margin the bigram plane
                                         // documents
     "pipeline_url_prepare" -> 14,       // pipeline_crawl_prepare's 13
                                         // (the composed prepare's

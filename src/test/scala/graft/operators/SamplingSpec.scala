@@ -197,6 +197,66 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** The NTILE semantics ntileByScore must reproduce exactly. */
+  private def naiveNtile(d: DataFrame, k: Int): DataFrame =
+    d.withColumn("bucket",
+      ntile(k).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+
+  test("ntileByScore: histogram buckets equal the global NTILE window " +
+      "form — boundary-straddling ties, n % k in {0,1,2}, n < k, and a " +
+      "tie group spanning more than one bucket") {
+    // heavy ties (score = i % 5 over 3..9 rows per score) so tile cuts
+    // land INSIDE tie groups and the within-group doc_id rank decides
+    for (n <- Seq(2, 3, 6, 7, 8, 30, 31, 32, 1001); k <- Seq(3, 4)) {
+      val d = (1 to n).map(i => (i.toLong, s"t$i", "en", i % 5))
+        .toDF("doc_id", "text", "lang", "n_chars")
+      val got = Sampling.ntileByScore(d, "n_chars", "doc_id", k)
+        .select("doc_id", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val want = naiveNtile(d, k).select("doc_id", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == want, s"ntileByScore mismatch at n=$n k=$k")
+    }
+    // one giant tie group spanning ALL buckets: every row scores 7, so
+    // the single boundary group straddles both tercile cuts and the
+    // bucket is decided purely by the doc_id tie rank
+    val allTies = (1 to 10).map(i => (i.toLong, s"t$i", "en", 7))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val gotT = Sampling.ntileByScore(allTies, "n_chars", "doc_id", 3)
+      .select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val wantT = naiveNtile(allTies, 3).select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(gotT == wantT)
+    assert(gotT(4L) == 1 && gotT(5L) == 2 && gotT(8L) == 3,
+      "ties split 4/3/3 by doc_id rank inside the group")
+  }
+
+  test("ntileByScore: seeded property vs the NTILE window, and the " +
+      "continuous-score contract rejects loudly") {
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(900)
+      val d = (1 to n)
+        .map(i => (i.toLong, s"d$i", "en", rnd.nextInt(1 + rnd.nextInt(9))))
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .repartition(1 + rnd.nextInt(7))
+      val k = 2 + rnd.nextInt(5)
+      val got = Sampling.ntileByScore(d, "n_chars", "doc_id", k)
+        .select("doc_id", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val want = naiveNtile(d, k).select("doc_id", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == want, s"seed=$seed n=$n k=$k")
+    }
+    val dd = (1 to 20).map(i => (i.toLong, s"t$i", "en", i / 3.0))
+      .toDF("doc_id", "text", "lang", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.ntileByScore(dd, "score", "doc_id", 3)
+    }
+    assert(e.getMessage.contains("Bucketize"))
+  }
+
   test("per-stratum work spans multiple partitions (the 100 TB shape): " +
       "no single task owns a stratum") {
     val s = spark.newSession()
