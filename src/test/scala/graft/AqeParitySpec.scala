@@ -48,7 +48,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_kn5_logprob", "pipeline_ppl_buckets_kn5",
     "mm_video_dedup_pooled", "pipeline_warc_prepare",
     "q_warc_url_dedup", "q_warc_wet_roundtrip", "pipeline_url_prepare",
-    "pipeline_full_prepare_ppl")
+    "pipeline_full_prepare_ppl",
+    // round-13 additions
+    "text_kn5_logprob_ref")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -83,7 +85,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the pack-stage bounds row, via the URL-dedup front
     "pipeline_url_prepare",
     // the pack bounds row + the kn5 chain's 1-row totals
-    "pipeline_full_prepare_ppl")
+    "pipeline_full_prepare_ppl",
+    // round-13: the kn5 chain's 1-row totals under the ref-trained model
+    "text_kn5_logprob_ref")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -547,18 +547,25 @@ class PlanBudgetSpec extends SparkSpec {
                                         // frame JPEG decode + POOL is
                                         // compute) + chunk equijoin +
                                         // candidate dedup + keep-min
-    "text_kn5_logprob" -> 35,           // the bigram model's aggregates
-                                        // + 3/4/5-gram count + context
-                                        // aggregates + the nested type
+    "text_kn5_logprob_ref" -> 29,       // the same scoring shape as
+                                        // text_kn5_logprob under the
+                                        // ref-trained (trusted-slice)
+                                        // model (measured 27 + margin)
+    "text_kn5_logprob" -> 29,           // since r13 the trained planes
+                                        // (bigram model + 3/4/5-gram
+                                        // counts/contexts) are
+                                        // fingerprint-memoized eager
+                                        // checkpoints built once per
+                                        // table; this plan is the SCORE
+                                        // side: the nested eval type
                                         // planes + the pair entry + 3
                                         // shuffle-hash-pinned joins per
                                         // Q20 level + the salted
                                         // occurrence attach + doc agg/
-                                        // sort — EVERY frame in the
-                                        // chain is a vocab-plane type
-                                        // table; only the occurrence
+                                        // sort — every frame vocab-
+                                        // plane; only the occurrence
                                         // attach carries corpus rows
-                                        // (measured 33 + the ±2 cached-
+                                        // (measured 27 + the ±2 cached-
                                         // frame AQE flip margin the
                                         // bigram plane documents)
     "pipeline_ppl_buckets_kn5" -> 5,    // same bucket-machinery plan as

@@ -85,10 +85,13 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // chain's two 1-row totals (the
                                 // ntypes/V1 scalar frame at the pair
                                 // entry + the hot-key cutoff)
-    "pipeline_full_prepare_trained") // the pack bounds row + two
+    "pipeline_full_prepare_trained", // the pack bounds row + two
                                 // 1-row frames of the trained gate
                                 // (PR-curve positive total, chosen
                                 // threshold)
+    "text_kn5_logprob_ref")     // the same two 1-row totals as
+                                // text_kn5_logprob, under the
+                                // ref-trained (trusted-slice) model
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

@@ -125,6 +125,47 @@ class KnLmSpec extends SparkSpec {
       "head tercile must sit at the low-perplexity end")
   }
 
+  test("kn5LogprobOver two-corpus: the reference-LM direction — a crawl " +
+      "doc matching the TRUSTED corpus scores lower nll than one " +
+      "diverging from it, and no held-out convention filters the eval " +
+      "side (both %5 classes score)") {
+    val trusted = Seq(
+      (1L, "a b c d e f g h a"),
+      (2L, "a b c d e f g h a")).toDF("doc_id", "text")
+    val crawl = Seq(
+      (100L, "a b c d e"),  // %5 == 0: in-distribution w.r.t. trusted
+      (101L, "v w x y z")   // %5 != 0: diverges from the reference LM
+    ).toDF("doc_id", "text")
+    val rows = KnLm.kn5LogprobOver(trusted, crawl).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.keySet == Set(100L, 101L),
+      "eval must score EVERY crawl doc — no %5 held-out filter")
+    assert(rows(100L) < rows(101L),
+      s"in-distribution must beat divergence: $rows")
+  }
+
+  test("text_kn5_logprob_ref: trusted sources train, ALL other sources' " +
+      "docs (both %5 splits) score; a memo-hit rerun is byte-identical") {
+    val got = graft.SparkEntry.queries("text_kn5_logprob_ref")(
+      spark, sf01Dir).collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    val srcOf = graft.Tables.load(spark, sf01Dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scoredIds = got.map(_._1).toSet
+    assert(scoredIds.forall(id => !KnLm.TrustedSources.contains(srcOf(id))),
+      "no trusted-source doc may appear on the eval side")
+    assert(scoredIds.exists(_ % 5 == 0) && scoredIds.exists(_ % 5 != 0),
+      "both %5 classes must score — the ref query has no held-out split")
+    // second run rides the fingerprint memo (the model planes are
+    // checkpointed leaves) and must be byte-identical
+    val again = graft.SparkEntry.queries("text_kn5_logprob_ref")(
+      spark, sf01Dir).collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got)
+  }
+
   test("an all-OOV held-out doc (unseen w1 AND w2 everywhere) still " +
       "scores finitely through the +1 continuation floor") {
     val d = fixture.unionByName(
