@@ -8,7 +8,14 @@ import org.apache.spark.sql.functions._
   * stage the engine implements, CHAINED in production order over one
   * corpus, each stage consuming the previous stage's survivors:
   *
-  *   1. canonicalization    — NFC normalize + punctuation/symbol fold
+  *   1. PII scrub + line rules — URL/email redaction and the Gopher/
+  *                            C4 per-line boilerplate drop on the RAW
+  *                            text ([[TextAnalysis.scrubbed]], r13):
+  *                            runs FIRST because canonicalization
+  *                            erases the punctuation PII patterns and
+  *                            the newline structure line rules need;
+  *                            docs losing every line leave the corpus
+  *   2. canonicalization    — NFC normalize + punctuation/symbol fold
   *                            + whitespace collapse
   *                            ([[TextAnalysis.canonicalized]]): the
   *                            front real C4/CCNet pipelines run FIRST,
@@ -17,23 +24,23 @@ import org.apache.spark.sql.functions._
   *                            two non-NFC-equal encodings of one
   *                            near-dup collapse HERE or never
   *                            (PrepareSpec pins exactly that)
-  *   2. quality gate        — per-language top half by n_chars
+  *   3. quality gate        — per-language top half by n_chars
   *                            ([[Sampling.topHalfByScore]])
-  *   3. ExactSubstr removal — duplicated ≥50-token spans deleted,
+  *   4. ExactSubstr removal — duplicated ≥50-token spans deleted,
   *                            first occurrence wins, WITHIN the gated
   *                            corpus; empty docs drop
   *                            ([[Dedup.exactSubstrCleaned]])
-  *   4. near-dup drop       — prefix-filtered EXACT trigram-shingle
+  *   5. near-dup drop       — prefix-filtered EXACT trigram-shingle
   *                            Jaccard ≥ 0.9 over the CLEANED text,
   *                            keep-min ([[Dedup.prefixJaccardPairs]];
   *                            trigram: the position-richer plane
   *                            thins candidates 50× at the same
   *                            threshold — dedup_jaccard_prefix3)
-  *   5. decontamination     — survivors sharing ≥ 3 rare 5-grams with
+  *   6. decontamination     — survivors sharing ≥ 3 rare 5-grams with
   *                            an eval-split doc are dropped, and the
   *                            eval split itself leaves the train
   *                            corpus ([[TextAnalysis.decontaminatePairs]])
-  *   6. packing             — concat-then-chunk prefix-sum layout of
+  *   7. packing             — concat-then-chunk prefix-sum layout of
   *                            the final corpus
   *                            ([[Packing.packSequences]])
   *
@@ -98,10 +105,15 @@ object Prepare {
     * durable storage instead (same DAG, durable edges). */
   def fullPrepare(d: DataFrame,
       gate: DataFrame => DataFrame = heuristicGate): DataFrame = {
-    // stage 1: the canonical plane — a narrow per-row projection (the
+    // stage 1: PII scrub + line-rule boilerplate drop on the RAW text
+    // (r13 — the stage real pipelines run FIRST: canonicalization
+    // erases the punctuation PII patterns match and the newline
+    // structure the line rules need). Narrow per-row work, no exchange.
+    val scrub = TextAnalysis.scrubbed(d)
+    // stage 2: the canonical plane — a narrow per-row projection (the
     // native nfc_normalize expression + two regex folds), no exchange;
     // everything downstream shingles/windows canonical text
-    val canon = TextAnalysis.canonicalized(d)
+    val canon = TextAnalysis.canonicalized(scrub)
     val gated = gate(canon)
     // survivors of the ExactSubstr clean: (doc_id, text, n_kept) —
     // feeds its count row, the near-dup pair join AND the anti-join's
@@ -134,14 +146,15 @@ object Prepare {
           |  s -> concat(cast(s.doc_id as string), ':',
           |              cast(s.tok_start as string))), ',')""".stripMargin)))
         .as("digest"))
-      .select(lit("6_pack").as("stage"), col("n"), col("tokens"),
+      .select(lit("7_pack").as("stage"), col("n"), col("tokens"),
         col("digest"))
     stageRow("0_input", d, wsTokens)
-      .unionByName(stageRow("1_canonicalize", canon, wsTokens))
-      .unionByName(stageRow("2_quality_gate", gated, wsTokens))
-      .unionByName(stageRow("3_exact_substr", cleaned, col("n_kept")))
-      .unionByName(stageRow("4_near_dup", deduped, col("n_kept")))
-      .unionByName(stageRow("5_decontaminate", train, col("n_kept")))
+      .unionByName(stageRow("1_scrub", scrub, wsTokens))
+      .unionByName(stageRow("2_canonicalize", canon, wsTokens))
+      .unionByName(stageRow("3_quality_gate", gated, wsTokens))
+      .unionByName(stageRow("4_exact_substr", cleaned, col("n_kept")))
+      .unionByName(stageRow("5_near_dup", deduped, col("n_kept")))
+      .unionByName(stageRow("6_decontaminate", train, col("n_kept")))
       .unionByName(s5)
       .orderBy("stage")
   }
@@ -170,11 +183,25 @@ object Prepare {
   private[operators] def sqlFullPrepareCtes(src: String,
       gateCtes: String = sqlHeuristicGateCte): String = {
     val L = Dedup.ExactSubstrMinLen
-    s"""canon AS MATERIALIZED (
+    s"""scrub AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars, text FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      coalesce(array_to_string(list_filter(string_split(
+       |        regexp_replace(regexp_replace(text,
+       |          'https?://\\S+', '<URL>', 'g'),
+       |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+       |        chr(10)),
+       |        l -> len(string_split_regex(l, '\\s+')) >= 3
+       |          AND 5 * len(list_filter(string_split_regex(l, '\\s+'),
+       |              w -> regexp_matches(w, '[A-Za-z]')))
+       |            >= 4 * len(string_split_regex(l, '\\s+'))),
+       |        chr(10)), '') AS text
+       |    FROM $src) WHERE length(text) > 0),
+       |canon AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars,
        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
        |      '[\\p{P}\\p{S}]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
-       |  FROM $src),
+       |  FROM scrub),
        |$gateCtes,
        |gtoks AS MATERIALIZED (SELECT doc_id,
        |    string_split_regex(text, '\\s+') AS ts FROM gate),
@@ -263,24 +290,28 @@ object Prepare {
        |      AS tokens,
        |    CAST(NULL AS VARCHAR) AS digest FROM $src
        |  UNION ALL
-       |  SELECT '1_canonicalize', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '1_scrub', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
+       |    NULL FROM scrub
+       |  UNION ALL
+       |  SELECT '2_canonicalize', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
        |    NULL FROM canon
        |  UNION ALL
-       |  SELECT '2_quality_gate', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '3_quality_gate', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT),
        |    NULL FROM gate
        |  UNION ALL
-       |  SELECT '3_exact_substr', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '4_exact_substr', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_kept) AS BIGINT), NULL FROM ne
        |  UNION ALL
-       |  SELECT '4_near_dup', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '5_near_dup', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_kept) AS BIGINT), NULL FROM dd
        |  UNION ALL
-       |  SELECT '5_decontaminate', CAST(COUNT(*) AS BIGINT),
+       |  SELECT '6_decontaminate', CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_kept) AS BIGINT), NULL FROM train
        |  UNION ALL
-       |  SELECT '6_pack',
+       |  SELECT '7_pack',
        |    CAST((SUM(n_tokens) + ${Packing.SeqLen - 1})
        |      // ${Packing.SeqLen} AS BIGINT),
        |    CAST(SUM(n_tokens) AS BIGINT),

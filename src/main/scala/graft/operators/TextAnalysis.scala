@@ -486,6 +486,56 @@ object TextAnalysis {
   def canonicalized(d: DataFrame): DataFrame =
     d.withColumn("text", canonicalCol())
 
+  // ---- PII scrub + line-rule boilerplate drop (fullPrepare stage 1) --
+
+  /** A surviving line needs at least this many whitespace words (C4's
+    * short-line drop, at the nav-menu threshold) AND 80% of them must
+    * carry an alphabetic character (Gopher's alphabetic-word rule at
+    * RefinedWeb's line granularity — counters, bare numbers and
+    * symbol runs fall under it). */
+  val MinScrubLineWords = 3
+
+  private[operators] val ScrubUrlRe = "https?://\\S+"
+  private[operators] val ScrubEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+  /** The pre-canonicalization cleaning C4/RefinedWeb run on RAW
+    * extracted text — composed as [[Prepare.fullPrepare]]'s stage 1.
+    * It MUST precede canonicalization: the canonical fold erases the
+    * punctuation PII patterns match on and the newline structure the
+    * line rules need (a URL is `https x com` on the canonical plane).
+    *
+    *  1. PII redaction — URL and email spans → `<URL>` / `<EMAIL>`
+    *     (`text_scrub`'s exact patterns, applied in the same order);
+    *  2. line rules — a line survives iff it carries ≥
+    *     [[MinScrubLineWords]] whitespace words AND 5·n_alpha_words ≥
+    *     4·n_words (a word is alphabetic when it contains [A-Za-z]).
+    *
+    * Pure integer/regex per-row work — one narrow projection, no
+    * exchange; the mirror replays the identical operations (DuckDB
+    * `array_to_string(list_filter(...))` NULLs on an empty list where
+    * Spark's `array_join` returns '', so the mirror coalesces). The
+    * crawl front reaches this stage with single-line text — its
+    * [[Crawl.htmlToText]] already ran the line-level boilerplate
+    * drop, so here only the PII pass bites. */
+  def scrubText(text: Column): Column = {
+    val red = regexp_replace(regexp_replace(text, ScrubUrlRe, "<URL>"),
+      ScrubEmailRe, "<EMAIL>")
+    val kept = filter(split(red, "\n"), l => {
+      val ws = split(l, "\\s+")
+      val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      size(ws) >= lit(MinScrubLineWords) &&
+        nAlpha * 5 >= size(ws) * 4
+    })
+    array_join(kept, "\n")
+  }
+
+  /** `d` scrubbed; documents whose every line dropped leave the
+    * corpus (identically in both engines). */
+  def scrubbed(d: DataFrame): DataFrame =
+    d.withColumn("text", scrubText(col("text")))
+      .where(length(col("text")) > 0)
+
   // ---- count-min frequency sketch (heavy hitters) ----
 
   /** Count-min geometry: 4 rows × 1024 buckets = a 4096-cell table —
@@ -994,6 +1044,47 @@ object TextAnalysis {
         matches(col("text"), emailRe).as("n_emails"),
         md5(regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
           emailRe, "<EMAIL>")).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- the FULL scrub stage as a standalone query (redaction +
+    //      line rules — fullPrepare's stage 1, exposed so the oracle
+    //      pins the per-line algebra on its own): line counts before/
+    //      after the rule gate + a digest of the scrubbed text. The
+    //      synthetic corpus is single-line and pattern-free, so kept
+    //      = 1 and the digest equals md5(text) — the hash still pins
+    //      the whole redact → split → filter → rejoin pipeline
+    //      cell-exactly (the text_scrub precedent); PrepareSpec
+    //      exercises real line drops and redactions on fixtures. ----
+    Q("text_scrub_lines", Some(
+      s"""WITH s AS (SELECT doc_id,
+         |    len(string_split(text, chr(10))) AS n_lines_in,
+         |    coalesce(array_to_string(list_filter(string_split(
+         |      regexp_replace(regexp_replace(text,
+         |        'https?://\\S+', '<URL>', 'g'),
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |      chr(10)),
+         |      l -> len(string_split_regex(l, '\\s+')) >= 3
+         |        AND 5 * len(list_filter(string_split_regex(l, '\\s+'),
+         |            w -> regexp_matches(w, '[A-Za-z]')))
+         |          >= 4 * len(string_split_regex(l, '\\s+'))),
+         |      chr(10)), '') AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_lines_in AS INTEGER) AS n_lines_in,
+         |  CAST(CASE WHEN length(t) = 0 THEN 0
+         |    ELSE len(string_split(t, chr(10))) END AS INTEGER)
+         |    AS n_lines_kept,
+         |  md5(t) AS scrubbed_fp
+         |FROM s ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val t = scrubText(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), "\n")).cast("int").as("n_lines_in"),
+          t.as("t"))
+        .select(col("doc_id"), col("n_lines_in"),
+          when(length(col("t")) === 0, 0)
+            .otherwise(size(split(col("t"), "\n"))).cast("int")
+            .as("n_lines_kept"),
+          md5(col("t")).as("scrubbed_fp"))
         .orderBy("doc_id")
     },
 

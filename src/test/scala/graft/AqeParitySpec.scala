@@ -50,7 +50,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_warc_url_dedup", "q_warc_wet_roundtrip", "pipeline_url_prepare",
     "pipeline_full_prepare_ppl",
     // round-13 additions
-    "text_kn5_logprob_ref")
+    "text_kn5_logprob_ref", "text_scrub_lines")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

@@ -359,10 +359,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // plane is fixed-size, the
                                         // only vocab-scale shuffle is
                                         // the exact twin's
-    "pipeline_full_prepare" -> 13,      // the REPORTING plan: SEVEN
+    "pipeline_full_prepare" -> 14,      // the REPORTING plan: EIGHT
                                         // summary aggregates (r11 adds
-                                        // the 1_canonicalize row; the
-                                        // canonical rewrite itself is
+                                        // the canonicalize row, r13 the
+                                        // 1_scrub row — scrub itself is
                                         // a narrow projection) + output
                                         // sort + the gate recompute +
                                         // the pack prefix-sum phases
@@ -496,8 +496,9 @@ class PlanBudgetSpec extends SparkSpec {
                                         // sketch literal, built in a
                                         // fixed-state pass at
                                         // construction)
-    "pipeline_crawl_prepare" -> 13,     // exactly pipeline_full_prepare's
-                                        // reporting plan (measured 13) —
+    "pipeline_crawl_prepare" -> 14,     // exactly pipeline_full_prepare's
+                                        // reporting plan (measured 14,
+                                        // +1 for the r13 scrub row) —
                                         // the crawl front (parse + HTML
                                         // strip) is one narrow stage and
                                         // adds ZERO exchanges to the
@@ -521,7 +522,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // narrow stage; the only
                                         // exchange is the output sort
                                         // (measured 1)
-    "pipeline_warc_prepare" -> 13,      // pipeline_crawl_prepare's
+    "pipeline_warc_prepare" -> 14,      // pipeline_crawl_prepare's
                                         // exact shape over the REAL
                                         // gz-WARC front: gunzip +
                                         // grammar walk + digest check +
@@ -529,7 +530,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (checkpointed once), the
                                         // composed prepare's reporting
                                         // plan is unchanged
-    "pipeline_full_prepare_trained" -> 20, // pipeline_full_prepare's 13
+    "pipeline_full_prepare_trained" -> 21, // pipeline_full_prepare's 14
                                         // + the trained gate's scoring
                                         // legs (canon feature-hash agg,
                                         // score agg, gate attach, and
@@ -574,24 +575,25 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (text_kn5_logprob's budget
                                         // pins the chain); measured 4
                                         // + ±1 flip margin
-    "pipeline_full_prepare_ppl" -> 17,  // since r13 the kn5 score plane
+    "pipeline_full_prepare_ppl" -> 18,  // since r13 the kn5 score plane
                                         // is an eager checkpoint inside
                                         // pplGate (the crawl-prepare
                                         // truncation precedent — the
-                                        // chain's 35-budget shape is
+                                        // chain's shape is
                                         // text_kn5_logprob's pin and
                                         // runs once); this plan is the
                                         // histogram-tercile gate (4) +
-                                        // fullPrepare's post-gate
-                                        // report legs; measured 15 +
-                                        // the ±2 cached-frame AQE flip
-                                        // margin the bigram plane
-                                        // documents
-    "pipeline_url_prepare" -> 14,       // pipeline_crawl_prepare's 13
+                                        // fullPrepare's report legs
+                                        // incl. the r13 scrub row;
+                                        // measured 16 + the ±2 cached-
+                                        // frame AQE flip margin the
+                                        // bigram plane documents
+    "pipeline_url_prepare" -> 15,       // pipeline_crawl_prepare's 14
                                         // (the composed prepare's
-                                        // reporting plan, unchanged) +
-                                        // the URL-dedup front (measured
-                                        // 14): keeper agg on the slim
+                                        // reporting plan incl. the r13
+                                        // scrub row) + the URL-dedup
+                                        // front (measured 15): keeper
+                                        // agg on the slim
                                         // (canon_url, doc_id) plane —
                                         // payload never rides the
                                         // group — + the shuffle_hash-
@@ -613,6 +615,10 @@ class PlanBudgetSpec extends SparkSpec {
                                         // foreachPartition action, not
                                         // in this plan — the only
                                         // exchange is the output sort
+    "text_scrub_lines" -> 1,            // redact + line filter + rejoin
+                                        // is ONE narrow projection; the
+                                        // only exchange is the output
+                                        // sort (measured 1)
     "q_concurrent_sessions" -> 6)       // sweep-line: prefix-sum phases
                                         // re-evaluate the slim endpoint
                                         // projection (user-window

@@ -127,12 +127,16 @@ class CrawlSpec extends SparkSpec {
     val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
     assert(rows("0_input") == nDocs,
       "every archived record must reach the pipeline input")
-    assert(rows("1_canonicalize") == nDocs)
-    val stages = Seq("1_canonicalize", "2_quality_gate",
-      "3_exact_substr", "4_near_dup", "5_decontaminate")
+    // extracted crawl text already passed htmlToText's line rules
+    // (>= 4 alphabetic words guaranteed by the content line), so the
+    // scrub stage drops nothing here
+    assert(rows("1_scrub") == nDocs)
+    assert(rows("2_canonicalize") == nDocs)
+    val stages = Seq("2_canonicalize", "3_quality_gate",
+      "4_exact_substr", "5_near_dup", "6_decontaminate")
     for (Seq(a, b) <- stages.sliding(2))
       assert(rows(b) <= rows(a), s"$b grew docs vs $a")
-    assert(rows("5_decontaminate") > 0 && rows("6_pack") > 0,
+    assert(rows("6_decontaminate") > 0 && rows("7_pack") > 0,
       "a training corpus must survive the crawl-rooted pipeline")
   }
 
@@ -525,11 +529,11 @@ class CrawlSpec extends SparkSpec {
         (if (d % 7 == 0) 1L else 0L)).sum
     assert(rows("0_input") == expectedPages,
       "the pipeline input must be canonical pages, not crawl records")
-    val stages = Seq("1_canonicalize", "2_quality_gate",
-      "3_exact_substr", "4_near_dup", "5_decontaminate")
+    val stages = Seq("1_scrub", "2_canonicalize", "3_quality_gate",
+      "4_exact_substr", "5_near_dup", "6_decontaminate")
     for (Seq(a, b) <- stages.sliding(2))
       assert(rows(b) <= rows(a), s"$b grew docs vs $a")
-    assert(rows("5_decontaminate") > 0 && rows("6_pack") > 0,
+    assert(rows("6_decontaminate") > 0 && rows("7_pack") > 0,
       "a training corpus must survive the URL-dedup-rooted pipeline")
   }
 

@@ -15,31 +15,36 @@ class PrepareSpec extends SparkSpec {
   private def toks(prefix: String, n: Int): String =
     (1 to n).map(i => s"$prefix$i").mkString(" ")
 
-  /** Fixture: 12 docs, one engineered casualty per stage.
+  /** Fixture: 13 docs, one engineered casualty per stage.
+    *  - doc 17 (aa, HIGH n_chars so only scrub can explain its loss):
+    *    a numeric counter line + a 2-word boilerplate line — every
+    *    line fails a line rule, the doc empties and drops at stage 1
     *  - lang aa: 1 (120 uniq tokens, keeps), 2 (EXACTLY doc1's first
-    *    50 tokens — fully deleted by ExactSubstr, drops at stage 2),
-    *    3/4 (low n_chars, gated out at stage 1)
+    *    50 tokens — fully deleted by ExactSubstr, drops at stage 4),
+    *    3/4 (low n_chars, gated out at stage 3; 3 alphabetic words
+    *    each so the scrub line rules pass them)
     *  - lang bb: 5 (30 tokens, keeps), 6 (verbatim COPY of 5 — near-dup
-    *    J=1.0, drops at stage 3), 7/8 gated out
+    *    J=1.0, drops at stage 5), 7/8 gated out
     *  - lang cc: 9 (train, shares a 7-token phrase = 3 rare 5-grams
-    *    with eval doc 20 — flagged, drops at stage 4), 20 (eval split
-    *    doc_id % 10 = 0, leaves the train corpus at stage 4),
+    *    with eval doc 20 — flagged, drops at stage 6), 20 (eval split
+    *    doc_id % 10 = 0, leaves the train corpus at stage 6),
     *    13/14 gated out */
   private lazy val fixture = {
     val shared = "q1 q2 q3 q4 q5 q6 q7"
     Seq(
       (1L, "aa", 1000L, toks("t", 120)),
       (2L, "aa", 900L, toks("t", 50)),
-      (3L, "aa", 10L, "x1 x2"),
-      (4L, "aa", 10L, "x3 x4"),
+      (17L, "aa", 999L, "12 34 56\nBuy now"),
+      (3L, "aa", 10L, "xaa xab xac"),
+      (4L, "aa", 10L, "xad xae xaf"),
       (5L, "bb", 1000L, toks("v", 30)),
       (6L, "bb", 900L, toks("v", 30)),
-      (7L, "bb", 10L, "x5 x6"),
-      (8L, "bb", 10L, "x7 x8"),
+      (7L, "bb", 10L, "xba xbb xbc"),
+      (8L, "bb", 10L, "xbd xbe xbf"),
       (9L, "cc", 1000L, s"w1 w2 $shared w3 w4"),
       (20L, "cc", 900L, s"y1 y2 $shared y3 y4"),
-      (13L, "cc", 10L, "x9 x10"),
-      (14L, "cc", 10L, "x11 x12")
+      (13L, "cc", 10L, "xca xcb xcc"),
+      (14L, "cc", 10L, "xcd xce xcf")
     ).toDF("doc_id", "lang", "n_chars", "text")
   }
 
@@ -47,32 +52,73 @@ class PrepareSpec extends SparkSpec {
     val rows = Prepare.fullPrepare(fixture).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
-    assert(rows("0_input")._1 == 12L)
+    assert(rows("0_input")._1 == 13L)
+    // doc 17's counter line fails the 80%-alphabetic-words rule and
+    // its 2-word line fails the minimum — the doc empties and drops
+    // HERE despite its high n_chars (the gate would have kept it)
+    assert(rows("1_scrub")._1 == 12L)
+    assert(rows("1_scrub")._2 == rows("0_input")._2 - 5L,
+      "scrub must shed exactly doc 17's five tokens")
     // canonicalization never drops a doc; the fixture has no
     // punctuation/symbols so its token total is unchanged too
-    assert(rows("1_canonicalize")._1 == 12L)
-    assert(rows("1_canonicalize")._2 == rows("0_input")._2)
+    assert(rows("2_canonicalize")._1 == 12L)
+    assert(rows("2_canonicalize")._2 == rows("1_scrub")._2)
     // gate keeps the top ceil(4/2)=2 per lang by (n_chars desc, doc_id)
-    assert(rows("2_quality_gate")._1 == 6L)
+    assert(rows("3_quality_gate")._1 == 6L)
     // doc2 is one duplicated 50-window; doc1's first occurrence wins,
     // doc2 empties and drops; every other doc is untouched
-    assert(rows("3_exact_substr")._1 == 5L)
-    assert(rows("3_exact_substr")._2 == (120 + 30 + 30 + 11 + 11).toLong)
+    assert(rows("4_exact_substr")._1 == 5L)
+    assert(rows("4_exact_substr")._2 == (120 + 30 + 30 + 11 + 11).toLong)
     // doc6 is a verbatim copy of doc5: Jaccard 1.0 >= 0.9, keep-min
-    assert(rows("4_near_dup")._1 == 4L)
+    assert(rows("5_near_dup")._1 == 4L)
     // doc9 shares 3 distinct rare 5-grams with eval doc 20 -> flagged;
     // the eval doc itself leaves the train corpus
-    assert(rows("5_decontaminate")._1 == 2L)
-    assert(rows("5_decontaminate")._2 == (120 + 30).toLong)
+    assert(rows("6_decontaminate")._1 == 2L)
+    assert(rows("6_decontaminate")._2 == (120 + 30).toLong)
     // pack: (120+1) + (30+1) = 152 tokens -> 1 chunk; manifest is
     // doc1@0, doc5@121
-    val (nChunks, packTokens, digest) = rows("6_pack")
+    val (nChunks, packTokens, digest) = rows("7_pack")
     assert(nChunks == 1L && packTokens == 152L)
     val expectedDigest = java.security.MessageDigest.getInstance("MD5")
       .digest("1:0,5:121".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(digest.contains(expectedDigest),
       s"manifest digest drifted: $digest vs $expectedDigest")
+  }
+
+  test("scrub stage: a PII span is redacted and a boilerplate line " +
+      "dropped while the doc survives EVERY other stage to the pack") {
+    val d = Seq(
+      (1L, "zz", 1000L,
+        toks("p", 40) + "\nvisit https://spam.example/x now\nBuy now"),
+      (2L, "zz", 900L, toks("r", 30)),
+      (3L, "zz", 10L, "xza xzb xzc"),
+      (4L, "zz", 10L, "xzd xze xzf")
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    // the operator itself: URL span redacted in place, the 2-word
+    // boilerplate line dropped, the 40-token content line untouched
+    val scrubbed = TextAnalysis.scrubbed(d)
+      .where(col("doc_id") === 1L).select("text").collect()(0).getString(0)
+    assert(scrubbed == toks("p", 40) + "\nvisit <URL> now",
+      s"scrub must redact the URL and drop only the 2-word line: " +
+        s"'$scrubbed'")
+    val rows = Prepare.fullPrepare(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    // no doc drops at scrub; exactly the boilerplate line's 2 tokens go
+    assert(rows("1_scrub")._1 == 4L)
+    assert(rows("1_scrub")._2 == rows("0_input")._2 - 2L)
+    // doc 1 then survives gate (top-2 by n_chars), substr (43 tokens <
+    // 50-window), near-dup (distinct), decontaminate (no eval split
+    // docs) and lands in the pack with doc 2: manifest 1@0 (44 incl.
+    // separator), 2@44
+    assert(rows("6_decontaminate")._1 == 2L)
+    val expectedDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest("1:0,2:44".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows("7_pack")._3.contains(expectedDigest),
+      s"doc 1 must reach the pack with its scrubbed token count: " +
+        s"${rows("7_pack")}")
   }
 
   test("fullPrepare: an empty pack stage yields NULL digest/count " +
@@ -85,7 +131,7 @@ class PrepareSpec extends SparkSpec {
       (20L, "aa", 900L, toks("f", 30))
     ).toDF("doc_id", "lang", "n_chars", "text")
     val row = Prepare.fullPrepare(allEval)
-      .where(col("stage") === "6_pack").collect()(0)
+      .where(col("stage") === "7_pack").collect()(0)
     assert(row.isNullAt(3), s"empty pack stage must have NULL digest: $row")
     assert(row.isNullAt(1) && row.isNullAt(2),
       s"empty pack stage must have NULL count/tokens: $row")
@@ -96,21 +142,25 @@ class PrepareSpec extends SparkSpec {
       .fullPrepare(graft.Tables.load(spark, sfDir, "documents"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // canonicalization is a per-row rewrite: doc count exactly
-    // preserved (token totals may legitimately move either way as
-    // punctuation runs fold into token separators)
-    assert(rows("1_canonicalize")._1 == rows("0_input")._1)
-    val stages = Seq("1_canonicalize", "2_quality_gate",
-      "3_exact_substr", "4_near_dup", "5_decontaminate")
+    // the real corpus is single-line, pattern-free and alphabetic, so
+    // the scrub stage is the identity on it (the discriminating cases
+    // live in the engineered fixtures above); canonicalization is a
+    // per-row rewrite: doc count exactly preserved (token totals may
+    // legitimately move either way as punctuation runs fold into
+    // token separators)
+    assert(rows("1_scrub") == rows("0_input"))
+    assert(rows("2_canonicalize")._1 == rows("1_scrub")._1)
+    val stages = Seq("1_scrub", "2_canonicalize", "3_quality_gate",
+      "4_exact_substr", "5_near_dup", "6_decontaminate")
     // survivor counts and token totals are monotone nonincreasing
-    for (Seq(a, b) <- stages.sliding(2)) {
+    for (Seq(a, b) <- stages.sliding(2) if a != "1_scrub") {
       assert(rows(b)._1 <= rows(a)._1, s"$b grew docs vs $a")
       assert(rows(b)._2 <= rows(a)._2, s"$b grew tokens vs $a")
     }
     // packing adds exactly one separator token per surviving doc and
     // the chunk count is the exact ceiling
-    val (nFinal, tokFinal) = rows("5_decontaminate")
-    val (nChunks, tokPacked) = (rows("6_pack")._1, rows("6_pack")._2)
+    val (nFinal, tokFinal) = rows("6_decontaminate")
+    val (nChunks, tokPacked) = (rows("7_pack")._1, rows("7_pack")._2)
     assert(tokPacked == tokFinal + nFinal)
     assert(nChunks ==
       (tokPacked + Packing.SeqLen - 1) / Packing.SeqLen)
@@ -121,7 +171,7 @@ class PrepareSpec extends SparkSpec {
       "to pass the per-language top half is dropped by the trained " +
       "classifier at its PR-chosen threshold") {
     val d = graft.Tables.load(spark, sfDir, "documents")
-    val canon = TextAnalysis.canonicalized(d)
+    val canon = TextAnalysis.canonicalized(TextAnalysis.scrubbed(d))
     val heurKept = Sampling.topHalfByScore(canon, "lang", "n_chars")
       .select("doc_id").as[Long].collect().toSet
     val trainedKept = QualityTrained.trainedGate(spark, sfDir)(canon)
@@ -138,7 +188,7 @@ class PrepareSpec extends SparkSpec {
     // and the composed query's stage-2 row is exactly the trained set
     val stage2 = graft.SparkEntry
       .queries("pipeline_full_prepare_trained")(spark, sfDir)
-      .where(col("stage") === "2_quality_gate").collect()(0).getLong(1)
+      .where(col("stage") === "3_quality_gate").collect()(0).getLong(1)
     assert(stage2 == trainedKept.size.toLong)
   }
 
@@ -163,12 +213,12 @@ class PrepareSpec extends SparkSpec {
     // composed query: stage 2 == scored docs minus floor(n/3) (the
     // NTILE tail), scored docs == canon docs with >= 5 tokens
     val d = graft.Tables.load(spark, sfDir, "documents")
-    val scored = TextAnalysis.canonicalized(d)
+    val scored = TextAnalysis.canonicalized(TextAnalysis.scrubbed(d))
       .where(size(split(col("text"), "\\s+")) >= 5)
       .count()
     val stage2 = graft.SparkEntry
       .queries("pipeline_full_prepare_ppl")(spark, sfDir)
-      .where(col("stage") === "2_quality_gate").collect()(0).getLong(1)
+      .where(col("stage") === "3_quality_gate").collect()(0).getLong(1)
     assert(stage2 == scored - scored / 3,
       s"stage 2 must keep head+middle terciles of $scored scored docs" +
         s", got $stage2")
@@ -186,8 +236,8 @@ class PrepareSpec extends SparkSpec {
     val d = Seq(
       (31L, "zz", 1000L, tenA),
       (32L, "zz", 900L, tenB),
-      (33L, "zz", 10L, "x1 x2"),
-      (34L, "zz", 10L, "x3 x4")
+      (33L, "zz", 10L, "xna xnb xnc"),
+      (34L, "zz", 10L, "xnd xne xnf")
     ).toDF("doc_id", "lang", "n_chars", "text")
     // raw plane: every shingle differs byte-wise -> NO candidate pair
     assert(Dedup.prefixJaccardPairs(d.where(col("doc_id") < 33),
@@ -200,9 +250,9 @@ class PrepareSpec extends SparkSpec {
     // and the composed pipeline therefore drops doc 32 at stage 4
     val rows = Prepare.fullPrepare(d).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rows("2_quality_gate") == 2L)
-    assert(rows("3_exact_substr") == 2L)
-    assert(rows("4_near_dup") == 1L,
+    assert(rows("3_quality_gate") == 2L)
+    assert(rows("4_exact_substr") == 2L)
+    assert(rows("5_near_dup") == 1L,
       "the NFC-decomposed near-dup must collapse inside fullPrepare")
   }
 }
