@@ -1140,6 +1140,22 @@ object Crawl {
        |${Prepare.sqlFullPrepareCtes("crawl_docs")}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  /** Mirror of the LANGUAGE-ROUTED crawl→corpus composition: the warc
+    * extraction chain, the trained NB router's model + routing CTEs
+    * ([[NbLangid.sqlModelCtes]] / [[NbLangid.sqlRouteCtes]] — the
+    * text_nb_langid oracle's exact algebra), a documents-shaping CTE
+    * whose `lang` is the ROUTED prediction instead of the URL host
+    * label, then the ENTIRE fullPrepare chain re-rooted on it. */
+  private def sqlCrawlPrepareLangid: String =
+    s"""WITH RECURSIVE $sqlWarcCtes,
+       |${NbLangid.sqlModelCtes()},
+       |${NbLangid.sqlRouteCtes("warc_docs")},
+       |crawl_docs AS MATERIALIZED (SELECT w.doc_id, r.pred AS lang,
+       |    CAST(length(w.text) AS BIGINT) AS n_chars, w.text
+       |  FROM warc_docs w JOIN routed r USING (doc_id)),
+       |${Prepare.sqlFullPrepareCtes("crawl_docs")}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+
   /** Mirror of the REAL-WARC crawl→corpus composition: the gz-twin
     * grammar walk + strip chain, the same documents-shaping CTE as
     * [[sqlCrawlPrepare]], then the ENTIRE fullPrepare chain re-rooted
@@ -1232,6 +1248,34 @@ object Crawl {
       val crawled = extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
         .select(col("doc_id"),
           regexp_extract(col("url"), "https://([^.]+)\\.", 1).as("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("text"))
+        .localCheckpoint()
+      Prepare.fullPrepare(crawled)
+    },
+
+    // ---- the METADATA-FREE production shape: the crawl has no
+    //      language labels, so the trained NB router
+    //      (text_nb_langid's exact model, trained on the labeled
+    //      corpus's % 5 ≠ 0 split — the very split its confusion
+    //      matrix evaluates) assigns `lang` to every extracted doc
+    //      and THAT routing keys the per-language quality gate. The
+    //      URL-host label of pipeline_crawl_prepare is the
+    //      metadata-available twin; this is what runs when the host
+    //      tells you nothing. One hash pins extract → route → gate →
+    //      … → pack. ----
+    Q("pipeline_crawl_prepare_langid",
+        Some(sqlCrawlPrepareLangid)) { (s, dir) =>
+      writeArchives(s, dir)
+      val crawled0 =
+        extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
+          .localCheckpoint()
+      val labeled = Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 5 =!= 0)
+      val routed = NbLangid.route(labeled, crawled0)
+      val crawled = crawled0
+        .join(routed.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("pred").as("lang"),
           length(col("text")).cast("long").as("n_chars"),
           col("text"))
         .localCheckpoint()

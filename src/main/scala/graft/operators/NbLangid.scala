@@ -65,11 +65,30 @@ object NbLangid {
       .drop("__e", "__acc", "__z", "__z2")
   }
 
-  /** Train on `% 5 != 0`, score `% 5 = 0`, return the confusion
-    * matrix (actual, pred, n) ordered. */
-  def confusion(d: DataFrame): DataFrame = {
-    val train = Tables.spread(d, col("doc_id"))
-      .where(col("doc_id") % 5 =!= 0)
+  /** ROUTE `eval` docs (doc_id, text) under the NB model trained on
+    * the labeled `train` frame (doc_id, lang, text): one (doc_id,
+    * pred) row per eval doc that carries at least one token — the
+    * production corpus-router shape ([[confusion]] is its held-out
+    * evaluation; `pipeline_crawl_prepare_langid` applies it where the
+    * crawl has NO language metadata). Scoring is the object Scaladoc's
+    * integer-exact plane: vocab-plane model aggregates, one (lang,
+    * word) equijoin after a ≤|langs| broadcast fan-out, a (doc, lang)
+    * fold, and a per-doc argmax window (partitioned by doc_id —
+    * unbounded keys, never single-partition).
+    *
+    * OOV-invariance (r13): eval tokens are restricted to the TRAIN
+    * vocabulary before scoring. A globally-unseen word has identical
+    * likelihood 1/(t_lang + V) under every language — zero signal —
+    * yet it scales the lang-DEPENDENT denominator term, so injected
+    * OOV noise (extraction boilerplate, markup residue) would bias
+    * the argmax toward the smallest-corpus language. With the
+    * restriction, routing is exactly invariant under any OOV-token
+    * injection (CrawlSpec pins routed(crawl text) ≡ routed(clean
+    * text) doc for doc). A doc with NO in-vocabulary token has no
+    * routing signal and leaves the router's domain — identically in
+    * both engines. */
+  def route(train0: DataFrame, eval0: DataFrame): DataFrame = {
+    val train = Tables.spread(train0, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), "\\s+")).as("word"))
       .where(col("word") =!= "")
@@ -92,16 +111,19 @@ object NbLangid {
       "m2", "ilog_pri")
       .select("lang", "ilog_den", "ilog_pri")
     val langs = broadcast(langSc)
-    val ev = Tables.spread(d, col("doc_id"))
-      .where(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("lang").as("actual"),
+    val ev = Tables.spread(eval0, col("doc_id"))
+      .select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("word"))
       .where(col("word") =!= "")
+      // the OOV-invariance restriction (Scaladoc): only train-vocab
+      // tokens score; the vocab side is the cached (lang, word) count
+      // frame's word plane
+      .join(cnt.select("word").distinct(), Seq("word"), "left_semi")
     // fan eval tokens out ≤|langs| ways, attach seen-word scores (an
     // unseen word's ilog(1) = 0 needs no row), fold per (doc, lang)
     val perLang = ev.crossJoin(langs)
       .join(wsc, Seq("lang", "word"), "left")
-      .groupBy(col("doc_id"), col("actual"), col("lang"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(sum(coalesce(col("ilog_w"), lit(0L))).as("s_present"),
         count(lit(1)).as("n_tok"),
         first("ilog_den").as("ilog_den"),
@@ -114,7 +136,19 @@ object NbLangid {
     perLang
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
-      .groupBy(col("actual"), col("lang").as("pred"))
+      .select(col("doc_id"), col("lang").as("pred"))
+  }
+
+  /** Train on `% 5 != 0`, score `% 5 = 0`, return the confusion
+    * matrix (actual, pred, n) ordered — [[route]]'s held-out
+    * evaluation, the metric a corpus pipeline monitors for its
+    * router. */
+  def confusion(d: DataFrame): DataFrame = {
+    val ev = d.where(col("doc_id") % 5 === 0)
+    route(d.where(col("doc_id") % 5 =!= 0), ev)
+      .join(ev.select(col("doc_id"), col("lang").as("actual")),
+        Seq("doc_id"))
+      .groupBy(col("actual"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "pred")
   }
@@ -145,19 +179,27 @@ object NbLangid {
     (z0 +: steps :+ fin).mkString(",\n")
   }
 
-  private def sqlOracle: String =
-    s"""WITH tr AS MATERIALIZED (SELECT doc_id, lang,
+  /** The trained-model CTEs (`nbtr` … `ls`/`wsc`) over a labeled
+    * train relation — shared by the confusion oracle and the
+    * crawl-router mirror ([[route]]'s model algebra verbatim). All
+    * CTE names are nb-prefixed or model-specific, so the generator
+    * composes with the crawl walk and the fullPrepare chain without
+    * collisions. */
+  private[operators] def sqlModelCtes(
+      trainFrom: String = "documents WHERE doc_id % 5 <> 0"): String =
+    s"""nbtr AS MATERIALIZED (SELECT doc_id, lang,
        |    unnest(string_split_regex(text, '\\s+')) AS word
-       |  FROM documents WHERE doc_id % 5 <> 0),
-       |trf AS (SELECT * FROM tr WHERE word <> ''),
-       |c AS MATERIALIZED (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM $trainFrom),
+       |trf AS (SELECT * FROM nbtr WHERE word <> ''),
+       |nbc AS MATERIALIZED (SELECT lang, word,
+       |    CAST(COUNT(*) AS BIGINT) AS n
        |  FROM trf GROUP BY lang, word),
-       |tl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM c
+       |tl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM nbc
        |  GROUP BY lang),
        |vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM trf),
        |pri AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
        |  FROM trf GROUP BY lang),
-       |wm AS (SELECT lang, word, n + 1 AS m FROM c),
+       |wm AS (SELECT lang, word, n + 1 AS m FROM nbc),
        |${sqlIlog("wm", "wsc", "lang, word")},
        |dm AS (SELECT tl.lang, tl.t + vv.v AS m FROM tl CROSS JOIN vv),
        |${sqlIlog("dm", "dsc", "lang")},
@@ -165,22 +207,34 @@ object NbLangid {
        |${sqlIlog("pm", "psc", "lang")},
        |ls AS MATERIALIZED (SELECT d.lang, d.ilog AS ilog_den,
        |    p.ilog AS ilog_pri
-       |  FROM dsc d JOIN psc p USING (lang)),
-       |ev AS MATERIALIZED (SELECT doc_id, lang AS actual,
+       |  FROM dsc d JOIN psc p USING (lang))""".stripMargin
+
+  /** [[route]]'s apply side as CTEs: `routed` = (doc_id, pred) for
+    * every doc of `evalFrom` (doc_id, text) carrying a token. Assumes
+    * [[sqlModelCtes]] is in scope. */
+  private[operators] def sqlRouteCtes(evalFrom: String): String =
+    s"""nbev AS MATERIALIZED (SELECT doc_id,
        |    unnest(string_split_regex(text, '\\s+')) AS word
-       |  FROM documents WHERE doc_id % 5 = 0),
-       |evf AS (SELECT * FROM ev WHERE word <> ''),
-       |pl AS MATERIALIZED (SELECT e.doc_id, e.actual, l.lang,
+       |  FROM $evalFrom),
+       |nbevf AS (SELECT * FROM nbev WHERE word <> ''
+       |  AND word IN (SELECT word FROM nbc)),
+       |nbpl AS MATERIALIZED (SELECT e.doc_id, l.lang,
        |    CAST(l.ilog_pri + SUM(COALESCE(w.ilog, 0))
        |      - COUNT(*) * l.ilog_den AS BIGINT) AS score
-       |  FROM evf e CROSS JOIN ls l
+       |  FROM nbevf e CROSS JOIN ls l
        |  LEFT JOIN wsc w ON w.lang = l.lang AND w.word = e.word
-       |  GROUP BY e.doc_id, e.actual, l.lang, l.ilog_pri, l.ilog_den),
-       |pr AS (SELECT doc_id, actual, lang AS pred FROM (
+       |  GROUP BY e.doc_id, l.lang, l.ilog_pri, l.ilog_den),
+       |routed AS MATERIALIZED (SELECT doc_id, lang AS pred FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-       |      ORDER BY score DESC, lang) AS rk FROM pl) WHERE rk = 1)
-       |SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS n
-       |FROM pr GROUP BY actual, pred ORDER BY actual, pred""".stripMargin
+       |      ORDER BY score DESC, lang) AS rk FROM nbpl)
+       |  WHERE rk = 1)""".stripMargin
+
+  private def sqlOracle: String =
+    s"""WITH ${sqlModelCtes()},
+       |${sqlRouteCtes("documents WHERE doc_id % 5 = 0")}
+       |SELECT d.lang AS actual, r.pred, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM routed r JOIN documents d USING (doc_id)
+       |GROUP BY actual, pred ORDER BY actual, pred""".stripMargin
 
   val queries: Seq[Q] = Seq(
 

@@ -50,7 +50,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q_warc_url_dedup", "q_warc_wet_roundtrip", "pipeline_url_prepare",
     "pipeline_full_prepare_ppl",
     // round-13 additions
-    "text_kn5_logprob_ref", "text_scrub_lines")
+    "text_kn5_logprob_ref", "text_scrub_lines",
+    "pipeline_crawl_prepare_langid")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -87,7 +88,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the pack bounds row + the kn5 chain's 1-row totals
     "pipeline_full_prepare_ppl",
     // round-13: the kn5 chain's 1-row totals under the ref-trained model
-    "text_kn5_logprob_ref")
+    "text_kn5_logprob_ref",
+    // the NB router's 1-row vocab frame + fan-out + the pack bounds row
+    "pipeline_crawl_prepare_langid")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -615,6 +615,15 @@ class PlanBudgetSpec extends SparkSpec {
                                         // foreachPartition action, not
                                         // in this plan — the only
                                         // exchange is the output sort
+    "pipeline_crawl_prepare_langid" -> 17, // pipeline_crawl_prepare's
+                                        // 14 (the composed prepare's
+                                        // reporting plan) + the
+                                        // router's attach join — the
+                                        // NB model itself is vocab-
+                                        // plane aggregates ahead of
+                                        // the routing checkpoint;
+                                        // measured 15 + the ±2 flip
+                                        // margin
     "text_scrub_lines" -> 1,            // redact + line filter + rejoin
                                         // is ONE narrow projection; the
                                         // only exchange is the output

@@ -116,6 +116,62 @@ class CrawlSpec extends SparkSpec {
       s"got: $out")
   }
 
+  test("langid routing: the NB router's labels on crawl-extracted text " +
+      "agree with ground truth above the router's own held-out " +
+      "confusion floor, and the routed prepare keeps a corpus") {
+    Crawl.writeArchives(spark, sfDir)
+    val labeled = graft.Tables.load(spark, sfDir, "documents")
+    val crawled = Crawl.extractText(
+      Crawl.parseArchives(spark, s"${Crawl.FixtureRoot}/*.garc"))
+    val routed = NbLangid
+      .route(labeled.where(col("doc_id") % 5 =!= 0), crawled)
+    val withTruth = routed
+      .join(labeled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(withTruth.length == labeled.count(),
+      "every crawled doc must receive exactly one routed label")
+    val agree = withTruth.count { case (p, t) => p == t }.toDouble /
+      withTruth.length
+    // the router's measured floor: its held-out diagonal rate (the
+    // registered text_nb_langid confusion matrix)
+    val conf = NbLangid.confusion(labeled).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val floor = conf.collect { case (a, p, n) if a == p => n }.sum
+      .toDouble / conf.map(_._3).sum
+    assert(agree >= floor,
+      f"crawl-text routing agreement $agree%.3f must not fall below " +
+        f"the router's held-out floor $floor%.3f (extraction noise " +
+        "must not break the router)")
+    // OOV-invariance theorem (controlled): injecting tokens outside
+    // the train vocabulary into every doc must not flip a single
+    // routing decision — the exact pathology the in-vocab restriction
+    // removes (OOV tokens used to scale the lang-DEPENDENT
+    // denominator, biasing the argmax toward the smallest corpus).
+    // The real extraction also reflows paragraphs and drops short
+    // trailing lines — genuine token loss — so the theorem is pinned
+    // on a pure-injection fixture, not the extraction output.
+    val train = labeled.where(col("doc_id") % 5 =!= 0)
+    val clean = labeled.select(col("doc_id"), col("text"))
+    val noisy = clean.withColumn("text",
+      concat(col("text"),
+        lit(" alpha beta gamma delta & epsilon <raw> zeta qqzx")))
+    val cleanRouted = NbLangid.route(train, clean)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val noisyRouted = NbLangid.route(train, noisy)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noisyRouted == cleanRouted,
+      "routing must be invariant under pure OOV-token injection")
+    // and the composed prepare under the routed labels still packs
+    val rows = graft.SparkEntry
+      .queries("pipeline_crawl_prepare_langid")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(rows("0_input") == labeled.count())
+    assert(rows("7_pack") > 0,
+      "a training corpus must survive the langid-routed pipeline")
+  }
+
   test("pipeline_crawl_prepare: the crawl front feeds the full corpus " +
       "prep — stage 0 counts every archived record, the chain is " +
       "monotone, and a packed corpus survives") {
