@@ -841,12 +841,23 @@ object Crawl {
     * does for the parquet sinks. Stale shards from a previous run
     * (possibly MORE partitions than this one) are cleared first so a
     * re-run's directory holds exactly this frame's corpus. */
+  /** A file this writer owns and may clear: its own shard naming
+    * pattern (plus abandoned `.tmp` halves of it). Anything else in
+    * the directory — unrelated files, subdirectories — is NOT ours to
+    * delete (r12 advice: the unfiltered clear destroyed unrelated
+    * files and threw DirectoryNotEmptyException on subdirectories). */
+  private def isOwnShard(f: java.io.File): Boolean =
+    f.isFile && f.getName.startsWith("part-") &&
+      (f.getName.endsWith(".warc.gz") || f.getName.endsWith(".warc.gz.tmp"))
+
   def writeWetSegments(docs: DataFrame, outDir: String): Unit = {
     val root = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(root)
     // listFiles, not Files.list: no stream handle to close, and the
-    // null-on-IO-error shape matches the latestIndex discipline
+    // null-on-IO-error shape matches the latestIndex discipline;
+    // cleared files are ONLY this writer's own shard pattern
     Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(isOwnShard)
       .foreach(f => java.nio.file.Files.delete(f.toPath))
     writeWetShards(docs, outDir, "part")
   }
@@ -870,7 +881,17 @@ object Crawl {
   }
 
   /** Shared distributed shard writer: one
-    * `<prefix>-<partitionId>.warc.gz` per non-empty task. */
+    * `<prefix>-<partitionId>.warc.gz` per non-empty task.
+    *
+    * Members STREAM straight to the shard file (r12 watch item): each
+    * gzip member is written to a buffered `FileOutputStream` as it is
+    * encoded, so per-task memory is bounded by ONE record — never the
+    * shard (the previous whole-shard `ByteArrayOutputStream` coupled
+    * task memory to shard size, fine at the ~150 MB WET rotation but
+    * a silent assumption). The write goes to a `.tmp` sibling and
+    * commits with an atomic rename, so a killed task never leaves a
+    * half-shard under the final name — the rotation contract: a
+    * `part-*.warc.gz` file, once visible, is complete. */
   private def writeWetShards(docs: DataFrame, outDir: String,
       prefix: String): Unit = {
     val spark = docs.sparkSession
@@ -880,28 +901,35 @@ object Crawl {
       .foreachPartition { (it: Iterator[(Long, String, String)]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val out = new java.io.ByteArrayOutputStream()
-          out.write(gzipMember(encodeWarcRecord(Seq(
-            "WARC-Type" -> "warcinfo",
-            "WARC-Record-ID" ->
-              f"<urn:uuid:00000000-0000-4000-8000-${800000000L + pid}%012d>",
-            "WARC-Date" -> "2026-01-01T00:00:00Z",
-            "Content-Type" -> "application/warc-fields"),
-            ("software: graft-wet/1.0\r\n" +
-              "format: WARC File Format 1.0\r\n").getBytes(Ascii))))
-          it.foreach { case (id, url, text) =>
+          val fin = java.nio.file.Paths
+            .get(outDir, f"$prefix-$pid%05d.warc.gz")
+          val tmp = java.nio.file.Paths
+            .get(outDir, f"$prefix-$pid%05d.warc.gz.tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp.toFile))
+          try {
             out.write(gzipMember(encodeWarcRecord(Seq(
-              "WARC-Type" -> "conversion",
+              "WARC-Type" -> "warcinfo",
               "WARC-Record-ID" ->
-                f"<urn:uuid:00000000-0000-4000-8000-$id%012d>",
+                f"<urn:uuid:00000000-0000-4000-8000-${800000000L + pid}%012d>",
               "WARC-Date" -> "2026-01-01T00:00:00Z",
-              "WARC-Target-URI" -> url,
-              "Content-Type" -> "text/plain"),
-              text.getBytes(Utf8))))
-          }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(outDir, f"$prefix-$pid%05d.warc.gz"),
-            out.toByteArray)
+              "Content-Type" -> "application/warc-fields"),
+              ("software: graft-wet/1.0\r\n" +
+                "format: WARC File Format 1.0\r\n").getBytes(Ascii))))
+            it.foreach { case (id, url, text) =>
+              out.write(gzipMember(encodeWarcRecord(Seq(
+                "WARC-Type" -> "conversion",
+                "WARC-Record-ID" ->
+                  f"<urn:uuid:00000000-0000-4000-8000-$id%012d>",
+                "WARC-Date" -> "2026-01-01T00:00:00Z",
+                "WARC-Target-URI" -> url,
+                "Content-Type" -> "text/plain"),
+                text.getBytes(Utf8))))
+            }
+          } finally out.close()
+          java.nio.file.Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           ()
         }
       }

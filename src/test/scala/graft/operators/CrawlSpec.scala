@@ -542,6 +542,35 @@ class CrawlSpec extends SparkSpec {
     assert(back == Set(("https://a.example.org/doc/99", "only doc")))
   }
 
+  test("writeWetSegments clears ONLY its own shard pattern — unrelated " +
+      "files and subdirectories in the output dir survive (r12 advice: " +
+      "the unfiltered clear destroyed them / threw on directories)") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_foreign")
+    val foreign = dir.resolve("manifest.json")
+    java.nio.file.Files.write(foreign, "{}".getBytes("UTF-8"))
+    val sub = dir.resolve("checkpoint")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.write(sub.resolve("state"), "x".getBytes("UTF-8"))
+    // an abandoned tmp half-shard from a killed task IS ours: cleared
+    val staleTmp = dir.resolve("part-00007.warc.gz.tmp")
+    java.nio.file.Files.write(staleTmp, "half".getBytes("UTF-8"))
+    val docs = Seq((5L, "https://a.example.org/doc/5", "five tokens"))
+    Crawl.writeWetSegments(
+      docs.toDF("doc_id", "url", "text").coalesce(1), dir.toString)
+    assert(java.nio.file.Files.exists(foreign),
+      "unrelated file must survive the shard clear")
+    assert(java.nio.file.Files.exists(sub.resolve("state")),
+      "subdirectory must survive the shard clear")
+    assert(!java.nio.file.Files.exists(staleTmp),
+      "an abandoned .tmp half-shard is ours and must be cleared")
+    val back = Crawl.parseWetSegments(spark, s"$dir/*.warc.gz")
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("https://a.example.org/doc/5", "five tokens")))
+    // and no .tmp remains after a successful commit (atomic rename)
+    assert(!new java.io.File(dir.toString).listFiles()
+      .exists(_.getName.endsWith(".tmp")))
+  }
+
   test("WET: a tampered text byte in the engine's OWN output drops " +
       "that record at read (the digest gate holds on conversion " +
       "records); intact siblings survive") {
