@@ -412,14 +412,21 @@ object Crawl {
         }
         parsed match {
           case Some((kv, ps, l, next)) =>
+            // type filter FIRST (r12 advice): a CommonCrawl-layout
+            // segment interleaves warcinfo/request/metadata records
+            // with the wanted ones — sha1-hashing payloads that are
+            // about to be discarded roughly tripled digest work per
+            // kept record
+            val isWanted = kv.get("WARC-Type").contains(wantType)
             // record-level integrity, the layer ABOVE the gzip member
             // CRC: a present sha1 WARC-Block-Digest must match the
             // payload block or the record is dropped (the walk
             // continues — its framing was consistent); digests in
             // other algorithms pass through unverified
-            val digestOk = kv.get("WARC-Block-Digest").forall(d =>
-              !d.startsWith("sha1:") || d == warcBlockDigest(bytes, ps, l))
-            if (digestOk && kv.get("WARC-Type").contains(wantType)) {
+            val digestOk = isWanted &&
+              kv.get("WARC-Block-Digest").forall(d =>
+                !d.startsWith("sha1:") || d == warcBlockDigest(bytes, ps, l))
+            if (digestOk) {
               kv.get("WARC-Target-URI").filter(_.nonEmpty).foreach { uri =>
                 if (skipHttp) {
                   // skip the wrapped HTTP response's own header block
@@ -547,7 +554,13 @@ object Crawl {
     * Anything that is not an absolute http(s) URL fails LOUDLY in
     * both engines (Spark `raise_error` in the CASE's else branch;
     * the mirror's `error()`) — canonical identity for relative or
-    * exotic-scheme strings would silently merge distinct pages.
+    * exotic-scheme strings would silently merge distinct pages. A
+    * URL with a USERINFO component (`user@host`) is also routed to
+    * the loud branch (r12 advice): RFC 3986 §6.2.2.1 case-folds only
+    * scheme and host, but the authority grab here would fold the
+    * userinfo too, silently merging `User@h` with `user@h` —
+    * credential-bearing URLs are out of a crawl canonicalizer's
+    * scope, so they refuse rather than mis-fold.
     * Pure codegen'd column expressions; at 100 TB this is a narrow
     * per-row projection feeding one map-side-combinable aggregate. */
   def canonicalizeUrl(u: Column): Column = {
@@ -565,11 +578,13 @@ object Crawl {
     val query = regexp_extract(rest, "^[^?]*\\?(.*)", 1)
     val keptQuery = array_join(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe)), "&")
-    when((scheme === "http" || scheme === "https") && length(hostport) > 0,
+    when((scheme === "http" || scheme === "https") &&
+        length(hostport) > 0 && !hostport.contains("@"),
       concat(scheme, lit("://"), host, path,
         when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery))))
       .otherwise(raise_error(concat(
-        lit("canonicalizeUrl: absolute http(s) URL required, got: "), u)))
+        lit("canonicalizeUrl: absolute http(s) URL without userinfo " +
+          "required, got: "), u)))
   }
 
   /** Keeper RECORDS under URL canonicalization: one row per canonical
@@ -744,14 +759,32 @@ object Crawl {
     * [[parseWarc]]'s record-level integrity check to verify. */
   def encodeWarcRecord(headers: Seq[(String, String)],
       payload: Array[Byte]): Array[Byte] = {
-    val b = new java.io.ByteArrayOutputStream()
-    b.write(WarcVersionBytes)
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(WarcVersionBytes)
     headers.foreach { case (k, v) =>
-      b.write(s"$k: $v\r\n".getBytes(Ascii))
+      hdr.write(s"$k: $v\r\n".getBytes(Ascii))
     }
-    b.write((s"WARC-Block-Digest: " +
+    hdr.write((s"WARC-Block-Digest: " +
       s"${warcBlockDigest(payload, 0, payload.length)}\r\n").getBytes(Ascii))
-    b.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(Ascii))
+    hdr.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(Ascii))
+    // cap-parity contract (r12 advice): the DuckDB mirror walk does
+    // NOT replay the reader's MaxHeaderBytes/MaxPayloadBytes defensive
+    // caps, so engine/oracle parity is proven only where no cap can
+    // fire. Every record THIS encoder produces (all WARC fixtures and
+    // the engine's own WET output) must sit at <= HALF each cap —
+    // loudly, so a future fixture that would make a cap decide parity
+    // fails at WRITE time with the reason, never as a hash mismatch.
+    require(payload.length <= MaxPayloadBytes / 2,
+      s"encodeWarcRecord: payload ${payload.length} B exceeds half the " +
+        s"reader's MaxPayloadBytes cap (${MaxPayloadBytes}) — the oracle " +
+        "walk does not replay the cap, so parity would silently depend " +
+        "on it")
+    require(hdr.size <= MaxHeaderBytes / 2,
+      s"encodeWarcRecord: header block ${hdr.size} B exceeds half the " +
+        s"reader's MaxHeaderBytes cap (${MaxHeaderBytes}) — the oracle " +
+        "walk does not replay the cap")
+    val b = new java.io.ByteArrayOutputStream()
+    hdr.writeTo(b)
     b.write(payload)
     b.write(CrlfCrlfBytes)
     b.toByteArray
@@ -814,6 +847,15 @@ object Crawl {
             s"charset=UTF-8\r\nX-Crawl-Doc: $id\r\n\r\n" +
             wrapHtml(id, ascii)).getBytes(Ascii))
       }
+      // the oracle's recursive walk budgets 100000 steps per segment
+      // (one step per record) and the reader caps MaxRecordsPerFile;
+      // neither bound is replayed by the other engine, so the fixture
+      // must stay far below BOTH — loudly (r12 advice)
+      require(recs.size <= 50000 && recs.size <= MaxRecordsPerFile / 2,
+        s"writeWarcArchives: ${recs.size} records in one segment " +
+          "approaches the oracle walk's 100000-step budget / the " +
+          "reader's MaxRecordsPerFile cap — parity would silently " +
+          "depend on a bound the other engine does not replay")
       java.nio.file.Files.write(root.resolve(s"part$f.warc"),
         recs.toArray.flatten)
       java.nio.file.Files.write(root.resolve(s"part$f.warc.gz"),
@@ -1083,6 +1125,7 @@ object Crawl {
        |ucanon AS MATERIALIZED (
        |  SELECT doc_id, url,
        |    CASE WHEN scheme IN ('http', 'https') AND length(hostport) > 0
+       |        AND strpos(hostport, '@') = 0
        |      THEN scheme || '://' ||
        |        (CASE WHEN scheme = 'http'
        |          THEN regexp_replace(hostport, ':80$$', '')
@@ -1090,7 +1133,8 @@ object Crawl {
        |        (CASE WHEN p = '' THEN '/' ELSE p END) ||
        |        (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
        |      ELSE CAST(error('canonicalizeUrl: absolute http(s) URL ' ||
-       |        'required, got: ' || url) AS VARCHAR) END AS canon_url
+       |        'without userinfo required, got: ' || url) AS VARCHAR)
+       |      END AS canon_url
        |  FROM (
        |    SELECT doc_id, url, scheme, hostport,
        |      regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '')

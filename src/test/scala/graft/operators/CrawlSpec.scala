@@ -472,7 +472,11 @@ class CrawlSpec extends SparkSpec {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
-    Seq("ftp://a.example.org/x", "relative/path", "//no.scheme/x")
+    // userinfo URLs are also refused (r12 advice): RFC 3986 folds
+    // only scheme and host, but the authority grab would fold the
+    // userinfo too, silently merging User@h with user@h
+    Seq("ftp://a.example.org/x", "relative/path", "//no.scheme/x",
+      "https://User@a.example.org/x", "http://u:pw@a.example.org/")
       .foreach { bad =>
         val e = intercept[Exception](Seq(bad).toDF("url")
           .select(Crawl.canonicalizeUrl(col("url"))).collect())
