@@ -701,6 +701,74 @@ object StreamOps {
     *
     * `sink(freshKeepers, batchId)` receives each batch's
     * never-seen-before keeper records with their `canon_url`. */
+  /** The CONTINUOUS CRAWL TRIANGLE — ingest → URL dedup → WET write
+    * as ONE streaming pipeline, the streaming twin of
+    * `pipeline_url_prepare`'s front (r12 verdict gap: the three legs
+    * existed with individual parity/restart specs, but nothing drove
+    * them composed): archive segments rotate into `segmentDir`; each
+    * micro-batch
+    *
+    *   1. parses its segments to record rows (the narrow
+    *      q_warc_extract stage — one segment per task, no shuffle of
+    *      raw bytes),
+    *   2. collapses them to ONE keeper record per canonical URL
+    *      within the batch ([[graft.operators.Crawl
+    *      .urlKeeperRecords]], shared verbatim with the composed
+    *      batch prepare),
+    *   3. drops keepers whose canonical URL the DURABLE cross-batch
+    *      seen-set already holds (left_anti on the canonical string;
+    *      index side always wins — no id-ordering contract),
+    *   4. extracts text from the fresh keepers (the shared HTML
+    *      strip), and
+    *   5. writes them as WET shards `part-<batchId>-<pid>.warc.gz`
+    *      ([[graft.operators.Crawl.writeWetShardsForBatch]]).
+    *
+    * Exactly-once mechanics compose from the two proven patterns:
+    * state is the batch-id-keyed `idx_<batchId>` seen-set (each batch
+    * reloads the newest committed index below its own id and
+    * idempotently overwrites its own), and the sink clears only its
+    * OWN batch's shards before writing — so a replayed batch (even at
+    * a different partition count) reproduces byte-identical state AND
+    * shard set, and a hard stop + restart leaves exactly one WET
+    * record per canonical URL ever crawled
+    * (FileStreamRecoverySpec drives the restart; StreamOpsSpec pins
+    * multi-batch parity with the batch front). The WET write precedes
+    * the index commit: a crash between the two replays the batch,
+    * which rewrites both idempotently. */
+  def crawlTriangleStream(s: org.apache.spark.sql.SparkSession,
+      segmentDir: String, indexDir: String, initialSeen: DataFrame,
+      wetDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wetDir))
+    val init = initialSeen.select("canon_url").distinct().localCheckpoint()
+    val recs = graft.operators.Crawl.extractFromSegments(
+      segmentStream(s, segmentDir, Some("*.garc")))
+    recs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val seen = latestIndex(indexDir, batchId, init, s)
+          .select("canon_url").localCheckpoint()
+        val keepers = graft.operators.Crawl
+          .urlKeeperRecords(batch.toDF())
+          .withColumn("canon_url",
+            graft.operators.Crawl.canonicalizeUrl(col("url")))
+          .localCheckpoint()
+        val fresh = keepers.join(seen.hint("shuffle_hash"),
+          Seq("canon_url"), "left_anti").localCheckpoint()
+        graft.operators.Crawl.writeWetShardsForBatch(
+          graft.operators.Crawl.extractText(fresh.drop("canon_url"))
+            .select("doc_id", "url", "text"),
+          wetDir, batchId)
+        seen.unionAll(keepers.select("canon_url"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        ()
+      }
+      .start()
+  }
+
   def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
       indexDir: String, initialSeen: DataFrame, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit)

@@ -219,4 +219,48 @@ class FileStreamRecoverySpec extends SparkSpec {
       "the pre-restart URL must drop its post-restart respelling via " +
         s"the PERSISTED seen-set: ${got(1L)}")
   }
+
+  test("crawlTriangleStream: HARD STOP + restart — the seen-set and the " +
+      "source offsets both survive, a post-restart respelling of a " +
+      "pre-restart URL writes NO WET record, and the directory holds " +
+      "exactly one shard set (exactly-once end to end)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_triangle_recover")
+    val in = Files.createDirectory(root.resolve("in"))
+    val idx = root.resolve("idx").toString
+    val wet = root.resolve("wet").toString
+    val ckpt = root.resolve("ckpt").toString
+    def words(p: String) = (1 to 15).map(i => s"$p$i").mkString(" ")
+    def page(id: Long, url: String, seed: String) =
+      (id, url, graft.operators.Crawl.wrapHtml(id, seed))
+    def startQ() = StreamOps.crawlTriangleStream(spark, in.toString,
+      idx, Seq.empty[String].toDF("canon_url"), wet, ckpt)
+    java.nio.file.Files.write(in.resolve("part0.garc"),
+      graft.operators.Crawl.encodeArchive(Seq(
+        page(10L, "https://a.example.org/p", words("pp")),
+        page(11L, "https://a.example.org/q", words("qq")))))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // HARD RESTART; the respelling arrives only after the stop
+    java.nio.file.Files.write(in.resolve("part1.garc"),
+      graft.operators.Crawl.encodeArchive(Seq(
+        page(20L, "HTTPS://A.EXAMPLE.ORG:443/p#top", words("pp")),
+        page(21L, "https://a.example.org/r", words("rr")))))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val back = graft.operators.Crawl
+      .parseWetSegments(spark, s"$wet/*.warc.gz")
+      .as[(String, String)].collect().toSeq
+    assert(back.map(_._1).sorted == Seq(
+      "https://a.example.org/p", "https://a.example.org/q",
+      "https://a.example.org/r"),
+      s"exactly one WET record per canonical page across the restart " +
+        s"(the respelling of /p must write nothing): ${back.map(_._1)}")
+    assert(back.size == back.map(_._1).toSet.size,
+      "no duplicate shard content after restart — exactly-once")
+    // both batches own committed seen-set states
+    val names = Option(new java.io.File(idx).listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName).toSet
+    assert(names.contains("idx_0") && names.contains("idx_1"), s"$names")
+  }
 }

@@ -877,6 +877,59 @@ class StreamOpsSpec extends SparkSpec {
       (("https://a.example.org/doc/40", "batch four"))))
   }
 
+  test("crawlTriangleStream: ingest → URL dedup → WET write COMPOSED — " +
+      "the multi-batch WET corpus equals the batch " +
+      "pipeline_url_prepare front over the same segments, with " +
+      "in-batch AND cross-batch respellings collapsed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_triangle")
+    val in = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val idx = root.resolve("idx").toString
+    val wet = root.resolve("wet").toString
+    val ckpt = root.resolve("ckpt").toString
+    def words(p: String) = (1 to 15).map(i => s"$p$i").mkString(" ")
+    def page(id: Long, url: String, seed: String) =
+      (id, url, graft.operators.Crawl.wrapHtml(id, seed))
+    val seg0 = Seq(
+      page(80L, "https://a.example.org/doc/8", words("aa")),
+      // in-batch respelling of 80 (case + default port + fragment)
+      page(81L, "HTTPS://A.EXAMPLE.ORG:443/doc/8#top", words("aa")),
+      page(88L, "https://b.example.org/doc/9", words("bb")))
+    val seg1 = Seq(
+      // CROSS-BATCH respelling of 80 (trailing slash): must drop via
+      // the durable seen-set, not the in-batch keeper rule
+      page(90L, "https://a.example.org/doc/8/", words("aa")),
+      page(91L, "https://c.example.org/doc/10", words("cc")),
+      // in-batch respelling of 91 (tracking param)
+      page(92L, "https://c.example.org/doc/10?utm_source=x", words("cc")))
+    java.nio.file.Files.write(in.resolve("part0.garc"),
+      graft.operators.Crawl.encodeArchive(seg0))
+    val query = StreamOps.crawlTriangleStream(spark, in.toString, idx,
+      Seq.empty[String].toDF("canon_url"), wet, ckpt)
+    try {
+      query.processAllAvailable()
+      java.nio.file.Files.write(in.resolve("part1.garc"),
+        graft.operators.Crawl.encodeArchive(seg1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = graft.operators.Crawl
+      .parseWetSegments(spark, s"$wet/*.warc.gz")
+      .as[(String, String)].collect().toSet
+    // the batch front: keeper per canonical URL over ALL records at
+    // once, then the shared extraction — pipeline_url_prepare's stages
+    // before the composed prepare
+    val batchFront = graft.operators.Crawl.extractText(
+        graft.operators.Crawl.urlKeeperRecords(
+          graft.operators.Crawl.parseArchives(spark, s"$in/*.garc")))
+      .select("url", "text").as[(String, String)].collect().toSet
+    assert(streamed == batchFront,
+      s"stream/batch front diverged: $streamed vs $batchFront")
+    assert(streamed.map(_._1) == Set(
+      "https://a.example.org/doc/8", "https://b.example.org/doc/9",
+      "https://c.example.org/doc/10"),
+      s"one WET record per canonical page, first spelling wins: " +
+        s"${streamed.map(_._1)}")
+  }
+
   test("incrementalUrlDedupStreamDurable: respellings of URLs seen in " +
       "EARLIER batches drop (first-crawled-wins across batches), " +
       "within-batch spellings collapse to one keeper, fresh pages " +
