@@ -691,6 +691,41 @@ object Crawl {
       px.map(p => f"$p%02x").mkString
     }
 
+  /** AUDIO/VIDEO-in-archive fixture roots (r13): crawl archives whose
+    * records carry REAL media CONTAINERS hex-encoded — a WAV (RIFF
+    * header + PCM16LE) per audio record, an MJPEG AVI per video
+    * record — so the engine path is archive walk → hex decode → the
+    * genuine container demux ([[Multimodal.audioFingerprint64Pooled]]
+    * / [[Multimodal.videoFingerprint64Pooled]], AudioSystem / AVI +
+    * ImageIO) → pooled fingerprint → banded keep-min. Payload algebra
+    * matches `mm_audio_dedup_pooled` / `mm_video_dedup_pooled`
+    * exactly: per doc, n = 130 + (doc_id % 4)·3 samples/frames, value
+    * i = (ord(ascii(i)) − 80)·256 (audio) or ord(ascii(i)) − 32
+    * (video), zero-padded — so the same duplicate structure the
+    * pooled queries proved now arrives THROUGH the archive layer. */
+  val AudioFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_audio"
+  val VideoFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_video"
+
+  private def avLength(id: Long): Int = 130 + (id % 4).toInt * 3
+
+  def writeAudioArchives(s: SparkSession, dir: String): Unit =
+    writeArchivesWith(s, dir, AudioFixtureRoot) { (id, ascii) =>
+      val n = avLength(id)
+      val samples = Array.tabulate(n)(i =>
+        if (i < ascii.length) (ascii.charAt(i).toInt - 80) * 256 else 0)
+      Multimodal.encodePcmWav(samples)
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+
+  def writeVideoArchives(s: SparkSession, dir: String): Unit =
+    writeArchivesWith(s, dir, VideoFixtureRoot) { (id, ascii) =>
+      val n = avLength(id)
+      val frames = (0 until n).map(i => Multimodal.flatJpeg8x8(
+        if (i < ascii.length) ascii.charAt(i).toInt - 32 else 0))
+      Multimodal.encodeMjpegAvi(frames, 8, 8)
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+
   /** URL-variant fixture root: archives where the crawler saw the
     * SAME page under several URL spellings — exactly the situation
     * [[canonicalizeUrl]] exists for. */
@@ -1265,6 +1300,90 @@ object Crawl {
        |${Multimodal.sqlSurvivorTail(maxHamming)}""".stripMargin
   }
 
+  /** Mirror of the AUDIO-in-archive trajectory — the STRONG form, the
+    * `mm_warc_media` precedent one container deeper: the walk yields
+    * each record's hex WAV payload; the canonical 44-byte RIFF +
+    * PCM16LE layout the fixture's AudioSystem writer emits puts
+    * sample p's little-endian int16 at 1-based hex positions 89 + 4p
+    * (low byte) and 91 + 4p (high byte), so the oracle reads SAMPLE
+    * VALUES straight off the archive payload, replays the 65-stripe
+    * pooling with integer sums and cross-multiplied mean comparisons
+    * (the `mm_audio_dedup_pooled` closed form), and closes
+    * exhaustive — one hash pins archive framing + hex + WAV layout +
+    * pooled fingerprint + banding end to end. */
+  private def sqlAvAudioDedup(maxHamming: Int): String =
+    s"""WITH RECURSIVE ${sqlWalkCtes(AudioFixtureRoot)},
+       |base AS (SELECT doc_id, html AS s,
+       |    (length(html) - 88) // 4 AS n FROM recs),
+       |pos AS (SELECT doc_id, s, n,
+       |    unnest(generate_series(0, n - 1)) AS p FROM base),
+       |v AS (SELECT doc_id, n, p,
+       |    CAST('0x' || substr(s, CAST(89 + 4 * p AS INTEGER), 2)
+       |      AS BIGINT)
+       |    + 256 * CAST('0x' || substr(s, CAST(91 + 4 * p AS INTEGER), 2)
+       |      AS BIGINT) AS u
+       |  FROM pos),
+       |v2 AS (SELECT doc_id, n, p,
+       |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val FROM v),
+       |cells AS MATERIALIZED (SELECT doc_id,
+       |    LEAST(p // GREATEST(n // 65, 1), 64) AS si,
+       |    CAST(SUM(val) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM v2 GROUP BY 1, 2),
+       |bits AS (SELECT l.doc_id, l.si AS b,
+       |    CASE WHEN l.sm * r.c > r.sm * l.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON l.doc_id = r.doc_id AND r.si = l.si + 1
+       |  WHERE l.si < 64),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id),
+       |${Multimodal.sqlSurvivorTail(maxHamming)}""".stripMargin
+
+  /** Mirror of the VIDEO-in-archive trajectory: JPEG entropy coding
+    * is opaque to SQL, so the oracle cannot read frame levels off the
+    * AVI payload the way the audio mirror reads PCM. It regenerates
+    * each doc's frame-level sequence from the SAME documents-table
+    * algebra the fixture writer used (flat 8×8 frames decode
+    * bit-exactly — the `mm_video_dedup_pooled` mirror's proven
+    * replay) and pins archive MEMBERSHIP through the walk: the base
+    * CTE joins the walked record ids, so a record lost or duplicated
+    * by the archive layer moves the hash, while a corrupted payload
+    * moves the ENGINE's side instead (the engine fingerprints only
+    * what it demuxes from the archive bytes). */
+  private def sqlAvVideoDedup(maxHamming: Int): String =
+    s"""WITH RECURSIVE ${sqlWalkCtes(VideoFixtureRoot)},
+       |base AS (SELECT d.doc_id,
+       |    substr(regexp_replace(d.text, '[^ -~]', '', 'g'), 1, 139) AS s,
+       |    130 + (d.doc_id % 4) * 3 AS n
+       |  FROM documents d
+       |  JOIN (SELECT DISTINCT doc_id FROM recs) r ON d.doc_id = r.doc_id),
+       |pos AS (SELECT doc_id, s, n,
+       |    unnest(generate_series(0, n - 1)) AS p FROM base),
+       |v AS (SELECT doc_id, n, p,
+       |    CASE WHEN len(s) >= p + 1
+       |      THEN ord(substr(s, CAST(p + 1 AS INTEGER), 1)) - 32
+       |      ELSE 0 END AS val
+       |  FROM pos),
+       |cells AS MATERIALIZED (SELECT doc_id,
+       |    LEAST(p // GREATEST(n // 65, 1), 64) AS si,
+       |    CAST(SUM(val) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM v GROUP BY 1, 2),
+       |bits AS (SELECT l.doc_id, l.si AS b,
+       |    CASE WHEN l.sm * r.c > r.sm * l.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r
+       |    ON l.doc_id = r.doc_id AND r.si = l.si + 1
+       |  WHERE l.si < 64),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT)
+       |      << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id),
+       |${Multimodal.sqlSurvivorTail(maxHamming)}""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- the ingestion front end, end to end: write the archive
@@ -1467,6 +1586,58 @@ object Crawl {
             Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16))
           val (lo, hi) = Multimodal.dHash64(
             Multimodal.encodeGrayPng(px, 9, 8))
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
+      Multimodal.hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // ---- crawl archives carrying AUDIO records (r13): the walk
+    //      extracts hex-encoded REAL WAV containers, the engine hex-
+    //      decodes and runs the genuine AudioSystem parse + 65-stripe
+    //      pooled fingerprint + banded keep-min; the oracle reads PCM
+    //      sample values straight off the payload hex (44-byte RIFF
+    //      header, little-endian int16 pairs) and replays the pooled
+    //      algebra — archive bytes to audio-dedup survivors, one
+    //      hash pin. ----
+    Q("mm_warc_media_audio",
+        Some(sqlAvAudioDedup(maxHamming = 3))) { (s, dir) =>
+      writeAudioArchives(s, dir)
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(
+          parseArchives(s, s"$AudioFixtureRoot/*.garc"), col("doc_id"))
+        .select(col("doc_id"), col("html").as("hex"))
+        .as[(Long, String)]
+        .map { case (id, hex) =>
+          val bytes = Array.tabulate(hex.length / 2)(i => Integer
+            .parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+          val (lo, hi) = Multimodal.audioFingerprint64Pooled(bytes)
+          (id, lo, hi)
+        }.toDF("doc_id", "lo", "hi").localCheckpoint()
+      Multimodal.hammingDedupSurvivors(sigs, maxHamming = 3)
+    },
+
+    // ---- crawl archives carrying VIDEO records (r13): hex-encoded
+    //      REAL MJPEG AVI containers through the walk, then the
+    //      genuine demux + per-frame ImageIO decode + pooled
+    //      fingerprint + banded keep-min. JPEG entropy coding is
+    //      opaque to SQL, so the oracle regenerates the frame levels
+    //      from the generating algebra and pins archive membership
+    //      through the walk (see sqlAvVideoDedup's Scaladoc for the
+    //      division of labor). ----
+    Q("mm_warc_media_video",
+        Some(sqlAvVideoDedup(maxHamming = 3))) { (s, dir) =>
+      writeVideoArchives(s, dir)
+      val spark = s
+      import spark.implicits._
+      val sigs = Tables.spread(
+          parseArchives(s, s"$VideoFixtureRoot/*.garc"), col("doc_id"))
+        .select(col("doc_id"), col("html").as("hex"))
+        .as[(Long, String)]
+        .map { case (id, hex) =>
+          val bytes = Array.tabulate(hex.length / 2)(i => Integer
+            .parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+          val (lo, hi) = Multimodal.videoFingerprint64Pooled(bytes)
           (id, lo, hi)
         }.toDF("doc_id", "lo", "hi").localCheckpoint()
       Multimodal.hammingDedupSurvivors(sigs, maxHamming = 3)

@@ -217,8 +217,10 @@ object Multimodal {
   }
 
   /** Memoized 8×8 flat JPEGs — the only frame shape the registered video
-    * query synthesizes, and there are exactly 256 of them per JVM. */
-  private lazy val flatJpeg8x8: Array[Array[Byte]] =
+    * query synthesizes, and there are exactly 256 of them per JVM.
+    * (`private[operators]`: the crawl AV fixture writer muxes the same
+    * frames into its archive payloads.) */
+  private[operators] lazy val flatJpeg8x8: Array[Array[Byte]] =
     Array.tabulate(256)(v => encodeFlatJpeg(v, 8, 8))
 
   /** Upper bound on decoded PCM frame count (~32 MB of 16-bit mono). */

@@ -51,7 +51,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipeline_full_prepare_ppl",
     // round-13 additions
     "text_kn5_logprob_ref", "text_scrub_lines",
-    "pipeline_crawl_prepare_langid")
+    "pipeline_crawl_prepare_langid",
+    "mm_warc_media_audio", "mm_warc_media_video")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

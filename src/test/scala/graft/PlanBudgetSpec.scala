@@ -615,6 +615,20 @@ class PlanBudgetSpec extends SparkSpec {
                                         // foreachPartition action, not
                                         // in this plan — the only
                                         // exchange is the output sort
+    "mm_warc_media_audio" -> 4,         // mm_audio_dedup_pooled's exact
+                                        // (checkpointed) shape through
+                                        // the archive layer: walk + hex
+                                        // + WAV decode + pooling are
+                                        // compute in the spread stage;
+                                        // chunk equijoin + candidate
+                                        // dedup + keep-min (measured 3
+                                        // + ±1 flip margin)
+    "mm_warc_media_video" -> 5,         // same shape over the AVI
+                                        // demux front (measured 4 —
+                                        // one join rode a shuffle
+                                        // where the audio twin's
+                                        // broadcast, the documented
+                                        // AQE flip; + ±1 margin)
     "pipeline_crawl_prepare_langid" -> 17, // pipeline_crawl_prepare's
                                         // 14 (the composed prepare's
                                         // reporting plan) + the

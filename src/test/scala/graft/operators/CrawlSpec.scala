@@ -575,6 +575,17 @@ class CrawlSpec extends SparkSpec {
       .exists(_.getName.endsWith(".tmp")))
   }
 
+  test("AV-in-archive: the audio/video archive trajectories reproduce " +
+      "the pooled in-table queries' survivor sets exactly — the same " +
+      "fingerprint algebra, one real container layer deeper") {
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(rows("mm_warc_media_audio") == rows("mm_audio_dedup_pooled"),
+      "archive-borne WAVs must dedup exactly as the in-table audio")
+    assert(rows("mm_warc_media_video") == rows("mm_video_dedup_pooled"),
+      "archive-borne AVIs must dedup exactly as the in-table video")
+  }
+
   test("WET: a tampered text byte in the engine's OWN output drops " +
       "that record at read (the digest gate holds on conversion " +
       "records); intact siblings survive") {
