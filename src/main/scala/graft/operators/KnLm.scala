@@ -468,6 +468,19 @@ object KnLm {
     canon => pplGateWith(memoKn5(dir, "canon")(buildKn5Model(canon)),
       canon)
 
+  /** The GENUINELY two-corpus composed gate
+    * (`pipeline_full_prepare_ppl_ref`) — production CCNet's exact
+    * deployment, closing the r12 "train = eval" stand-in: the
+    * reference LM trains on the TRUSTED source slice, run through the
+    * SAME scrub + canonicalize front the scored corpus gets, and
+    * scores every canon doc; memo variant `ref-canon`. */
+  def pplGateRefMemo(dir: String): DataFrame => DataFrame = { canon =>
+    val s = canon.sparkSession
+    val train = TextAnalysis.canonicalized(TextAnalysis.scrubbed(
+      docs(s, dir).where(col("source").isin(TrustedSources: _*))))
+    pplGateWith(memoKn5(dir, "ref-canon")(buildKn5Model(train)), canon)
+  }
+
   private def pplGateWith(m: Kn5Model, canon: DataFrame): DataFrame = {
     val scored = kn5ScoreWith(m, canon)
       .select(col("doc_id"), col("nll_per_5gram_q10").as("nll_per"))
@@ -480,11 +493,14 @@ object KnLm {
   }
 
   /** [[pplGate]] as CTEs for the composed-prepare mirror: the full
-    * 5-gram chain re-rooted on `canon` for BOTH train and eval, the
+    * 5-gram chain trained on `trainFrom` and scoring `canon`, the
     * per-doc score, the tercile rule, then the `gate` CTE the
     * fullPrepare chain expects. Assumes a `canon` CTE is in scope. */
   private[operators] def sqlPplGateCtes: String =
-    s"""${sqlKn5CtesOver("canon", "canon")},
+    sqlPplGateCtesOver("canon")
+
+  private[operators] def sqlPplGateCtesOver(trainFrom: String): String =
+    s"""${sqlKn5CtesOver(trainFrom, "canon")},
        |per_doc AS (SELECT doc_id,
        |    CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_per
        |  FROM e5 JOIN sc USING (g) GROUP BY doc_id),
@@ -495,6 +511,17 @@ object KnLm {
        |  SELECT c.doc_id, c.text
        |  FROM canon c JOIN pbuck b USING (doc_id)
        |  WHERE b.bucket <= 2)""".stripMargin
+
+  /** The REF-trained gate's CTE chain (`pipeline_full_prepare_ppl_ref`
+    * — production CCNet's exact deployment: the reference LM trains on
+    * the TRUSTED slice, run through the SAME scrub + canonicalize
+    * front under its own CTE names, and scores the whole canon
+    * plane). */
+  private[operators] def sqlPplGateRefCtes: String =
+    s"""${Prepare.sqlScrubCanonCtes(
+          s"documents WHERE source IN ($sqlTrustedIn)",
+          "ref_scrub", "ref_canon")},
+       |${sqlPplGateCtesOver("ref_canon")}""".stripMargin
 
   // ------------------------------------------------------------------
   // Mirrors

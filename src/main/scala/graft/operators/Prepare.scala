@@ -180,10 +180,14 @@ object Prepare {
       |    FROM canon)
       |  WHERE rnk * 2 <= nis + 1)""".stripMargin
 
-  private[operators] def sqlFullPrepareCtes(src: String,
-      gateCtes: String = sqlHeuristicGateCte): String = {
-    val L = Dedup.ExactSubstrMinLen
-    s"""scrub AS MATERIALIZED (
+  /** The scrub + canonicalize front as CTEs under caller-chosen names
+    * — `sqlFullPrepareCtes` uses the default `scrub`/`canon` pair;
+    * the ref-trained ppl gate runs the SAME front over the trusted
+    * slice under `ref_scrub`/`ref_canon`. */
+  private[operators] def sqlScrubCanonCtes(src: String,
+      scrubName: String = "scrub", canonName: String = "canon")
+      : String =
+    s"""$scrubName AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars, text FROM (
        |    SELECT doc_id, lang, n_chars,
        |      coalesce(array_to_string(list_filter(string_split(
@@ -197,11 +201,16 @@ object Prepare {
        |            >= 4 * len(string_split_regex(l, '\\s+'))),
        |        chr(10)), '') AS text
        |    FROM $src) WHERE length(text) > 0),
-       |canon AS MATERIALIZED (
+       |$canonName AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars,
        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
        |      '[\\p{P}\\p{S}]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
-       |  FROM scrub),
+       |  FROM $scrubName)""".stripMargin
+
+  private[operators] def sqlFullPrepareCtes(src: String,
+      gateCtes: String = sqlHeuristicGateCte): String = {
+    val L = Dedup.ExactSubstrMinLen
+    s"""${sqlScrubCanonCtes(src)},
        |$gateCtes,
        |gtoks AS MATERIALIZED (SELECT doc_id,
        |    string_split_regex(text, '\\s+') AS ts FROM gate),
@@ -332,6 +341,10 @@ object Prepare {
     s"""WITH ${sqlFullPrepareCtes("documents", KnLm.sqlPplGateCtes)}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  private def sqlFullPreparePplRef: String =
+    s"""WITH ${sqlFullPrepareCtes("documents", KnLm.sqlPplGateRefCtes)}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- the full prepare trajectory, hash-matched: quality gate →
@@ -371,5 +384,19 @@ object Prepare {
     Q("pipeline_full_prepare_ppl",
         Some(sqlFullPreparePpl)) { (s, dir) =>
       fullPrepare(docs(s, dir), KnLm.pplGateMemo(dir))
+    },
+
+    // ---- the composed prepare under the REFERENCE-trained perplexity
+    //      gate — production CCNet's exact deployment, closing the
+    //      train = eval stand-in the r12 variant documented: the
+    //      5-gram reference LM trains on the TRUSTED source slice
+    //      (run through the SAME scrub + canonicalize front, under
+    //      its own mirror CTE names) and scores every canonical doc
+    //      of the whole corpus; head + middle terciles pass. One hash
+    //      pins trusted-slice front → model → score → tercile → gate
+    //      → substr → dedup → decontaminate → pack. ----
+    Q("pipeline_full_prepare_ppl_ref",
+        Some(sqlFullPreparePplRef)) { (s, dir) =>
+      fullPrepare(docs(s, dir), KnLm.pplGateRefMemo(dir))
     })
 }

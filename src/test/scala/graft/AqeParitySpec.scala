@@ -52,7 +52,8 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // round-13 additions
     "text_kn5_logprob_ref", "text_scrub_lines",
     "pipeline_crawl_prepare_langid",
-    "mm_warc_media_audio", "mm_warc_media_video")
+    "mm_warc_media_audio", "mm_warc_media_video",
+    "pipeline_full_prepare_ppl_ref")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -91,7 +92,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // round-13: the kn5 chain's 1-row totals under the ref-trained model
     "text_kn5_logprob_ref",
     // the NB router's 1-row vocab frame + fan-out + the pack bounds row
-    "pipeline_crawl_prepare_langid")
+    "pipeline_crawl_prepare_langid",
+    // the pack bounds row + the kn5 chain's 1-row totals
+    "pipeline_full_prepare_ppl_ref")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

@@ -615,6 +615,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // foreachPartition action, not
                                         // in this plan — the only
                                         // exchange is the output sort
+    "pipeline_full_prepare_ppl_ref" -> 19, // pipeline_full_prepare_ppl's
+                                        // shape + the trusted-slice
+                                        // scrub/canon front feeding the
+                                        // (checkpointed) ref model
+                                        // build; measured 17 + the ±2
+                                        // cached-frame AQE flip margin
     "mm_warc_media_audio" -> 4,         // mm_audio_dedup_pooled's exact
                                         // (checkpointed) shape through
                                         // the archive layer: walk + hex

@@ -92,10 +92,13 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_kn5_logprob_ref",     // the same two 1-row totals as
                                 // text_kn5_logprob, under the
                                 // ref-trained (trusted-slice) model
-    "pipeline_crawl_prepare_langid") // the NB router's 1-row vocab
+    "pipeline_crawl_prepare_langid", // the NB router's 1-row vocab
                                 // frame + <=|langs| fan-out + the pack
                                 // bounds row (text_nb_langid's shapes
                                 // composed with the prepare's)
+    "pipeline_full_prepare_ppl_ref") // the pack bounds row + the kn5
+                                // chain's 1-row totals, as
+                                // pipeline_full_prepare_ppl
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast

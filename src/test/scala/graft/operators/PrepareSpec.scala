@@ -224,6 +224,48 @@ class PrepareSpec extends SparkSpec {
         s", got $stage2")
   }
 
+  test("ref-trained ppl gate: the reference LM belongs to the TRUSTED " +
+      "corpus — self-reinforcing gibberish that GAMES the self-trained " +
+      "gate (two copies reinforce each other past the lone good doc) " +
+      "cannot game the ref gate, which keeps the in-distribution doc") {
+    // canon: two IDENTICAL gibberish docs + one doc of trusted-corpus
+    // vocabulary. Terciles of 3 keep 2. Self-trained (train = eval):
+    // the gibberish 5-grams occur TWICE, the good doc's once, so the
+    // gibberish pair scores the head and the good doc drops — the
+    // self-training failure mode CCNet's trusted reference LM exists
+    // to prevent. Ref-trained: the good doc backs off through seen
+    // trusted vocabulary while the gibberish floors at OOV, so the
+    // good doc is kept and one gibberish copy drops.
+    val gib = "zqxv kjwq vbnm plrt ywce qofd zzyx"
+    val good = "key agg row scan slow fast table value part hash"
+    val canon = Seq(
+      (1L, "zz", 100L, good),
+      (2L, "zz", 100L, gib),
+      (3L, "zz", 100L, gib)
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val selfKept = KnLm.pplGate(canon)
+      .select("doc_id").as[Long].collect().toSet
+    val refKept = KnLm.pplGateRefMemo(sfDir)(canon)
+      .select("doc_id").as[Long].collect().toSet
+    assert(selfKept == Set(2L, 3L),
+      s"the self-trained gate must be GAMED by the reinforcing pair " +
+        s"(that is the failure mode): $selfKept")
+    assert(refKept.contains(1L) && refKept.size == 2,
+      s"the ref-trained gate must keep the in-distribution doc: $refKept")
+    // and the composed ref query's stage-3 count is exactly
+    // head + middle of the scored docs (the same tercile arithmetic)
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val scored = TextAnalysis.canonicalized(TextAnalysis.scrubbed(d))
+      .where(size(split(col("text"), "\\s+")) >= 5)
+      .count()
+    val stage3 = graft.SparkEntry
+      .queries("pipeline_full_prepare_ppl_ref")(spark, sfDir)
+      .where(col("stage") === "3_quality_gate").collect()(0).getLong(1)
+    assert(stage3 == scored - scored / 3,
+      s"stage 3 must keep head+middle terciles of $scored scored docs" +
+        s", got $stage3")
+  }
+
   test("two non-NFC-equal encodings of one near-dup collapse ONLY " +
       "through the canonical pipeline (the stage-1 wiring's point)") {
     // docs 31/32: the same ten accented words, composed (NFC) vs
