@@ -230,16 +230,20 @@ class PlanBudgetSpec extends SparkSpec {
                                         // shuffles the candidate join
                                         // at this scale — pin the
                                         // shuffle-side shape
-    "text_nb_langid" -> 10,             // train spread + (lang,word)
+    "text_nb_langid" -> 12,             // train spread + (lang,word)
                                         // count agg (cached) + lang
                                         // totals + vocab distinct (2)
                                         // + doc priors (2: distinct
                                         // pre-agg + count) + the eval
-                                        // spread + score attach +
-                                        // (doc,lang) fold + argmax
-                                        // window + confusion agg/sort;
-                                        // only the two spreads and the
-                                        // attach carry corpus rows
+                                        // spread + OOV vocab semi-join
+                                        // + score attach + (doc,lang)
+                                        // fold + argmax window + the
+                                        // actual-label join (since r13
+                                        // confusion = route ∘ join) +
+                                        // confusion agg/sort; only the
+                                        // two spreads and the attach
+                                        // carry corpus rows (measured
+                                        // 11 + ±1 flip margin)
     "ann_hamming_topk" -> 2,            // query broadcast into one
                                         // corpus scan + rank + sort;
                                         // the signature build is a
