@@ -646,11 +646,35 @@ object Crawl {
       wrapHtml(id, ascii)
     }
 
+  /** Fixture writes are PURE functions of the dir's documents table,
+    * so each (root, table-fingerprint) writes ONCE per JVM (the
+    * [[graft.operators.Layout]] written-fixture discipline): Bench
+    * re-invokes query closures on every timed pass, and at sf0.1 the
+    * video fixture alone is ~900 MB of hex per write — rewriting
+    * identical bytes six times was the single largest line of the
+    * first r13 sweep (107 s). A table regenerated on disk gets a
+    * fresh fingerprint and rewrites; distinct dirs (spec vs verify
+    * scale factors) key separately. */
+  private val writtenFixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def writeOnce(rootDir: String, dir: String)(
+      write: => Unit): Unit = {
+    val key = s"$rootDir|${Tables.fingerprint(dir, "documents")}"
+    if (writtenFixtures.add(key)) write
+  }
+
   /** Shared fixture writer: one archive set under `root`, payload per
     * doc from `payloadOf(doc_id, asciiText)`. Bounded driver-side
     * loop over the doc-count rows (the crawler stand-in, not an
     * engine data path). */
   private def writeArchivesWith(s: SparkSession, dir: String,
+      rootDir: String)(payloadOf: (Long, String) => String): Unit =
+    writeOnce(rootDir, dir) {
+      writeArchivesWithNow(s, dir, rootDir)(payloadOf)
+    }
+
+  private def writeArchivesWithNow(s: SparkSession, dir: String,
       rootDir: String)(payloadOf: (Long, String) => String): Unit = {
     val rows = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
@@ -740,7 +764,10 @@ object Crawl {
     * DIFFERENT scheme — stays its own page). Record ids are
     * `doc_id*8 + variant` so first-crawled-wins is checkable from
     * the id algebra alone. */
-  def writeUrlArchives(s: SparkSession, dir: String): Unit = {
+  def writeUrlArchives(s: SparkSession, dir: String): Unit =
+    writeOnce(UrlFixtureRoot, dir) { writeUrlArchivesNow(s, dir) }
+
+  private def writeUrlArchivesNow(s: SparkSession, dir: String): Unit = {
     val rows = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
       .orderBy("doc_id").collect()
@@ -842,7 +869,10 @@ object Crawl {
     * writer standing in for the crawler ([[writeArchives]]'s role);
     * payload text sanitized to printable ASCII so the raw twin's
     * character positions equal byte offsets for the oracle walk. */
-  def writeWarcArchives(s: SparkSession, dir: String): Unit = {
+  def writeWarcArchives(s: SparkSession, dir: String): Unit =
+    writeOnce(WarcFixtureRoot, dir) { writeWarcArchivesNow(s, dir) }
+
+  private def writeWarcArchivesNow(s: SparkSession, dir: String): Unit = {
     val rows = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .orderBy("doc_id").collect()

@@ -108,12 +108,28 @@ object Prepare {
     // stage 1: PII scrub + line-rule boilerplate drop on the RAW text
     // (r13 — the stage real pipelines run FIRST: canonicalization
     // erases the punctuation PII patterns match and the newline
-    // structure the line rules need). Narrow per-row work, no exchange.
-    val scrub = TextAnalysis.scrubbed(d)
+    // structure the line rules need). Narrow per-row work over the
+    // SPREAD corpus (the Tables.spread single-scan-partition
+    // discipline: a small single-file parquet arrives as one task,
+    // which would serialize the per-word regex onto one core — at
+    // 100 TB the scan is already wide and this slim shuffle is
+    // noise); its report row recomputes the (parallel, cheap) scrub
+    // once — the materialized boundary is canon below
+    val scrub = TextAnalysis
+      .scrubbed(graft.Tables.spread(d, col("doc_id")))
     // stage 2: the canonical plane — a narrow per-row projection (the
-    // native nfc_normalize expression + two regex folds), no exchange;
-    // everything downstream shingles/windows canonical text
-    val canon = TextAnalysis.canonicalized(scrub)
+    // native nfc_normalize expression + two regex folds); everything
+    // downstream shingles/windows canonical text. CHECKPOINTED since
+    // r13: with the scrub stage in front the chain is no longer
+    // cheap-to-recompute (the per-word line rules run real regex
+    // work), and the plane feeds MANY legs — the gate's histogram +
+    // keep joins, its own report row, and every stage rooted on the
+    // gated survivors; un-spread and un-checkpointed, each leg re-ran
+    // the full chain on ONE task (measured: pipeline_full_prepare
+    // 4.8 → 8.8 s when the scrub stage first landed; ~7.0 s with the
+    // spread + this checkpoint — the residual over r12 is the new
+    // stage's honest work)
+    val canon = TextAnalysis.canonicalized(scrub).localCheckpoint()
     val gated = gate(canon)
     // survivors of the ExactSubstr clean: (doc_id, text, n_kept) —
     // feeds its count row, the near-dup pair join AND the anti-join's

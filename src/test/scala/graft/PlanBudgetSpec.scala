@@ -363,7 +363,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // plane is fixed-size, the
                                         // only vocab-scale shuffle is
                                         // the exact twin's
-    "pipeline_full_prepare" -> 14,      // the REPORTING plan: EIGHT
+    "pipeline_full_prepare" -> 16,      // the REPORTING plan: EIGHT
                                         // summary aggregates (r11 adds
                                         // the canonicalize row, r13 the
                                         // 1_scrub row — scrub itself is
@@ -500,7 +500,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // sketch literal, built in a
                                         // fixed-state pass at
                                         // construction)
-    "pipeline_crawl_prepare" -> 14,     // exactly pipeline_full_prepare's
+    "pipeline_crawl_prepare" -> 16,     // exactly pipeline_full_prepare's
                                         // reporting plan (measured 14,
                                         // +1 for the r13 scrub row) —
                                         // the crawl front (parse + HTML
@@ -526,7 +526,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // narrow stage; the only
                                         // exchange is the output sort
                                         // (measured 1)
-    "pipeline_warc_prepare" -> 14,      // pipeline_crawl_prepare's
+    "pipeline_warc_prepare" -> 16,      // pipeline_crawl_prepare's
                                         // exact shape over the REAL
                                         // gz-WARC front: gunzip +
                                         // grammar walk + digest check +
@@ -534,7 +534,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (checkpointed once), the
                                         // composed prepare's reporting
                                         // plan is unchanged
-    "pipeline_full_prepare_trained" -> 21, // pipeline_full_prepare's 14
+    "pipeline_full_prepare_trained" -> 22, // pipeline_full_prepare's 15
                                         // + the trained gate's scoring
                                         // legs (canon feature-hash agg,
                                         // score agg, gate attach, and
@@ -592,7 +592,7 @@ class PlanBudgetSpec extends SparkSpec {
                                         // measured 16 + the ±2 cached-
                                         // frame AQE flip margin the
                                         // bigram plane documents
-    "pipeline_url_prepare" -> 15,       // pipeline_crawl_prepare's 14
+    "pipeline_url_prepare" -> 17,       // pipeline_crawl_prepare's 15
                                         // (the composed prepare's
                                         // reporting plan incl. the r13
                                         // scrub row) + the URL-dedup
