@@ -24,12 +24,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training is one (lang, word) aggregate + per-lang
   * totals (vocab-plane); the fixed-point log runs TABLE-LEVEL on the
-  * (lang, word) frame — never per corpus token — and scoring attaches
-  * the score table to eval tokens via one equijoin on (lang, word)
-  * after a ≤|langs| fan-out, followed by one (doc, lang) aggregate
-  * and a per-doc argmax window. Unseen words cost nothing at join
-  * time: their ilog(0+1) = 0 contribution is algebraic, and the
-  * n_tokens·denominator term needs no join at all. */
+  * (lang, word) frame — never per corpus token — and scoring pays
+  * exactly ONE corpus-scale join: eval tokens inner-join a per-word
+  * score plane (word → map(lang → ilog_w), ≤|langs| entries a row,
+  * one row per train-vocab word) through [[Skew.hotSaltedJoin]] —
+  * the `word` key is Zipf-distributed and AQE structurally cannot
+  * split aggregate-fed joins (TokenJoinSkewSpec), so the bounded
+  * train-side hot head (the [[Skew.HotKeyFanout]] self-scaling
+  * cutoff) is salted explicitly. The inner join doubles as the OOV
+  * restriction (the plane holds exactly the train vocabulary), the
+  * ≤|langs| fan-out is a broadcast cross after the attach, and the
+  * fold is one (doc, lang) aggregate plus a per-doc argmax window.
+  * Unseen words cost nothing at join time: their ilog(0+1) = 0
+  * contribution is algebraic, and the n_tokens·denominator term
+  * needs no join at all. */
 object NbLangid {
 
   /** Add column `out` = ilog2_q10(`m`) (m ≥ 1 BIGINT) via the exact
@@ -65,16 +73,45 @@ object NbLangid {
       .drop("__e", "__acc", "__z", "__z2")
   }
 
+  /** The per-word score plane: one row per TRAIN-VOCAB word carrying
+    * `__wm` = map(lang → ilog_w) with ≤|langs| entries — the single
+    * small side of [[route]]'s one corpus-scale join (its inner
+    * attach IS the OOV restriction). Vocab-plane aggregate; map keys
+    * (langs per word) are unique by construction of the (lang, word)
+    * count frame. */
+  private[operators] def wordScorePlane(wsc: DataFrame): DataFrame =
+    wsc.groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("lang"),
+        col("ilog_w")))).as("__wm"))
+
+  /** Hot-word set for [[route]]'s token attach, from the train-side
+    * word totals — the [[KnLm]] discipline (a perf hint only;
+    * correctness is unconditional, and the eval stream's Zipf head is
+    * the train head for any corpus the router is fit for): keys
+    * holding ≥ 1/[[Skew.HotKeyFanout]] of total train occurrences,
+    * floored at [[Skew.MinHotCount]] — bounded at any corpus size, so
+    * the broadcast in [[Skew.hotSaltedJoin]] never outgrows the
+    * driver. */
+  private[operators] def hotWords(cnt: DataFrame): DataFrame = {
+    val wtot = cnt.groupBy("word").agg(sum("n").cast("long").as("__n"))
+    val tt = wtot.agg(sum("__n").cast("long").as("__t"))
+    wtot.crossJoin(broadcast(tt))
+      .where(col("__n") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+        lit(Skew.MinHotCount)))
+      .select("word")
+  }
+
   /** ROUTE `eval` docs (doc_id, text) under the NB model trained on
     * the labeled `train` frame (doc_id, lang, text): one (doc_id,
     * pred) row per eval doc that carries at least one token — the
     * production corpus-router shape ([[confusion]] is its held-out
     * evaluation; `pipeline_crawl_prepare_langid` applies it where the
     * crawl has NO language metadata). Scoring is the object Scaladoc's
-    * integer-exact plane: vocab-plane model aggregates, one (lang,
-    * word) equijoin after a ≤|langs| broadcast fan-out, a (doc, lang)
-    * fold, and a per-doc argmax window (partitioned by doc_id —
-    * unbounded keys, never single-partition).
+    * integer-exact plane: vocab-plane model aggregates, ONE
+    * hot-salted word-keyed attach of the per-word lang→score map
+    * (also the vocab restriction), a broadcast ≤|langs| fan-out, a
+    * (doc, lang) fold, and a per-doc argmax window (partitioned by
+    * doc_id — unbounded keys, never single-partition).
     *
     * OOV-invariance (r13): eval tokens are restricted to the TRAIN
     * vocabulary before scoring. A globally-unseen word has identical
@@ -86,7 +123,16 @@ object NbLangid {
     * injection (CrawlSpec pins routed(crawl text) ≡ routed(clean
     * text) doc for doc). A doc with NO in-vocabulary token has no
     * routing signal and leaves the router's domain — identically in
-    * both engines. */
+    * both engines.
+    *
+    * Skew (r14): both token-plane joins of the r13 shape — the vocab
+    * semi-join and the (lang, word) score attach — collapsed into the
+    * single hot-salted [[wordScorePlane]] attach; hot words come from
+    * the train-side word totals (the [[KnLm]] discipline — a perf
+    * hint only, correctness is unconditional; NbLangidSpec pins
+    * equality on a corpus whose head crosses [[Skew.MinHotCount]] so
+    * the salted branch genuinely engages, plus the >1-partition
+    * spread). */
   def route(train0: DataFrame, eval0: DataFrame): DataFrame = {
     val train = Tables.spread(train0, col("doc_id"))
       .select(col("doc_id"), col("lang"),
@@ -115,16 +161,19 @@ object NbLangid {
       .select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("word"))
       .where(col("word") =!= "")
-      // the OOV-invariance restriction (Scaladoc): only train-vocab
-      // tokens score; the vocab side is the cached (lang, word) count
-      // frame's word plane
-      .join(cnt.select("word").distinct(), Seq("word"), "left_semi")
-    // fan eval tokens out ≤|langs| ways, attach seen-word scores (an
-    // unseen word's ilog(1) = 0 needs no row), fold per (doc, lang)
-    val perLang = ev.crossJoin(langs)
-      .join(wsc, Seq("lang", "word"), "left")
+    // the ONE corpus-scale join: attach the per-word lang→score map,
+    // hot-salted on the Zipf `word` key. INNER, so it is also the
+    // OOV-invariance restriction (the plane holds exactly the train
+    // vocabulary); an unseen (lang, word)'s ilog(1) = 0 needs no map
+    // entry and falls out of the coalesce below.
+    val evw = Skew.hotSaltedJoin(ev, wordScorePlane(wsc), "word",
+      hotWords(cnt), col("doc_id"))
+    // fan ≤|langs| ways off the broadcast lang table, look the score
+    // up in the riding map, fold per (doc, lang)
+    val perLang = evw.crossJoin(langs)
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(coalesce(col("ilog_w"), lit(0L))).as("s_present"),
+      .agg(sum(coalesce(element_at(col("__wm"), col("lang")), lit(0L)))
+          .as("s_present"),
         count(lit(1)).as("n_tok"),
         first("ilog_den").as("ilog_den"),
         first("ilog_pri").as("ilog_pri"))

@@ -234,16 +234,19 @@ class PlanBudgetSpec extends SparkSpec {
                                         // count agg (cached) + lang
                                         // totals + vocab distinct (2)
                                         // + doc priors (2: distinct
-                                        // pre-agg + count) + the eval
-                                        // spread + OOV vocab semi-join
-                                        // + score attach + (doc,lang)
-                                        // fold + argmax window + the
-                                        // actual-label join (since r13
-                                        // confusion = route ∘ join) +
-                                        // confusion agg/sort; only the
-                                        // two spreads and the attach
-                                        // carry corpus rows (measured
-                                        // 11 + ±1 flip margin)
+                                        // pre-agg + count) + word-map
+                                        // plane + hot-word totals + the
+                                        // eval spread + the ONE hot-
+                                        // salted word attach (r14:
+                                        // replaces the r13 vocab semi-
+                                        // join AND the (lang,word)
+                                        // attach) + (doc,lang) fold +
+                                        // argmax window + the actual-
+                                        // label join + confusion
+                                        // agg/sort; only the two
+                                        // spreads and the attach carry
+                                        // corpus rows (measured 11 +
+                                        // ±1 flip margin)
     "ann_hamming_topk" -> 2,            // query broadcast into one
                                         // corpus scan + rank + sort;
                                         // the signature build is a
@@ -642,12 +645,12 @@ class PlanBudgetSpec extends SparkSpec {
     "pipeline_crawl_prepare_langid" -> 17, // pipeline_crawl_prepare's
                                         // 14 (the composed prepare's
                                         // reporting plan) + the
-                                        // router's attach join — the
-                                        // NB model itself is vocab-
-                                        // plane aggregates ahead of
-                                        // the routing checkpoint;
-                                        // measured 15 + the ±2 flip
-                                        // margin
+                                        // router's hot-salted word-map
+                                        // attach (r14 shape) — the NB
+                                        // model itself is vocab-plane
+                                        // aggregates ahead of the
+                                        // routing checkpoint; measured
+                                        // 16 post-r14 + ±1 flip margin
     "text_scrub_lines" -> 1,            // redact + line filter + rejoin
                                         // is ONE narrow projection; the
                                         // only exchange is the output

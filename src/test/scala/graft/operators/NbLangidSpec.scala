@@ -70,4 +70,77 @@ class NbLangidSpec extends SparkSpec {
       s"off-diagonal predictions on a separable corpus: $got")
     assert(got.values.sum == 8L)
   }
+
+  /** A corpus whose shared-stopword head crosses Skew.MinHotCount, so
+    * route's hot-salted word attach genuinely engages (below the
+    * floor the hot set is empty and the join degenerates to the plain
+    * single-bucket path — SkewSpec territory). */
+  private def hotCorpus: Seq[(Long, String, String)] =
+    (0L until 250L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val body = if (lang == "aa") "red green blue red green"
+        else "eins zwei drei eins zwei"
+      val stop = Seq.fill(24)("zz").mkString(" ")
+      val t = if (i % 5 == 0) s"$stop $body novel$i" else s"$stop $body"
+      (i, lang, t)
+    }
+
+  test("route under an ENGAGED hot-salted word attach (head word over " +
+      "MinHotCount in train) still equals the plain-Scala NB replay " +
+      "exactly, and the derived hot set contains the head word") {
+    val docs = hotCorpus
+    val df = docs.toDF("doc_id", "lang", "text")
+    val train = df.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val cnt = train.groupBy("lang", "word")
+      .agg(count(lit(1)).cast("long").as("n"))
+    // 200 train docs x 24 = 4800 'zz' occurrences >= MinHotCount=4096
+    val hot = NbLangid.hotWords(cnt).collect().map(_.getString(0)).toSet
+    assert(hot == Set("zz"),
+      s"exactly the engineered head word must be hot, got $hot")
+    val got = NbLangid.confusion(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == replay(docs),
+      "salted-path confusion must equal the plain-Scala replay")
+    assert(got.values.sum == 50L)
+  }
+
+  test("the hot word's attach rows spread across >1 shuffle partition " +
+      "where the plain word join serializes them into one") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = {
+      import s.implicits._
+      hotCorpus.toDF("doc_id", "lang", "text")
+    }
+    val train = df.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val cnt = train.groupBy("lang", "word")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wsc = NbLangid
+      .withIlog(cnt.withColumn("m", col("n") + 1L), "m", "ilog_w")
+      .select("lang", "word", "ilog_w")
+    val plane = NbLangid.wordScorePlane(wsc)
+    val ev = df.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val saltedParts = Skew
+      .hotSaltedJoin(ev, plane, "word", NbLangid.hotWords(cnt),
+        col("doc_id"))
+      .where(col("word") === "zz")
+      .select(spark_partition_id().as("p")).distinct().count()
+    val plainParts = ev.join(plane, "word")
+      .where(col("word") === "zz")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(plainParts == 1,
+      "unsalted shuffle join must co-locate the hot word")
+    assert(saltedParts > 1,
+      s"salted attach must spread the hot word, got $saltedParts")
+  }
 }
