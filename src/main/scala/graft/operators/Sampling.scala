@@ -191,14 +191,33 @@ object Sampling {
     * bounds its cardinality — integral scores only); score groups whose
     * first and last global ranks land in the SAME bucket attach it by
     * equijoin, rank-free, and the only per-row ranking is by `idCol`
-    * WITHIN the ≤ k−1 boundary score groups that straddle a tile cut —
-    * the residual serial unit, vastly smaller than the corpus. */
+    * WITHIN the ≤ k−1 boundary score groups that straddle a tile cut.
+    *
+    * Bounded boundary rank (r14): the tie rank inside a boundary score
+    * group is itself two-phase — boundary rows range-partition into
+    * [[FanOut]] ordered (`scoreCol`, `idCol`) segments, the per-(segment,
+    * score) counts (≤ FanOut·(k−1) rows) yield each segment's rank
+    * offset within its group, and the per-row window ranks only ONE
+    * segment's slice of a group. The degenerate all-ties corpus (every
+    * row one score) therefore spreads across FanOut tasks instead of
+    * serializing through one (SamplingSpec pins equality on exactly
+    * that corpus, plus the >1-partition spread).
+    *
+    * NULL scores are EXCLUDED from the output (the histogram groups
+    * them but the bucket attach is an inner equijoin — a NULL key never
+    * matches), whereas a raw NTILE window would rank them; callers gate
+    * on non-null score planes (the perplexity scores are total), so the
+    * exclusion is the contract, not a bug. The histogram cache lives
+    * only until the two metadata-sized branch frames checkpoint —
+    * released before the corpus-plane joins run (no leaked cache per
+    * invocation in a long-lived driver). */
   def ntileByScore(d: DataFrame, scoreCol: String, idCol: String,
       k: Int): DataFrame = {
     requireHistogramScore(d, scoreCol)
     val hist = d.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
-    // cached: the interior and boundary branches both derive from this
-    // frame (the topHalfByScore precedent); it is histogram-sized
+    // cached across the two branch materializations below (the
+    // topHalfByScore precedent — one corpus histogram pass, not two);
+    // histogram-sized, and unpersisted once both branches checkpoint
     val cum = hist
       .withColumn("__cum", sum("__c").over(Window.orderBy(col(scoreCol))))
       .withColumn("__n", sum("__c").over(Window.partitionBy()))
@@ -209,14 +228,31 @@ object Sampling {
       .cache()
     val interior = cum.where(col("__blo") === col("__bhi"))
       .select(col(scoreCol), col("__blo").as("bucket"))
+      .localCheckpoint()
     val boundary = cum.where(col("__blo") =!= col("__bhi"))
       .select(col(scoreCol), col("__before"), col("__n"))
-    val wTie = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .localCheckpoint()
+    cum.unpersist()
     val inRows = d.join(broadcast(interior), Seq(scoreCol))
-    val bRows = d.join(broadcast(boundary), Seq(scoreCol))
-      .withColumn("__grk", col("__before") + row_number().over(wTie))
+    // two-phase boundary rank: ordered range segments + metadata-sized
+    // segment offsets + a per-(segment, score) local window
+    val ranged = d.join(broadcast(boundary), Seq(scoreCol))
+      .repartitionByRange(FanOut, col(scoreCol), col(idCol))
+      .withColumn("__p", spark_partition_id())
+    val segOff = ranged.groupBy(col("__p"), col(scoreCol))
+      .agg(count(lit(1)).as("__sc"))
+      .withColumn("__off",
+        sum("__sc").over(Window.partitionBy(scoreCol).orderBy("__p")) -
+          col("__sc"))
+      .select(col("__p"), col(scoreCol), col("__off"))
+    val wLoc = Window.partitionBy(col("__p"), col(scoreCol))
+      .orderBy(col(idCol))
+    val bRows = ranged
+      .join(broadcast(segOff), Seq("__p", scoreCol))
+      .withColumn("__grk",
+        col("__before") + col("__off") + row_number().over(wLoc))
       .withColumn("bucket", ntileBucket("__grk", "__n", k))
-      .drop("__grk", "__before", "__n")
+      .drop("__grk", "__before", "__n", "__p", "__off")
     inRows.unionByName(bRows)
   }
 

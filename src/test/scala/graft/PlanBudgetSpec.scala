@@ -482,18 +482,22 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the archive walk is the scan-
                                         // side narrow stage, hex rows
                                         // are the only spread payload
-    "pipeline_ppl_buckets" -> 5,        // since r13 the scoring chain
+    "pipeline_ppl_buckets" -> 7,        // since r13 the scoring chain
                                         // runs ONCE behind an eager
                                         // checkpoint (its own shuffle
                                         // discipline is text_kn_logprob's
                                         // budget); this plan is the
-                                        // bucket machinery only: the
-                                        // (score → count) histogram agg,
-                                        // the histogram-sized cum
-                                        // window, the boundary-tie
-                                        // window, + output sort
-                                        // (measured 4 + ±1 flip margin)
-                                        // — NO doc-plane window anywhere
+                                        // bucket machinery only — since
+                                        // r14 the histogram agg + cum
+                                        // windows checkpoint out and
+                                        // the BOUNDED boundary rank
+                                        // adds the range segment
+                                        // exchange + segment-offset agg
+                                        // + its metadata window + the
+                                        // (segment, score) local window
+                                        // + output sort (measured 6 +
+                                        // ±1 flip margin) — NO
+                                        // single-task tie group anywhere
     "text_common_bigrams_cms" -> 3,     // bigram spread + dfreq agg +
                                         // doc agg/sort — ONE exchange
                                         // fewer than the exact twin's
@@ -576,12 +580,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (measured 27 + the ±2 cached-
                                         // frame AQE flip margin the
                                         // bigram plane documents)
-    "pipeline_ppl_buckets_kn5" -> 5,    // same bucket-machinery plan as
+    "pipeline_ppl_buckets_kn5" -> 7,    // same bucket-machinery plan as
                                         // pipeline_ppl_buckets over the
                                         // checkpointed kn5 score plane
                                         // (text_kn5_logprob's budget
-                                        // pins the chain); measured 4
-                                        // + ±1 flip margin
+                                        // pins the chain); measured 6
+                                        // post-r14 + ±1 flip margin
     "pipeline_full_prepare_ppl" -> 18,  // since r13 the kn5 score plane
                                         // is an eager checkpoint inside
                                         // pplGate (the crawl-prepare
@@ -622,12 +626,14 @@ class PlanBudgetSpec extends SparkSpec {
                                         // foreachPartition action, not
                                         // in this plan — the only
                                         // exchange is the output sort
-    "pipeline_full_prepare_ppl_ref" -> 19, // pipeline_full_prepare_ppl's
+    "pipeline_full_prepare_ppl_ref" -> 22, // pipeline_full_prepare_ppl's
                                         // shape + the trusted-slice
                                         // scrub/canon front feeding the
                                         // (checkpointed) ref model
-                                        // build; measured 17 + the ±2
-                                        // cached-frame AQE flip margin
+                                        // build; measured 20 post-r14
+                                        // (the bounded boundary-rank
+                                        // machinery) + the ±2 cached-
+                                        // frame AQE flip margin
     "mm_warc_media_audio" -> 4,         // mm_audio_dedup_pooled's exact
                                         // (checkpointed) shape through
                                         // the archive layer: walk + hex

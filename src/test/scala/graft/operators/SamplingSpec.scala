@@ -286,6 +286,27 @@ class SamplingSpec extends SparkSpec {
       .select(spark_partition_id().as("p")).distinct().count()
     assert(splitSpread > 1,
       s"histogram median split must spread the hot stratum, got $splitSpread")
+
+    // ntileByScore's degenerate case (r14): an ALL-TIES corpus is one
+    // boundary score group straddling every cut — the r13 per-group
+    // window serialized the whole corpus through one task; the
+    // two-phase range-segment rank spreads it while staying exactly
+    // equal to the NTILE window (the equality tests above)
+    val allTies = {
+      import s.implicits._
+      (1L to 4000L).map(i => (i, s"t$i", "en", 7))
+        .toDF("doc_id", "text", "lang", "n_chars")
+    }
+    val tieSpread = Sampling.ntileByScore(allTies, "n_chars", "doc_id", 3)
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(tieSpread > 1,
+      s"all-ties ntileByScore must spread the tie group, got $tieSpread")
+    val gotTie = Sampling.ntileByScore(allTies, "n_chars", "doc_id", 3)
+      .select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert((1L to 4000L).forall(i =>
+        gotTie(i) == (if (i <= 1334) 1 else if (i <= 2667) 2 else 3)),
+      "all-ties buckets must still split 1334/1333/1333 by doc_id rank")
   }
 
   test("pipeline_mix_temperature: alpha=0.5 boosts low-resource languages " +
