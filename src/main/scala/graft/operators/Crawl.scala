@@ -647,21 +647,32 @@ object Crawl {
     }
 
   /** Fixture writes are PURE functions of the dir's documents table,
-    * so each (root, table-fingerprint) writes ONCE per JVM (the
+    * so each root writes ONCE per JVM per source table (the
     * [[graft.operators.Layout]] written-fixture discipline): Bench
     * re-invokes query closures on every timed pass, and at sf0.1 the
     * video fixture alone is ~900 MB of hex per write — rewriting
     * identical bytes six times was the single largest line of the
-    * first r13 sweep (107 s). A table regenerated on disk gets a
-    * fresh fingerprint and rewrites; distinct dirs (spec vs verify
-    * scale factors) key separately. */
+    * first r13 sweep (107 s). The memo tracks what is currently ON
+    * DISK per root (root → source fingerprint), NOT a grow-only
+    * (root, fingerprint) set: all dirs share one physical root per
+    * fixture family, so after querying dir A, then dir B (which
+    * overwrites the root), dir A must rewrite — a set would remember
+    * A's old key and silently serve B's archive bytes to A's query.
+    * A table regenerated on disk gets a fresh fingerprint and
+    * rewrites identically. */
   private val writtenFixtures =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def writeOnce(rootDir: String, dir: String)(
       write: => Unit): Unit = {
-    val key = s"$rootDir|${Tables.fingerprint(dir, "documents")}"
-    if (writtenFixtures.add(key)) write
+    val fp = Tables.fingerprint(dir, "documents")
+    // compute-if-stale, atomic per root: the write runs inside the
+    // mapping function so a concurrent second caller blocks until the
+    // bytes are on disk rather than reading a half-written root
+    writtenFixtures.compute(rootDir, (_, prev) => {
+      if (prev != fp) write
+      fp
+    })
   }
 
   /** Shared fixture writer: one archive set under `root`, payload per
@@ -814,12 +825,13 @@ object Crawl {
     * discipline). */
   val WarcFixtureRoot: String = s"${Sources.FixtureRoot}/crawl_warc"
 
-  /** Serialize one WARC/1.0 record; the `WARC-Block-Digest` (sha1,
-    * base32 — the CommonCrawl grammar) and `Content-Length` headers
-    * are appended last, derived from the payload as crawlers write
-    * them — so every fixture record carries a real digest for
-    * [[parseWarc]]'s record-level integrity check to verify. */
-  def encodeWarcRecord(headers: Seq[(String, String)],
+  /** Serialize one WARC/1.0 record's HEADER block; the
+    * `WARC-Block-Digest` (sha1, base32 — the CommonCrawl grammar) and
+    * `Content-Length` headers are appended last, derived from the
+    * payload as crawlers write them — so every record carries a real
+    * digest for [[parseWarc]]'s record-level integrity check to
+    * verify. */
+  private def warcHeaderBytes(headers: Seq[(String, String)],
       payload: Array[Byte]): Array[Byte] = {
     val hdr = new java.io.ByteArrayOutputStream()
     hdr.write(WarcVersionBytes)
@@ -829,27 +841,57 @@ object Crawl {
     hdr.write((s"WARC-Block-Digest: " +
       s"${warcBlockDigest(payload, 0, payload.length)}\r\n").getBytes(Ascii))
     hdr.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(Ascii))
-    // cap-parity contract (r12 advice): the DuckDB mirror walk does
-    // NOT replay the reader's MaxHeaderBytes/MaxPayloadBytes defensive
-    // caps, so engine/oracle parity is proven only where no cap can
-    // fire. Every record THIS encoder produces (all WARC fixtures and
-    // the engine's own WET output) must sit at <= HALF each cap —
-    // loudly, so a future fixture that would make a cap decide parity
-    // fails at WRITE time with the reason, never as a hash mismatch.
-    require(payload.length <= MaxPayloadBytes / 2,
-      s"encodeWarcRecord: payload ${payload.length} B exceeds half the " +
-        s"reader's MaxPayloadBytes cap (${MaxPayloadBytes}) — the oracle " +
-        "walk does not replay the cap, so parity would silently depend " +
-        "on it")
-    require(hdr.size <= MaxHeaderBytes / 2,
-      s"encodeWarcRecord: header block ${hdr.size} B exceeds half the " +
-        s"reader's MaxHeaderBytes cap (${MaxHeaderBytes}) — the oracle " +
-        "walk does not replay the cap")
+    hdr.toByteArray
+  }
+
+  private def assembleWarcRecord(hdr: Array[Byte],
+      payload: Array[Byte]): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
-    hdr.writeTo(b)
+    b.write(hdr)
     b.write(payload)
     b.write(CrlfCrlfBytes)
     b.toByteArray
+  }
+
+  /** Serialize one WARC/1.0 record — the pure grammar serializer, no
+    * size policy (r14 advice: a cap `require` here crash-looped the
+    * streaming WET sink on a poison record, since a deterministic
+    * record replays on every restart). Fixture writers go through
+    * [[encodeFixtureRecord]], which enforces the cap-parity contract
+    * loudly; the production WET sink ([[writeWetShards]]) DROPS
+    * oversized records with a counter instead of failing the job. */
+  def encodeWarcRecord(headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] =
+    assembleWarcRecord(warcHeaderBytes(headers, payload), payload)
+
+  /** Half each reader cap — the boundary of the cap-parity contract:
+    * the DuckDB mirror walk does NOT replay the reader's
+    * MaxHeaderBytes/MaxPayloadBytes defensive caps, so engine/oracle
+    * parity is proven only where no cap can fire, with headroom. */
+  private[operators] def warcRecordOversized(
+      headers: Seq[(String, String)], payload: Array[Byte]): Boolean =
+    payload.length > MaxPayloadBytes / 2 ||
+      warcHeaderBytes(headers, payload).length > MaxHeaderBytes / 2
+
+  /** [[encodeWarcRecord]] under the cap-parity contract (r12 advice),
+    * for FIXTURE writers only: every record a fixture produces must
+    * sit at <= HALF each reader cap — loudly, so a future fixture
+    * that would make a cap decide engine/oracle parity fails at WRITE
+    * time with the reason, never as a hash mismatch. (The production
+    * WET path must NOT fail on data — it drops with a counter.) */
+  def encodeFixtureRecord(headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val hdr = warcHeaderBytes(headers, payload)
+    require(payload.length <= MaxPayloadBytes / 2,
+      s"encodeFixtureRecord: payload ${payload.length} B exceeds half " +
+        s"the reader's MaxPayloadBytes cap (${MaxPayloadBytes}) — the " +
+        "oracle walk does not replay the cap, so parity would silently " +
+        "depend on it")
+    require(hdr.length <= MaxHeaderBytes / 2,
+      s"encodeFixtureRecord: header block ${hdr.length} B exceeds half " +
+        s"the reader's MaxHeaderBytes cap (${MaxHeaderBytes}) — the " +
+        "oracle walk does not replay the cap")
+    assembleWarcRecord(hdr, payload)
   }
 
   /** One complete gzip member around one record's bytes. */
@@ -882,7 +924,7 @@ object Crawl {
       f"<urn:uuid:00000000-0000-4000-8000-$n%012d>"
     (0 until FixtureFiles).foreach { f =>
       val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      recs += encodeWarcRecord(Seq(
+      recs += encodeFixtureRecord(Seq(
         "WARC-Type" -> "warcinfo",
         "WARC-Record-ID" -> recId(900000000L + f),
         "WARC-Date" -> "2026-01-01T00:00:00Z",
@@ -894,7 +936,7 @@ object Crawl {
         val host = s"${r.getString(2)}.example.org"
         val url = s"https://$host/doc/$id"
         val ascii = r.getString(1).replaceAll("[^\\x20-\\x7e]", "")
-        recs += encodeWarcRecord(Seq(
+        recs += encodeFixtureRecord(Seq(
           "WARC-Type" -> "request",
           "WARC-Record-ID" -> recId(2 * id),
           "WARC-Date" -> "2026-01-01T00:00:00Z",
@@ -902,7 +944,7 @@ object Crawl {
           "Content-Type" -> "application/http; msgtype=request"),
           (s"GET /doc/$id HTTP/1.1\r\nHost: $host\r\n" +
             "User-Agent: graftbot/1.0\r\n\r\n").getBytes(Ascii))
-        recs += encodeWarcRecord(Seq(
+        recs += encodeFixtureRecord(Seq(
           "WARC-Type" -> "response",
           "WARC-Record-ID" -> recId(2 * id + 1),
           "WARC-Date" -> "2026-01-01T00:00:00Z",
@@ -957,7 +999,9 @@ object Crawl {
     f.isFile && f.getName.startsWith("part-") &&
       (f.getName.endsWith(".warc.gz") || f.getName.endsWith(".warc.gz.tmp"))
 
-  def writeWetSegments(docs: DataFrame, outDir: String): Unit = {
+  /** Returns the number of oversized docs DROPPED (see
+    * [[writeWetShards]] — 0 in every healthy run). */
+  def writeWetSegments(docs: DataFrame, outDir: String): Long = {
     val root = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(root)
     // listFiles, not Files.list: no stream handle to close, and the
@@ -977,7 +1021,7 @@ object Crawl {
     * exactly its final shard set while other batches' shards are
     * never touched. */
   def writeWetShardsForBatch(docs: DataFrame, outDir: String,
-      batchId: Long): Unit = {
+      batchId: Long): Long = {
     val prefix = f"part-$batchId%05d"
     val root = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(root)
@@ -998,11 +1042,24 @@ object Crawl {
     * a silent assumption). The write goes to a `.tmp` sibling and
     * commits with an atomic rename, so a killed task never leaves a
     * half-shard under the final name — the rotation contract: a
-    * `part-*.warc.gz` file, once visible, is complete. */
+    * `part-*.warc.gz` file, once visible, is complete.
+    *
+    * Oversized records (r14 advice): a doc whose payload or header
+    * block would breach the [[warcRecordOversized]] cap-parity bound
+    * is DROPPED here with a counter (returned, and surfaced on the
+    * Spark UI as the `graft.wet.oversizedDropped` accumulator) — it
+    * must NOT throw: in the streaming triangle a deterministic record
+    * replays on every restart, so a poison record would permanently
+    * crash-loop the continuous pipeline the exactly-once design is
+    * meant to keep alive. The dropped doc's absence from the shard
+    * set is the contract; the fixture writers keep the loud form
+    * ([[encodeFixtureRecord]]). */
   private def writeWetShards(docs: DataFrame, outDir: String,
-      prefix: String): Unit = {
+      prefix: String): Long = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val dropped = spark.sparkContext
+      .longAccumulator("graft.wet.oversizedDropped")
     docs.select(col("doc_id"), col("url"), col("text"))
       .as[(Long, String, String)]
       .foreachPartition { (it: Iterator[(Long, String, String)]) =>
@@ -1024,14 +1081,23 @@ object Crawl {
               ("software: graft-wet/1.0\r\n" +
                 "format: WARC File Format 1.0\r\n").getBytes(Ascii))))
             it.foreach { case (id, url, text) =>
-              out.write(gzipMember(encodeWarcRecord(Seq(
+              val headers = Seq(
                 "WARC-Type" -> "conversion",
                 "WARC-Record-ID" ->
                   f"<urn:uuid:00000000-0000-4000-8000-$id%012d>",
                 "WARC-Date" -> "2026-01-01T00:00:00Z",
                 "WARC-Target-URI" -> url,
-                "Content-Type" -> "text/plain"),
-                text.getBytes(Utf8))))
+                "Content-Type" -> "text/plain")
+              val payload = text.getBytes(Utf8)
+              // the warcRecordOversized bound, staged so the header
+              // (and its sha1 digest) builds exactly once per kept doc
+              if (payload.length > MaxPayloadBytes / 2) dropped.add(1L)
+              else {
+                val hdr = warcHeaderBytes(headers, payload)
+                if (hdr.length > MaxHeaderBytes / 2) dropped.add(1L)
+                else out.write(gzipMember(
+                  assembleWarcRecord(hdr, payload)))
+              }
             }
           } finally out.close()
           java.nio.file.Files.move(tmp, fin,
@@ -1040,6 +1106,7 @@ object Crawl {
           ()
         }
       }
+    dropped.value
   }
 
   /** Read a WET shard set back: the IDENTICAL gunzip + grammar walk +

@@ -575,6 +575,64 @@ class CrawlSpec extends SparkSpec {
       .exists(_.getName.endsWith(".tmp")))
   }
 
+  test("WET: an oversized record is DROPPED with a counter, never " +
+      "thrown (r14 advice: a throw would crash-loop the streaming " +
+      "triangle on a deterministic poison record); the fixture " +
+      "encoder keeps the loud form") {
+    // a URL past half the reader's header cap: a real-world poison
+    // record shape (crawl URLs can exceed 2 KB) that is cheap to build
+    val longUrl = "https://a.example.org/" + ("q" * Crawl.MaxHeaderBytes)
+    val docs = Seq(
+      (1L, "https://a.example.org/doc/1", "kept body one"),
+      (2L, longUrl, "poison record body"),
+      (3L, "https://a.example.org/doc/3", "kept body three"))
+    val dir = java.nio.file.Files.createTempDirectory("wet_oversz").toString
+    val droppedN = Crawl.writeWetSegments(
+      docs.toDF("doc_id", "url", "text").repartition(2), dir)
+    assert(droppedN == 1L, s"exactly the poison record drops: $droppedN")
+    val back = Crawl.parseWetSegments(spark, s"$dir/*.warc.gz")
+      .as[(String, String)].collect().toSet
+    assert(back == Set(
+      ("https://a.example.org/doc/1", "kept body one"),
+      ("https://a.example.org/doc/3", "kept body three")),
+      "intact siblings survive; the poison record is absent")
+    // the FIXTURE encoder still fails loudly on the same record — a
+    // fixture that would make a reader cap decide parity is a bug at
+    // write time, not a silent drop
+    val e = intercept[IllegalArgumentException] {
+      Crawl.encodeFixtureRecord(Seq(
+        "WARC-Type" -> "conversion", "WARC-Target-URI" -> longUrl),
+        "x".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("MaxHeaderBytes"))
+  }
+
+  test("fixture memo tracks what is ON DISK per root: dir A -> dir B " +
+      "-> dir A again rewrites A's archives instead of serving B's " +
+      "bytes (r14 advice: the grow-only key set skipped the rewrite)") {
+    // a second documents table in a scratch dir, disjoint doc_ids
+    val dirB = java.nio.file.Files.createTempDirectory("crawl_dirB").toString
+    Seq((900001L, "tiny corpus b one", "alpha", "en"),
+        (900002L, "tiny corpus b two", "beta", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.parquet(s"$dirB/documents.parquet")
+    def fixtureIds(): Set[Long] = {
+      import org.apache.spark.sql.functions.col
+      Crawl.parseArchives(spark, s"${Crawl.FixtureRoot}/*.garc")
+        .select(col("doc_id")).as[Long].collect().toSet
+    }
+    Crawl.writeArchives(spark, sfDir)
+    val idsA = fixtureIds()
+    assert(!idsA.contains(900001L))
+    Crawl.writeArchives(spark, dirB)
+    assert(fixtureIds() == Set(900001L, 900002L),
+      "dir B's write must overwrite the shared fixture root")
+    Crawl.writeArchives(spark, sfDir)
+    assert(fixtureIds() == idsA,
+      "returning to dir A must REWRITE its archives — a stale memo " +
+        "would silently serve dir B's bytes here")
+  }
+
   test("AV-in-archive: the audio/video archive trajectories reproduce " +
       "the pooled in-table queries' survivor sets exactly — the same " +
       "fingerprint algebra, one real container layer deeper") {
