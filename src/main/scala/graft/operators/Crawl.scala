@@ -605,6 +605,105 @@ object Crawl {
     recs.join(keepers.hint("shuffle_hash"), Seq("doc_id"))
   }
 
+  // ---- domain/host gate: the UT1/CCNet blocklist stage every
+  //      production crawl pipeline runs immediately after URL dedup
+  //      (block known-bad hosts and whole domains BEFORE paying for
+  //      content extraction; an allowlist overrides both) ----
+
+  /** Host of a CANONICAL url for POLICY purposes: the authority with
+    * any explicit port dropped (a blocklist names hosts, not ports —
+    * `evil.example:8080` and `evil.example` are the same policy
+    * target). [[canonicalizeUrl]] already lower-cased it and stripped
+    * default ports. */
+  def canonicalHost(canonUrl: Column): Column =
+    regexp_replace(regexp_extract(canonUrl, "://([^/?#]+)", 1),
+      ":[0-9]+$", "")
+
+  /** The registered queries' domain POLICY (the UT1-style curated
+    * lists, one entry per rule class so the fixture keeps every rule
+    * load-bearing):
+    *   - `malware.badhost.example` — exact-host block;
+    *   - domain `tracker.net` — blocks the apex AND every subdomain
+    *     (`cdn.tracker.net`), but NOT the anchoring near-miss
+    *     `xtracker.net` (ends with `tracker.net`, not `.tracker.net`);
+    *   - `research.tracker.net` — allowlisted, and ALSO on the
+    *     blocked-host list: the allow override must beat both block
+    *     forms (UT1 semantics — a curated exception outranks the bulk
+    *     lists). */
+  val BlockedHosts: Seq[String] =
+    Seq("malware.badhost.example", "research.tracker.net")
+  val BlockedDomains: Seq[String] = Seq("tracker.net")
+  val AllowedHosts: Seq[String] = Seq("research.tracker.net")
+
+  /** Per-HOST policy verdicts: `hosts` (host, n_docs — the host plane,
+    * vastly smaller than the corpus) gains `verdict` ∈ allowed |
+    * blocked_host | blocked_domain | kept. Allow wins over BOTH block
+    * forms; a domain entry `d` blocks host = d and host ending
+    * `.d` — matched as an EQUIJOIN against the host's dot-suffix set
+    * (≤ label-count entries per host, exploded), never a per-rule
+    * regex scan, so a UT1-scale list (millions of rows) stays one
+    * broadcast hash probe per suffix. The policy tables are bounded
+    * curated metadata — the broadcast never outgrows the driver;
+    * the suffix hit-set joins back host-to-host (unique keys,
+    * unskewed, `shuffle_hash`-pinned for plan determinism). */
+  def domainVerdicts(hosts: DataFrame, blockedHosts: DataFrame,
+      blockedDomains: DataFrame, allowedHosts: DataFrame): DataFrame = {
+    val withSfx = hosts
+      .withColumn("__labels", split(col("host"), "\\."))
+      .withColumn("__sfx", expr(
+        "transform(sequence(0, size(__labels) - 1), " +
+          "i -> array_join(slice(__labels, i + 1, size(__labels) - i), " +
+          "'.'))"))
+    val domHit = withSfx
+      .select(col("host"), explode(col("__sfx")).as("domain"))
+      .join(broadcast(blockedDomains.select("domain")), Seq("domain"),
+        "left_semi")
+      .select("host").distinct()
+      .withColumn("__bd", lit(true))
+    withSfx
+      .join(broadcast(allowedHosts.select(col("host"),
+        lit(true).as("__ah"))), Seq("host"), "left")
+      .join(broadcast(blockedHosts.select(col("host"),
+        lit(true).as("__bh"))), Seq("host"), "left")
+      .join(domHit.hint("shuffle_hash"), Seq("host"), "left")
+      .withColumn("verdict",
+        when(col("__ah").isNotNull, lit("allowed"))
+          .when(col("__bh").isNotNull, lit("blocked_host"))
+          .when(col("__bd").isNotNull, lit("blocked_domain"))
+          .otherwise(lit("kept")))
+      .drop("__ah", "__bh", "__bd", "__labels", "__sfx")
+  }
+
+  /** GATE a record frame (any frame with `urlCol`) under the domain
+    * policy: keep rows whose canonical host's verdict is kept or
+    * allowed. Policy runs on the HOST plane ([[domainVerdicts]]);
+    * the only corpus-scale work is one host aggregate (map-side
+    * combined) and the keep-set attach back — [[Skew.hotSaltedJoin]]
+    * on the Zipf `host` key (a big host dominates a crawl the way a
+    * stopword dominates a token stream; the hot set is the
+    * self-scaling cutoff over the host counts the gate already
+    * computed). Result columns = the input's, gated. */
+  def domainGate(docs: DataFrame, urlCol: String,
+      blockedHosts: DataFrame, blockedDomains: DataFrame,
+      allowedHosts: DataFrame): DataFrame = {
+    val withHost = docs.withColumn("host",
+      canonicalHost(canonicalizeUrl(col(urlCol))))
+    val hc = withHost.groupBy("host")
+      .agg(count(lit(1)).as("n_docs"))
+    val keep = domainVerdicts(hc, blockedHosts, blockedDomains,
+        allowedHosts)
+      .where(col("verdict").isin("kept", "allowed"))
+      .select("host")
+    val tt = hc.agg(sum("n_docs").cast("long").as("__t"))
+    val hot = hc.crossJoin(broadcast(tt))
+      .where(col("n_docs") >=
+        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
+          lit(Skew.MinHotCount)))
+      .select("host")
+    Skew.hotSaltedJoin(withHost, keep, "host", hot, col("doc_id"))
+      .drop("host")
+  }
+
   // ---- fixture ----
 
   /** Absolute fixture root, embedded verbatim in the oracle SQL (the
@@ -798,6 +897,21 @@ object Crawl {
             r.getString(2).replaceAll("[^\\x20-\\x7e]", ""))
           def page(k: Long, u: String): (Long, String, String) =
             (d * 8 + k, u, html)
+          // gate pages (r14): one extra page per d % 6 ∈ {0..4} on a
+          // host that makes exactly one domain-gate rule class
+          // load-bearing — exact-host block, subdomain block, the
+          // allow override beating BOTH block lists, apex-domain
+          // block, and the suffix-anchoring near-miss that must NOT
+          // match ('xtracker.net' ends with 'tracker.net' but not
+          // '.tracker.net')
+          val gateHost = (d % 6) match {
+            case 0 => Some("malware.badhost.example")
+            case 1 => Some("cdn.tracker.net")
+            case 2 => Some("research.tracker.net")
+            case 3 => Some("tracker.net")
+            case 4 => Some("xtracker.net")
+            case _ => None
+          }
           Seq(page(0, base)) ++
             (if (d % 2 == 0) Seq(page(1,
               s"HTTPS://${src.toUpperCase}.Example.ORG:443/doc/$d")) else Nil) ++
@@ -808,7 +922,8 @@ object Crawl {
             (if (d % 10 == 0) Seq(page(5,
               s"$base?page=2&utm_campaign=x&gclid=abc")) else Nil) ++
             (if (d % 7 == 0) Seq(page(6,
-              s"http://$src.example.org:80/doc/$d")) else Nil)
+              s"http://$src.example.org:80/doc/$d")) else Nil) ++
+            gateHost.map(h => page(7, s"https://$h/doc/$d")).toSeq
         }.toSeq
       java.nio.file.Files.write(root.resolve(s"part$f.garc"),
         encodeArchive(recs))
@@ -1277,6 +1392,39 @@ object Crawl {
        |        '&'), '') AS kq
        |    FROM parts))""".stripMargin
 
+  /** The [[domainVerdicts]] decision as a SQL CASE over a `host`
+    * column, generated from the SAME policy Seqs the Spark side uses
+    * (no drift possible). The domain arm mirrors the suffix-equijoin
+    * semantics exactly: host = d OR host LIKE '%.d' — anchored at a
+    * label boundary, so `xtracker.net` does not match `tracker.net`. */
+  private def sqlDomainVerdictCase(host: String): String = {
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    val domArm = BlockedDomains
+      .map(d => s"($host = '$d' OR $host LIKE '%.$d')").mkString(" OR ")
+    s"""CASE WHEN $host IN (${inList(AllowedHosts)}) THEN 'allowed'
+       |  WHEN $host IN (${inList(BlockedHosts)}) THEN 'blocked_host'
+       |  WHEN $domArm THEN 'blocked_domain'
+       |  ELSE 'kept' END""".stripMargin
+  }
+
+  /** Host-of-canonical-url as SQL — [[canonicalHost]]'s algebra. */
+  private def sqlCanonHost(canonUrl: String): String =
+    s"regexp_replace(regexp_extract($canonUrl, '://([^/?#]+)', 1), " +
+      "':[0-9]+$', '')"
+
+  /** Mirror of the standalone domain-filter diagnostic: canon →
+    * keepers → host plane with per-host keeper counts (the skew
+    * diagnostic) → the policy verdict per host. */
+  private def sqlDomainFilter: String =
+    s"""WITH RECURSIVE ${sqlUrlCanonCtes(UrlFixtureRoot)},
+       |dkeep AS (SELECT canon_url, min(doc_id) AS doc_id FROM ucanon
+       |  GROUP BY canon_url),
+       |hp AS (SELECT ${sqlCanonHost("canon_url")} AS host,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM dkeep GROUP BY host)
+       |SELECT host, ${sqlDomainVerdictCase("host")} AS verdict, n_docs
+       |FROM hp ORDER BY host""".stripMargin
+
   /** Mirror of the standalone URL-dedup layer: the canon algebra,
     * then first-crawled-wins per canonical URL. */
   private def sqlUrlDedup: String =
@@ -1290,17 +1438,23 @@ object Crawl {
   /** Mirror of the URL-dedup → corpus-prep composition: the canon
     * algebra picks one keeper RECORD per canonical URL (slim min
     * aggregate + join back on the unique record id — payload bytes
-    * never ride the group), then the keeper pages run the shared
-    * strip chain, the documents-shaping CTE (lang off the keeper
-    * URL's host, scheme-agnostic since an `http://` keeper is a
-    * legitimate page), and the ENTIRE fullPrepare chain. */
+    * never ride the group), the DOMAIN GATE drops blocked hosts
+    * (r14 — the UT1/CCNet stage, between URL dedup and content prep,
+    * the same verdict CASE as the standalone diagnostic), then the
+    * surviving keeper pages run the shared strip chain, the
+    * documents-shaping CTE (lang off the keeper URL's host,
+    * scheme-agnostic since an `http://` keeper is a legitimate
+    * page), and the ENTIRE fullPrepare chain. */
   private def sqlUrlPrepare: String =
     s"""WITH RECURSIVE ${sqlUrlCanonCtes(UrlFixtureRoot)},
        |keepers AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
        |  FROM ucanon GROUP BY canon_url),
        |kept AS MATERIALIZED (
        |  SELECT r.doc_id, r.url, r.html, r.n_html
-       |  FROM recs r JOIN keepers k USING (doc_id)),
+       |  FROM recs r JOIN keepers k USING (doc_id)
+       |  JOIN ucanon u ON u.doc_id = r.doc_id
+       |  WHERE (${sqlDomainVerdictCase(sqlCanonHost("u.canon_url"))})
+       |    IN ('kept', 'allowed')),
        |${sqlStripCtes("kept")},
        |crawl_docs AS MATERIALIZED (SELECT doc_id,
        |    regexp_extract(url, '://([^.]+)\\.', 1) AS lang,
@@ -1613,22 +1767,54 @@ object Crawl {
         .orderBy("canon_url")
     },
 
+    // ---- the domain/host gate as a standalone DIAGNOSTIC: canonical
+    //      pages per host (the per-domain doc-count skew diagnostic a
+    //      crawl pipeline watches) with each host's policy verdict —
+    //      every rule class load-bearing on the fixture: an exact
+    //      block, a subdomain block, an apex block, the allow
+    //      override beating BOTH block lists, and the anchoring
+    //      near-miss ('xtracker.net' vs domain 'tracker.net') that
+    //      must stay kept. The verdict algebra is shared with the
+    //      composed prepare below (generated from the same policy
+    //      Seqs in both engines — no drift). ----
+    Q("q_warc_domain_filter", Some(sqlDomainFilter)) { (s, dir) =>
+      writeUrlArchives(s, dir)
+      val recs = parseArchives(s, s"$UrlFixtureRoot/*.garc")
+        .localCheckpoint()
+      val spark = s
+      import spark.implicits._
+      val hosts = urlKeeperRecords(recs)
+        .select(canonicalHost(canonicalizeUrl(col("url"))).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+      domainVerdicts(hosts,
+          BlockedHosts.toDF("host"), BlockedDomains.toDF("domain"),
+          AllowedHosts.toDF("host"))
+        .select("host", "verdict", "n_docs")
+        .orderBy("host")
+    },
+
     // ---- URL dedup COMPOSED into corpus prep (the order real crawl
     //      prep runs: collapse URL spellings FIRST — it's free, the
-    //      key is metadata — then let content dedup handle the
-    //      same-page-different-canonical-URL remainder). One keeper
-    //      record per canonical URL feeds the ENTIRE fullPrepare
-    //      chain; one hash from URL-variant archive bytes to the
-    //      packing-manifest digest. Stage 0 counts canonical PAGES,
-    //      not crawl records — the spec pins that independently from
-    //      the fixture's id algebra. ----
+    //      key is metadata — then the DOMAIN GATE drops known-bad
+    //      hosts before any content work (r14 — the UT1/CCNet stage),
+    //      then let content dedup handle the same-page-different-
+    //      canonical-URL remainder). Surviving keeper records feed
+    //      the ENTIRE fullPrepare chain; one hash from URL-variant
+    //      archive bytes to the packing-manifest digest. Stage 0
+    //      counts canonical pages SURVIVING the gate — the spec pins
+    //      both counts independently from the fixture's id algebra. ----
     Q("pipeline_url_prepare", Some(sqlUrlPrepare)) { (s, dir) =>
       writeUrlArchives(s, dir)
+      val spark = s
+      import spark.implicits._
       // parse ONCE (the single-parse checkpoint discipline): the
       // record set is referenced from both sides of the keeper join
       val recs = parseArchives(s, s"$UrlFixtureRoot/*.garc")
         .localCheckpoint()
-      val crawled = extractText(urlKeeperRecords(recs))
+      val gated = domainGate(urlKeeperRecords(recs), "url",
+        BlockedHosts.toDF("host"), BlockedDomains.toDF("domain"),
+        AllowedHosts.toDF("host"))
+      val crawled = extractText(gated)
         .select(col("doc_id"),
           // scheme-agnostic host extraction: an http:// keeper is a
           // legitimate page of its own

@@ -53,7 +53,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "text_kn5_logprob_ref", "text_scrub_lines",
     "pipeline_crawl_prepare_langid",
     "mm_warc_media_audio", "mm_warc_media_video",
-    "pipeline_full_prepare_ppl_ref")
+    "pipeline_full_prepare_ppl_ref",
+    // round-14 additions
+    "q_warc_domain_filter")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */

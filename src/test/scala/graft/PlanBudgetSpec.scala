@@ -611,13 +611,24 @@ class PlanBudgetSpec extends SparkSpec {
                                         // pinned join back on the
                                         // record id; the extraction
                                         // checkpoint truncates the
-                                        // front out of the report legs
+                                        // front (incl. the r14 domain
+                                        // gate's host-plane legs) out
+                                        // of the report legs; measured
+                                        // 16 post-r14 + ±1 margin
     "q_warc_url_dedup" -> 2,            // canonicalize is a narrow
                                         // codegen'd projection riding
                                         // the archive walk's stage; the
                                         // first-wins group is ONE map-
                                         // side-combinable aggregate +
                                         // the output sort (measured 2)
+    "q_warc_domain_filter" -> 8,        // keeper agg + shuffle_hash
+                                        // join back + the host-plane
+                                        // count agg + the suffix-hit
+                                        // distinct + its host-to-host
+                                        // attach + output sort; policy
+                                        // tables broadcast (bounded
+                                        // curated metadata). Measured
+                                        // 7 + ±1 flip margin
     "q_warc_wet_roundtrip" -> 1,        // read-back is q_warc_extract's
                                         // exact narrow shape (gunzip +
                                         // walk + digest gate per shard

@@ -506,9 +506,74 @@ class CrawlSpec extends SparkSpec {
         Some((s"http://$src.example.org/doc/$d", d * 8 + 6,
           s"http://$src.example.org:80/doc/$d", 1L))
       else None
-      Seq(baseGroup) ++ page2 ++ http
+      val gate = gateHostOf(d).map { h =>
+        (s"https://$h/doc/$d", d * 8 + 7, s"https://$h/doc/$d", 1L)
+      }
+      Seq(baseGroup) ++ page2 ++ http ++ gate
     }.sortBy(_._1).toSeq
     assert(got == expected)
+  }
+
+  /** The fixture's gate-host algebra (one page per d % 6 ∈ {0..4}),
+    * mirrored from the writer — each host makes one domain-gate rule
+    * class load-bearing. */
+  private def gateHostOf(d: Long): Option[String] = (d % 6) match {
+    case 0 => Some("malware.badhost.example")
+    case 1 => Some("cdn.tracker.net")
+    case 2 => Some("research.tracker.net")
+    case 3 => Some("tracker.net")
+    case 4 => Some("xtracker.net")
+    case _ => None
+  }
+
+  test("q_warc_domain_filter: every policy rule class decides a host " +
+      "— exact block, subdomain block, apex block, allow overriding " +
+      "BOTH block lists, the suffix-anchoring near-miss kept, and " +
+      "per-host counts recomputed from the fixture's id algebra") {
+    val got = graft.SparkEntry.queries("q_warc_domain_filter")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got("malware.badhost.example")._1 == "blocked_host")
+    assert(got("cdn.tracker.net")._1 == "blocked_domain",
+      "a subdomain of a blocked domain must be blocked")
+    assert(got("tracker.net")._1 == "blocked_domain",
+      "the blocked domain's apex must be blocked")
+    assert(got("research.tracker.net")._1 == "allowed",
+      "the allowlist must beat BOTH the host and the domain block")
+    assert(got("xtracker.net")._1 == "kept",
+      "'xtracker.net' ends with 'tracker.net' but not '.tracker.net' " +
+        "— the suffix match must anchor at a label boundary")
+    // per-host counts: one gate page per doc in the host's d % 6 class
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    for ((h, cls) <- Seq(("malware.badhost.example", 0L),
+        ("cdn.tracker.net", 1L), ("research.tracker.net", 2L),
+        ("tracker.net", 3L), ("xtracker.net", 4L)))
+      assert(got(h)._2 == ids.count(_ % 6 == cls).toLong,
+        s"$h count must equal the d % 6 == $cls doc population")
+    // every src host is kept (the bulk of the crawl passes the gate)
+    assert(got.keys.filter(_.startsWith("src"))
+      .forall(h => got(h)._1 == "kept"))
+  }
+
+  test("domainVerdicts on crafted hosts: deep subdomains block through " +
+      "any label depth; sibling domains and bare TLDs never match") {
+    val hosts = Seq(
+      ("a.b.c.tracker.net", 5L), ("tracker.net", 1L),
+      ("nettracker.org", 2L), ("net", 1L), ("clean.example", 9L))
+      .toDF("host", "n_docs")
+    val got = Crawl.domainVerdicts(hosts,
+        Seq("never.example").toDF("host"),
+        Seq("tracker.net").toDF("domain"),
+        Seq.empty[String].toDF("host"))
+      .select("host", "verdict").as[(String, String)].collect().toMap
+    assert(got("a.b.c.tracker.net") == "blocked_domain",
+      "the suffix explode must reach arbitrary label depth")
+    assert(got("tracker.net") == "blocked_domain")
+    assert(got("nettracker.org") == "kept")
+    assert(got("net") == "kept",
+      "a bare TLD host must not match a blocked domain's own suffix")
+    assert(got("clean.example") == "kept")
   }
 
   // ---- WET: the WRITE side of the WARC family ----
@@ -680,13 +745,17 @@ class CrawlSpec extends SparkSpec {
       .toMap
     // canonical group count from the fixture's id-divisibility algebra:
     // one base group per doc, a ?page=2 group iff d%5==0, an http://
-    // group iff d%7==0 (the same recompute q_warc_url_dedup pins)
+    // group iff d%7==0 (the same recompute q_warc_url_dedup pins) —
+    // MINUS the domain-gated pages (r14): of the per-doc gate pages
+    // (d%6 in {0..4}) only the allowed override (d%6==2) and the
+    // anchoring near-miss (d%6==4) survive to content prep
     val expectedPages = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id")).as[Long].collect()
       .map(d => 1L + (if (d % 5 == 0) 1L else 0L) +
-        (if (d % 7 == 0) 1L else 0L)).sum
+        (if (d % 7 == 0) 1L else 0L) +
+        (if (d % 6 == 2 || d % 6 == 4) 1L else 0L)).sum
     assert(rows("0_input") == expectedPages,
-      "the pipeline input must be canonical pages, not crawl records")
+      "the pipeline input must be gate-surviving canonical pages")
     val stages = Seq("1_scrub", "2_canonicalize", "3_quality_gate",
       "4_exact_substr", "5_near_dup", "6_decontaminate")
     for (Seq(a, b) <- stages.sliding(2))
