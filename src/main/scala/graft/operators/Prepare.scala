@@ -207,9 +207,7 @@ object Prepare {
        |  SELECT doc_id, lang, n_chars, text FROM (
        |    SELECT doc_id, lang, n_chars,
        |      coalesce(array_to_string(list_filter(string_split(
-       |        regexp_replace(regexp_replace(text,
-       |          'https?://\\S+', '<URL>', 'g'),
-       |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+       |        ${TextAnalysis.sqlScrubRedact("text")},
        |        chr(10)),
        |        l -> len(string_split_regex(l, '\\s+')) >= 3
        |          AND 5 * len(list_filter(string_split_regex(l, '\\s+'),

@@ -499,28 +499,62 @@ object TextAnalysis {
   private[operators] val ScrubEmailRe =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
 
+  /** IPv4 literal (r14 — the Dolma/CCNet scrub class): four 1–3 digit
+    * groups, word-boundary anchored so a longer dotted run is not
+    * half-eaten. Both engines' regex dialects (Java, RE2) support
+    * `\b` and bounded repetition identically. */
+  private[operators] val ScrubIpRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Phone number (r14): optional +country-code group, then 3-3-4
+    * digit groups with optional single separators / area-code parens
+    * — the pragmatic NANP-shaped pattern production scrubs (Dolma
+    * class) run; a bare 10-digit run matches too, by design. Applied
+    * AFTER [[ScrubIpRe]] so a dotted quad is never half-consumed as
+    * a phone prefix. */
+  private[operators] val ScrubPhoneRe =
+    "(\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}"
+
+  /** The full redaction chain as ONE SQL expression over `c` —
+    * generated from the SAME pattern constants the Spark side
+    * compiles (no drift possible), shared by the `text_scrub_lines`
+    * oracle and [[Prepare.sqlScrubCanonCtes]] (every composed
+    * prepare). Order matches [[scrubText]]: URL, EMAIL, IP, PHONE. */
+  private[operators] def sqlScrubRedact(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,\n" +
+      s"          '$ScrubUrlRe', '<URL>', 'g'),\n" +
+      s"          '$ScrubEmailRe', '<EMAIL>', 'g'),\n" +
+      s"          '$ScrubIpRe', '<IP>', 'g'),\n" +
+      s"          '$ScrubPhoneRe', '<PHONE>', 'g')"
+
   /** The pre-canonicalization cleaning C4/RefinedWeb run on RAW
     * extracted text — composed as [[Prepare.fullPrepare]]'s stage 1.
     * It MUST precede canonicalization: the canonical fold erases the
     * punctuation PII patterns match on and the newline structure the
     * line rules need (a URL is `https x com` on the canonical plane).
     *
-    *  1. PII redaction — URL and email spans → `<URL>` / `<EMAIL>`
-    *     (`text_scrub`'s exact patterns, applied in the same order);
+    *  1. PII redaction — URL, email, IPv4 and phone spans → `<URL>` /
+    *     `<EMAIL>` / `<IP>` / `<PHONE>` (URL/email are `text_scrub`'s
+    *     exact patterns; IP/phone widen the pass to the Dolma/CCNet
+    *     class set, r14 — IP before phone so a dotted quad is never
+    *     half-consumed as a phone prefix);
     *  2. line rules — a line survives iff it carries ≥
     *     [[MinScrubLineWords]] whitespace words AND 5·n_alpha_words ≥
     *     4·n_words (a word is alphabetic when it contains [A-Za-z]).
     *
     * Pure integer/regex per-row work — one narrow projection, no
-    * exchange; the mirror replays the identical operations (DuckDB
-    * `array_to_string(list_filter(...))` NULLs on an empty list where
-    * Spark's `array_join` returns '', so the mirror coalesces). The
-    * crawl front reaches this stage with single-line text — its
-    * [[Crawl.htmlToText]] already ran the line-level boilerplate
-    * drop, so here only the PII pass bites. */
+    * exchange; the mirror replays the identical operations via
+    * [[sqlScrubRedact]], generated from the same pattern constants
+    * (DuckDB `array_to_string(list_filter(...))` NULLs on an empty
+    * list where Spark's `array_join` returns '', so the mirror
+    * coalesces). The crawl front reaches this stage with single-line
+    * text — its [[Crawl.htmlToText]] already ran the line-level
+    * boilerplate drop, so here only the PII pass bites. */
   def scrubText(text: Column): Column = {
-    val red = regexp_replace(regexp_replace(text, ScrubUrlRe, "<URL>"),
-      ScrubEmailRe, "<EMAIL>")
+    val red = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(text, ScrubUrlRe, "<URL>"),
+      ScrubEmailRe, "<EMAIL>"),
+      ScrubIpRe, "<IP>"),
+      ScrubPhoneRe, "<PHONE>")
     val kept = filter(split(red, "\n"), l => {
       val ws = split(l, "\\s+")
       val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
@@ -1060,9 +1094,7 @@ object TextAnalysis {
       s"""WITH s AS (SELECT doc_id,
          |    len(string_split(text, chr(10))) AS n_lines_in,
          |    coalesce(array_to_string(list_filter(string_split(
-         |      regexp_replace(regexp_replace(text,
-         |        'https?://\\S+', '<URL>', 'g'),
-         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |      ${sqlScrubRedact("text")},
          |      chr(10)),
          |      l -> len(string_split_regex(l, '\\s+')) >= 3
          |        AND 5 * len(list_filter(string_split_regex(l, '\\s+'),

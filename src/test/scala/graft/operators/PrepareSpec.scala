@@ -121,6 +121,41 @@ class PrepareSpec extends SparkSpec {
         s"${rows("7_pack")}")
   }
 
+  test("scrub stage r14 classes: phone and IP spans redact exactly — " +
+      "each class on its own fixture line, the IP-before-phone order " +
+      "keeps a dotted quad whole, and near-misses stay untouched") {
+    def scrub(t: String): String =
+      Seq((1L, t)).toDF("doc_id", "text")
+        .select(TextAnalysis.scrubText(col("text")).as("t"))
+        .collect()(0).getString(0)
+    // phone class: NANP with separators, parens + country code, and
+    // the bare 10-digit run production scrubs also redact
+    assert(scrub("call us at 555-123-4567 for help")
+      == "call us at <PHONE> for help")
+    assert(scrub("intl desk +1 (555) 123-4567 any time")
+      == "intl desk <PHONE> any time")
+    assert(scrub("raw line is 5551234567 ok here")
+      == "raw line is <PHONE> ok here")
+    // IP class: dotted quad goes as ONE token (never a phone prefix)
+    assert(scrub("server at 192.168.0.1 answered fine")
+      == "server at <IP> answered fine")
+    assert(scrub("edge quad 255.255.255.255 pings fine too")
+      == "edge quad <IP> pings fine too")
+    // near-misses survive: a 3-group dotted number is neither class
+    // (phone needs 10+ digits, IP needs 4 groups), a short number is
+    // not a phone, a version string is not an IP (word boundary)
+    assert(scrub("version 1.2.3 shipped on time")
+      == "version 1.2.3 shipped on time")
+    assert(scrub("only 123456 digits live here")
+      == "only 123456 digits live here")
+    // an IP inside a URL is already <URL> — one span, not two
+    assert(scrub("see https://10.0.0.1/admin for the panel")
+      == "see <URL> for the panel")
+    // email with digits redacts as EMAIL, not phone
+    assert(scrub("mail ops5551234567@example.org with logs")
+      == "mail <EMAIL> with logs")
+  }
+
   test("fullPrepare: an empty pack stage yields NULL digest/count " +
       "(DuckDB string_agg-over-zero-rows parity, r10 advice)") {
     // every doc_id % 10 == 0: the whole surviving corpus is eval split,
