@@ -481,6 +481,34 @@ object KnLm {
     pplGateWith(memoKn5(dir, "ref-canon")(buildKn5Model(train)), canon)
   }
 
+  /** [[pplGateRefMemo]] with the trusted slice DECONTAMINATED first
+    * (r14 — production CCNet dedups the reference corpus against its
+    * eval sets BEFORE training; an eval-overlapping doc in the
+    * reference LM silently tilts every perplexity the gate reads): a
+    * trusted doc leaves the train side if it is itself in the eval
+    * split (doc_id % 10 = 0) or shares ≥ 3 rare word 5-grams with any
+    * eval doc — `pipeline_decontaminate`'s exact pair rule
+    * ([[TextAnalysis.decontaminatePairs]], its hot-salted equijoin
+    * shape included), with rarity computed within trusted ∪ eval (the
+    * self-contained contract the mirror replays). The contaminated-id
+    * set is corpus-scale in principle, so the anti-join is
+    * `shuffle_hash`-pinned, never a broadcast assumption. Memo
+    * variant `refd-canon`. */
+  def pplGateRefDeconMemo(dir: String): DataFrame => DataFrame = { canon =>
+    val s = canon.sparkSession
+    val d = docs(s, dir)
+    val scope = d.where(col("source").isin(TrustedSources: _*) ||
+      col("doc_id") % 10 === 0)
+    val contaminated = TextAnalysis.decontaminatePairs(scope)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val train = TextAnalysis.canonicalized(TextAnalysis.scrubbed(
+      d.where(col("source").isin(TrustedSources: _*) &&
+          col("doc_id") % 10 =!= 0)
+        .join(contaminated.hint("shuffle_hash"), Seq("doc_id"),
+          "left_anti")))
+    pplGateWith(memoKn5(dir, "refd-canon")(buildKn5Model(train)), canon)
+  }
+
   private def pplGateWith(m: Kn5Model, canon: DataFrame): DataFrame = {
     val scored = kn5ScoreWith(m, canon)
       .select(col("doc_id"), col("nll_per_5gram_q10").as("nll_per"))
@@ -522,6 +550,38 @@ object KnLm {
           s"documents WHERE source IN ($sqlTrustedIn)",
           "ref_scrub", "ref_canon")},
        |${sqlPplGateCtesOver("ref_canon")}""".stripMargin
+
+  /** The DECONTAMINATED ref gate's CTE chain
+    * (`pipeline_full_prepare_ppl_refd`): the decontamination pair rule
+    * (the `pipeline_decontaminate` oracle's exact algebra, re-rooted on
+    * trusted ∪ eval) marks contaminated trusted docs, the clean
+    * non-eval remainder runs the scrub + canonicalize front under its
+    * own CTE names, and the 5-gram reference LM trains on THAT. */
+  private[operators] def sqlPplGateRefDeconCtes: String =
+    s"""rdsrc AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE source IN ($sqlTrustedIn) OR doc_id % 10 = 0),
+       |rdbg AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - 3),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |           toks[i+3] || ' ' || toks[i+4]))) AS g
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |        FROM rdsrc)
+       |  WHERE len(toks) >= 5),
+       |rdrare AS (SELECT g FROM rdbg GROUP BY g HAVING COUNT(*) <= 20),
+       |rdbgr AS (SELECT rdbg.doc_id, rdbg.g FROM rdbg
+       |  JOIN rdrare USING (g)),
+       |rdcont AS MATERIALIZED (SELECT DISTINCT train_doc AS doc_id FROM (
+       |    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc
+       |    FROM rdbgr t JOIN rdbgr e ON t.g = e.g
+       |      AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+       |    GROUP BY 1, 2 HAVING COUNT(DISTINCT t.g) >= 3)),
+       |refd_docs AS (SELECT doc_id, lang, n_chars, text FROM documents
+       |  WHERE source IN ($sqlTrustedIn) AND doc_id % 10 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM rdcont)),
+       |${Prepare.sqlScrubCanonCtes("refd_docs", "refd_scrub",
+          "refd_canon")},
+       |${sqlPplGateCtesOver("refd_canon")}""".stripMargin
 
   // ------------------------------------------------------------------
   // Mirrors

@@ -359,6 +359,11 @@ object Prepare {
     s"""WITH ${sqlFullPrepareCtes("documents", KnLm.sqlPplGateRefCtes)}
        |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
 
+  private def sqlFullPreparePplRefDecon: String =
+    s"""WITH ${sqlFullPrepareCtes("documents",
+          KnLm.sqlPplGateRefDeconCtes)}
+       |SELECT stage, n, tokens, digest FROM s ORDER BY stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- the full prepare trajectory, hash-matched: quality gate →
@@ -412,5 +417,23 @@ object Prepare {
     Q("pipeline_full_prepare_ppl_ref",
         Some(sqlFullPreparePplRef)) { (s, dir) =>
       fullPrepare(docs(s, dir), KnLm.pplGateRefMemo(dir))
+    },
+
+    // ---- the ref gate with the trusted slice DECONTAMINATED first
+    //      (r14): production CCNet dedups the reference corpus
+    //      against its eval sets before training — an
+    //      eval-overlapping trusted doc would tilt every perplexity
+    //      the gate reads. The pipeline_decontaminate pair rule marks
+    //      contaminated trusted docs (rarity within trusted ∪ eval),
+    //      the clean non-eval remainder trains the reference LM, and
+    //      the rest of the chain is pipeline_full_prepare_ppl_ref
+    //      verbatim. One hash pins decon → trusted front → model →
+    //      score → tercile → gate → substr → dedup → decontaminate →
+    //      pack; PrepareSpec pins the gate-decision flip a
+    //      contaminated trusted doc causes ONLY in the undeconned
+    //      form. ----
+    Q("pipeline_full_prepare_ppl_refd",
+        Some(sqlFullPreparePplRefDecon)) { (s, dir) =>
+      fullPrepare(docs(s, dir), KnLm.pplGateRefDeconMemo(dir))
     })
 }

@@ -55,7 +55,7 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "mm_warc_media_audio", "mm_warc_media_video",
     "pipeline_full_prepare_ppl_ref",
     // round-14 additions
-    "q_warc_domain_filter")
+    "q_warc_domain_filter", "pipeline_full_prepare_ppl_refd")
 
   /** Canonical cell: doubles/floats by bit pattern (-0.0 != +0.0, any
     * NaN equal — exactly tools/check.py's cells_equal). */
@@ -96,7 +96,9 @@ class AqeParitySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the NB router's 1-row vocab frame + fan-out + the pack bounds row
     "pipeline_crawl_prepare_langid",
     // the pack bounds row + the kn5 chain's 1-row totals
-    "pipeline_full_prepare_ppl_ref")
+    "pipeline_full_prepare_ppl_ref",
+    // r14: the same 1-row totals + the decon stage's grand-total row
+    "pipeline_full_prepare_ppl_refd")
 
   test("bench top-10 + round-9 queries: identical results and clean " +
       "plans with AQE ON and OFF") {

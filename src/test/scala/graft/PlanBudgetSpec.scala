@@ -637,6 +637,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // foreachPartition action, not
                                         // in this plan — the only
                                         // exchange is the output sort
+    "pipeline_full_prepare_ppl_refd" -> 22, // pipeline_full_prepare_
+                                        // ppl_ref's shape — the decon
+                                        // pair rule runs ahead of the
+                                        // (checkpointed) ref model
+                                        // build, so only its residue
+                                        // shows; measured 20 + the ±2
+                                        // cached-frame AQE flip margin
     "pipeline_full_prepare_ppl_ref" -> 22, // pipeline_full_prepare_ppl's
                                         // shape + the trusted-slice
                                         // scrub/canon front feeding the
