@@ -769,6 +769,106 @@ object StreamOps {
       .start()
   }
 
+  /** The CONTINUOUS PREPARE — the triangle extended with CONTENT
+    * stages (r14; the r13 verdict gap: the continuous path stopped at
+    * URL dedup while the batch prepares additionally run langid
+    * routing, a quality gate, and substring dedup). The streaming
+    * twin of `pipeline_crawl_prepare_langid`'s front half: archive
+    * segments rotate into `segmentDir`; each micro-batch
+    *
+    *   1. parses its segments, collapses to one keeper record per
+    *      canonical URL within the batch, and drops keepers the
+    *      DURABLE cross-batch URL seen-set (`urlIndexDir`) already
+    *      holds — the triangle's front, verbatim;
+    *   2. extracts text (shared HTML strip) and runs the STATELESS
+    *      scrub (PII redaction + line rules — per-doc, no corpus
+    *      state);
+    *   3. routes each doc's language under the STATIC NB router
+    *      trained on `labeled0` (checkpointed once at stream
+    *      construction — the model is a pure function of that table,
+    *      so every batch routes under identical weights; per-doc
+    *      stateless apply; a doc with no in-vocabulary token has no
+    *      routing signal and leaves the corpus, exactly the batch
+    *      composition's inner join);
+    *   4. applies the caller's stateless per-doc `contentGate`
+    *      (a fixed heuristic rule or a trained classifier at its
+    *      frozen threshold — NOT the per-language top-half, whose
+    *      corpus-rank semantics cannot restrict batch-wise; the gate
+    *      must preserve doc_id/url/lang/text and must decide each row
+    *      from that row alone, or stream/batch parity breaks);
+    *   5. cleans the survivors against the DURABLE cross-batch
+    *      substring digest index (`substrIndexDir`) — a span first
+    *      seen in ANY earlier batch wins — then appends the batch's
+    *      own digests.
+    *
+    * Exactly-once composes the proven batch-id-keyed patterns: both
+    * indexes are idempotently-overwritten `idx_<batchId>` dirs read
+    * via [[latestIndex]] (each batch sees only j < its own id), the
+    * sink runs BEFORE the index commits (a crash between replays the
+    * batch, which rewrites output and both indexes byte-identically),
+    * and each stage is lineage-truncated so plans never deepen.
+    * StreamOpsSpec pins multi-batch parity against the batch
+    * composition over the same segments; FileStreamRecoverySpec
+    * drives a hard stop + restart-from-checkpoint.
+    *
+    * `sink(prepared, batchId)` receives each batch's fresh prepared
+    * rows (doc_id, url, lang, n_tokens, n_removed, kept_md5). */
+  def crawlPrepareStream(s: org.apache.spark.sql.SparkSession,
+      segmentDir: String, labeled0: DataFrame,
+      contentGate: DataFrame => DataFrame,
+      urlIndexDir: String, substrIndexDir: String,
+      initialSeen: DataFrame, initialIndex: DataFrame,
+      checkpointDir: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val initUrl = initialSeen.select("canon_url").distinct()
+      .localCheckpoint()
+    val initSub = initialIndex.select("h").distinct().localCheckpoint()
+    val labeled = labeled0.select("doc_id", "lang", "text")
+      .localCheckpoint()
+    val recs = graft.operators.Crawl.extractFromSegments(
+      segmentStream(s, segmentDir, Some("*.garc")))
+    recs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val seenUrl = latestIndex(urlIndexDir, batchId, initUrl, s)
+          .select("canon_url").localCheckpoint()
+        val keepers = graft.operators.Crawl
+          .urlKeeperRecords(batch.toDF())
+          .withColumn("canon_url",
+            graft.operators.Crawl.canonicalizeUrl(col("url")))
+          .localCheckpoint()
+        val fresh = keepers.join(seenUrl.hint("shuffle_hash"),
+          Seq("canon_url"), "left_anti").localCheckpoint()
+        val docs = graft.operators.TextAnalysis.scrubbed(
+          graft.operators.Crawl.extractText(fresh.drop("canon_url")))
+        val routed = graft.operators.NbLangid
+          .route(labeled, docs.select("doc_id", "text"))
+        val withLang = docs
+          .join(routed.hint("shuffle_hash"), Seq("doc_id"))
+          .select(col("doc_id"), col("url"),
+            col("pred").as("lang"), col("text"))
+        val gated = contentGate(withLang).localCheckpoint()
+        val prevIdx = latestIndex(substrIndexDir, batchId, initSub, s)
+          .select("h").localCheckpoint()
+        val cleaned = graft.operators.Dedup
+          .exactSubstrAgainstIndex(gated.select("doc_id", "text"), prevIdx)
+        sink(gated.select("doc_id", "url", "lang")
+          .join(cleaned.hint("shuffle_hash"), Seq("doc_id"))
+          .localCheckpoint(), batchId)
+        seenUrl.unionAll(keepers.select("canon_url")).distinct()
+          .write.mode("overwrite").parquet(s"$urlIndexDir/idx_$batchId")
+        prevIdx.unionAll(graft.operators.Dedup
+            .substrWindowDigests(gated.select("doc_id", "text")))
+          .distinct()
+          .write.mode("overwrite")
+          .parquet(s"$substrIndexDir/idx_$batchId")
+        ()
+      }
+      .start()
+  }
+
   def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
       indexDir: String, initialSeen: DataFrame, checkpointDir: String)(
       sink: (DataFrame, Long) => Unit)

@@ -930,6 +930,116 @@ class StreamOpsSpec extends SparkSpec {
         s"${streamed.map(_._1)}")
   }
 
+  test("crawlPrepareStream: the triangle EXTENDED with content stages " +
+      "(scrub → langid route → stateless gate → durable substr dedup) " +
+      "— the multi-batch accumulated output equals the batch " +
+      "composition over the same segments, with cross-batch URL " +
+      "respellings AND cross-batch duplicate spans both dropped") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_cprep")
+    val in = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val urlIdx = root.resolve("uidx").toString
+    val subIdx = root.resolve("sidx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val labeled = (0L until 20L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val t = if (lang == "aa") "red green blue red green blue"
+        else "eins zwei drei eins zwei drei"
+      (i, lang, t)
+    }.toDF("doc_id", "lang", "text")
+    // the stateless per-doc gate: a fixed token-count rule (a frozen
+    // trained threshold has the same stateless shape)
+    val gate: DataFrame => DataFrame =
+      d => d.where(size(split(col("text"), "\\s+")) >= 25)
+    def aa(n: Int) = Seq.fill(n / 3 + 1)("red green blue")
+      .mkString(" ").split(" ").take(n).mkString(" ")
+    def bb(n: Int) = Seq.fill(n / 3 + 1)("eins zwei drei")
+      .mkString(" ").split(" ").take(n).mkString(" ")
+    // pure-alpha span tokens: the extraction's content-line rule only
+    // counts [A-Za-z]+ words, so digit-bearing tokens would vanish
+    val spanS = (0 until 50).map(i =>
+      s"sp${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    def page(id: Long, url: String, body: String) =
+      (id, url, graft.operators.Crawl.wrapHtml(id, body))
+    val seg0 = Seq(
+      page(100L, "https://a.example.org/doc/1", s"${aa(30)} $spanS"),
+      // in-batch respelling of 100 — collapses to the id-100 keeper
+      page(101L, "HTTPS://A.EXAMPLE.ORG:443/doc/1#top",
+        s"${aa(30)} $spanS"),
+      page(102L, "https://b.example.org/doc/2", bb(30)),
+      // gate casualty: 4 content tokens — under the 25-token rule
+      // even with extraction boilerplate riding along
+      page(103L, "https://a.example.org/doc/3", aa(4)))
+    val seg1 = Seq(
+      // CROSS-BATCH respelling of 100 — must drop via the DURABLE
+      // URL seen-set, not the in-batch keeper rule
+      page(200L, "https://a.example.org/doc/1/", s"${aa(30)} $spanS"),
+      // fresh page whose spanS copy must be cleaned by the DURABLE
+      // substr index (first seen in batch 0)
+      page(201L, "https://c.example.org/doc/4", s"${aa(30)} $spanS"),
+      page(202L, "https://c.example.org/doc/5", bb(30)))
+    java.nio.file.Files.write(in.resolve("part0.garc"),
+      graft.operators.Crawl.encodeArchive(seg0))
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, String, String, Long, Long)]]
+    val query = StreamOps.crawlPrepareStream(spark, in.toString,
+      labeled, gate, urlIdx, subIdx,
+      Seq.empty[String].toDF("canon_url"),
+      Seq.empty[String].toDF("h"), ckpt) { (batch, id) =>
+      got(id) = batch
+        .select("doc_id", "url", "lang", "n_tokens", "n_removed")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    try {
+      query.processAllAvailable()
+      java.nio.file.Files.write(in.resolve("part1.garc"),
+        graft.operators.Crawl.encodeArchive(seg1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = got.values.flatten.toSet
+    // the batch composition over the same segments: URL keepers over
+    // ALL records at once, extraction + scrub, the static router, the
+    // same gate, then the batch incremental substr over the union
+    // (empty old side) — equal for doc_id-ordered batches
+    val recs = graft.operators.Crawl
+      .parseArchives(spark, s"$in/*.garc")
+    val docs = graft.operators.TextAnalysis.scrubbed(
+      graft.operators.Crawl.extractText(
+        graft.operators.Crawl.urlKeeperRecords(recs)))
+    val routed = graft.operators.NbLangid
+      .route(labeled, docs.select("doc_id", "text"))
+    val gated = gate(docs.join(routed, Seq("doc_id"))
+      .select(col("doc_id"), col("url"),
+        col("pred").as("lang"), col("text")))
+    val cleaned = graft.operators.Dedup.exactSubstrIncremental(
+      gated.select("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val batchOut = gated.select("doc_id", "url", "lang")
+      .join(cleaned, Seq("doc_id"))
+      .select("doc_id", "url", "lang", "n_tokens", "n_removed")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batchOut,
+      s"stream/batch prepare diverged:\n$streamed\nvs\n$batchOut")
+    // the engineered casualties really happened, stage by stage
+    val ids = streamed.map(_._1)
+    assert(!ids.contains(101L) && !ids.contains(200L),
+      s"in-batch AND cross-batch URL respellings must drop: $ids")
+    assert(!ids.contains(103L), s"the gate casualty must drop: $ids")
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(100L)._3 == "aa" && byId(201L)._3 == "aa" &&
+      byId(102L)._3 == "bb" && byId(202L)._3 == "bb",
+      s"the static router must label every kept doc: $streamed")
+    assert(byId(100L)._5 == 0L,
+      s"spanS's first occurrence must survive: ${byId(100L)}")
+    assert(byId(201L)._5 >= 50L,
+      s"the cross-batch spanS copy must be cleaned via the DURABLE " +
+        s"substr index: ${byId(201L)}")
+  }
+
   test("incrementalUrlDedupStreamDurable: respellings of URLs seen in " +
       "EARLIER batches drop (first-crawled-wins across batches), " +
       "within-batch spellings collapse to one keeper, fresh pages " +
