@@ -11,6 +11,10 @@ import java.nio.file.{Files, Paths}
   * stderr, and (c) written to `bench_metric.json` in the working
   * directory — sbt prefixes stdout lines with `[info]`, so the file copy
   * is the machine-parseable source of truth for the driver.
+  * `SPARK_GRAFT_METRIC_OUT` overrides the file path (r14 advice: the
+  * fresh-JVM runner points each child at a per-query file so a
+  * concurrent full-sweep Bench can never clobber — or be clobbered by —
+  * a single-query run mid-read).
   *
   * A query that throws in a timed pass is recorded as +Infinity for that
   * pass, so a failure can never lower the reported min; queries failing
@@ -116,7 +120,8 @@ object Bench {
     // (BENCH_r02 lost its head exactly this way).
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${okQ.size},"n_failed":${failedQ.size},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_metric.json"), json + "\n")
+    Files.writeString(Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_METRIC_OUT", "bench_metric.json")), json + "\n")
     println(json)
     println(compact)
     System.err.println(json)

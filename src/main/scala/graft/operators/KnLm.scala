@@ -365,6 +365,14 @@ object KnLm {
   private val kn5Memo =
     new java.util.concurrent.ConcurrentHashMap[String, Kn5Model]()
 
+  /** Spec window into the memo (KnLmSpec's lifecycle contract): the
+    * live key set — one entry per (table identity, variant) at most,
+    * with superseded fingerprints evicted. */
+  private[operators] def kn5MemoKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    kn5Memo.keySet.asScala.toSet
+  }
+
   private def memoKn5(dir: String, variant: String)(
       build: => Kn5Model): Kn5Model = {
     val fp = Tables.fingerprint(dir, "documents")

@@ -9,37 +9,70 @@ cross-query memo reuse (fingerprint-memoized models survive a sweep's
 per-query cache clears by design), so the column separates a query's
 intrinsic cost from the sweep's shared-state effects.
 
-Usage: bench_fresh.py out.json sfdir query [query...]
+Usage: bench_fresh.py [--cpus N] out.json sfdir [query ...]
 
-WARNING: each single-query Bench run OVERWRITES bench_metric.json in
-the working directory — copy a full-sweep metric aside before running.
+With no queries, runs DEFAULT_QUERIES (the heaviest composed prepares
+plus the kn-family queries whose in-sweep spread is memo-build
+context). The CPU budget is taken from --cpus, else the caller's
+SPARK_GRAFT_CPUS, else 32 — and is RECORDED in the output JSON so the
+fresh_jvm column can never silently measure a different configuration
+than the sweeps it is attached to (r14 advice). Each child writes its
+metric to a per-query temp path via SPARK_GRAFT_METRIC_OUT, so a
+concurrent full-sweep Bench run can never clobber the file mid-read.
 """
 import json
 import os
 import subprocess
 import sys
+import tempfile
+
+# The heaviest composed prepares + the kn family (r14: the kn queries'
+# in-sweep spread — e.g. text_kn5_logprob_ref [2.95, 3.43, 10.5] s in
+# r13, the max being the first pass paying the ref-model memo build —
+# is exactly the in-sweep-context effect this column separates).
+DEFAULT_QUERIES = [
+    "pipeline_full_prepare_ppl",
+    "pipeline_full_prepare_ppl_ref",
+    "pipeline_full_prepare_ppl_refd",
+    "pipeline_full_prepare_trained",
+    "pipeline_crawl_prepare_langid",
+    "pipeline_url_prepare",
+    "text_kn5_logprob",
+    "text_kn5_logprob_ref",
+]
 
 
 def main() -> int:
-    if len(sys.argv) < 4:
+    args = sys.argv[1:]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if args and args[0] == "--cpus":
+        cpus = args[1]
+        args = args[2:]
+    if len(args) < 2:
         sys.stderr.write(__doc__)
         return 2
-    out, sfdir, queries = sys.argv[1], sys.argv[2], sys.argv[3:]
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS="32")
+    out, sfdir = args[0], args[1]
+    queries = args[2:] or DEFAULT_QUERIES
     fresh = {}
     for q in queries:
-        r = subprocess.run(
-            ["sbt", "-batch", f"runMain graft.Bench {q}"],
-            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        if r.returncode != 0:
-            sys.stderr.write(f"fresh-JVM bench failed for {q}\n")
-            return 1
-        m = json.load(open("bench_metric.json"))
+        with tempfile.NamedTemporaryFile(
+                prefix=f"bench_fresh_{q}_", suffix=".json") as tmp:
+            env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir,
+                       SPARK_GRAFT_CPUS=cpus,
+                       SPARK_GRAFT_METRIC_OUT=tmp.name)
+            r = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.Bench {q}"],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode != 0:
+                sys.stderr.write(f"fresh-JVM bench failed for {q}\n")
+                return 1
+            m = json.load(open(tmp.name))
         fresh[q] = m["queries"][q]
         print(f"fresh {q}: {fresh[q]:.2f} s")
     with open(out, "w") as f:
-        json.dump({"sf": sfdir, "fresh_jvm": fresh}, f)
-    print(f"{out}: {len(fresh)} fresh-JVM timings")
+        json.dump({"sf": sfdir, "cpus": int(cpus), "fresh_jvm": fresh}, f)
+    print(f"{out}: {len(fresh)} fresh-JVM timings (cpus={cpus})")
     return 0
 
 
