@@ -96,9 +96,13 @@ class PlanHygieneSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                                 // frame + <=|langs| fan-out + the pack
                                 // bounds row (text_nb_langid's shapes
                                 // composed with the prepare's)
-    "pipeline_full_prepare_ppl_ref") // the pack bounds row + the kn5
+    "pipeline_full_prepare_ppl_ref", // the pack bounds row + the kn5
                                 // chain's 1-row totals, as
                                 // pipeline_full_prepare_ppl
+    "pipeline_full_prepare_ppl_refd") // the same 1-row totals + the
+                                // decon stage's grand-total row (the
+                                // rare-gram hot-key cutoff, the
+                                // pipeline_decontaminate shape)
 
   test("no accidental nested-loop or cartesian joins in the inventory") {
     val allowed = allowedQuadratic ++ allowedBoundedBroadcast
