@@ -1712,9 +1712,10 @@ object Crawl {
       val crawled0 =
         extractText(parseArchives(s, s"$FixtureRoot/*.garc"))
           .localCheckpoint()
-      val labeled = Tables.load(s, dir, "documents")
-        .where(col("doc_id") % 5 =!= 0)
-      val routed = NbLangid.route(labeled, crawled0)
+      // memoized per-dir model (r14 — the kn5 discipline): repeat
+      // invocations pay only the scoring join; text_nb_langid shares
+      // the entry (same train split, same table generation)
+      val routed = NbLangid.routeMemo(s, dir, crawled0)
       val crawled = crawled0
         .join(routed.hint("shuffle_hash"), Seq("doc_id"))
         .select(col("doc_id"), col("pred").as("lang"),

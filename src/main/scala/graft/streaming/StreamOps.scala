@@ -824,8 +824,11 @@ object StreamOps {
     val initUrl = initialSeen.select("canon_url").distinct()
       .localCheckpoint()
     val initSub = initialIndex.select("h").distinct().localCheckpoint()
-    val labeled = labeled0.select("doc_id", "lang", "text")
-      .localCheckpoint()
+    // the router trains ONCE here (eager checkpointed planes — the
+    // broadcast-artifact shape a production stream ships); every
+    // micro-batch routes under identical weights
+    val model = graft.operators.NbLangid.buildModel(
+      labeled0.select("doc_id", "lang", "text"))
     val recs = graft.operators.Crawl.extractFromSegments(
       segmentStream(s, segmentDir, Some("*.garc")))
     recs.writeStream
@@ -844,7 +847,7 @@ object StreamOps {
         val docs = graft.operators.TextAnalysis.scrubbed(
           graft.operators.Crawl.extractText(fresh.drop("canon_url")))
         val routed = graft.operators.NbLangid
-          .route(labeled, docs.select("doc_id", "text"))
+          .routeWith(model, docs.select("doc_id", "text"))
         val withLang = docs
           .join(routed.hint("shuffle_hash"), Seq("doc_id"))
           .select(col("doc_id"), col("url"),

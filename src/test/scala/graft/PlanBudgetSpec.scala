@@ -230,23 +230,20 @@ class PlanBudgetSpec extends SparkSpec {
                                         // shuffles the candidate join
                                         // at this scale — pin the
                                         // shuffle-side shape
-    "text_nb_langid" -> 12,             // train spread + (lang,word)
-                                        // count agg (cached) + lang
-                                        // totals + vocab distinct (2)
-                                        // + doc priors (2: distinct
-                                        // pre-agg + count) + word-map
-                                        // plane + hot-word totals + the
-                                        // eval spread + the ONE hot-
-                                        // salted word attach (r14:
-                                        // replaces the r13 vocab semi-
-                                        // join AND the (lang,word)
-                                        // attach) + (doc,lang) fold +
-                                        // argmax window + the actual-
-                                        // label join + confusion
-                                        // agg/sort; only the two
-                                        // spreads and the attach carry
-                                        // corpus rows (measured 11 +
-                                        // ±1 flip margin)
+    "text_nb_langid" -> 4,              // since the r14 NbModel memo
+                                        // the trained planes are eager
+                                        // checkpoints built once per
+                                        // table generation (their own
+                                        // shape: vocab-plane aggregates
+                                        // — the ONE-corpus-join scoring
+                                        // discipline NbLangidSpec's
+                                        // engaged-path pins cover);
+                                        // this plan is the eval spread
+                                        // + the hot-salted word-map
+                                        // attach + (doc,lang) fold +
+                                        // argmax + actual-label join +
+                                        // confusion agg/sort (measured
+                                        // 3 + ±1 flip margin)
     "ann_hamming_topk" -> 2,            // query broadcast into one
                                         // corpus scan + rank + sort;
                                         // the signature build is a
@@ -671,10 +668,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // reporting plan) + the
                                         // router's hot-salted word-map
                                         // attach (r14 shape) — the NB
-                                        // model itself is vocab-plane
-                                        // aggregates ahead of the
-                                        // routing checkpoint; measured
-                                        // 16 post-r14 + ±1 flip margin
+                                        // model is a per-dir memoized
+                                        // checkpoint (built once per
+                                        // table generation, shared
+                                        // with text_nb_langid) ahead
+                                        // of the routing checkpoint;
+                                        // measured 16 post-r14 + ±1
+                                        // flip margin
     "text_scrub_lines" -> 1,            // redact + line filter + rejoin
                                         // is ONE narrow projection; the
                                         // only exchange is the output

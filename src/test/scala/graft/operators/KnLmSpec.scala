@@ -189,9 +189,21 @@ class KnLmSpec extends SparkSpec {
       KnLm.pplGateMemo(dir)(canon).collect()
       KnLm.pplGateRefMemo(dir)(canon).collect()
     }
+    // settle the baseline: the async ContextCleaner may still be
+    // releasing OTHER tests' unreachable checkpoints — read base only
+    // once the count holds still (the NbLangidSpec lifecycle
+    // discipline), or the concurrent shrink masks the build's growth
+    def settled(): Int = {
+      var prev = -1; var cur = blocks
+      val dl = System.currentTimeMillis() + 15000
+      while (cur != prev && System.currentTimeMillis() < dl) {
+        System.gc(); Thread.sleep(300); prev = cur; cur = blocks
+      }
+      cur
+    }
     spark.catalog.clearCache()
     writeDocs("a")
-    val base = blocks
+    val base = settled()
     buildBoth()
     val genOne = blocks
     assert(genOne > base, "a built model must pin checkpointed planes")
