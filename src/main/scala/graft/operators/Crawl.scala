@@ -613,11 +613,16 @@ object Crawl {
   /** Host of a CANONICAL url for POLICY purposes: the authority with
     * any explicit port dropped (a blocklist names hosts, not ports —
     * `evil.example:8080` and `evil.example` are the same policy
-    * target). [[canonicalizeUrl]] already lower-cased it and stripped
-    * default ports. */
+    * target). [[canonicalizeUrl]] already lower-cased it, stripped
+    * default ports, and REJECTED userinfo loudly (`user@host` never
+    * reaches here). Bracket-aware (r15 advice): the host is taken as
+    * the whole `[...]` literal when the authority is an IPv6 bracket
+    * form — `[2001:db8::1]:8080` → `[2001:db8::1]` — so a colon
+    * inside the address is never mistaken for a port; a reg-name host
+    * is everything before its first colon. */
   def canonicalHost(canonUrl: Column): Column =
-    regexp_replace(regexp_extract(canonUrl, "://([^/?#]+)", 1),
-      ":[0-9]+$", "")
+    regexp_extract(regexp_extract(canonUrl, "://([^/?#]+)", 1),
+      "^(\\[[^\\]]*\\]|[^:]*)", 1)
 
   /** The registered queries' domain POLICY (the UT1-style curated
     * lists, one entry per rule class so the fixture keeps every rule
@@ -688,18 +693,17 @@ object Crawl {
       allowedHosts: DataFrame): DataFrame = {
     val withHost = docs.withColumn("host",
       canonicalHost(canonicalizeUrl(col(urlCol))))
+    // host-plane aggregate, checkpointed (r15 advice): three consumers
+    // (the verdict keep-set, the hot head's total, the head itself)
+    // read it — without the pin each re-ran the corpus aggregate
     val hc = withHost.groupBy("host")
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val keep = domainVerdicts(hc, blockedHosts, blockedDomains,
         allowedHosts)
       .where(col("verdict").isin("kept", "allowed"))
       .select("host")
-    val tt = hc.agg(sum("n_docs").cast("long").as("__t"))
-    val hot = hc.crossJoin(broadcast(tt))
-      .where(col("n_docs") >=
-        greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
-          lit(Skew.MinHotCount)))
-      .select("host")
+    val hot = Skew.hotKeysByCount(hc, "host", "n_docs")
     Skew.hotSaltedJoin(withHost, keep, "host", hot, col("doc_id"))
       .drop("host")
   }
@@ -1407,10 +1411,11 @@ object Crawl {
        |  ELSE 'kept' END""".stripMargin
   }
 
-  /** Host-of-canonical-url as SQL — [[canonicalHost]]'s algebra. */
+  /** Host-of-canonical-url as SQL — [[canonicalHost]]'s algebra
+    * (bracket-aware first-colon parse, verbatim). */
   private def sqlCanonHost(canonUrl: String): String =
-    s"regexp_replace(regexp_extract($canonUrl, '://([^/?#]+)', 1), " +
-      "':[0-9]+$', '')"
+    s"regexp_extract(regexp_extract($canonUrl, '://([^/?#]+)', 1), " +
+      "'^(\\[[^\\]]*\\]|[^:]*)', 1)"
 
   /** Mirror of the standalone domain-filter diagnostic: canon →
     * keepers → host plane with per-host keeper counts (the skew

@@ -129,13 +129,8 @@ object KnLm {
 
   /** Hot-key set for the occurrence attach, from the train counts —
     * a perf hint only, correctness is unconditional. */
-  private def hotKeys(cnt: DataFrame, nCol: String): DataFrame = {
-    val tt = cnt.agg(sum(nCol).cast("long").as("__t"))
-    cnt.crossJoin(broadcast(tt))
-      .where(col(nCol) >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
-        lit(Skew.MinHotCount)))
-      .select("g")
-  }
+  private def hotKeys(cnt: DataFrame, nCol: String): DataFrame =
+    Skew.hotKeysByCount(cnt, "g", nCol)
 
   /** Per-held-out-doc negative log-likelihood under the train-split
     * (doc_id % 5 ≠ 0) interpolated-KN bigram model: (doc_id,

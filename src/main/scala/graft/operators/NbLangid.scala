@@ -157,14 +157,10 @@ object NbLangid {
     * floored at [[Skew.MinHotCount]] — bounded at any corpus size, so
     * the broadcast in [[Skew.hotSaltedJoin]] never outgrows the
     * driver. */
-  private[operators] def hotWords(cnt: DataFrame): DataFrame = {
-    val wtot = cnt.groupBy("word").agg(sum("n").cast("long").as("__n"))
-    val tt = wtot.agg(sum("__n").cast("long").as("__t"))
-    wtot.crossJoin(broadcast(tt))
-      .where(col("__n") >= greatest(expr(s"__t div ${Skew.HotKeyFanout}"),
-        lit(Skew.MinHotCount)))
-      .select("word")
-  }
+  private[operators] def hotWords(cnt: DataFrame): DataFrame =
+    Skew.hotKeysByCount(
+      cnt.groupBy("word").agg(sum("n").cast("long").as("__n")),
+      "word", "__n")
 
   /** ROUTE `eval` docs (doc_id, text) under the NB model trained on
     * the labeled `train` frame (doc_id, lang, text): one (doc_id,

@@ -235,10 +235,17 @@ object Sampling {
     cum.unpersist()
     val inRows = d.join(broadcast(interior), Seq(scoreCol))
     // two-phase boundary rank: ordered range segments + metadata-sized
-    // segment offsets + a per-(segment, score) local window
+    // segment offsets + a per-(segment, score) local window. The
+    // segment id `__p` is partition-layout-DEPENDENT and feeds two
+    // consumers (the segOff aggregate and the bRows join), so the
+    // ranged frame is pinned by localCheckpoint (r15 advice): both
+    // branches must read the IDENTICAL materialized range layout —
+    // relying on Spark's exchange-reuse to unify two sampled range
+    // exchanges would misalign offsets if reuse ever failed to fire.
     val ranged = d.join(broadcast(boundary), Seq(scoreCol))
       .repartitionByRange(FanOut, col(scoreCol), col(idCol))
       .withColumn("__p", spark_partition_id())
+      .localCheckpoint()
     val segOff = ranged.groupBy(col("__p"), col(scoreCol))
       .agg(count(lit(1)).as("__sc"))
       .withColumn("__off",

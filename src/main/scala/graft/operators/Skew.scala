@@ -56,6 +56,25 @@ object Skew {
     * equality and spread with explicit hot sets. */
   val MinHotCount: Long = 4096L
 
+  /** The self-scaling hot-key DERIVATION written once (r15 — the
+    * formula previously lived inline at each call site): keys of the
+    * per-key count frame `counts` whose `countCol` holds ≥
+    * 1/[[HotKeyFanout]] of the column's total, floored at
+    * [[MinHotCount]]. `counts` must be one row per key (the aggregate
+    * the caller already computes for its own semantics — deriving the
+    * head costs one 1-row total plus a broadcast cross, never an extra
+    * corpus pass). Result: a single `keyCol` column, bounded at any
+    * corpus size by the share argument in the [[HotKeyFanout]]
+    * Scaladoc — safe to broadcast into [[hotSaltedJoin]]. */
+  def hotKeysByCount(counts: DataFrame, keyCol: String,
+      countCol: String): DataFrame = {
+    val tt = counts.agg(sum(countCol).cast("long").as("__t"))
+    counts.crossJoin(broadcast(tt))
+      .where(col(countCol) >=
+        greatest(expr(s"__t div $HotKeyFanout"), lit(MinHotCount)))
+      .select(keyCol)
+  }
+
   /** Inner equi-join of `left` and `right` on `key`, with the left side
     * salted across `salt` buckets. Result columns = left ++ right
     * (minus right's join key).

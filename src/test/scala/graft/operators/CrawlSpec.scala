@@ -576,6 +576,22 @@ class CrawlSpec extends SparkSpec {
     assert(got("clean.example") == "kept")
   }
 
+  test("canonicalHost: bracket-aware port strip — an IPv6 bracket " +
+      "literal keeps its colons, a reg-name drops its explicit port, " +
+      "a portless host passes through (r15 advice)") {
+    val got = Seq(
+      "https://evil.example:8080/p",
+      "https://[2001:db8::1]:8080/p",
+      "https://[2001:db8::1]/p",
+      "https://plain.example/p")
+      .toDF("u")
+      .select(Crawl.canonicalHost(col("u")).as("h"))
+      .as[String].collect().toSeq
+    assert(got == Seq("evil.example", "[2001:db8::1]", "[2001:db8::1]",
+      "plain.example"),
+      s"bracket-aware host parse: $got")
+  }
+
   // ---- WET: the WRITE side of the WARC family ----
 
   test("WET round trip is the identity across partitions, including an " +
