@@ -478,51 +478,43 @@ object StreamOps {
           "above every indexed doc (assign monotone ingest ids)")
   }
 
-  /** Latest persisted index state `idx_<j>` with j < `beforeBatch`
-    * and a _SUCCESS marker (a crash mid-write leaves none and the
-    * partial dir is ignored); `fallback` when no batch has committed
-    * yet. Local-FS listing here; a cluster run points `indexDir` at
-    * durable storage and lists through the Hadoop FS API — the
-    * batch-id-keyed layout is identical. */
-  private def latestIndex(indexDir: String, beforeBatch: Long,
-      fallback: => DataFrame,
-      spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val root = new java.io.File(indexDir)
-    val cands = Option(root.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("idx_") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .flatMap(f => scala.util.Try(
-        f.getName.stripPrefix("idx_").toLong).toOption
-        .filter(_ < beforeBatch).map(_ -> f))
-    if (cands.isEmpty) fallback
-    else spark.read.parquet(cands.maxBy(_._1)._2.getAbsolutePath)
-  }
+  /** The full accumulated committed state of a durable stream's
+    * batch-delta index — the consumer-facing read (newest base plus
+    * the delta chain above it; see [[DeltaIndex]]). Multiset
+    * semantics: deltas may repeat earlier keys; every engine consumer
+    * is duplicate-insensitive, and a set-consumer distincts. */
+  def readIndexState(indexDir: String, fallback: => DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    DeltaIndex.readAll(indexDir, fallback, spark)
 
   /** DURABLE incremental ExactSubstr — [[incrementalSubstrStream]]
     * with the accumulated digest index PERSISTED per batch, closing
     * that operator's documented restart gap: after a hard stop +
     * restart-from-checkpoint, the replayed/next batch reloads the
-    * latest committed index from `indexDir`, so spans first seen in
+    * committed index state from `indexDir`, so spans first seen in
     * PRE-RESTART batches still clean post-restart copies (spec-pinned
     * across a real checkpoint restart in FileStreamRecoverySpec).
     *
-    * Exactly-once mechanics: state `idx_<batchId>` is the index AFTER
-    * that batch, written with a _SUCCESS marker; each batch reads the
-    * newest committed `idx_<j>` with j < its own id (its OWN partial
-    * rewrite is excluded by construction), computes against that, and
-    * idempotently overwrites `idx_<batchId>` — a replayed batch
-    * therefore reproduces byte-identical output and state, the
-    * standard batch-id-keyed foreachBatch idempotence pattern. The
-    * persisted index is the same distinct-digest table a production
-    * pipeline keeps anyway; old `idx_<j>` dirs are safe to reap once
-    * a newer one commits. The query's OWN streaming checkpoint
-    * (source offsets, batch ids) lives at `checkpointDir` — index +
+    * Exactly-once mechanics — the batch-DELTA layout ([[DeltaIndex]],
+    * r15; the r14 layout rewrote the whole index every batch): each
+    * batch reads the newest committed base below its own id plus the
+    * committed delta chain above it (its OWN partial writes are
+    * excluded by construction), cleans against that, and idempotently
+    * overwrites `delta_<batchId>` with just ITS batch's window
+    * digests — O(batch) bytes, not O(index); every `compactEvery`
+    * batches the committing batch also folds state into
+    * `base_<batchId>` and reaps unreachable dirs. A replayed batch
+    * reproduces byte-identical output, delta, and base. Deltas may
+    * repeat spans already indexed (the clean distincts its digest
+    * index internally — see [[DeltaIndex]]); compaction re-dedups the
+    * on-disk state. The query's OWN streaming checkpoint (source
+    * offsets, batch ids) lives at `checkpointDir` — index +
     * checkpoint together are the complete restart state. */
   def incrementalSubstrStreamDurable(newDocs: DataFrame,
       indexDir: String, initialIndex: DataFrame,
       checkpointDir: String,
-      minLen: Int = graft.operators.Dedup.ExactSubstrMinLen)(
+      minLen: Int = graft.operators.Dedup.ExactSubstrMinLen,
+      compactEvery: Int = DeltaIndex.CompactEvery)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newDocs.sparkSession
@@ -531,15 +523,15 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val prev = latestIndex(indexDir, batchId, init, spark)
-          .select("h").localCheckpoint()
+        val (prev0, nDeltas) = DeltaIndex.read(indexDir, batchId,
+          init, spark)
+        val prev = prev0.select("h").localCheckpoint()
         sink(graft.operators.Dedup
           .exactSubstrAgainstIndex(batch, prev, minLen)
           .localCheckpoint(), batchId)
-        prev.unionAll(graft.operators.Dedup
-          .substrWindowDigests(batch, minLen))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        DeltaIndex.commit(
+          graft.operators.Dedup.substrWindowDigests(batch, minLen),
+          prev, indexDir, batchId, nDeltas, compactEvery)
         ()
       }
       .start()
@@ -549,22 +541,24 @@ object StreamOps {
     * [[incrementalImageDedupStream]] with the accumulated signature
     * index PERSISTED per batch id, closing that operator's documented
     * restart gap exactly as [[incrementalSubstrStreamDurable]] closed
-    * the substr stream's (the same mechanics, applied verbatim as its
-    * Scaladoc promised): state `idx_<batchId>` is the (doc_id, lo,
-    * hi) index AFTER that batch, written with a _SUCCESS marker; each
-    * batch reloads the newest committed `idx_<j>` with j < its own id
-    * via [[latestIndex]], dedups against it via the banded
+    * the substr stream's (the same batch-delta mechanics, see
+    * [[DeltaIndex]]): each batch reloads the committed state below
+    * its own id, dedups against it via the banded
     * [[graft.operators.Multimodal.hammingDedupSurvivorsAgainst]], and
-    * idempotently overwrites its own state — a replayed batch
-    * reproduces byte-identical output and index, and a signature
-    * first seen in a PRE-restart batch still dedups a post-restart
-    * near-copy (FileStreamRecoverySpec drives the hard stop +
-    * restart). The per-batch doc_id ordering contract is enforced
-    * loudly ([[assertIdOrder]]). Index size: 24 bytes per doc ever
-    * seen — the structure a production pipeline persists anyway. */
+    * idempotently overwrites `delta_<batchId>` with just its OWN
+    * (doc_id, lo, hi) signatures — disjoint from all earlier state by
+    * the id-ordering contract ([[assertIdOrder]], enforced loudly) —
+    * so a replayed batch reproduces byte-identical output and state,
+    * and a signature first seen in a PRE-restart batch still dedups a
+    * post-restart near-copy (FileStreamRecoverySpec drives the hard
+    * stop + restart). Index size: 24 bytes per doc ever seen — the
+    * structure a production pipeline persists anyway; per-batch write
+    * is O(batch), with an O(index) compaction fold every
+    * `compactEvery` batches. */
   def incrementalImageDedupStreamDurable(newSigs: DataFrame,
       indexDir: String, initialIndex: DataFrame,
-      checkpointDir: String, maxHamming: Int = 3)(
+      checkpointDir: String, maxHamming: Int = 3,
+      compactEvery: Int = DeltaIndex.CompactEvery)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newSigs.sparkSession
@@ -573,15 +567,16 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val prev = latestIndex(indexDir, batchId, init, spark)
-          .select("doc_id", "lo", "hi").localCheckpoint()
+        val (prev0, nDeltas) = DeltaIndex.read(indexDir, batchId,
+          init, spark)
+        val prev = prev0.select("doc_id", "lo", "hi").localCheckpoint()
         val b = batch.select("doc_id", "lo", "hi").localCheckpoint()
         assertIdOrder(prev, b, batchId)
         sink(graft.operators.Multimodal
           .hammingDedupSurvivorsAgainst(prev.unionAll(b), b, maxHamming)
           .localCheckpoint(), batchId)
-        prev.unionAll(b)
-          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        DeltaIndex.commit(b, prev, indexDir, batchId, nDeltas,
+          compactEvery)
         ()
       }
       .start()
@@ -689,15 +684,16 @@ object StreamOps {
     * always wins, whatever the ids), and the batch's canonical URLs
     * join the seen-set for the next batch.
     *
-    * State is the batch-id-keyed persistence pattern of
-    * [[incrementalSubstrStreamDurable]], applied to the seen-set:
-    * `idx_<batchId>` holds the DISTINCT canonical URLs seen through
-    * that batch (one slim string column — the structure a crawler
-    * persists anyway), written with a _SUCCESS marker; each batch
-    * reloads the newest committed `idx_<j>` below its own id and
-    * idempotently overwrites its own. A URL spelling first seen
-    * before a hard restart still drops its post-restart respelling
-    * (FileStreamRecoverySpec drives the stop + restart).
+    * State is the batch-DELTA persistence pattern of
+    * [[incrementalSubstrStreamDurable]] ([[DeltaIndex]]), applied to
+    * the seen-set: `delta_<batchId>` holds just that batch's
+    * NEVER-SEEN canonical URLs (one slim string column — disjoint
+    * across batches by construction, since the fresh set IS the
+    * anti-join the dedup computes), each batch reloads the committed
+    * state below its own id and idempotently overwrites only its own
+    * delta. A URL spelling first seen before a hard restart still
+    * drops its post-restart respelling (FileStreamRecoverySpec drives
+    * the stop + restart).
     *
     * `sink(freshKeepers, batchId)` receives each batch's
     * never-seen-before keeper records with their `canon_url`. */
@@ -724,20 +720,23 @@ object StreamOps {
     *      ([[graft.operators.Crawl.writeWetShardsForBatch]]).
     *
     * Exactly-once mechanics compose from the two proven patterns:
-    * state is the batch-id-keyed `idx_<batchId>` seen-set (each batch
-    * reloads the newest committed index below its own id and
-    * idempotently overwrites its own), and the sink clears only its
-    * OWN batch's shards before writing — so a replayed batch (even at
-    * a different partition count) reproduces byte-identical state AND
-    * shard set, and a hard stop + restart leaves exactly one WET
-    * record per canonical URL ever crawled
-    * (FileStreamRecoverySpec drives the restart; StreamOpsSpec pins
-    * multi-batch parity with the batch front). The WET write precedes
-    * the index commit: a crash between the two replays the batch,
-    * which rewrites both idempotently. */
+    * state is the batch-delta seen-set ([[DeltaIndex]] — each batch
+    * reloads the committed state below its own id and idempotently
+    * overwrites `delta_<batchId>` with just its NEVER-SEEN canonical
+    * URLs, O(batch) bytes; deltas are disjoint by construction since
+    * the fresh set is the anti-join the dedup itself computes), and
+    * the sink clears only its OWN batch's shards before writing — so
+    * a replayed batch (even at a different partition count)
+    * reproduces byte-identical state AND shard set, and a hard stop +
+    * restart leaves exactly one WET record per canonical URL ever
+    * crawled (FileStreamRecoverySpec drives the restart; StreamOpsSpec
+    * pins multi-batch parity with the batch front). The WET write
+    * precedes the index commit: a crash between the two replays the
+    * batch, which rewrites both idempotently. */
   def crawlTriangleStream(s: org.apache.spark.sql.SparkSession,
       segmentDir: String, indexDir: String, initialSeen: DataFrame,
-      wetDir: String, checkpointDir: String)
+      wetDir: String, checkpointDir: String,
+      compactEvery: Int = DeltaIndex.CompactEvery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wetDir))
@@ -748,8 +747,9 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val seen = latestIndex(indexDir, batchId, init, s)
-          .select("canon_url").localCheckpoint()
+        val (seen0, nDeltas) = DeltaIndex.read(indexDir, batchId,
+          init, s)
+        val seen = seen0.select("canon_url").localCheckpoint()
         val keepers = graft.operators.Crawl
           .urlKeeperRecords(batch.toDF())
           .withColumn("canon_url",
@@ -761,9 +761,8 @@ object StreamOps {
           graft.operators.Crawl.extractText(fresh.drop("canon_url"))
             .select("doc_id", "url", "text"),
           wetDir, batchId)
-        seen.unionAll(keepers.select("canon_url"))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        DeltaIndex.commit(fresh.select("canon_url"), seen, indexDir,
+          batchId, nDeltas, compactEvery)
         ()
       }
       .start()
@@ -802,11 +801,13 @@ object StreamOps {
     *      own digests.
     *
     * Exactly-once composes the proven batch-id-keyed patterns: both
-    * indexes are idempotently-overwritten `idx_<batchId>` dirs read
-    * via [[latestIndex]] (each batch sees only j < its own id), the
-    * sink runs BEFORE the index commits (a crash between replays the
-    * batch, which rewrites output and both indexes byte-identically),
-    * and each stage is lineage-truncated so plans never deepen.
+    * indexes are batch-DELTA chains ([[DeltaIndex]] — each batch sees
+    * only committed state below its own id and idempotently
+    * overwrites only its own `delta_<batchId>`, O(batch) bytes per
+    * batch), the sink runs BEFORE the index commits (a crash between
+    * replays the batch, which rewrites output and both indexes
+    * byte-identically), and each stage is lineage-truncated so plans
+    * never deepen.
     * StreamOpsSpec pins multi-batch parity against the batch
     * composition over the same segments; FileStreamRecoverySpec
     * drives a hard stop + restart-from-checkpoint.
@@ -818,7 +819,9 @@ object StreamOps {
       contentGate: DataFrame => DataFrame,
       urlIndexDir: String, substrIndexDir: String,
       initialSeen: DataFrame, initialIndex: DataFrame,
-      checkpointDir: String)(sink: (DataFrame, Long) => Unit)
+      checkpointDir: String,
+      compactEvery: Int = DeltaIndex.CompactEvery)(
+      sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     val initUrl = initialSeen.select("canon_url").distinct()
@@ -835,8 +838,9 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val seenUrl = latestIndex(urlIndexDir, batchId, initUrl, s)
-          .select("canon_url").localCheckpoint()
+        val (seen0, nUrlDeltas) = DeltaIndex.read(urlIndexDir, batchId,
+          initUrl, s)
+        val seenUrl = seen0.select("canon_url").localCheckpoint()
         val keepers = graft.operators.Crawl
           .urlKeeperRecords(batch.toDF())
           .withColumn("canon_url",
@@ -853,27 +857,28 @@ object StreamOps {
           .select(col("doc_id"), col("url"),
             col("pred").as("lang"), col("text"))
         val gated = contentGate(withLang).localCheckpoint()
-        val prevIdx = latestIndex(substrIndexDir, batchId, initSub, s)
-          .select("h").localCheckpoint()
+        val (prev0, nSubDeltas) = DeltaIndex.read(substrIndexDir,
+          batchId, initSub, s)
+        val prevIdx = prev0.select("h").localCheckpoint()
         val cleaned = graft.operators.Dedup
           .exactSubstrAgainstIndex(gated.select("doc_id", "text"), prevIdx)
         sink(gated.select("doc_id", "url", "lang")
           .join(cleaned.hint("shuffle_hash"), Seq("doc_id"))
           .localCheckpoint(), batchId)
-        seenUrl.unionAll(keepers.select("canon_url")).distinct()
-          .write.mode("overwrite").parquet(s"$urlIndexDir/idx_$batchId")
-        prevIdx.unionAll(graft.operators.Dedup
-            .substrWindowDigests(gated.select("doc_id", "text")))
-          .distinct()
-          .write.mode("overwrite")
-          .parquet(s"$substrIndexDir/idx_$batchId")
+        DeltaIndex.commit(fresh.select("canon_url"), seenUrl,
+          urlIndexDir, batchId, nUrlDeltas, compactEvery)
+        DeltaIndex.commit(
+          graft.operators.Dedup
+            .substrWindowDigests(gated.select("doc_id", "text")),
+          prevIdx, substrIndexDir, batchId, nSubDeltas, compactEvery)
         ()
       }
       .start()
   }
 
   def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
-      indexDir: String, initialSeen: DataFrame, checkpointDir: String)(
+      indexDir: String, initialSeen: DataFrame, checkpointDir: String,
+      compactEvery: Int = DeltaIndex.CompactEvery)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newRecs.sparkSession
@@ -882,18 +887,19 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val seen = latestIndex(indexDir, batchId, init, spark)
-          .select("canon_url").localCheckpoint()
+        val (seen0, nDeltas) = DeltaIndex.read(indexDir, batchId,
+          init, spark)
+        val seen = seen0.select("canon_url").localCheckpoint()
         val keepers = graft.operators.Crawl
           .urlKeeperRecords(batch.toDF())
           .withColumn("canon_url", graft.operators.Crawl
             .canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
           .localCheckpoint()
-        sink(keepers.join(seen.hint("shuffle_hash"),
-          Seq("canon_url"), "left_anti").localCheckpoint(), batchId)
-        seen.unionAll(keepers.select("canon_url"))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$indexDir/idx_$batchId")
+        val fresh = keepers.join(seen.hint("shuffle_hash"),
+          Seq("canon_url"), "left_anti").localCheckpoint()
+        sink(fresh, batchId)
+        DeltaIndex.commit(fresh.select("canon_url"), seen, indexDir,
+          batchId, nDeltas, compactEvery)
         ()
       }
       .start()

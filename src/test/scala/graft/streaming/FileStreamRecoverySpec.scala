@@ -279,7 +279,7 @@ class FileStreamRecoverySpec extends SparkSpec {
     for (d <- Seq(uidx, sidx)) {
       val names = Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty[java.io.File]).map(_.getName).toSet
-      assert(names.contains("idx_0") && names.contains("idx_1"),
+      assert(names.contains("delta_0") && names.contains("delta_1"),
         s"$d: $names")
     }
   }
@@ -325,6 +325,6 @@ class FileStreamRecoverySpec extends SparkSpec {
     // both batches own committed seen-set states
     val names = Option(new java.io.File(idx).listFiles())
       .getOrElse(Array.empty[java.io.File]).map(_.getName).toSet
-    assert(names.contains("idx_0") && names.contains("idx_1"), s"$names")
+    assert(names.contains("delta_0") && names.contains("delta_1"), s"$names")
   }
 }

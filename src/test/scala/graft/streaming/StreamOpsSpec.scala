@@ -1079,9 +1079,11 @@ class StreamOpsSpec extends SparkSpec {
         "https://a.example.org/q")),
         s"batch 1: 20 respells a batch-0 page, only 21 is fresh: " +
           s"${got(1L)}")
-      // the persisted seen-set is the union of seed + both batches
-      val idx = StreamOpsSpecHelpers.latestCommitted(idxDir)
-      val seen = spark.read.parquet(idx)
+      // the persisted seen-set is the union of seed + both batches —
+      // read through the consumer-facing accumulated-state API (the
+      // delta layout: seed rides the fallback, batches ride deltas)
+      val seen = StreamOps.readIndexState(idxDir,
+          Seq("https://old.example.org/seeded").toDF("canon_url"), spark)
         .as[String].collect().toSet
       assert(seen == Set("https://old.example.org/seeded",
         "https://a.example.org/p", "https://a.example.org/q"))
@@ -1091,13 +1093,18 @@ class StreamOpsSpec extends SparkSpec {
 
 /** File helpers for the durable-index assertions. */
 object StreamOpsSpecHelpers {
-  /** Newest committed `idx_<j>` dir (with _SUCCESS) under `indexDir`. */
-  def latestCommitted(indexDir: String): String = {
-    val cands = Option(new java.io.File(indexDir).listFiles())
+  /** Committed dirs (with _SUCCESS) named `<prefix><j>` under
+    * `indexDir`, by batch id. */
+  def committedDirs(indexDir: String,
+      prefix: String): Map[Long, java.io.File] =
+    Option(new java.io.File(indexDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("idx_") &&
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
         new java.io.File(f, "_SUCCESS").exists())
-    require(cands.nonEmpty, s"no committed index under $indexDir")
-    cands.maxBy(_.getName.stripPrefix("idx_").toLong).getAbsolutePath
-  }
+      .map(f => f.getName.stripPrefix(prefix).toLong -> f).toMap
+
+  /** Total parquet payload bytes of a committed state dir. */
+  def parquetBytes(dir: java.io.File): Long =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
 }
