@@ -679,6 +679,24 @@ object Crawl {
       .drop("__ah", "__bh", "__bd", "__labels", "__sfx")
   }
 
+  /** The domain gate's three policy tables as one value — the
+    * continuous prepare threads it through as a unit. */
+  final case class DomainPolicy(blockedHosts: DataFrame,
+      blockedDomains: DataFrame, allowedHosts: DataFrame)
+
+  /** The registered policy Seqs ([[BlockedHosts]] etc.) as frames. */
+  def defaultPolicy(s: SparkSession): DomainPolicy = {
+    import s.implicits._
+    DomainPolicy(BlockedHosts.toDF("host"),
+      BlockedDomains.toDF("domain"), AllowedHosts.toDF("host"))
+  }
+
+  /** [[domainGate]] over a bundled [[DomainPolicy]]. */
+  def domainGate(docs: DataFrame, urlCol: String,
+      policy: DomainPolicy): DataFrame =
+    domainGate(docs, urlCol, policy.blockedHosts,
+      policy.blockedDomains, policy.allowedHosts)
+
   /** GATE a record frame (any frame with `urlCol`) under the domain
     * policy: keep rows whose canonical host's verdict is kept or
     * allowed. Policy runs on the HOST plane ([[domainVerdicts]]);
@@ -717,8 +735,17 @@ object Crawl {
 
   /** Deterministic HTML page around a document's text: head noise
     * (title/style/script), nav + heading + footer boilerplate, a
-    * comment, one entity-bearing content line, then the text in
-    * 12-word `<p>` lines. Every strip rule above has a target here. */
+    * comment, one entity-bearing content line, one DIGIT-bearing
+    * content line (r15 — a NANP phone, a dotted-quad IPv4, and the
+    * version-string near-miss `v2.10.3` that must SURVIVE redaction;
+    * the synthetic corpus is digit-free, so this line is what makes
+    * the IP/phone scrub classes oracle-load-bearing through every
+    * composed crawl prepare: both engines parse the same bytes and
+    * replay the same generated redaction chain), then the text in
+    * 12-word `<p>` lines. Every strip rule above has a target here.
+    * The digit line's alpha-word count clears BOTH survival rules:
+    * ≥ [[MinContentWords]] purely-alpha words at extraction, and
+    * post-redaction ≥ 80% letter-bearing words at the scrub. */
   def wrapHtml(id: Long, text: String): String = {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     val paras = words.grouped(12)
@@ -733,6 +760,7 @@ object Crawl {
        |<h1>Document $id</h1>
        |<!-- crawl metadata: fetched by graftbot -->
        |<p>alpha beta gamma delta &amp; epsilon &lt;raw&gt; zeta</p>
+       |<p>dial 415-555-2671 or ping 10.0.0.1 build v2.10.3 ok</p>
        |$paras
        |<div class="footer">Copyright 2026 example.org</div>
        |</body></html>""".stripMargin

@@ -460,6 +460,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Banded MinHash near-duplicate pairs of `sigNew` docs against an
+    * accumulated signature frame `sigAll` (a persisted old-corpus
+    * index unioned with the batch itself — the durable streaming
+    * consumer's shape; the [[exactSubstrAgainstIndex]] discipline
+    * applied to the MinHash family): (doc_new, doc_old, est_jaccard)
+    * with doc_old < doc_new — the keep-min orientation, so
+    * `distinct doc_new` IS the batch's drop set. Both sides are
+    * (doc_id, sig) tables from [[minhashSignatures]] under the SAME
+    * scheme; banding and estimation ride the shared [[bandBuckets]] /
+    * [[estJaccard]] algebra, so a pair found here is exactly the pair
+    * [[minhashPairs]] finds intra-corpus — which is what makes the
+    * streaming accumulated output equal the batch operator over the
+    * union for id-ordered batches (ALL signatures accumulate, kept
+    * and dropped alike, so a dropped doc still witnesses its
+    * neighborhood). Candidates come from the (band, bh) equijoin —
+    * never all-pairs; the wide signature arrays re-attach after pair
+    * dedup. */
+  def minhashPairsAgainstSigs(sigAll: DataFrame, sigNew: DataFrame,
+      numHashes: Int = 64, bands: Int = 16, minEst: Double = 0.8,
+      scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sa = sigAll.select("doc_id", "sig")
+    val sn = sigNew.select("doc_id", "sig")
+    val bandArr = bandBuckets(scheme, bands, rows)
+    val ba = sa.select(col("doc_id").as("doc_old"),
+      posexplode(bandArr).as(Seq("band", "bh")))
+    val bn = sn.select(col("doc_id").as("doc_new"),
+      posexplode(bandArr).as(Seq("band", "bh")))
+    val cand = bn.join(ba, Seq("band", "bh"))
+      .where(col("doc_old") < col("doc_new"))
+      .select("doc_new", "doc_old")
+      .dropDuplicates("doc_new", "doc_old")
+    cand
+      .join(sn.select(col("doc_id").as("doc_new"), col("sig").as("sig_n")),
+        "doc_new")
+      .join(sa.select(col("doc_id").as("doc_old"), col("sig").as("sig_o")),
+        "doc_old")
+      .withColumn("est_jaccard", estJaccard("sig_n", "sig_o", numHashes))
+      .where(col("est_jaccard") >= minEst)
+      .select("doc_new", "doc_old", "est_jaccard")
+  }
+
   /** 128-bit SimHash fingerprint per document (term-frequency-weighted
     * token hashes; bit i set iff the weighted sum of token-hash bit i is
     * positive), as two longs (doc_id, fp_lo, fp_hi).

@@ -155,6 +155,55 @@ object TextAnalysis {
       .where(col("n_shared") >= 3)
   }
 
+  /** STATIC decontamination plane for the CONTINUOUS prepare (r15):
+    * the eval set is FIXED at stream construction (benchmark suites
+    * are known upfront — the NbModel static-router precedent), so the
+    * per-doc gate is stateless and batch-restrictable. `grams` is the
+    * (g, eval_doc) plane over the eval set's distinct word 5-grams
+    * restricted to grams RARE WITHIN THE EVAL SET (eval-docfreq ≤ 20
+    * — the batch operator's corpus-wide rarity cannot be known
+    * mid-stream; rarity's job is to ignore boilerplate grams, and the
+    * eval-side restriction is its static form, stated here as the
+    * contract). `bloom` is the eval-gram filter for scan-side pruning
+    * (no false negatives — the [[decontaminateBloomPairs]] lossless
+    * argument verbatim). Both are built ONCE: the plane is eval-sized
+    * metadata, the filter a ~128 KB broadcastable literal. */
+  final case class DeconPlane(grams: DataFrame, bloom: Array[Byte])
+
+  def deconPlane(evalDocs: DataFrame): DeconPlane = {
+    val eg = ngramRows(evalDocs.select(col("doc_id"), col("text")),
+      5, distinctPerDoc = true).cache()
+    val rare = eg.groupBy("g").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= 20).select("g")
+    val grams = eg.join(rare, Seq("g"), "left_semi")
+      .select(col("g"), col("doc_id").as("eval_doc"))
+      .localCheckpoint()
+    eg.unpersist()
+    val bf = grams.agg(expr(
+      s"bloom_filter_agg(xxhash64(g), ${1L << 16}L, ${1L << 20}L)")
+      .as("bf")).collect()(0).getAs[Array[Byte]](0)
+    DeconPlane(grams, bf)
+  }
+
+  /** doc_ids of `batchDocs` (doc_id, text) sharing ≥ 3 distinct rare
+    * eval 5-grams with any single eval doc of the static `plane` —
+    * the continuous prepare's decontamination flag, per batch. The
+    * batch gram stream prunes on the bloom BEFORE the join (a gram
+    * absent from every eval doc can never pair; false positives fail
+    * the join), then one equijoin against the eval-sized plane and a
+    * (doc, eval_doc) fold. Per-doc stateless given the plane, so the
+    * accumulated stream output equals the batch-composition flag over
+    * the union by construction. */
+  def deconFlagged(batchDocs: DataFrame, plane: DeconPlane): DataFrame =
+    ngramRows(batchDocs, 5, distinctPerDoc = true)
+      .where(call_function("might_contain", lit(plane.bloom),
+        xxhash64(col("g"))))
+      .join(plane.grams.hint("shuffle_hash"), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .select("doc_id").distinct()
+
   /** Generalized word n-gram explode — the single place the shingle
     * pipeline's disciplines live (ANSI short-doc pre-filter, keyed
     * spread, generator-safe explode-of-expression shape). */

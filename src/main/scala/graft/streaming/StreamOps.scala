@@ -768,57 +768,97 @@ object StreamOps {
       .start()
   }
 
-  /** The CONTINUOUS PREPARE — the triangle extended with CONTENT
-    * stages (r14; the r13 verdict gap: the continuous path stopped at
-    * URL dedup while the batch prepares additionally run langid
-    * routing, a quality gate, and substring dedup). The streaming
-    * twin of `pipeline_crawl_prepare_langid`'s front half: archive
-    * segments rotate into `segmentDir`; each micro-batch
+  /** The CONTINUOUS PREPARE — the triangle extended with the FULL
+    * content chain (r14 added scrub/route/gate/substr; r15 adds the
+    * domain gate, near-duplicate dedup, and decontamination — the
+    * remaining parity gaps against the composed batch prepares).
+    * Archive segments rotate into `segmentDir`; each micro-batch
     *
     *   1. parses its segments, collapses to one keeper record per
     *      canonical URL within the batch, and drops keepers the
     *      DURABLE cross-batch URL seen-set (`urlIndexDir`) already
-    *      holds — the triangle's front, verbatim;
-    *   2. extracts text (shared HTML strip) and runs the STATELESS
-    *      scrub (PII redaction + line rules — per-doc, no corpus
-    *      state);
-    *   3. routes each doc's language under the STATIC NB router
-    *      trained on `labeled0` (checkpointed once at stream
-    *      construction — the model is a pure function of that table,
-    *      so every batch routes under identical weights; per-doc
-    *      stateless apply; a doc with no in-vocabulary token has no
-    *      routing signal and leaves the corpus, exactly the batch
-    *      composition's inner join);
-    *   4. applies the caller's stateless per-doc `contentGate`
+    *      holds — the triangle's front, verbatim. ALL fresh keepers
+    *      (blocked hosts included) enter the seen-set: the frontier
+    *      remembers every page it has resolved, and a respelling of
+    *      a blocked page must drop at the URL stage, not re-run the
+    *      gate;
+    *   2. gates the fresh keepers under the static domain `policy`
+    *      ([[graft.operators.Crawl.domainGate]] — the UT1/CCNet
+    *      stage, BEFORE any content work, exactly the batch
+    *      `pipeline_url_prepare` order; per-batch host aggregate,
+    *      policy verdicts are per-host stateless);
+    *   3. extracts text (shared HTML strip) and routes each doc's
+    *      language on the RAW extracted text under the STATIC NB
+    *      router trained on `labeled0` (built once at stream
+    *      construction; per-doc stateless apply; a doc with no
+    *      in-vocabulary token has no routing signal and leaves the
+    *      corpus, exactly the batch composition's inner join).
+    *      Routing BEFORE the scrub matches the registered batch
+    *      `pipeline_crawl_prepare_langid` stage order (r15 advice —
+    *      the r14 form routed on scrubbed text, a documented-nowhere
+    *      divergence);
+    *   4. runs the STATELESS scrub (PII redaction + line rules —
+    *      per-doc, no corpus state) and attaches the routed lang;
+    *   5. applies the caller's stateless per-doc `contentGate`
     *      (a fixed heuristic rule or a trained classifier at its
     *      frozen threshold — NOT the per-language top-half, whose
     *      corpus-rank semantics cannot restrict batch-wise; the gate
     *      must preserve doc_id/url/lang/text and must decide each row
     *      from that row alone, or stream/batch parity breaks);
-    *   5. cleans the survivors against the DURABLE cross-batch
+    *   6. NEAR-DUPLICATE dedup against the DURABLE cross-batch
+    *      MinHash signature index (`sigIndexDir`): the batch's gated
+    *      docs sign ([[graft.operators.Dedup.minhashSignatures]]),
+    *      pairs come from the banded equijoin against index ∪ batch
+    *      ([[graft.operators.Dedup.minhashPairsAgainstSigs]] —
+    *      keep-min, old always wins), matched docs drop, and ALL
+    *      batch signatures (kept and dropped — a dropped doc still
+    *      witnesses its neighborhood) append to the index. Ingest ids
+    *      must be monotone across batches (the image-dedup contract,
+    *      enforced loudly) so the accumulated output equals the batch
+    *      keep-min operator over the union restricted to new docs.
+    *      NOTE the deliberate order divergence from the batch
+    *      `fullPrepare` (substr before near-dup there): the stream's
+    *      substring stage emits digest rows, not text, so it must
+    *      terminate the chain — near-dup and decon run on gated text
+    *      first;
+    *   7. DECONTAMINATION against the STATIC eval set `evalDocs`
+    *      (fixed at stream construction — benchmark suites are known
+    *      upfront; [[graft.operators.TextAnalysis.deconPlane]]): a
+    *      doc sharing ≥ 3 distinct eval-rare 5-grams with any single
+    *      eval doc drops. Rarity is WITHIN-EVAL (the batch
+    *      operator's corpus-wide docfreq cannot be known mid-stream —
+    *      the plane's Scaladoc states the contract); per-doc
+    *      stateless given the plane;
+    *   8. cleans the survivors against the DURABLE cross-batch
     *      substring digest index (`substrIndexDir`) — a span first
-    *      seen in ANY earlier batch wins — then appends the batch's
-    *      own digests.
+    *      seen in ANY earlier batch wins — then appends the
+    *      survivors' own digests.
     *
-    * Exactly-once composes the proven batch-id-keyed patterns: both
-    * indexes are batch-DELTA chains ([[DeltaIndex]] — each batch sees
-    * only committed state below its own id and idempotently
-    * overwrites only its own `delta_<batchId>`, O(batch) bytes per
-    * batch), the sink runs BEFORE the index commits (a crash between
-    * replays the batch, which rewrites output and both indexes
-    * byte-identically), and each stage is lineage-truncated so plans
-    * never deepen.
+    * Exactly-once composes the proven batch-id-keyed patterns: all
+    * three indexes are batch-DELTA chains ([[DeltaIndex]] — each
+    * batch sees only committed state below its own id and
+    * idempotently overwrites only its own `delta_<batchId>`, O(batch)
+    * bytes per batch), the sink runs BEFORE the index commits (a
+    * crash between replays the batch, which rewrites output and all
+    * indexes byte-identically), and each stage is lineage-truncated
+    * so plans never deepen.
     * StreamOpsSpec pins multi-batch parity against the batch
-    * composition over the same segments; FileStreamRecoverySpec
-    * drives a hard stop + restart-from-checkpoint.
+    * composition over the same segments (including a blocked host
+    * arriving mid-stream, an allowlisted host surviving, a
+    * cross-batch near-copy dropping, and a contaminated doc arriving
+    * in a later batch); FileStreamRecoverySpec drives a hard stop +
+    * restart-from-checkpoint with all three indexes surviving.
     *
     * `sink(prepared, batchId)` receives each batch's fresh prepared
     * rows (doc_id, url, lang, n_tokens, n_removed, kept_md5). */
   def crawlPrepareStream(s: org.apache.spark.sql.SparkSession,
       segmentDir: String, labeled0: DataFrame,
       contentGate: DataFrame => DataFrame,
-      urlIndexDir: String, substrIndexDir: String,
-      initialSeen: DataFrame, initialIndex: DataFrame,
+      policy: graft.operators.Crawl.DomainPolicy,
+      evalDocs: DataFrame,
+      urlIndexDir: String, sigIndexDir: String, substrIndexDir: String,
+      initialSeen: DataFrame, initialSigs: DataFrame,
+      initialIndex: DataFrame,
       checkpointDir: String,
       compactEvery: Int = DeltaIndex.CompactEvery)(
       sink: (DataFrame, Long) => Unit)
@@ -826,12 +866,16 @@ object StreamOps {
     import org.apache.spark.sql.functions.col
     val initUrl = initialSeen.select("canon_url").distinct()
       .localCheckpoint()
+    val initSig = initialSigs.select("doc_id", "sig").localCheckpoint()
     val initSub = initialIndex.select("h").distinct().localCheckpoint()
-    // the router trains ONCE here (eager checkpointed planes — the
-    // broadcast-artifact shape a production stream ships); every
-    // micro-batch routes under identical weights
+    // the static per-stream artifacts, built ONCE (eager checkpointed
+    // planes — the broadcast-artifact shape a production stream
+    // ships): the router weights and the decontamination plane; every
+    // micro-batch applies identical state
     val model = graft.operators.NbLangid.buildModel(
       labeled0.select("doc_id", "lang", "text"))
+    val decon = graft.operators.TextAnalysis.deconPlane(
+      evalDocs.select("doc_id", "text"))
     val recs = graft.operators.Crawl.extractFromSegments(
       segmentStream(s, segmentDir, Some("*.garc")))
     recs.writeStream
@@ -848,28 +892,54 @@ object StreamOps {
           .localCheckpoint()
         val fresh = keepers.join(seenUrl.hint("shuffle_hash"),
           Seq("canon_url"), "left_anti").localCheckpoint()
-        val docs = graft.operators.TextAnalysis.scrubbed(
-          graft.operators.Crawl.extractText(fresh.drop("canon_url")))
+        val hostGated = graft.operators.Crawl
+          .domainGate(fresh.drop("canon_url"), "url", policy)
+          .localCheckpoint()
+        val raw = graft.operators.Crawl.extractText(hostGated)
+          .localCheckpoint()
         val routed = graft.operators.NbLangid
-          .routeWith(model, docs.select("doc_id", "text"))
+          .routeWith(model, raw.select("doc_id", "text"))
+        val docs = graft.operators.TextAnalysis.scrubbed(raw)
         val withLang = docs
           .join(routed.hint("shuffle_hash"), Seq("doc_id"))
           .select(col("doc_id"), col("url"),
             col("pred").as("lang"), col("text"))
         val gated = contentGate(withLang).localCheckpoint()
+        // near-dup: sign the batch, pair against index ∪ batch,
+        // keep-min drop; the id-ordering contract makes the index
+        // side strictly older
+        val (sig0, nSigDeltas) = DeltaIndex.read(sigIndexDir, batchId,
+          initSig, s)
+        val sigIdx = sig0.select("doc_id", "sig").localCheckpoint()
+        val sigB = graft.operators.Dedup
+          .minhashSignatures(gated.select("doc_id", "text"))
+          .localCheckpoint()
+        assertIdOrder(sigIdx, sigB, batchId)
+        val ndLosers = graft.operators.Dedup
+          .minhashPairsAgainstSigs(sigIdx.unionAll(sigB), sigB)
+          .select(col("doc_new").as("doc_id")).distinct()
+        val deduped = gated.join(ndLosers.hint("shuffle_hash"),
+          Seq("doc_id"), "left_anti")
+        // decontamination: per-doc stateless flag vs the static plane
+        val flagged = graft.operators.TextAnalysis
+          .deconFlagged(deduped.select("doc_id", "text"), decon)
+        val train = deduped.join(flagged.hint("shuffle_hash"),
+          Seq("doc_id"), "left_anti").localCheckpoint()
         val (prev0, nSubDeltas) = DeltaIndex.read(substrIndexDir,
           batchId, initSub, s)
         val prevIdx = prev0.select("h").localCheckpoint()
         val cleaned = graft.operators.Dedup
-          .exactSubstrAgainstIndex(gated.select("doc_id", "text"), prevIdx)
-        sink(gated.select("doc_id", "url", "lang")
+          .exactSubstrAgainstIndex(train.select("doc_id", "text"), prevIdx)
+        sink(train.select("doc_id", "url", "lang")
           .join(cleaned.hint("shuffle_hash"), Seq("doc_id"))
           .localCheckpoint(), batchId)
         DeltaIndex.commit(fresh.select("canon_url"), seenUrl,
           urlIndexDir, batchId, nUrlDeltas, compactEvery)
+        DeltaIndex.commit(sigB, sigIdx, sigIndexDir, batchId,
+          nSigDeltas, compactEvery)
         DeltaIndex.commit(
           graft.operators.Dedup
-            .substrWindowDigests(gated.select("doc_id", "text")),
+            .substrWindowDigests(train.select("doc_id", "text")),
           prevIdx, substrIndexDir, batchId, nSubDeltas, compactEvery)
         ()
       }

@@ -411,7 +411,9 @@ class CrawlSpec extends SparkSpec {
           .filter(_.count(_.matches("[A-Za-z]+")) >= Crawl.MinContentWords)
           .map(_.mkString(" "))
         ((r.getLong(0),
-          ("alpha beta gamma delta & epsilon <raw> zeta" +: paras.toSeq)
+          (Seq("alpha beta gamma delta & epsilon <raw> zeta",
+            "dial 415-555-2671 or ping 10.0.0.1 build v2.10.3 ok") ++
+            paras.toSeq)
             .mkString(" ")))
       }
     assert(got.length == want.length)
@@ -590,6 +592,27 @@ class CrawlSpec extends SparkSpec {
     assert(got == Seq("evil.example", "[2001:db8::1]", "[2001:db8::1]",
       "plain.example"),
       s"bracket-aware host parse: $got")
+  }
+
+  test("the fixture's digit content line is scrub-load-bearing (r15): " +
+      "extraction keeps it intact, redaction hits the phone AND the " +
+      "dotted quad, and the version-string near-miss survives — so " +
+      "every composed crawl prepare now hash-verifies the IP/phone " +
+      "classes cross-engine instead of riding a digit-free corpus") {
+    val html = Crawl.wrapHtml(7L, "one two three four five six")
+    val txt = Crawl.extractText(
+        Seq((7L, "https://x.example.org/7", html))
+          .toDF("doc_id", "url", "html"))
+      .select("text").as[String].head()
+    assert(txt.contains(
+      "dial 415-555-2671 or ping 10.0.0.1 build v2.10.3 ok"),
+      s"extraction must keep the digit line intact: $txt")
+    val scrubbed = TextAnalysis.scrubbed(
+        Seq((7L, txt)).toDF("doc_id", "text"))
+      .select("text").as[String].head()
+    assert(scrubbed.contains("dial <PHONE> or ping <IP> build v2.10.3 ok"),
+      s"phone + IP redact, the version near-miss survives: $scrubbed")
+    assert(!scrubbed.contains("415") && !scrubbed.contains("10.0.0.1"))
   }
 
   // ---- WET: the WRITE side of the WARC family ----

@@ -220,16 +220,19 @@ class FileStreamRecoverySpec extends SparkSpec {
         s"the PERSISTED seen-set: ${got(1L)}")
   }
 
-  test("crawlPrepareStream: HARD STOP + restart — BOTH durable indexes " +
-      "(URL seen-set, substr digests) and the source offsets survive: " +
-      "a post-restart respelling of a pre-restart URL emits nothing, " +
-      "and a post-restart copy of a pre-restart span is cleaned") {
+  test("crawlPrepareStream: HARD STOP + restart — ALL THREE durable " +
+      "indexes (URL seen-set, MinHash signatures, substr digests) and " +
+      "the source offsets survive: a post-restart respelling of a " +
+      "pre-restart URL emits nothing, a post-restart near-copy of a " +
+      "pre-restart page drops via the persisted signature index, and " +
+      "a post-restart copy of a pre-restart span is cleaned") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, size, split}
     val root = Files.createTempDirectory("graft_cprep_recover")
     val in = Files.createDirectory(root.resolve("in"))
     val uidx = root.resolve("uidx").toString
+    val gidx = root.resolve("gidx").toString
     val sidx = root.resolve("sidx").toString
     val ckpt = root.resolve("ckpt").toString
     val labeled = (0L until 20L).map { i =>
@@ -238,19 +241,28 @@ class FileStreamRecoverySpec extends SparkSpec {
         else "eins zwei drei eins zwei drei"
       (i, lang, t)
     }.toDF("doc_id", "lang", "text")
+    val evalDocs = Seq(
+      (9000L, ('a' to 'j').map(c => s"qq$c$c").mkString(" ")))
+      .toDF("doc_id", "text")
+    val policy = graft.operators.Crawl.defaultPolicy(spark)
     val gate: DataFrame => DataFrame =
       d => d.where(size(split(col("text"), "\\s+")) >= 25)
     def aa(n: Int) = Seq.fill(n / 3 + 1)("red green blue")
       .mkString(" ").split(" ").take(n).mkString(" ")
     val spanS = (0 until 50).map(i =>
       s"sp${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    // pure-alpha unique tokens (digit-bearing words vanish at the
+    // extraction's content-line rule)
+    def uniq(p: String, n: Int) = (0 until n).map(i =>
+      s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
     def page(id: Long, url: String, body: String) =
       (id, url, graft.operators.Crawl.wrapHtml(id, body))
     val got = scala.collection.mutable.Map
       .empty[Long, Set[(Long, Long)]]
     def startQ() = StreamOps.crawlPrepareStream(spark, in.toString,
-      labeled, gate, uidx, sidx,
+      labeled, gate, policy, evalDocs, uidx, gidx, sidx,
       Seq.empty[String].toDF("canon_url"),
+      Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig"),
       Seq.empty[String].toDF("h"), ckpt) { (batch, id) =>
       got(id) = batch.select("doc_id", "n_removed").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -260,23 +272,31 @@ class FileStreamRecoverySpec extends SparkSpec {
         page(10L, "https://a.example.org/p", s"${aa(30)} $spanS"))))
     val q1 = startQ()
     try q1.processAllAvailable() finally q1.stop()
-    // HARD RESTART; the respelling AND the span copy arrive after
+    // HARD RESTART; the respelling, the near-copy AND the span copy
+    // all arrive after the stop
     java.nio.file.Files.write(in.resolve("part1.garc"),
       graft.operators.Crawl.encodeArchive(Seq(
         page(20L, "HTTPS://A.EXAMPLE.ORG:443/p#top", s"${aa(30)} $spanS"),
-        page(21L, "https://a.example.org/q", s"${aa(30)} $spanS"))))
+        // unique filler keeps 21 under the near-dup threshold while
+        // carrying the exact pre-restart span for the substr index
+        page(21L, "https://a.example.org/q",
+          s"${aa(6)} ${uniq("u", 148)} $spanS"),
+        // identical body, fresh URL: must drop via the PERSISTED
+        // MinHash signature index, never reaching the substr stage
+        page(22L, "https://a.example.org/r", s"${aa(30)} $spanS"))))
     val q2 = startQ()
     try q2.processAllAvailable() finally q2.stop()
     assert(got(0L).map(_._1) == Set(10L) && got(0L).head._2 == 0L,
       s"batch 0 keeps the first crawl uncleaned: ${got(0L)}")
     assert(got(1L).map(_._1) == Set(21L),
       "the pre-restart URL must drop its post-restart respelling via " +
-        s"the PERSISTED seen-set: ${got(1L)}")
+        "the PERSISTED seen-set, and the near-copy must drop via the " +
+        s"PERSISTED signature index: ${got(1L)}")
     assert(got(1L).head._2 >= 50L,
       "the pre-restart span must clean its post-restart copy via the " +
         s"PERSISTED substr index: ${got(1L)}")
-    // both stages own committed per-batch states
-    for (d <- Seq(uidx, sidx)) {
+    // all three stages own committed per-batch deltas
+    for (d <- Seq(uidx, gidx, sidx)) {
       val names = Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty[java.io.File]).map(_.getName).toSet
       assert(names.contains("delta_0") && names.contains("delta_1"),

@@ -930,15 +930,17 @@ class StreamOpsSpec extends SparkSpec {
         s"${streamed.map(_._1)}")
   }
 
-  test("crawlPrepareStream: the triangle EXTENDED with content stages " +
-      "(scrub → langid route → stateless gate → durable substr dedup) " +
-      "— the multi-batch accumulated output equals the batch " +
-      "composition over the same segments, with cross-batch URL " +
-      "respellings AND cross-batch duplicate spans both dropped") {
+  test("crawlPrepareStream: the triangle EXTENDED with the full content " +
+      "chain (domain gate → route-on-raw → scrub → stateless gate → " +
+      "near-dup vs durable sig index → static-plane decon → durable " +
+      "substr dedup) — the multi-batch accumulated output equals the " +
+      "batch composition over the same segments, with every engineered " +
+      "casualty dropping at its own stage") {
     import org.apache.spark.sql.DataFrame
     val root = java.nio.file.Files.createTempDirectory("graft_cprep")
     val in = java.nio.file.Files.createDirectory(root.resolve("in"))
     val urlIdx = root.resolve("uidx").toString
+    val sigIdx = root.resolve("gidx").toString
     val subIdx = root.resolve("sidx").toString
     val ckpt = root.resolve("ckpt").toString
     val labeled = (0L until 20L).map { i =>
@@ -947,6 +949,16 @@ class StreamOpsSpec extends SparkSpec {
         else "eins zwei drei eins zwei drei"
       (i, lang, t)
     }.toDF("doc_id", "lang", "text")
+    // pure-alpha unique tokens (the extraction's content-line rule
+    // only keeps [A-Za-z]+ words — digit-bearing tokens vanish)
+    def uniq(p: String, n: Int) = (0 until n).map(i =>
+      s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    // the static decontamination eval set: 40 unique tokens => 36
+    // distinct 5-grams, each eval-df 1 (all rare within eval)
+    val evTokens = uniq("ev", 40).split(" ")
+    val evalDocs = Seq((9000L, evTokens.mkString(" ")))
+      .toDF("doc_id", "text")
+    val policy = graft.operators.Crawl.defaultPolicy(spark)
     // the stateless per-doc gate: a fixed token-count rule (a frozen
     // trained threshold has the same stateless shape)
     val gate: DataFrame => DataFrame =
@@ -955,12 +967,13 @@ class StreamOpsSpec extends SparkSpec {
       .mkString(" ").split(" ").take(n).mkString(" ")
     def bb(n: Int) = Seq.fill(n / 3 + 1)("eins zwei drei")
       .mkString(" ").split(" ").take(n).mkString(" ")
-    // pure-alpha span tokens: the extraction's content-line rule only
-    // counts [A-Za-z]+ words, so digit-bearing tokens would vanish
+    // pure-alpha span tokens, same reason
     val spanS = (0 until 50).map(i =>
       s"sp${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
     def page(id: Long, url: String, body: String) =
       (id, url, graft.operators.Crawl.wrapHtml(id, body))
+    val ndBody = s"${aa(6)} ${uniq("n", 34)}"         // 40 tokens
+    val ndBodyNear = s"${aa(6)} ${uniq("n", 33)} nxx" // last token differs
     val seg0 = Seq(
       page(100L, "https://a.example.org/doc/1", s"${aa(30)} $spanS"),
       // in-batch respelling of 100 — collapses to the id-100 keeper
@@ -969,22 +982,45 @@ class StreamOpsSpec extends SparkSpec {
       page(102L, "https://b.example.org/doc/2", bb(30)),
       // gate casualty: 4 content tokens — under the 25-token rule
       // even with extraction boilerplate riding along
-      page(103L, "https://a.example.org/doc/3", aa(4)))
+      page(103L, "https://a.example.org/doc/3", aa(4)),
+      // the near-dup pair's FIRST sighting (batch 0)
+      page(110L, "https://a.example.org/doc/4", ndBody))
     val seg1 = Seq(
       // CROSS-BATCH respelling of 100 — must drop via the DURABLE
       // URL seen-set, not the in-batch keeper rule
       page(200L, "https://a.example.org/doc/1/", s"${aa(30)} $spanS"),
       // fresh page whose spanS copy must be cleaned by the DURABLE
-      // substr index (first seen in batch 0)
-      page(201L, "https://c.example.org/doc/4", s"${aa(30)} $spanS"),
-      page(202L, "https://c.example.org/doc/5", bb(30)))
+      // substr index (first seen in batch 0); the unique filler keeps
+      // its shingle Jaccard vs 100 far below the near-dup threshold.
+      // 204 body words — a 12-multiple, so wrapHtml's paragraph
+      // chunking leaves no <3-word orphan line for the scrub rule to
+      // drop (which would truncate spanS's tail)
+      page(201L, "https://c.example.org/doc/4",
+        s"${aa(6)} ${uniq("u", 148)} $spanS"),
+      page(202L, "https://c.example.org/doc/5",
+        s"${bb(6)} ${uniq("m", 30)}"),
+      // DOMAIN-GATE casualties and the allow override (r15): an exact
+      // blocked host, a subdomain of a blocked domain, and the
+      // allowlisted host that is ALSO on the blocked-host list
+      page(203L, "https://malware.badhost.example/doc/6", aa(30)),
+      page(204L, "https://research.tracker.net/doc/7",
+        s"${bb(6)} ${uniq("p", 30)}"),
+      page(205L, "https://cdn.tracker.net/doc/8", bb(30)),
+      // CROSS-BATCH near-copy of 110 — must drop via the DURABLE
+      // MinHash signature index (one token changed; est >> 0.8)
+      page(210L, "https://d.example.org/doc/9", ndBodyNear),
+      // CONTAMINATED doc arriving in a later batch: a contiguous
+      // 20-token run of the eval doc => 16 shared rare 5-grams >= 3
+      page(211L, "https://d.example.org/doc/10",
+        s"${aa(30)} ${evTokens.slice(10, 30).mkString(" ")}"))
     java.nio.file.Files.write(in.resolve("part0.garc"),
       graft.operators.Crawl.encodeArchive(seg0))
     val got = scala.collection.mutable.Map
       .empty[Long, Set[(Long, String, String, Long, Long)]]
     val query = StreamOps.crawlPrepareStream(spark, in.toString,
-      labeled, gate, urlIdx, subIdx,
+      labeled, gate, policy, evalDocs, urlIdx, sigIdx, subIdx,
       Seq.empty[String].toDF("canon_url"),
+      Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig"),
       Seq.empty[String].toDF("h"), ckpt) { (batch, id) =>
       got(id) = batch
         .select("doc_id", "url", "lang", "n_tokens", "n_removed")
@@ -999,24 +1035,37 @@ class StreamOpsSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
     val streamed = got.values.flatten.toSet
-    // the batch composition over the same segments: URL keepers over
-    // ALL records at once, extraction + scrub, the static router, the
-    // same gate, then the batch incremental substr over the union
-    // (empty old side) — equal for doc_id-ordered batches
+    // the batch composition over the same segments, in the STREAM's
+    // stage order: URL keepers over ALL records at once, the domain
+    // gate, extraction, routing on RAW text (the registered
+    // pipeline_crawl_prepare_langid order), scrub, the same content
+    // gate, batch keep-min near-dup, the static-plane decon flag,
+    // then the batch incremental substr over the union (empty old
+    // side) — equal for doc_id-ordered batches
     val recs = graft.operators.Crawl
       .parseArchives(spark, s"$in/*.garc")
-    val docs = graft.operators.TextAnalysis.scrubbed(
-      graft.operators.Crawl.extractText(
-        graft.operators.Crawl.urlKeeperRecords(recs)))
+    val hostGated = graft.operators.Crawl.domainGate(
+      graft.operators.Crawl.urlKeeperRecords(recs), "url", policy)
+    val raw = graft.operators.Crawl.extractText(hostGated)
+      .localCheckpoint()
     val routed = graft.operators.NbLangid
-      .route(labeled, docs.select("doc_id", "text"))
+      .route(labeled, raw.select("doc_id", "text"))
+    val docs = graft.operators.TextAnalysis.scrubbed(raw)
     val gated = gate(docs.join(routed, Seq("doc_id"))
       .select(col("doc_id"), col("url"),
         col("pred").as("lang"), col("text")))
+    val ndLosers = graft.operators.Dedup
+      .minhashPairs(gated.select("doc_id", "text"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val deduped = gated.join(ndLosers, Seq("doc_id"), "left_anti")
+    val plane = graft.operators.TextAnalysis.deconPlane(evalDocs)
+    val flagged = graft.operators.TextAnalysis
+      .deconFlagged(deduped.select("doc_id", "text"), plane)
+    val train = deduped.join(flagged, Seq("doc_id"), "left_anti")
     val cleaned = graft.operators.Dedup.exactSubstrIncremental(
-      gated.select("doc_id", "text"),
+      train.select("doc_id", "text"),
       Seq.empty[(Long, String)].toDF("doc_id", "text"))
-    val batchOut = gated.select("doc_id", "url", "lang")
+    val batchOut = train.select("doc_id", "url", "lang")
       .join(cleaned, Seq("doc_id"))
       .select("doc_id", "url", "lang", "n_tokens", "n_removed")
       .collect()
@@ -1029,9 +1078,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(!ids.contains(101L) && !ids.contains(200L),
       s"in-batch AND cross-batch URL respellings must drop: $ids")
     assert(!ids.contains(103L), s"the gate casualty must drop: $ids")
+    assert(!ids.contains(203L) && !ids.contains(205L),
+      s"the blocked host AND the blocked-domain subdomain must drop " +
+        s"at the domain gate: $ids")
+    assert(ids.contains(204L),
+      s"the allowlisted host must beat both block lists: $ids")
+    assert(ids.contains(110L) && !ids.contains(210L),
+      s"the cross-batch near-copy must drop via the DURABLE signature " +
+        s"index (first sighting survives): $ids")
+    assert(!ids.contains(211L),
+      s"the contaminated doc arriving in a later batch must drop via " +
+        s"the static decon plane: $ids")
     val byId = streamed.map(t => t._1 -> t).toMap
     assert(byId(100L)._3 == "aa" && byId(201L)._3 == "aa" &&
-      byId(102L)._3 == "bb" && byId(202L)._3 == "bb",
+      byId(102L)._3 == "bb" && byId(202L)._3 == "bb" &&
+      byId(204L)._3 == "bb",
       s"the static router must label every kept doc: $streamed")
     assert(byId(100L)._5 == 0L,
       s"spanS's first occurrence must survive: ${byId(100L)}")
