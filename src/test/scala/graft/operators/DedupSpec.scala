@@ -668,4 +668,53 @@ class DedupSpec extends SparkSpec {
     // the matrix is the full C(S,2)
     assert(got.size == srcs.size * (srcs.size - 1) / 2)
   }
+
+  test("minhashPairsAgainstSigs (r15, the streaming near-dup stage): " +
+      "equals minhashPairs restricted to the new side — one banding " +
+      "algebra, so stream and batch can never bucket differently — " +
+      "and the pair plan stays within its exchange budget") {
+    import spark.implicits._
+    // 60-token docs with per-doc vocab; engineered near-pairs: 100 is
+    // a one-token edit of old doc 3, 101 an exact copy of old doc 7,
+    // 104 a one-token edit of NEW doc 103 (the within-batch case)
+    def toks(id: Long) = (0 until 60).map(j => s"d${id}w$j")
+    def text(ts: Seq[String]) = ts.mkString(" ")
+    val old = (0L until 10L).map(id => (id, text(toks(id))))
+    val fresh = Seq(
+      (100L, text(toks(3).dropRight(1) :+ "edited")),
+      (101L, text(toks(7))),
+      (102L, text(toks(102L))),
+      (103L, text(toks(103L))),
+      (104L, text(toks(103L).dropRight(1) :+ "edited")))
+    val allDf = (old ++ fresh).toDF("doc_id", "text")
+    val freshDf = fresh.toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val pairs = graft.operators.Dedup.minhashPairsAgainstSigs(
+      graft.operators.Dedup.minhashSignatures(allDf),
+      graft.operators.Dedup.minhashSignatures(freshDf))
+    // collect() executes THIS dataset's own QueryExecution so the
+    // shuffle metrics below land on the measured plan (the
+    // PlanBudgetSpec discipline)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Dedup.minhashPairs(allDf)
+      .where(col("doc_b") >= 100L)
+      .select(col("doc_b"), col("doc_a"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"sig-level and doc-level pair sets diverged: " +
+      s"$got vs $want")
+    assert(Set((100L, 3L), (101L, 7L), (104L, 103L)).subsetOf(got),
+      s"every engineered near-pair must surface (cross-side AND " +
+        s"within-batch): $got")
+    assert(!got.exists(_._1 == 102L), s"the unique doc pairs with " +
+      s"nothing: $got")
+    // exchange budget (measured 2 at spec scale — small sides
+    // broadcast; the ceiling leaves room for the shuffle-join form
+    // while still catching an all-pairs or corpus-window creep):
+    // band explode + candidate equijoin + two sig re-attach joins
+    val m = graft.Metrics.shuffleSummary(pairs)
+    info(s"minhashPairsAgainstSigs: $m")
+    assert(m.exchanges <= 8,
+      s"the streaming near-dup pair plan grew a shuffle: $m")
+  }
 }
