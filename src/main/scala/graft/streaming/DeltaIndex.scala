@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch-DELTA persistence for the durable streaming indexes (r15 —
@@ -41,10 +42,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (replays only touch the newest in-flight batch, whose read set is
   * the previous base plus the deltas above it).
   *
-  * Local-FS listing here, like the layout it replaces; a cluster run
-  * points the index dir at durable storage and lists through the
-  * Hadoop FS API — the keying and the idempotence argument are
-  * identical. */
+  * All directory operations go through the Hadoop FileSystem API
+  * resolved from the index dir's own scheme (r15 — previously a
+  * local-FS `java.io.File` walk), so the SAME code runs against
+  * local disk in the specs and against HDFS/S3A durable storage on a
+  * cluster; `indexDir` may carry any scheme Spark's Hadoop conf
+  * knows. */
 private[streaming] object DeltaIndex {
 
   /** Default compaction cadence: one O(index) fold per 16 batches
@@ -52,19 +55,29 @@ private[streaming] object DeltaIndex {
     * amortized write cost at index/16 per batch. */
   val CompactEvery: Int = 16
 
-  /** Committed (id, dir) entries `prefix`-keyed under `indexDir` with
-    * id < `beforeBatch`, ascending. A dir without _SUCCESS (a crashed
-    * write) is invisible. */
+  private def fs(indexDir: String, spark: SparkSession): FileSystem =
+    new Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Committed (id, path) entries `prefix`-keyed under `indexDir`
+    * with id < `beforeBatch`, ascending. A dir without _SUCCESS (a
+    * crashed write) is invisible; a missing index root is simply
+    * empty (first batch of a fresh stream). */
   private def committed(indexDir: String, prefix: String,
-      beforeBatch: Long): Seq[(Long, java.io.File)] = {
-    val root = new java.io.File(indexDir)
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .flatMap(f => scala.util.Try(
-        f.getName.stripPrefix(prefix).toLong).toOption
-        .filter(_ < beforeBatch).map(_ -> f))
-      .sortBy(_._1).toIndexedSeq
+      beforeBatch: Long, spark: SparkSession): Seq[(Long, Path)] = {
+    val root = new Path(indexDir)
+    val f = fs(indexDir, spark)
+    val entries =
+      if (!f.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(root)
+    entries.toIndexedSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(prefix) &&
+        f.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix(prefix).toLong).toOption
+        .filter(_ < beforeBatch).map(_ -> st.getPath))
+      .sortBy(_._1)
   }
 
   /** The state visible to batch `beforeBatch`: newest committed base
@@ -75,17 +88,17 @@ private[streaming] object DeltaIndex {
     * committed dirs only, so a replayed batch decides identically. */
   def read(indexDir: String, beforeBatch: Long, fallback: => DataFrame,
       spark: SparkSession): (DataFrame, Int) = {
-    val deltas0 = committed(indexDir, "delta_", beforeBatch)
+    val deltas0 = committed(indexDir, "delta_", beforeBatch, spark)
     val (baseDf, deltas) =
-      committed(indexDir, "base_", beforeBatch).lastOption match {
+      committed(indexDir, "base_", beforeBatch, spark).lastOption match {
         case Some((bid, dir)) =>
-          (spark.read.parquet(dir.getAbsolutePath),
+          (spark.read.parquet(dir.toString),
             deltas0.filter(_._1 > bid))
         case None => (fallback, deltas0)
       }
     val df = if (deltas.isEmpty) baseDf
       else baseDf.unionAll(
-        spark.read.parquet(deltas.map(_._2.getAbsolutePath): _*))
+        spark.read.parquet(deltas.map(_._2.toString): _*))
     (df, deltas.size)
   }
 
@@ -117,19 +130,13 @@ private[streaming] object DeltaIndex {
       // ids below the PREVIOUS base are unreachable from any replay
       // (a replay of THIS batch reads that base + the deltas above
       // it) — reap them so disk stays O(index), not O(index·batches)
-      committed(indexDir, "base_", batchId).lastOption.foreach {
+      committed(indexDir, "base_", batchId, spark).lastOption.foreach {
         case (p, _) =>
-          (committed(indexDir, "base_", p) ++
-            committed(indexDir, "delta_", p))
-            .foreach { case (_, dir) => rmTree(dir.toPath) }
+          val f = fs(indexDir, spark)
+          (committed(indexDir, "base_", p, spark) ++
+            committed(indexDir, "delta_", p, spark))
+            .foreach { case (_, dir) => f.delete(dir, true) }
       }
     }
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

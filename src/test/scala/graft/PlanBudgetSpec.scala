@@ -479,7 +479,13 @@ class PlanBudgetSpec extends SparkSpec {
                                         // the archive walk is the scan-
                                         // side narrow stage, hex rows
                                         // are the only spread payload
-    "pipeline_ppl_buckets" -> 7,        // since r13 the scoring chain
+    "pipeline_ppl_buckets" -> 5,        // r15: the boundary-rank range
+                                        // layout pin (ranged
+                                        // localCheckpoint) moved the
+                                        // two-phase rank's exchanges
+                                        // out of the measured plan —
+                                        // measured 4 (was 6);
+                                        // since r13 the scoring chain
                                         // runs ONCE behind an eager
                                         // checkpoint (its own shuffle
                                         // discipline is text_kn_logprob's
@@ -577,11 +583,12 @@ class PlanBudgetSpec extends SparkSpec {
                                         // (measured 27 + the ±2 cached-
                                         // frame AQE flip margin the
                                         // bigram plane documents)
-    "pipeline_ppl_buckets_kn5" -> 7,    // same bucket-machinery plan as
+    "pipeline_ppl_buckets_kn5" -> 5,    // same bucket-machinery plan as
                                         // pipeline_ppl_buckets over the
                                         // checkpointed kn5 score plane
                                         // (text_kn5_logprob's budget
-                                        // pins the chain); measured 6
+                                        // pins the chain); measured 4
+                                        // since the r15 layout pin
                                         // post-r14 + ±1 flip margin
     "pipeline_full_prepare_ppl" -> 18,  // since r13 the kn5 score plane
                                         // is an eager checkpoint inside
