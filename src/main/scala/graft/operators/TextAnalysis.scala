@@ -86,6 +86,32 @@ object TextAnalysis {
       |HAVING COUNT(DISTINCT t.g) >= 3
       |ORDER BY train_doc, eval_doc""".stripMargin
 
+  /** Mirror of the STATIC-plane decontamination flag — the streaming
+    * gate's algebra ([[deconPlane]] + [[deconFlagged]]) over the
+    * registered eval split: eval grams distinct per doc, rarity =
+    * eval-docfreq ≤ 20, a train doc flags when it shares ≥ 3 distinct
+    * plane grams with ONE eval doc. The gram explode reuses
+    * [[sqlDecontaminate]]'s bg shape verbatim. */
+  private def sqlDeconStatic: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 5),
+      |eg AS (SELECT doc_id AS eval_doc, g FROM bg WHERE doc_id % 10 = 0),
+      |rare AS (SELECT g FROM eg GROUP BY g HAVING COUNT(*) <= 20),
+      |plane AS (SELECT g, eval_doc FROM eg JOIN rare USING (g)),
+      |hits AS (
+      |  SELECT t.doc_id, p.eval_doc, COUNT(*) AS n_shared
+      |  FROM bg t JOIN plane p USING (g)
+      |  WHERE t.doc_id % 10 <> 0
+      |  GROUP BY t.doc_id, p.eval_doc)
+      |SELECT DISTINCT doc_id FROM hits WHERE n_shared >= 3
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-dir memo of the eval-side gram bloom filter (build once,
     * probe many — the persisted-index discipline; Spark's own runtime
     * filter rebuilds per query, a production pipeline would not).
@@ -1291,6 +1317,26 @@ object TextAnalysis {
     Q("pipeline_decontaminate_bloom", Some(sqlDecontaminate)) { (s, dir) =>
       decontaminateBloomPairs(docs(s, dir), dir)
         .orderBy("train_doc", "eval_doc")
+    },
+
+    // ---- STATIC-PLANE decontamination flag (r15): the continuous
+    //      prepare's gate semantics ([[deconPlane]]/[[deconFlagged]] —
+    //      rarity WITHIN the eval slice, since a stream cannot know
+    //      corpus-wide docfreq; flagged = train docs sharing >= 3
+    //      distinct plane grams with one eval doc) replayed batch-side
+    //      over the registered % 10 split, so the streaming stage's
+    //      exact algebra sits under the cross-engine hash contract and
+    //      not just the StreamOpsSpec parity pin. The bloom prune is
+    //      lossless (no false negatives), so the oracle needs no bloom
+    //      — the decontaminate_bloom precedent. ----
+    Q("pipeline_decontaminate_static", Some(sqlDeconStatic)) { (s, dir) =>
+      val d = docs(s, dir)
+      val plane = deconPlane(
+        d.where(col("doc_id") % 10 === 0).select("doc_id", "text"))
+      deconFlagged(
+        d.where(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        plane)
+        .orderBy("doc_id")
     },
 
     // ---- document fingerprint: digest of normalized text ----
