@@ -381,12 +381,24 @@ object Dedup {
       array_join(transform(sl, _.cast("string")), ","))),
     maxSlots = 60)
 
+  /** THE near-dup threshold constants — shared by the registered
+    * batch queries (`pipeline_drop_near_dups` family, via these
+    * defaults) AND the continuous prepare's streaming near-dup stage
+    * (`StreamOps.crawlPrepareStream`, which passes no overrides). One
+    * definition, because a drifted default would silently change the
+    * continuous corpus while every parity fixture still passed —
+    * fixtures sit far from the 0.8 boundary (DedupSpec pins the
+    * constants and the sharing). */
+  val NearDupNumHashes: Int = 64
+  val NearDupBands: Int = 16
+  val NearDupMinEst: Double = 0.8
+
   /** MinHash signatures: each shingle is hashed ONCE (two independent
     * base hashes), and the `numHashes` slot hashes are derived as
     * `h1 XOR rotl(h2, i)` — pure bitwise ops (ANSI-safe, no overflow)
     * instead of 64 string hashes per shingle, keeping the per-slot `min`
     * aggregate codegen tiny. Returns (doc_id, sig). */
-  def minhashSignatures(d: DataFrame, numHashes: Int = 64,
+  def minhashSignatures(d: DataFrame, numHashes: Int = NearDupNumHashes,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
     require(numHashes <= scheme.maxSlots,
       s"numHashes=$numHashes exceeds the scheme's rotation domain " +
@@ -425,6 +437,59 @@ object Dedup {
     array((0 until bands).map(b =>
       scheme.bandHash(slice(col("sig"), b * rows + 1, rows), b)): _*)
 
+  /** The exploded (doc_id, band, bh) band-bucket TABLE of a signature
+    * frame — [[bandBuckets]] as rows instead of an inline array. This
+    * is the structure the durable streaming near-dup index PERSISTS
+    * (hash-bucketed on (band, bh)): banding a signature is a pure
+    * function of the sig, so computing it once at signing time and
+    * storing the slim rows means no consumer ever re-bands the
+    * accumulated index ­— the r15 verdict's ×bands-per-batch
+    * re-banding flag. ~16 rows × (8 B id + bucket hash) per doc. */
+  def bandedSignatures(sigs: DataFrame,
+      numHashes: Int = NearDupNumHashes, bands: Int = NearDupBands,
+      scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    sigs.select(col("doc_id"),
+      posexplode(bandBuckets(scheme, bands, numHashes / bands))
+        .as(Seq("band", "bh")))
+  }
+
+  /** Candidate near-dup pairs from PRE-BANDED tables: `bandedNew`'s
+    * docs against `bandedOld`'s (which must INCLUDE the new rows when
+    * new-new pairs are wanted — the streaming consumer unions batch
+    * bands in). Keep-min orientation (doc_old < doc_new); candidates
+    * come from the (band, bh) equijoin — never all-pairs. Both inputs
+    * must ride the SAME scheme/bands ([[bandedSignatures]]). */
+  def minhashCandidatesBanded(bandedOld: DataFrame,
+      bandedNew: DataFrame): DataFrame = {
+    val ba = bandedOld.select(col("doc_id").as("doc_old"),
+      col("band"), col("bh"))
+    val bn = bandedNew.select(col("doc_id").as("doc_new"),
+      col("band"), col("bh"))
+    bn.join(ba, Seq("band", "bh"))
+      .where(col("doc_old") < col("doc_new"))
+      .select("doc_new", "doc_old")
+      .dropDuplicates("doc_new", "doc_old")
+  }
+
+  /** Verified pairs from a candidate list: attach the wide signature
+    * arrays AFTER pair dedup (doc_new sigs from `sigNew`, doc_old
+    * sigs from `sigOld` — the streaming consumer passes the
+    * bucket-PRUNED index sigs ∪ the batch's own), estimate Jaccard,
+    * threshold. The [[minhashPairs]] verify stage, factored out so a
+    * pre-banded candidate path shares it verbatim. */
+  def minhashPairsFromCandidates(cand: DataFrame, sigNew: DataFrame,
+      sigOld: DataFrame, numHashes: Int = NearDupNumHashes,
+      minEst: Double = NearDupMinEst): DataFrame =
+    cand
+      .join(sigNew.select(col("doc_id").as("doc_new"),
+        col("sig").as("sig_n")), "doc_new")
+      .join(sigOld.select(col("doc_id").as("doc_old"),
+        col("sig").as("sig_o")), "doc_old")
+      .withColumn("est_jaccard", estJaccard("sig_n", "sig_o", numHashes))
+      .where(col("est_jaccard") >= minEst)
+      .select("doc_new", "doc_old", "est_jaccard")
+
   /** Estimated Jaccard from two aligned signatures: matching-slot
     * fraction. Shared by both pair generators for the same lockstep
     * reason as [[bandBuckets]]. */
@@ -432,8 +497,9 @@ object Dedup {
       : Column =
     expr(s"array_eq_count($sigA, $sigB) / cast($numHashes as double)")
 
-  def minhashPairs(d: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      minEst: Double = 0.8,
+  def minhashPairs(d: DataFrame,
+      numHashes: Int = NearDupNumHashes, bands: Int = NearDupBands,
+      minEst: Double = NearDupMinEst,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
@@ -478,29 +544,20 @@ object Dedup {
     * never all-pairs; the wide signature arrays re-attach after pair
     * dedup. */
   def minhashPairsAgainstSigs(sigAll: DataFrame, sigNew: DataFrame,
-      numHashes: Int = 64, bands: Int = 16, minEst: Double = 0.8,
+      numHashes: Int = NearDupNumHashes, bands: Int = NearDupBands,
+      minEst: Double = NearDupMinEst,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sa = sigAll.select("doc_id", "sig")
-    val sn = sigNew.select("doc_id", "sig")
-    val bandArr = bandBuckets(scheme, bands, rows)
-    val ba = sa.select(col("doc_id").as("doc_old"),
-      posexplode(bandArr).as(Seq("band", "bh")))
-    val bn = sn.select(col("doc_id").as("doc_new"),
-      posexplode(bandArr).as(Seq("band", "bh")))
-    val cand = bn.join(ba, Seq("band", "bh"))
-      .where(col("doc_old") < col("doc_new"))
-      .select("doc_new", "doc_old")
-      .dropDuplicates("doc_new", "doc_old")
-    cand
-      .join(sn.select(col("doc_id").as("doc_new"), col("sig").as("sig_n")),
-        "doc_new")
-      .join(sa.select(col("doc_id").as("doc_old"), col("sig").as("sig_o")),
-        "doc_old")
-      .withColumn("est_jaccard", estJaccard("sig_n", "sig_o", numHashes))
-      .where(col("est_jaccard") >= minEst)
-      .select("doc_new", "doc_old", "est_jaccard")
+    // both sides are referenced twice (band explode + signature
+    // re-attach); cache so a caller passing a non-materialized
+    // signature frame doesn't recompute the shingle scan + 64-slot
+    // min aggregate per reference — the minhashPairs lifecycle note
+    // applies (the Verify/Bench harnesses clearCache per query)
+    val sa = sigAll.select("doc_id", "sig").cache()
+    val sn = sigNew.select("doc_id", "sig").cache()
+    val cand = minhashCandidatesBanded(
+      bandedSignatures(sa, numHashes, bands, scheme),
+      bandedSignatures(sn, numHashes, bands, scheme))
+    minhashPairsFromCandidates(cand, sn, sa, numHashes, minEst)
   }
 
   /** 128-bit SimHash fingerprint per document (term-frequency-weighted
@@ -774,8 +831,9 @@ object Dedup {
 
   /** [[dropNearDuplicates]] with the MinHash+LSH candidate generator —
     * the 100 TB default. */
-  def dropNearDuplicates(d: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, minEst: Double = 0.8): DataFrame =
+  def dropNearDuplicates(d: DataFrame,
+      numHashes: Int = NearDupNumHashes, bands: Int = NearDupBands,
+      minEst: Double = NearDupMinEst): DataFrame =
     dropNearDuplicates(d, minhashPairs(d, numHashes, bands, minEst))
 
   /** Incremental-ingestion near-dup candidates: MinHash band collisions
@@ -799,7 +857,8 @@ object Dedup {
     * (The metadata-sized `cum` cache in `Sampling.topHalfByScore` follows
     * the same clear-between-queries policy.) */
   def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame,
-      numHashes: Int = 64, bands: Int = 16, minEst: Double = 0.8,
+      numHashes: Int = NearDupNumHashes, bands: Int = NearDupBands,
+      minEst: Double = NearDupMinEst,
       scheme: MinHashScheme = xxhash64Scheme): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands

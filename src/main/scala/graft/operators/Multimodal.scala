@@ -839,19 +839,39 @@ object Multimodal {
     * equijoin, 8-byte signatures, exact popcount verify on candidates
     * only. */
   def hammingDedupPairsAgainst(ref: DataFrame, probe: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4-chunk banding guarantees recall only for hamming <= 3")
+      maxHamming: Int = 3): DataFrame =
+    hammingDedupPairsFromChunks(hammingChunkRows(ref),
+      hammingChunkRows(probe), maxHamming)
+
+  /** The exploded (doc_id, lo, hi, ci, cv) 16-bit-chunk TABLE of a
+    * signature frame — the banding of [[hammingDedupPairsAgainst]] as
+    * rows. This is what the durable streaming image-dedup index
+    * PERSISTS (hash-bucketed on (ci, cv)): chunking is a pure
+    * function of the signature, so computing it once at signing time
+    * and storing the rows (signature riding inline — it is only
+    * 16 bytes, unlike a MinHash sig) means the per-batch probe never
+    * re-chunks the accumulated index, and bucket pruning on the
+    * batch's own (ci, cv) set reads only the index slice that can
+    * collide. 4 slim rows per doc. */
+  def hammingChunkRows(sigs: DataFrame): DataFrame = {
     val chunkArr = array((0 until 4).map { j =>
       val src = if (j < 2) col("lo") else col("hi")
       shiftright(src, 16 * (j % 2)).bitwiseAND(lit(65535L))
     }: _*)
-    def chunks(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("lo"), col("hi"),
-        posexplode(chunkArr).as(Seq("ci", "cv")))
-    val a = chunks(ref).select(col("ci"), col("cv"),
+    sigs.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(chunkArr).as(Seq("ci", "cv")))
+  }
+
+  /** [[hammingDedupPairsAgainst]] from PRE-CHUNKED tables
+    * ([[hammingChunkRows]]) — the path a persisted chunk index rides;
+    * identical candidates and verification by construction. */
+  def hammingDedupPairsFromChunks(refChunks: DataFrame,
+      probeChunks: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for hamming <= 3")
+    val a = refChunks.select(col("ci"), col("cv"),
       col("doc_id").as("doc_a"), col("lo").as("la"), col("hi").as("ha"))
-    val b = chunks(probe).select(col("ci"), col("cv"),
+    val b = probeChunks.select(col("ci"), col("cv"),
       col("doc_id").as("doc_b"), col("lo").as("lb"), col("hi").as("hb"))
     a.join(b, Seq("ci", "cv"))
       .where(col("doc_a") < col("doc_b"))
@@ -867,10 +887,21 @@ object Multimodal {
     * [[hammingDedupSurvivors]] window over the two-sided pair list) —
     * the per-batch step of the incremental image-dedup stream. */
   def hammingDedupSurvivorsAgainst(ref: DataFrame, probe: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    keeperReport(hammingDedupPairsAgainst(ref, probe, maxHamming))
+
+  /** [[hammingDedupSurvivorsAgainst]] from pre-chunked tables — the
+    * durable stream's per-batch step over its persisted chunk index. */
+  def hammingDedupSurvivorsFromChunks(refChunks: DataFrame,
+      probeChunks: DataFrame, maxHamming: Int = 3): DataFrame =
+    keeperReport(
+      hammingDedupPairsFromChunks(refChunks, probeChunks, maxHamming))
+
+  /** The keep-min survivor window over a verified pair list. */
+  private def keeperReport(pairs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_b").orderBy("doc_a")
-    hammingDedupPairsAgainst(ref, probe, maxHamming)
+    pairs
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("doc_b").as("doc_id"), col("doc_a").as("keeper"),

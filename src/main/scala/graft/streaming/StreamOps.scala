@@ -480,12 +480,53 @@ object StreamOps {
 
   /** The full accumulated committed state of a durable stream's
     * batch-delta index — the consumer-facing read (newest base plus
-    * the delta chain above it; see [[DeltaIndex]]). Multiset
+    * the mid/delta chain above it; see [[DeltaIndex]]). Multiset
     * semantics: deltas may repeat earlier keys; every engine consumer
-    * is duplicate-insensitive, and a set-consumer distincts. */
+    * is duplicate-insensitive, and a set-consumer distincts.
+    *
+    * CONCURRENT-READER CONTRACT: the listing is eager but the
+    * parquet read is lazy, and a LIVE stream's compaction may reap a
+    * listed dir one full fold cycle later — execute the consuming
+    * action promptly, or pass `eager = true` to materialize a
+    * snapshot before returning (see [[DeltaIndex]]'s reader
+    * contract). */
   def readIndexState(indexDir: String, fallback: => DataFrame,
-      spark: org.apache.spark.sql.SparkSession): DataFrame =
-    DeltaIndex.readAll(indexDir, fallback, spark)
+      spark: org.apache.spark.sql.SparkSession,
+      eager: Boolean = false): DataFrame =
+    DeltaIndex.readAll(indexDir, fallback, spark, eager)
+
+  /** Loud enforcement of the id-ordering contract for DURABLE
+    * streams, against the persisted one-row-per-batch max-id marker
+    * chain (reading a max from the full index would be the exact
+    * O(index)-per-batch scan the bucketed layout exists to avoid):
+    * requires max(indexed doc_id) < min(batch doc_id). */
+  private def assertIdOrderMax(idxMax: Option[Long],
+      batchMin: Option[Long], batchId: Long): Unit =
+    for (hi <- idxMax; lo <- batchMin)
+      require(hi < lo,
+        s"incremental dedup batch $batchId violates the doc_id " +
+          s"ordering contract: index max $hi >= batch min $lo — new " +
+          "docs must carry ids above every indexed doc (assign " +
+          "monotone ingest ids)")
+
+  /** The batch's contribution to the max-id marker chain: one row
+    * (max doc_id), or none for an empty batch. */
+  private def maxIdDelta(df: DataFrame): DataFrame =
+    df.agg(org.apache.spark.sql.functions.max("doc_id")
+      .as("max_doc_id")).where(col("max_doc_id").isNotNull)
+
+  private def maxIdOf(maxDir: String, beforeBatch: Long,
+      fallback: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
+    val row = DeltaIndex.read(maxDir, beforeBatch, fallback, spark)
+      .agg(org.apache.spark.sql.functions.max("max_doc_id")).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  private def minIdOf(df: DataFrame): Option[Long] = {
+    val row = df.agg(org.apache.spark.sql.functions.min("doc_id")).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
 
   /** DURABLE incremental ExactSubstr — [[incrementalSubstrStream]]
     * with the accumulated digest index PERSISTED per batch, closing
@@ -502,36 +543,49 @@ object StreamOps {
     * excluded by construction), cleans against that, and idempotently
     * overwrites `delta_<batchId>` with just ITS batch's window
     * digests — O(batch) bytes, not O(index); every `compactEvery`
-    * batches the committing batch also folds state into
-    * `base_<batchId>` and reaps unreachable dirs. A replayed batch
-    * reproduces byte-identical output, delta, and base. Deltas may
+    * batches the committing batch also folds the delta WINDOW into
+    * `mid_<batchId>` (and, on the mid cadence, the full state into
+    * `base_<batchId>`) and reaps unreachable dirs. A replayed batch
+    * reproduces byte-identical output, delta, and folds. Deltas may
     * repeat spans already indexed (the clean distincts its digest
     * index internally — see [[DeltaIndex]]); compaction re-dedups the
     * on-disk state. The query's OWN streaming checkpoint (source
     * offsets, batch ids) lives at `checkpointDir` — index +
-    * checkpoint together are the complete restart state. */
+    * checkpoint together are the complete restart state.
+    *
+    * PRUNED PROBE (r16 — the read-side twin of the r15 delta-write
+    * fix): the index is hash-BUCKETED on the digest `h`
+    * ([[Bucketing]]), and each batch reads ONLY the bucket subdirs
+    * its own window digests hash to — join-equivalent to the full
+    * index by construction (any index digest equal to a batch digest
+    * shares its bucket), so probe bytes scale with the batch's
+    * bucket coverage, never the accumulated corpus history. */
   def incrementalSubstrStreamDurable(newDocs: DataFrame,
       indexDir: String, initialIndex: DataFrame,
       checkpointDir: String,
       minLen: Int = graft.operators.Dedup.ExactSubstrMinLen,
-      compactEvery: Int = DeltaIndex.CompactEvery)(
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newDocs.sparkSession
+    val bkt = Bucketing(numBuckets, Seq("h"))
     val init = initialIndex.select("h").distinct().localCheckpoint()
     newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val (prev0, nDeltas) = DeltaIndex.read(indexDir, batchId,
-          init, spark)
-        val prev = prev0.select("h").localCheckpoint()
+        // the batch's own digests drive BOTH the probe's bucket set
+        // and the committed delta — computed once, checkpointed
+        val digests = graft.operators.Dedup
+          .substrWindowDigests(batch, minLen).localCheckpoint()
+        val prev = DeltaIndex.readPruned(indexDir, batchId, init,
+          bkt, bkt.bucketsOf(digests), spark).localCheckpoint()
         sink(graft.operators.Dedup
           .exactSubstrAgainstIndex(batch, prev, minLen)
           .localCheckpoint(), batchId)
-        DeltaIndex.commit(
-          graft.operators.Dedup.substrWindowDigests(batch, minLen),
-          prev, indexDir, batchId, nDeltas, compactEvery)
+        DeltaIndex.commit(digests, indexDir, batchId, init,
+          Some(bkt), compactEvery)
         ()
       }
       .start()
@@ -558,25 +612,49 @@ object StreamOps {
   def incrementalImageDedupStreamDurable(newSigs: DataFrame,
       indexDir: String, initialIndex: DataFrame,
       checkpointDir: String, maxHamming: Int = 3,
-      compactEvery: Int = DeltaIndex.CompactEvery)(
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newSigs.sparkSession
+    // THREE chains under indexDir (r16 — the pruned-probe layout):
+    //   sigs/   (doc_id, lo, hi), bucketed by doc_id — the
+    //           consumer-facing 24 B/doc structure;
+    //   chunks/ (doc_id, lo, hi, ci, cv), bucketed by (ci, cv) — the
+    //           persisted banding, so a batch probes ONLY the chunk
+    //           buckets its own signatures hash to and never
+    //           re-chunks (or even reads) the rest of the index;
+    //   maxid/  one row per batch — the id-ordering witness, so the
+    //           contract check never scans the index either.
+    val sigBkt = Bucketing(numBuckets, Seq("doc_id"))
+    val chunkBkt = Bucketing(numBuckets, Seq("ci", "cv"))
     val init = initialIndex.select("doc_id", "lo", "hi").localCheckpoint()
+    val initChunks = graft.operators.Multimodal
+      .hammingChunkRows(init).localCheckpoint()
+    val initMax = maxIdDelta(init).localCheckpoint()
     newSigs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val (prev0, nDeltas) = DeltaIndex.read(indexDir, batchId,
-          init, spark)
-        val prev = prev0.select("doc_id", "lo", "hi").localCheckpoint()
         val b = batch.select("doc_id", "lo", "hi").localCheckpoint()
-        assertIdOrder(prev, b, batchId)
+        val bChunks = graft.operators.Multimodal
+          .hammingChunkRows(b).localCheckpoint()
+        assertIdOrderMax(
+          maxIdOf(s"$indexDir/maxid", batchId, initMax, spark),
+          minIdOf(b), batchId)
+        val idxChunks = DeltaIndex.readPruned(s"$indexDir/chunks",
+          batchId, initChunks, chunkBkt, chunkBkt.bucketsOf(bChunks),
+          spark)
         sink(graft.operators.Multimodal
-          .hammingDedupSurvivorsAgainst(prev.unionAll(b), b, maxHamming)
+          .hammingDedupSurvivorsFromChunks(
+            idxChunks.unionAll(bChunks), bChunks, maxHamming)
           .localCheckpoint(), batchId)
-        DeltaIndex.commit(b, prev, indexDir, batchId, nDeltas,
-          compactEvery)
+        DeltaIndex.commit(b, s"$indexDir/sigs", batchId, init,
+          Some(sigBkt), compactEvery)
+        DeltaIndex.commit(bChunks, s"$indexDir/chunks", batchId,
+          initChunks, Some(chunkBkt), compactEvery)
+        DeltaIndex.commit(maxIdDelta(b), s"$indexDir/maxid", batchId,
+          initMax, None, compactEvery)
         ()
       }
       .start()
@@ -736,10 +814,12 @@ object StreamOps {
   def crawlTriangleStream(s: org.apache.spark.sql.SparkSession,
       segmentDir: String, indexDir: String, initialSeen: DataFrame,
       wetDir: String, checkpointDir: String,
-      compactEvery: Int = DeltaIndex.CompactEvery)
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wetDir))
+    val bkt = Bucketing(numBuckets, Seq("canon_url"))
     val init = initialSeen.select("canon_url").distinct().localCheckpoint()
     val recs = graft.operators.Crawl.extractFromSegments(
       segmentStream(s, segmentDir, Some("*.garc")))
@@ -747,13 +827,16 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val (seen0, nDeltas) = DeltaIndex.read(indexDir, batchId,
-          init, s)
-        val seen = seen0.select("canon_url").localCheckpoint()
         val keepers = graft.operators.Crawl
           .urlKeeperRecords(batch.toDF())
           .withColumn("canon_url",
             graft.operators.Crawl.canonicalizeUrl(col("url")))
+          .localCheckpoint()
+        // pruned probe (r16): only the seen-set buckets the batch's
+        // own canonical URLs hash to — the anti-join is equivalent on
+        // the pruned state since any colliding URL shares its bucket
+        val seen = DeltaIndex.readPruned(indexDir, batchId, init,
+          bkt, bkt.bucketsOf(keepers.select("canon_url")), s)
           .localCheckpoint()
         val fresh = keepers.join(seen.hint("shuffle_hash"),
           Seq("canon_url"), "left_anti").localCheckpoint()
@@ -761,8 +844,8 @@ object StreamOps {
           graft.operators.Crawl.extractText(fresh.drop("canon_url"))
             .select("doc_id", "url", "text"),
           wetDir, batchId)
-        DeltaIndex.commit(fresh.select("canon_url"), seen, indexDir,
-          batchId, nDeltas, compactEvery)
+        DeltaIndex.commit(fresh.select("canon_url"), indexDir,
+          batchId, init, Some(bkt), compactEvery)
         ()
       }
       .start()
@@ -806,15 +889,20 @@ object StreamOps {
     *      must preserve doc_id/url/lang/text and must decide each row
     *      from that row alone, or stream/batch parity breaks);
     *   6. NEAR-DUPLICATE dedup against the DURABLE cross-batch
-    *      MinHash signature index (`sigIndexDir`): the batch's gated
-    *      docs sign ([[graft.operators.Dedup.minhashSignatures]]),
-    *      pairs come from the banded equijoin against index ∪ batch
-    *      ([[graft.operators.Dedup.minhashPairsAgainstSigs]] —
-    *      keep-min, old always wins), matched docs drop, and ALL
-    *      batch signatures (kept and dropped — a dropped doc still
-    *      witnesses its neighborhood) append to the index. Ingest ids
+    *      MinHash state (`sigIndexDir` — sigs/bands/maxid chains):
+    *      the batch's gated docs sign AND band once
+    *      ([[graft.operators.Dedup.minhashSignatures]] /
+    *      [[graft.operators.Dedup.bandedSignatures]]), candidates
+    *      come from the banded equijoin of the batch's bands against
+    *      the bucket-PRUNED persisted band index ∪ the batch's own
+    *      ([[graft.operators.Dedup.minhashCandidatesBanded]] —
+    *      keep-min, old always wins; the index is never re-banded or
+    *      even fully read), matched docs drop, and ALL batch
+    *      signatures and bands (kept and dropped — a dropped doc
+    *      still witnesses its neighborhood) append. Ingest ids
     *      must be monotone across batches (the image-dedup contract,
-    *      enforced loudly) so the accumulated output equals the batch
+    *      enforced loudly against the durable max-id marker) so the
+    *      accumulated output equals the batch
     *      keep-min operator over the union restricted to new docs.
     *      NOTE the deliberate order divergence from the batch
     *      `fullPrepare` (substr before near-dup there): the stream's
@@ -835,13 +923,14 @@ object StreamOps {
     *      survivors' own digests.
     *
     * Exactly-once composes the proven batch-id-keyed patterns: all
-    * three indexes are batch-DELTA chains ([[DeltaIndex]] — each
+    * durable state rides batch-DELTA chains ([[DeltaIndex]] — each
     * batch sees only committed state below its own id and
     * idempotently overwrites only its own `delta_<batchId>`, O(batch)
-    * bytes per batch), the sink runs BEFORE the index commits (a
-    * crash between replays the batch, which rewrites output and all
-    * indexes byte-identically), and each stage is lineage-truncated
-    * so plans never deepen.
+    * bytes per batch, hash-BUCKETED on the probe key so reads prune
+    * to the batch's own buckets), the sink runs BEFORE the index
+    * commits (a crash between replays the batch, which rewrites
+    * output and all indexes byte-identically), and each stage is
+    * lineage-truncated so plans never deepen.
     * StreamOpsSpec pins multi-batch parity against the batch
     * composition over the same segments (including a blocked host
     * arriving mid-stream, an allowlisted host surviving, a
@@ -860,13 +949,34 @@ object StreamOps {
       initialSeen: DataFrame, initialSigs: DataFrame,
       initialIndex: DataFrame,
       checkpointDir: String,
-      compactEvery: Int = DeltaIndex.CompactEvery)(
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
+    // probe-key bucketings (r16): every durable index is
+    // hash-bucketed on its join key, so each micro-batch reads ONLY
+    // the bucket subdirs its own keys hash to — O(batch-bucket
+    // share), never O(index); see [[DeltaIndex]]/[[Bucketing]]
+    val urlBkt = Bucketing(numBuckets, Seq("canon_url"))
+    val sigBkt = Bucketing(numBuckets, Seq("doc_id"))
+    val bandBkt = Bucketing(numBuckets, Seq("band", "bh"))
+    val subBkt = Bucketing(numBuckets, Seq("h"))
+    // the near-dup state is THREE chains under sigIndexDir:
+    //   sigs/  (doc_id, sig), by doc_id — est-Jaccard re-attach side;
+    //   bands/ (doc_id, band, bh), by (band, bh) — the PERSISTED
+    //          banding, so no batch ever re-bands the index;
+    //   maxid/ one row per batch — the id-ordering witness, so the
+    //          contract check never scans the index
+    val sigsDir = s"$sigIndexDir/sigs"
+    val bandsDir = s"$sigIndexDir/bands"
+    val maxDir = s"$sigIndexDir/maxid"
     val initUrl = initialSeen.select("canon_url").distinct()
       .localCheckpoint()
     val initSig = initialSigs.select("doc_id", "sig").localCheckpoint()
+    val initBand = graft.operators.Dedup.bandedSignatures(initSig)
+      .localCheckpoint()
+    val initMax = maxIdDelta(initSig).localCheckpoint()
     val initSub = initialIndex.select("h").distinct().localCheckpoint()
     // the static per-stream artifacts, built ONCE (eager checkpointed
     // planes — the broadcast-artifact shape a production stream
@@ -882,13 +992,14 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val (seen0, nUrlDeltas) = DeltaIndex.read(urlIndexDir, batchId,
-          initUrl, s)
-        val seenUrl = seen0.select("canon_url").localCheckpoint()
         val keepers = graft.operators.Crawl
           .urlKeeperRecords(batch.toDF())
           .withColumn("canon_url",
             graft.operators.Crawl.canonicalizeUrl(col("url")))
+          .localCheckpoint()
+        val seenUrl = DeltaIndex.readPruned(urlIndexDir, batchId,
+          initUrl, urlBkt,
+          urlBkt.bucketsOf(keepers.select("canon_url")), s)
           .localCheckpoint()
         val fresh = keepers.join(seenUrl.hint("shuffle_hash"),
           Seq("canon_url"), "left_anti").localCheckpoint()
@@ -905,18 +1016,32 @@ object StreamOps {
           .select(col("doc_id"), col("url"),
             col("pred").as("lang"), col("text"))
         val gated = contentGate(withLang).localCheckpoint()
-        // near-dup: sign the batch, pair against index ∪ batch,
-        // keep-min drop; the id-ordering contract makes the index
-        // side strictly older
-        val (sig0, nSigDeltas) = DeltaIndex.read(sigIndexDir, batchId,
-          initSig, s)
-        val sigIdx = sig0.select("doc_id", "sig").localCheckpoint()
+        // near-dup: sign + band the batch ONCE (both persisted),
+        // candidates from the batch's bands against the PRUNED band
+        // index ∪ the batch's own, keep-min drop; the id-ordering
+        // contract (checked against the durable max marker) makes
+        // the index side strictly older
         val sigB = graft.operators.Dedup
           .minhashSignatures(gated.select("doc_id", "text"))
           .localCheckpoint()
-        assertIdOrder(sigIdx, sigB, batchId)
+        val bandB = graft.operators.Dedup.bandedSignatures(sigB)
+          .localCheckpoint()
+        assertIdOrderMax(maxIdOf(maxDir, batchId, initMax, s),
+          minIdOf(sigB), batchId)
+        val bandIdx = DeltaIndex.readPruned(bandsDir, batchId,
+          initBand, bandBkt, bandBkt.bucketsOf(bandB), s)
+        val cand = graft.operators.Dedup
+          .minhashCandidatesBanded(bandIdx.unionAll(bandB), bandB)
+          .localCheckpoint()
+        // second-phase prune: the est-Jaccard re-attach reads only
+        // the sig buckets the CANDIDATE doc_olds hash to (usually a
+        // handful — near-dup hits, not the corpus)
+        val sigOld = DeltaIndex.readPruned(sigsDir, batchId, initSig,
+          sigBkt,
+          sigBkt.bucketsOf(cand.select(col("doc_old").as("doc_id"))), s)
         val ndLosers = graft.operators.Dedup
-          .minhashPairsAgainstSigs(sigIdx.unionAll(sigB), sigB)
+          .minhashPairsFromCandidates(cand, sigB,
+            sigOld.unionAll(sigB))
           .select(col("doc_new").as("doc_id")).distinct()
         val deduped = gated.join(ndLosers.hint("shuffle_hash"),
           Seq("doc_id"), "left_anti")
@@ -925,22 +1050,29 @@ object StreamOps {
           .deconFlagged(deduped.select("doc_id", "text"), decon)
         val train = deduped.join(flagged.hint("shuffle_hash"),
           Seq("doc_id"), "left_anti").localCheckpoint()
-        val (prev0, nSubDeltas) = DeltaIndex.read(substrIndexDir,
-          batchId, initSub, s)
-        val prevIdx = prev0.select("h").localCheckpoint()
+        // the batch's own digests drive the probe's bucket set AND
+        // the committed delta — computed once
+        val digests = graft.operators.Dedup
+          .substrWindowDigests(train.select("doc_id", "text"))
+          .localCheckpoint()
+        val prevIdx = DeltaIndex.readPruned(substrIndexDir, batchId,
+          initSub, subBkt, subBkt.bucketsOf(digests), s)
+          .localCheckpoint()
         val cleaned = graft.operators.Dedup
           .exactSubstrAgainstIndex(train.select("doc_id", "text"), prevIdx)
         sink(train.select("doc_id", "url", "lang")
           .join(cleaned.hint("shuffle_hash"), Seq("doc_id"))
           .localCheckpoint(), batchId)
-        DeltaIndex.commit(fresh.select("canon_url"), seenUrl,
-          urlIndexDir, batchId, nUrlDeltas, compactEvery)
-        DeltaIndex.commit(sigB, sigIdx, sigIndexDir, batchId,
-          nSigDeltas, compactEvery)
-        DeltaIndex.commit(
-          graft.operators.Dedup
-            .substrWindowDigests(train.select("doc_id", "text")),
-          prevIdx, substrIndexDir, batchId, nSubDeltas, compactEvery)
+        DeltaIndex.commit(fresh.select("canon_url"), urlIndexDir,
+          batchId, initUrl, Some(urlBkt), compactEvery)
+        DeltaIndex.commit(sigB, sigsDir, batchId, initSig,
+          Some(sigBkt), compactEvery)
+        DeltaIndex.commit(bandB, bandsDir, batchId, initBand,
+          Some(bandBkt), compactEvery)
+        DeltaIndex.commit(maxIdDelta(sigB), maxDir, batchId, initMax,
+          None, compactEvery)
+        DeltaIndex.commit(digests, substrIndexDir, batchId, initSub,
+          Some(subBkt), compactEvery)
         ()
       }
       .start()
@@ -948,28 +1080,31 @@ object StreamOps {
 
   def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
       indexDir: String, initialSeen: DataFrame, checkpointDir: String,
-      compactEvery: Int = DeltaIndex.CompactEvery)(
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newRecs.sparkSession
+    val bkt = Bucketing(numBuckets, Seq("canon_url"))
     val init = initialSeen.select("canon_url").distinct().localCheckpoint()
     newRecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: java.lang.Long) =>
-        val (seen0, nDeltas) = DeltaIndex.read(indexDir, batchId,
-          init, spark)
-        val seen = seen0.select("canon_url").localCheckpoint()
         val keepers = graft.operators.Crawl
           .urlKeeperRecords(batch.toDF())
           .withColumn("canon_url", graft.operators.Crawl
             .canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
           .localCheckpoint()
+        // pruned probe (r16): see crawlTriangleStream
+        val seen = DeltaIndex.readPruned(indexDir, batchId, init,
+          bkt, bkt.bucketsOf(keepers.select("canon_url")), spark)
+          .localCheckpoint()
         val fresh = keepers.join(seen.hint("shuffle_hash"),
           Seq("canon_url"), "left_anti").localCheckpoint()
         sink(fresh, batchId)
-        DeltaIndex.commit(fresh.select("canon_url"), seen, indexDir,
-          batchId, nDeltas, compactEvery)
+        DeltaIndex.commit(fresh.select("canon_url"), indexDir,
+          batchId, init, Some(bkt), compactEvery)
         ()
       }
       .start()

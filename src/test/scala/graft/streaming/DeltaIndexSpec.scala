@@ -3,12 +3,17 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** The batch-DELTA durable-index layout's scale contract (r15 — the
-  * r14 verdict's write-amplification flag): bytes written per
-  * micro-batch scale with the BATCH, not the accumulated index;
-  * compaction folds the delta chain on the `compactEvery` cadence and
-  * reaps unreachable state; and the accumulated view stays exactly
-  * the set a full-rewrite layout would have held. */
+/** The batch-DELTA durable-index layout's scale contracts:
+  *
+  *   - WRITE (r15): bytes written per micro-batch scale with the
+  *     BATCH, not the accumulated index;
+  *   - FOLD (r16, tiered): the recurring compaction is a WINDOW fold
+  *     (`mid_` = compactEvery deltas — never the index), the O(index)
+  *     base fold is compactEvery× rarer, and reap keeps disk O(index);
+  *   - READ (r16, bucketed): a probe that knows its batch's keys
+  *     reads a strict SUBSET of bucket subdirs — scanned files prune
+  *     with the batch, never the corpus history.
+  */
 class DeltaIndexSpec extends SparkSpec {
   import spark.implicits._
   import StreamOpsSpecHelpers.{committedDirs, parquetBytes}
@@ -19,11 +24,12 @@ class DeltaIndexSpec extends SparkSpec {
       (id, s"https://h$batch.example.org/p$j", s"<p>page $id</p>")
     }
 
-  test("durable URL dedup under the delta layout: every batch writes " +
-      "an O(batch) delta (never the accumulated index), compaction " +
-      "bases appear exactly on the compactEvery cadence, reap removes " +
-      "state below the previous base, and the accumulated view equals " +
-      "the full seen-set") {
+  test("durable URL dedup under the tiered delta layout: every batch " +
+      "writes an O(batch) delta, the compactEvery cadence produces " +
+      "WINDOW folds (mid = its delta window, never the accumulated " +
+      "index), the compactEvery-th mid escalates to the one O(index) " +
+      "base fold, window-reap removes exactly the folded deltas, and " +
+      "the accumulated view equals the full seen-set") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_deltaidx")
     val idxDir = root.resolve("idx").toString
@@ -38,44 +44,127 @@ class DeltaIndexSpec extends SparkSpec {
       idxDir, Seq("https://seed.example.org/s").toDF("canon_url"),
       ckpt, compactEvery = 3) { (batch, id) => got(id) = batch.count() }
     try {
-      for (b <- 0 until 6) {
+      for (b <- 0 until 9) {
         src.addData(recs(b, perBatch): _*)
         query.processAllAvailable()
       }
     } finally query.stop()
     // every batch's keepers were all fresh — the sink saw each once
-    assert((0L until 6L).forall(got(_) == perBatch.toLong), s"$got")
+    assert((0L until 9L).forall(got(_) == perBatch.toLong), s"$got")
     val deltas = committedDirs(idxDir, "delta_")
+    val mids = committedDirs(idxDir, "mid_")
     val bases = committedDirs(idxDir, "base_")
-    // compaction fires when the committed chain reaches compactEvery:
-    // batch 2 sees deltas {0,1}, batch 5 sees {3,4} above base_2
-    assert(bases.keySet == Set(2L, 5L), s"bases: ${bases.keySet}")
-    // reap at base_5 removed everything below the PREVIOUS base (2):
-    // delta_0/delta_1 are gone, the replay window {2..5} survives
-    assert(deltas.keySet == Set(2L, 3L, 4L, 5L),
-      s"deltas after reap: ${deltas.keySet}")
-    // THE scale pin: the last delta holds one batch's keys, on disk
-    // and by row count — while the base holds the accumulated corpus
+    // window folds on the compactEvery cadence; the 3rd fold (batch
+    // 8, finding 2 committed mids) escalates to the base fold
+    assert(mids.keySet == Set(2L, 5L), s"mids: ${mids.keySet}")
+    assert(bases.keySet == Set(8L), s"bases: ${bases.keySet}")
+    // mid_5's reap removed exactly the deltas folded into the
+    // PREVIOUS mid (0,1,2); the replay window {3..8} survives
+    assert(deltas.keySet == Set(3L, 4L, 5L, 6L, 7L, 8L),
+      s"deltas after window reap: ${deltas.keySet}")
+    // THE write-scale pin: the last delta holds one batch's keys
     val lastDeltaRows = spark.read
-      .parquet(deltas(5L).getAbsolutePath).count()
+      .parquet(deltas(8L).getAbsolutePath).count()
     assert(lastDeltaRows == perBatch.toLong,
-      s"delta_5 must hold batch 5's fresh keys only: $lastDeltaRows")
-    val baseRows = spark.read.parquet(bases(5L).getAbsolutePath).count()
-    assert(baseRows == 6L * perBatch + 1,
-      s"base_5 must hold seed + all six batches: $baseRows")
-    assert(parquetBytes(deltas(5L)) < parquetBytes(bases(5L)) / 2,
+      s"delta_8 must hold batch 8's fresh keys only: $lastDeltaRows")
+    // THE fold-scale pin (r16): the recurring fold is its WINDOW —
+    // compactEvery × batch rows — while the accumulated index at
+    // that point held seed + 6 batches; the hot micro-batch never
+    // pays an O(index) fold on the mid cadence
+    val midRows = spark.read.parquet(mids(5L).getAbsolutePath).count()
+    assert(midRows == 3L * perBatch,
+      s"mid_5 must fold exactly its 3-delta window: $midRows")
+    val baseRows = spark.read.parquet(bases(8L).getAbsolutePath).count()
+    assert(baseRows == 9L * perBatch + 1,
+      s"base_8 must hold seed + all nine batches: $baseRows")
+    assert(parquetBytes(deltas(8L)) < parquetBytes(bases(8L)) / 2,
       s"bytes written per batch must scale with the batch, not the " +
-        s"index: delta=${parquetBytes(deltas(5L))} " +
-        s"base=${parquetBytes(bases(5L))}")
+        s"index: delta=${parquetBytes(deltas(8L))} " +
+        s"base=${parquetBytes(bases(8L))}")
     // the consumer-facing accumulated view = base ∪ chain, distinct
     val seen = StreamOps.readIndexState(idxDir,
       Seq.empty[String].toDF("canon_url"), spark)
-    assert(seen.distinct().count() == 6L * perBatch + 1)
+    assert(seen.distinct().count() == 9L * perBatch + 1)
   }
 
-  test("a respelling of a URL whose first sighting was FOLDED INTO A " +
-      "BASE (and its delta reaped) still drops — compaction preserves " +
-      "the dedup contract across a hard restart") {
+  test("tiered compaction, direct drive: mids fold only their delta " +
+      "window, the base fold reaps everything below the PREVIOUS " +
+      "base, and the accumulated multiset stays exactly the union of " +
+      "all committed keys") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltatier").toString
+    val dir = s"$root/idx"
+    val bkt = Bucketing(8, Seq("k"))
+    def empty = Seq.empty[String].toDF("k")
+    for (b <- 0 to 7)
+      DeltaIndex.commit(Seq(s"key$b").toDF("k"), dir, b.toLong,
+        empty, Some(bkt), compactEvery = 2)
+    // cadence: mid_1 {0,1}; base_3 (mid count hits 2); mid_5 {4,5};
+    // base_7 — whose reap removes everything below base_3
+    assert(committedDirs(dir, "mid_").keySet == Set(5L))
+    assert(committedDirs(dir, "base_").keySet == Set(3L, 7L))
+    assert(committedDirs(dir, "delta_").keySet == Set(3L, 4L, 5L, 6L, 7L),
+      "base_7's reap must remove delta_0..2 and mid_1 (below base_3)")
+    val all = DeltaIndex.readAll(dir, empty, spark)
+      .as[String].collect().toSet
+    assert(all == (0 to 7).map(b => s"key$b").toSet)
+  }
+
+  test("BUCKET PRUNING (r16, the read-side scale pin): a probe reads " +
+      "a strict subset of the index's bucket subdirs — exactly the " +
+      "buckets its own keys hash to — and the pruned state is " +
+      "join-equivalent to the full state on those keys") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltaprune").toString
+    val dir = s"$root/idx"
+    val bkt = Bucketing(8, Seq("k"))
+    def empty = Seq.empty[String].toDF("k")
+    // three committed batches × 64 keys — every bucket populated whp
+    for (b <- 0 until 3)
+      DeltaIndex.commit(
+        (0 until 64).map(j => s"key_${b}_$j").toDF("k"), dir,
+        b.toLong, empty, Some(bkt), compactEvery = 16)
+    val probe = Seq("key_1_7", "key_2_40", "nope").toDF("k")
+    val buckets = bkt.bucketsOf(probe)
+    assert(buckets.size <= 3 && buckets.nonEmpty)
+    val pruned = DeltaIndex.readPruned(dir, Long.MaxValue, empty,
+      bkt, buckets, spark)
+    val full = DeltaIndex.readAll(dir, empty, spark)
+    // join-equivalence: every index row a probe key can match is in
+    // the pruned state (here: the two real keys; "nope" matches none)
+    assert(pruned.join(probe, Seq("k"), "left_semi")
+      .as[String].collect().toSet == Set("key_1_7", "key_2_40"))
+    // the pruned state is exactly the full state's wanted-bucket slice
+    assert(pruned.as[String].collect().sorted.toSeq ==
+      full.where(bkt.expr.isin(buckets.map(Int.box): _*))
+        .as[String].collect().sorted.toSeq)
+    // THE scanned-files pin: a strict subset, all in wanted buckets
+    val prunedFiles = pruned.inputFiles.toSet
+    val fullFiles = full.inputFiles.toSet
+    assert(prunedFiles.subsetOf(fullFiles))
+    assert(prunedFiles.size < fullFiles.size,
+      s"pruning must skip files: ${prunedFiles.size} vs " +
+        s"${fullFiles.size}")
+    assert(prunedFiles.forall(f =>
+      buckets.exists(k => f.contains(s"__bucket=$k"))),
+      s"every scanned file must live in a wanted bucket: $prunedFiles")
+    // the bucket count is part of the layout: a mismatched caller
+    // fails loudly instead of silently reading the wrong subdirs
+    val err = intercept[IllegalArgumentException] {
+      DeltaIndex.readPruned(dir, Long.MaxValue, empty,
+        Bucketing(4, Seq("k")), Seq(0), spark)
+    }
+    assert(err.getMessage.contains("bucket-count mismatch"))
+    // empty probes and empty deltas are fine
+    DeltaIndex.commit(empty, dir, 3L, empty, Some(bkt),
+      compactEvery = 16)
+    assert(DeltaIndex.readPruned(dir, Long.MaxValue, empty, bkt,
+      Seq.empty, spark).count() == 0L)
+  }
+
+  test("a respelling of a URL whose first sighting was FOLDED through " +
+      "a mid INTO A BASE still drops — tiered compaction preserves " +
+      "the dedup contract across hard restarts") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft_deltabase")
     val in = java.nio.file.Files.createDirectory(root.resolve("in"))
@@ -97,26 +186,30 @@ class DeltaIndexSpec extends SparkSpec {
       compactEvery = 2) { (batch, id) =>
       got(id) = batch.select("doc_id").as[Long].collect().toSet
     }
-    writeRecs("b0", Seq(
-      (10L, "https://a.example.org/p", "<p>p</p>")))
-    val q1 = startQ()
-    try q1.processAllAvailable() finally q1.stop()
-    writeRecs("b1", Seq(
-      (20L, "https://a.example.org/q", "<p>q</p>")))
-    val q2 = startQ()
-    try q2.processAllAvailable() finally q2.stop()
-    // batch 1 compacted (chain {0} + own = 2 ≥ 2) and reaped nothing
-    // below the (nonexistent) previous base; batch 0's delta is still
-    // the fallback-read window — now restart AGAIN and respell
-    writeRecs("b2", Seq(
-      (30L, "HTTPS://A.EXAMPLE.ORG:443/p#frag", "<p>p again</p>"),
-      (31L, "https://a.example.org/r", "<p>fresh</p>")))
-    val q3 = startQ()
-    try q3.processAllAvailable() finally q3.stop()
-    assert(got(0L) == Set(10L) && got(1L) == Set(20L))
-    assert(got(2L) == Set(31L),
-      s"the respelling of the base-folded URL must drop: ${got(2L)}")
-    assert(committedDirs(idxDir, "base_").keySet == Set(1L),
-      "compactEvery=2 folds at batch 1")
+    // four batches: b1 folds {0,1} into mid_1, b3 escalates to
+    // base_3 (two mids would accumulate) — b0's URL now lives ONLY
+    // in folded state
+    for ((name, id, url) <- Seq(
+        ("b0", 10L, "https://a.example.org/p"),
+        ("b1", 20L, "https://a.example.org/q"),
+        ("b2", 30L, "https://a.example.org/r"),
+        ("b3", 40L, "https://a.example.org/s"))) {
+      writeRecs(name, Seq((id, url, "<p>x</p>")))
+      val q = startQ()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(committedDirs(idxDir, "base_").keySet == Set(3L),
+      s"compactEvery=2 escalates to a base at batch 3: " +
+        s"${committedDirs(idxDir, "base_").keySet}")
+    // restart AGAIN and respell the base-folded URL
+    writeRecs("b4", Seq(
+      (50L, "HTTPS://A.EXAMPLE.ORG:443/p#frag", "<p>p again</p>"),
+      (51L, "https://a.example.org/t", "<p>fresh</p>")))
+    val q5 = startQ()
+    try q5.processAllAvailable() finally q5.stop()
+    assert(got(0L) == Set(10L) && got(1L) == Set(20L) &&
+      got(2L) == Set(30L) && got(3L) == Set(40L))
+    assert(got(4L) == Set(51L),
+      s"the respelling of the base-folded URL must drop: ${got(4L)}")
   }
 }

@@ -295,8 +295,11 @@ class FileStreamRecoverySpec extends SparkSpec {
     assert(got(1L).head._2 >= 50L,
       "the pre-restart span must clean its post-restart copy via the " +
         s"PERSISTED substr index: ${got(1L)}")
-    // all three stages own committed per-batch deltas
-    for (d <- Seq(uidx, gidx, sidx)) {
+    // all three stages own committed per-batch deltas (the near-dup
+    // state is the three-chain layout: sigs + the persisted banding
+    // + the max-id ordering witness — r16)
+    for (d <- Seq(uidx, s"$gidx/sigs", s"$gidx/bands", s"$gidx/maxid",
+        sidx)) {
       val names = Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty[java.io.File]).map(_.getName).toSet
       assert(names.contains("delta_0") && names.contains("delta_1"),

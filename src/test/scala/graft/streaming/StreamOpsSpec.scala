@@ -1164,8 +1164,12 @@ object StreamOpsSpecHelpers {
         new java.io.File(f, "_SUCCESS").exists())
       .map(f => f.getName.stripPrefix(prefix).toLong -> f).toMap
 
-  /** Total parquet payload bytes of a committed state dir. */
-  def parquetBytes(dir: java.io.File): Long =
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+  /** Total parquet payload bytes of a committed state dir
+    * (recursive — bucketed dirs nest `__bucket=k` subdirs). */
+  def parquetBytes(dir: java.io.File): Long = {
+    val entries = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    entries.filter(_.isDirectory).map(parquetBytes).sum +
+      entries.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+  }
 }
