@@ -112,6 +112,37 @@ object TextAnalysis {
       |SELECT DISTINCT doc_id FROM hits WHERE n_shared >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirror of the MULTI-SUITE static decontamination flag
+    * ([[deconPlaneSuites]] + [[deconFlaggedSuites]] over the
+    * registered `% 10` eval split, suites = `% 20` within it):
+    * rarity within (suite), fold keyed (doc, suite, eval_doc),
+    * per-suite attribution in the output. The gram explode reuses
+    * [[sqlDecontaminate]]'s bg shape verbatim. */
+  private def sqlDeconSuites: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 5),
+      |eg AS (SELECT doc_id AS eval_doc,
+      |         CASE WHEN doc_id % 20 = 0 THEN 'suite_a'
+      |              ELSE 'suite_b' END AS eval_suite, g
+      |       FROM bg WHERE doc_id % 10 = 0),
+      |rare AS (SELECT eval_suite, g FROM eg
+      |         GROUP BY eval_suite, g HAVING COUNT(*) <= 20),
+      |plane AS (SELECT g, eval_suite, eval_doc
+      |          FROM eg JOIN rare USING (eval_suite, g)),
+      |hits AS (
+      |  SELECT t.doc_id, p.eval_suite, p.eval_doc, COUNT(*) AS n_shared
+      |  FROM bg t JOIN plane p USING (g)
+      |  WHERE t.doc_id % 10 <> 0
+      |  GROUP BY t.doc_id, p.eval_suite, p.eval_doc)
+      |SELECT DISTINCT doc_id, eval_suite FROM hits WHERE n_shared >= 3
+      |ORDER BY doc_id, eval_suite""".stripMargin
+
   /** Per-dir memo of the eval-side gram bloom filter (build once,
     * probe many — the persisted-index discipline; Spark's own runtime
     * filter rebuilds per query, a production pipeline would not).
@@ -205,10 +236,25 @@ object TextAnalysis {
       .select(col("g"), col("doc_id").as("eval_doc"))
       .localCheckpoint()
     eg.unpersist()
-    val bf = grams.agg(expr(
-      s"bloom_filter_agg(xxhash64(g), ${1L << 16}L, ${1L << 20}L)")
+    DeconPlane(grams, gramBloom(grams))
+  }
+
+  /** The eval-gram bloom, sized FROM the plane's actual cardinality
+    * (r16 advice — a fixed 2²⁰-bit geometry saturates on a realistic
+    * eval suite with millions of rare 5-grams, FP → 1, silently
+    * disabling the scan-side prune at exactly the scale it targets):
+    * 16 bits/item (~4×10⁻⁴ FP at the built size — the prune stays
+    * real), floored at the old 128 KB, capped at 16 MB (still a
+    * bounded driver sync / broadcast literal; past that cap FP
+    * degrades gracefully and correctness never moves — the filter
+    * has no false negatives at ANY size). The count is one pass over
+    * the checkpointed eval-sized plane. */
+  private def gramBloom(grams: DataFrame): Array[Byte] = {
+    val n = math.max(1L << 10, grams.count())
+    val bits = math.min(1L << 27, math.max(1L << 20, n * 16))
+    grams.agg(expr(
+      s"bloom_filter_agg(xxhash64(g), ${n}L, ${bits}L)")
       .as("bf")).collect()(0).getAs[Array[Byte]](0)
-    DeconPlane(grams, bf)
   }
 
   /** doc_ids of `batchDocs` (doc_id, text) sharing ≥ 3 distinct rare
@@ -229,6 +275,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= 3)
       .select("doc_id").distinct()
+
+  /** MULTI-SUITE static decontamination plane (r16 — r15 verdict
+    * #5): production decontaminates against MANY benchmark suites at
+    * once and needs per-suite ATTRIBUTION (which benchmark leaked
+    * into which doc), so the plane carries an `eval_suite` column
+    * and rarity is WITHIN (suite) — each suite prunes its own
+    * boilerplate independently, exactly as running [[deconPlane]]
+    * once per suite would, but in ONE pass over the union and ONE
+    * shared bloom (lossless across suites: a gram absent from every
+    * suite can never pair). `grams` is (g, eval_suite, eval_doc). */
+  final case class DeconPlaneSuites(grams: DataFrame, bloom: Array[Byte])
+
+  def deconPlaneSuites(evalDocs: DataFrame): DeconPlaneSuites = {
+    val eg = ngramRows(evalDocs.select(col("doc_id"), col("text")),
+      5, distinctPerDoc = true)
+      // suite re-attach: the eval-doc → suite map is eval-sized
+      // metadata, broadcast — the gram stream never shuffles for it
+      .join(broadcast(evalDocs.select(col("doc_id"),
+        col("eval_suite"))), Seq("doc_id"))
+      .cache()
+    val rare = eg.groupBy("eval_suite", "g")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= 20).select("eval_suite", "g")
+    val grams = eg.join(rare, Seq("eval_suite", "g"), "left_semi")
+      .select(col("g"), col("eval_suite"), col("doc_id").as("eval_doc"))
+      .localCheckpoint()
+    eg.unpersist()
+    DeconPlaneSuites(grams, gramBloom(grams))
+  }
+
+  /** (doc_id, eval_suite) pairs of `batchDocs` docs sharing ≥ 3
+    * distinct suite-rare 5-grams with any single eval doc OF THAT
+    * SUITE — [[deconFlagged]] with per-suite attribution: the fold is
+    * keyed (doc, suite, eval_doc), so a doc contaminated by two
+    * suites reports both, and the flat drop set is `select(doc_id)
+    * .distinct` of this. Restricted to one suite it equals the
+    * single-plane flag exactly (the registered twin queries pin both
+    * under the cross-engine oracle). */
+  def deconFlaggedSuites(batchDocs: DataFrame,
+      plane: DeconPlaneSuites): DataFrame =
+    ngramRows(batchDocs, 5, distinctPerDoc = true)
+      .where(call_function("might_contain", lit(plane.bloom),
+        xxhash64(col("g"))))
+      .join(plane.grams.hint("shuffle_hash"), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_suite"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .select("doc_id", "eval_suite").distinct()
 
   /** Generalized word n-gram explode — the single place the shingle
     * pipeline's disciplines live (ANSI short-doc pre-filter, keyed
@@ -1337,6 +1431,29 @@ object TextAnalysis {
         d.where(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
         plane)
         .orderBy("doc_id")
+    },
+
+    // ---- MULTI-SUITE static decontamination (r16): the production
+    //      shape — many benchmark suites at once with per-suite
+    //      ATTRIBUTION (which benchmark leaked into which doc).
+    //      Rarity is within (suite), the fold keys (doc, suite,
+    //      eval_doc), suites here = the % 20 split of the registered
+    //      % 10 eval slice. pipeline_decontaminate_static stays
+    //      registered unchanged — restricted to one suite the two
+    //      flags agree by construction, and both sit under the
+    //      cross-engine hash contract. ----
+    Q("pipeline_decontaminate_suites", Some(sqlDeconSuites)) { (s, dir) =>
+      val d = docs(s, dir)
+      val plane = deconPlaneSuites(
+        d.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0, "suite_a")
+              .otherwise("suite_b").as("eval_suite"),
+            col("text")))
+      deconFlaggedSuites(
+        d.where(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
+        plane)
+        .orderBy("doc_id", "eval_suite")
     },
 
     // ---- document fingerprint: digest of normalized text ----

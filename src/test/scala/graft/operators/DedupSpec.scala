@@ -716,5 +716,37 @@ class DedupSpec extends SparkSpec {
     info(s"minhashPairsAgainstSigs: $m")
     assert(m.exchanges <= 8,
       s"the streaming near-dup pair plan grew a shuffle: $m")
+
+    // r16: the PRE-BANDED path (what the durable stream runs against
+    // its persisted band table) is pair-identical — banding once at
+    // signing time and storing rows changes nothing but the read cost
+    val sigAll = graft.operators.Dedup.minhashSignatures(allDf)
+      .localCheckpoint()
+    val sigNew = graft.operators.Dedup.minhashSignatures(freshDf)
+      .localCheckpoint()
+    val cand = graft.operators.Dedup.minhashCandidatesBanded(
+      graft.operators.Dedup.bandedSignatures(sigAll),
+      graft.operators.Dedup.bandedSignatures(sigNew))
+    val banded = graft.operators.Dedup
+      .minhashPairsFromCandidates(cand, sigNew, sigAll)
+      .select("doc_new", "doc_old")
+      .as[(Long, Long)].collect().toSet
+    assert(banded == got,
+      s"pre-banded and re-banding paths diverged: $banded vs $got")
+  }
+
+  test("near-dup threshold constants are SHARED between the batch " +
+      "queries and the streaming stage (r15 verdict #4): one named " +
+      "definition, pinned here — a drifted default would silently " +
+      "change the continuous corpus while every parity fixture still " +
+      "passed, since fixtures sit far from the threshold") {
+    // the values the registered pipeline_drop_near_dups family and
+    // crawlPrepareStream both inherit (neither passes overrides)
+    assert(graft.operators.Dedup.NearDupNumHashes == 64)
+    assert(graft.operators.Dedup.NearDupBands == 16)
+    assert(graft.operators.Dedup.NearDupMinEst == 0.8)
+    // and the banding invariant they must satisfy
+    assert(graft.operators.Dedup.NearDupNumHashes %
+      graft.operators.Dedup.NearDupBands == 0)
   }
 }

@@ -334,6 +334,17 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(got == brute, s"banded=$got brute=$brute")
     assert(brute.nonEmpty, "fixture must plant at least one near-dup")
+    // r16: the PRE-CHUNKED path (what the durable image-dedup stream
+    // runs against its persisted chunk table) is report-identical —
+    // chunking once at signing time changes nothing but the read cost
+    val sigDf = sigs.toDF("doc_id", "lo", "hi")
+    val viaChunks = Multimodal.hammingDedupSurvivorsFromChunks(
+      Multimodal.hammingChunkRows(sigDf),
+      Multimodal.hammingChunkRows(sigDf))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(viaChunks == brute,
+      s"pre-chunked and inline-chunking paths diverged: $viaChunks")
   }
 
   test("dHash64Pooled == dHash64 on exact 9x8 inputs (the pooled form " +

@@ -597,4 +597,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept * 10 <= total,
       s"bloom kept $kept of $total gram rows — pruning did nothing")
   }
+
+  test("multi-suite decon (r16): restricted to one suite the " +
+      "suite-attributed flag equals the single-plane flag, and a doc " +
+      "quoting TWO suites reports both attributions") {
+    val pa = "alpha beta gamma delta epsilon zeta eta"
+    val pb = "one two three four five six seven"
+    val evals = Seq(
+      (1000L, "suite_a", s"heading $pa closing"),
+      (2000L, "suite_b", s"heading $pb closing"))
+      .toDF("doc_id", "eval_suite", "text")
+    val train = Seq(
+      (3L, s"intro $pa outro"),               // suite_a leak
+      (7L, s"intro $pb outro"),               // suite_b leak
+      (9L, s"first $pa then also $pb after"), // BOTH suites
+      (11L, "u1 u2 u3 u4 u5 u6 u7 u8"))       // clean
+      .toDF("doc_id", "text")
+    val plane = TextAnalysis.deconPlaneSuites(evals)
+    val got = TextAnalysis.deconFlaggedSuites(train, plane)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "suite_a"), (7L, "suite_b"),
+      (9L, "suite_a"), (9L, "suite_b")), s"$got")
+    // one-suite restriction == the single-plane flag
+    val oneSuite = TextAnalysis.deconPlaneSuites(
+      evals.where(col("eval_suite") === "suite_a"))
+    val viaSuites = TextAnalysis.deconFlaggedSuites(train, oneSuite)
+      .select("doc_id").as[Long].collect().toSet
+    val viaSingle = TextAnalysis.deconFlagged(train,
+      TextAnalysis.deconPlane(
+        evals.where(col("eval_suite") === "suite_a")
+          .select("doc_id", "text")))
+      .as[Long].collect().toSet
+    assert(viaSuites == viaSingle && viaSingle == Set(3L, 9L),
+      s"suites=$viaSuites single=$viaSingle")
+  }
 }
