@@ -39,6 +39,10 @@ DEFAULT_QUERIES = [
     "pipeline_url_prepare",
     "text_kn5_logprob",
     "text_kn5_logprob_ref",
+    # r16 (r15 verdict #3): the decon plane build is build-once work —
+    # exactly what the fresh-JVM column exists to expose
+    "pipeline_decontaminate_static",
+    "pipeline_decontaminate_suites",
 ]
 
 
