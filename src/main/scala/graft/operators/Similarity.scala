@@ -395,30 +395,88 @@ object Similarity {
     * query-many split: the registered query memoizes the trained index per
     * data dir so repeated runs measure query cost, not index build. */
   def ivfTopKTrained(cents: Seq[Seq[Double]], queries: DataFrame,
-      corpus: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val cm = typedLit(cents)
-    def cellDots(v: Column): Column = transform(cm, c => dot(c, v))
-    // corpus side: single best cell per vector
-    def bestCell(v: Column): Column = {
-      val dots = cellDots(v)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
-    }
-    val c = withVec(corpus).withColumn("cell", bestCell(col("v")))
-    // query side: nprobe best cells via posexplode + rank
+      corpus: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    ivfRank(cents, queries,
+      withVec(corpus).withColumn("cell", bestCell(cents)(col("v"))),
+      k, nprobe)
+
+  /** Per-centroid dot products of one vector — THE cell-scoring algebra
+    * every IVF path (corpus assign, query probe, postings build) must
+    * share, or a vector indexed one way gets probed another. */
+  private def cellDots(cents: Seq[Seq[Double]])(v: Column): Column =
+    transform(typedLit(cents), c => dot(c, v))
+
+  /** Single best cell (argmax dot; first-max/lowest-cell on ties —
+    * `array_position` semantics, pinned by the oracle twins). */
+  private def bestCell(cents: Seq[Seq[Double]])(v: Column): Column = {
+    val dots = cellDots(cents)(v)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Cell-assigned POSTINGS of a corpus under a fixed centroid matrix:
+    * (vec_id, embedding, cell) — the structure a persisted IVF index
+    * stores (raw float embeddings, assignment precomputed once at
+    * ingest). [[ivfTopKFromPostings]] consumes it; the durable
+    * streaming ingest ([[graft.streaming.StreamOps
+    * .ivfIngestStreamDurable]]) persists it hash-bucketed by `cell` so
+    * a query reads only the cells it probes. */
+  def ivfPostings(cents: Seq[Seq[Double]], corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", bestCell(cents)(
+        expr("transform(embedding, x -> cast(x as double))")))
+
+  /** [[ivfTopKTrained]] against a PRE-ASSIGNED postings frame
+    * ([[ivfPostings]] — or any pruned slice of one covering every cell
+    * the queries probe): identical results by construction, since both
+    * paths rank through the one [[ivfRank]] core. This is the
+    * query-side of the persisted-index split: assignment cost was paid
+    * at ingest, and a storage-pruned postings read only ever removes
+    * cells the equijoin could not match. */
+  def ivfTopKFromPostings(cents: Seq[Seq[Double]], queries: DataFrame,
+      postings: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    ivfRank(cents, queries,
+      postings.select(col("vec_id"), col("cell"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v")))),
+      k, nprobe)
+
+  /** The shared IVF probe/rank core: queries probe their `nprobe` best
+    * cells, candidates come from the cell equijoin against the
+    * cell-assigned corpus (vec_id, v, norm, cell), exact cosine ranks
+    * the candidates. ONE definition so the trained and postings paths
+    * cannot diverge. */
+  /** The (query_id, qv, qnorm, cell) probe rows — each query's
+    * `nprobe` best cells via posexplode + rank. Shared by the rank
+    * core AND [[ivfQueryCells]] so a storage-pruned read can never
+    * probe differently than the join ranks. */
+  private def probeRows(cents: Seq[Seq[Double]], queries: DataFrame,
+      nprobe: Int): DataFrame = {
     val q0 = withVec(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
       .select(col("query_id"), col("qv"), col("qnorm"),
-        posexplode(cellDots(col("qv"))).as(Seq("cell", "cdot")))
+        posexplode(cellDots(cents)(col("qv"))).as(Seq("cell", "cdot")))
     // cell asc tie-break: exact-tie cell dots (possible under the
     // integer-quantized twin) must rank identically in both engines
     val wq = Window.partitionBy("query_id")
       .orderBy(col("cdot").desc, col("cell"))
-    val q = q0.withColumn("cr", row_number().over(wq))
+    q0.withColumn("cr", row_number().over(wq))
       .where(col("cr") <= nprobe)
       .select("query_id", "qv", "qnorm", "cell")
+  }
+
+  /** The DISTINCT cells a query set probes — what a persisted-postings
+    * consumer prunes its storage read to (the durable streaming index's
+    * query path). */
+  def ivfQueryCells(cents: Seq[Seq[Double]], queries: DataFrame,
+      nprobe: Int): DataFrame =
+    probeRows(cents, queries, nprobe).select("cell").distinct()
+
+  private def ivfRank(cents: Seq[Seq[Double]], queries: DataFrame,
+      corpusWithCell: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = probeRows(cents, queries, nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    c.join(broadcast(q), Seq("cell"))
+    corpusWithCell.join(broadcast(q), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .withColumn("rnk", row_number().over(w))
@@ -1080,6 +1138,23 @@ object Similarity {
       val eq = quantized1000(emb(s, dir))
       ivfTopKTrained(cents, eq.where(col("vec_id") % 50 === 0), eq, 5,
         nprobe = 3)
+    },
+
+    // ---- the PERSISTED-POSTINGS query path (r16): assignment
+    //      precomputed at ingest ([[ivfPostings]] — what the durable
+    //      streaming IVF index stores, hash-bucketed by cell), ranked
+    //      through the SAME ivfRank core as ann_ivf_int, whose oracle
+    //      it shares VERBATIM — the decontaminate_bloom shared-SQL
+    //      construction, so divergence between the trained and
+    //      postings paths is impossible to hide. ----
+    Q("ann_ivf_postings_int", Some(sqlIvfInt(nprobe = 3, k = 5))) { (s, dir) =>
+      val cents = centroidCache.computeIfAbsent(s"$dir#int8",
+        _ => quantized1000(emb(s, dir)).where(col("vec_id") < 8)
+          .orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+      val eq = quantized1000(emb(s, dir))
+      ivfTopKFromPostings(cents, eq.where(col("vec_id") % 50 === 0),
+        ivfPostings(cents, eq), 5, nprobe = 3)
     },
 
     // Product quantization under the int plane: codebook = the first 16

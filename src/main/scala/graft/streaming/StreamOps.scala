@@ -510,9 +510,10 @@ object StreamOps {
           "monotone ingest ids)")
 
   /** The batch's contribution to the max-id marker chain: one row
-    * (max doc_id), or none for an empty batch. */
-  private def maxIdDelta(df: DataFrame): DataFrame =
-    df.agg(org.apache.spark.sql.functions.max("doc_id")
+    * (max id), or none for an empty batch. */
+  private def maxIdDelta(df: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    df.agg(org.apache.spark.sql.functions.max(idCol)
       .as("max_doc_id")).where(col("max_doc_id").isNotNull)
 
   private def maxIdOf(maxDir: String, beforeBatch: Long,
@@ -523,8 +524,9 @@ object StreamOps {
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
-  private def minIdOf(df: DataFrame): Option[Long] = {
-    val row = df.agg(org.apache.spark.sql.functions.min("doc_id")).head()
+  private def minIdOf(df: DataFrame,
+      idCol: String = "doc_id"): Option[Long] = {
+    val row = df.agg(org.apache.spark.sql.functions.min(idCol)).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
@@ -1076,6 +1078,88 @@ object StreamOps {
         ()
       }
       .start()
+  }
+
+  /** DURABLE streaming IVF ingestion (r16) — continuous embedding
+    * arrival into an ANN-QUERYABLE postings index: each micro-batch of
+    * (vec_id, embedding) rows is cell-assigned under the STATIC
+    * centroid matrix ([[graft.operators.Similarity.ivfPostings]] —
+    * centroids train once per index epoch, the NB-router/decon-plane
+    * static-artifact pattern; a retrained quantizer is a NEW index)
+    * and appended as `delta_<batchId>` to a postings chain
+    * hash-BUCKETED BY CELL — so [[ivfQueryIndex]] reads only the
+    * bucket subdirs of the cells its queries actually probe, never
+    * the whole corpus history. State under `indexDir`:
+    *
+    *   - `postings/` (vec_id, embedding, cell), bucketed by cell —
+    *     raw float embeddings, assignment precomputed at ingest;
+    *   - `maxid/` one row per batch — the monotone-ingest-id witness
+    *     (enforced loudly; unique vec_ids are what make deltas
+    *     disjoint, and THIS consumer is duplicate-sensitive: a
+    *     repeated vector would occupy two of a query's k slots).
+    *
+    * Exactly-once is the proven batch-id-keyed pattern ([[DeltaIndex]]
+    * — idempotent delta overwrite, tiered folds, `_SUCCESS`-gated
+    * visibility); `sink(postings, batchId)` observes each batch's
+    * assigned rows. `initialVecs` seeds the index (the existing-corpus
+    * shape); its embedding type must match the ingested frames'. */
+  def ivfIngestStreamDurable(newVecs: DataFrame, indexDir: String,
+      cents: Seq[Seq[Double]], initialVecs: DataFrame,
+      checkpointDir: String,
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newVecs.sparkSession
+    val bkt = Bucketing(numBuckets, Seq("cell"))
+    val initPost = graft.operators.Similarity
+      .ivfPostings(cents, initialVecs).localCheckpoint()
+    val initMax = maxIdDelta(initPost, "vec_id").localCheckpoint()
+    newVecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val postings = graft.operators.Similarity
+          .ivfPostings(cents, batch.toDF()).localCheckpoint()
+        assertIdOrderMax(
+          maxIdOf(s"$indexDir/maxid", batchId, initMax, spark),
+          minIdOf(postings, "vec_id"), batchId)
+        sink(postings, batchId)
+        DeltaIndex.commit(postings, s"$indexDir/postings", batchId,
+          initPost, Some(bkt), compactEvery)
+        DeltaIndex.commit(maxIdDelta(postings, "vec_id"),
+          s"$indexDir/maxid", batchId, initMax, None, compactEvery)
+        ()
+      }
+      .start()
+  }
+
+  /** ANN query against a durable streaming IVF index
+    * ([[ivfIngestStreamDurable]]): derive the DISTINCT cells the
+    * queries probe (≤ |queries| × nprobe ints — ANN query sets are
+    * interactive-scale), read ONLY those cells' bucket subdirs from
+    * the postings chain, and rank through the shared
+    * [[graft.operators.Similarity.ivfTopKFromPostings]] core — so the
+    * result equals the batch IVF over the full accumulated corpus
+    * (cell pruning is the IVF equijoin's own semantics; storage
+    * pruning just stops paying for cells the join could never match).
+    * `initialVecs` must be the same seed frame the ingest stream was
+    * given. Subject to the [[readIndexState]] concurrent-reader
+    * contract when the stream is live. */
+  def ivfQueryIndex(indexDir: String, cents: Seq[Seq[Double]],
+      queries: DataFrame, k: Int, nprobe: Int,
+      initialVecs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int = DeltaIndex.NumBuckets): DataFrame = {
+    val bkt = Bucketing(numBuckets, Seq("cell"))
+    val initPost = graft.operators.Similarity
+      .ivfPostings(cents, initialVecs)
+    val cells = graft.operators.Similarity
+      .ivfQueryCells(cents, queries, nprobe)
+    val postings = DeltaIndex.readPruned(s"$indexDir/postings",
+      Long.MaxValue, initPost, bkt, bkt.bucketsOf(cells), spark)
+    graft.operators.Similarity
+      .ivfTopKFromPostings(cents, queries, postings, k, nprobe)
   }
 
   def incrementalUrlDedupStreamDurable(newRecs: DataFrame,

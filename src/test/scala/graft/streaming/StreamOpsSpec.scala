@@ -1101,6 +1101,91 @@ class StreamOpsSpec extends SparkSpec {
         s"substr index: ${byId(201L)}")
   }
 
+  test("ivfIngestStreamDurable + ivfQueryIndex (r16): continuously " +
+      "ingested embeddings are ANN-queryable — the query equals the " +
+      "batch IVF over the accumulated corpus, the postings index " +
+      "survives a hard restart, and the query reads ONLY the probed " +
+      "cells' bucket subdirs") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val in = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val dim = 8
+    // four well-separated direction clusters on orthogonal axes; the
+    // static centroid matrix IS those directions (trained-once epoch)
+    val cents: Seq[Seq[Double]] = (0 until 4).map(c =>
+      (0 until dim).map(d => if (d == c) 1.0 else 0.0))
+    def vec(id: Long): Array[Float] = {
+      val c = (id % 4).toInt
+      val arr = Array.fill(dim)(0.0f)
+      arr(c) = 1.0f
+      arr(c + 4) = 0.01f * (id % 7) // deterministic within-cluster spread
+      arr
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def writeBatch(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, vec(i.toLong)))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(name).toString)
+    val emptyInit = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    def startQ() = StreamOps.ivfIngestStreamDurable(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(in.toString),
+      idx, cents, emptyInit, ckpt, compactEvery = 2) {
+      (postings, id) => seen(id) = postings.count()
+    }
+    writeBatch("b0", 0 until 10)
+    writeBatch("b1", 10 until 20)
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // HARD RESTART; a third batch arrives only after the stop
+    writeBatch("b2", 20 until 30)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.values.sum == 30L, s"$seen")
+    // ANN query: fresh ids (nothing to self-exclude), one per cluster
+    val queries = Seq((1000L, vec(1000L)), (1001L, vec(1001L)))
+      .toDF("vec_id", "embedding")
+    val got = StreamOps.ivfQueryIndex(idx, cents, queries, k = 3,
+      nprobe = 2, emptyInit, spark)
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i.toLong)))
+      .toDF("vec_id", "embedding")
+    val want = graft.operators.Similarity
+      .ivfTopKTrained(cents, queries, corpus, k = 3, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(rows(got) == rows(want),
+      s"streamed-index ANN diverged from the batch IVF:\n" +
+        s"${rows(got)}\nvs\n${rows(want)}")
+    // THE pruning pin: nprobe=2 of 4 populated cells — the query's
+    // scan reads a strict subset of the postings files, all of them
+    // in probed-cell buckets
+    val allFiles = StreamOps.readIndexState(s"$idx/postings",
+      graft.operators.Similarity.ivfPostings(cents, emptyInit),
+      spark).inputFiles.toSet
+    val gotFiles = got.inputFiles.toSet
+    assert(gotFiles.nonEmpty && gotFiles.subsetOf(allFiles) &&
+      gotFiles.size < allFiles.size,
+      s"query must prune postings files: ${gotFiles.size} of " +
+        s"${allFiles.size}")
+    // and a duplicate-ingest attempt trips the monotone-id contract
+    writeBatch("b3", 25 until 35)
+    val q3 = startQ()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(err.getMessage.contains("ordering contract") ||
+      Option(err.getCause).exists(_.getMessage.contains("ordering contract")),
+      s"re-ingesting ids below the index max must fail loudly: $err")
+  }
+
   test("incrementalUrlDedupStreamDurable: respellings of URLs seen in " +
       "EARLIER batches drop (first-crawled-wins across batches), " +
       "within-batch spellings collapse to one keeper, fresh pages " +
