@@ -28,6 +28,9 @@ class PlanBudgetSpec extends SparkSpec {
     "pipeline_incremental_dedup" -> 5,  // 2 sig aggs + band join + agg
     "ann_lsh_int" -> 3,                 // bucket join + rank + sort
     "ann_ivf_int" -> 3,                 // cell join + rank + sort
+    "ann_ivf_postings_int" -> 3,        // the persisted-postings twin
+                                        // must keep the same shape:
+                                        // cell join + rank + sort (r16)
     "dedup_simhash_md5" -> 2,           // fp agg + chunk join
     "pipeline_strip_stopwords" -> 4,    // spread + docfreq (2: distinct
                                         // pre-agg + count) + sort; the
