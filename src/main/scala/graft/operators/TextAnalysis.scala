@@ -248,13 +248,32 @@ object TextAnalysis {
     * bounded driver sync / broadcast literal; past that cap FP
     * degrades gracefully and correctness never moves — the filter
     * has no false negatives at ANY size). The count is one pass over
-    * the checkpointed eval-sized plane. */
+    * the checkpointed eval-sized plane.
+    *
+    * `bloom_filter_agg` SILENTLY clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` /
+    * `.maxNumItems` (defaults 2²⁶ bits / 4M items — below this
+    * sizing's own 2²⁷-bit / unbounded-item geometry), which would
+    * quietly re-degrade the prune at exactly the large-suite scale
+    * the r16 sizing targets (r17 advice) — so the build raises both
+    * caps for the one aggregate and restores them after. */
   private def gramBloom(grams: DataFrame): Array[Byte] = {
     val n = math.max(1L << 10, grams.count())
     val bits = math.min(1L << 27, math.max(1L << 20, n * 16))
-    grams.agg(expr(
-      s"bloom_filter_agg(xxhash64(g), ${n}L, ${bits}L)")
-      .as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val conf = grams.sparkSession.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val saved = Seq(bitsKey, itemsKey).map(k => k -> conf.getOption(k))
+    try {
+      conf.set(bitsKey, bits)
+      conf.set(itemsKey, n)
+      grams.agg(expr(
+        s"bloom_filter_agg(xxhash64(g), ${n}L, ${bits}L)")
+        .as("bf")).collect()(0).getAs[Array[Byte]](0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   /** doc_ids of `batchDocs` (doc_id, text) sharing ≥ 3 distinct rare

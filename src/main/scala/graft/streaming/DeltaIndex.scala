@@ -115,6 +115,102 @@ private[streaming] object DeltaIndex {
     * a pure function of the key, dropped at the storage boundary. */
   val BucketCol: String = "__bucket"
 
+  // ------------------------------------------------------------------
+  // VERSIONED (tombstone-capable) chains — r17, verdict task 3.
+  //
+  // The plain layout is an append-only multiset: correct for every
+  // insert-only consumer, but a production corpus store needs
+  // DELETION (takedowns, licence revocations, re-crawl invalidation).
+  // A versioned chain's rows carry two meta columns:
+  //
+  //   __op  — "u" (upsert) | "d" (tombstone);
+  //   __seq — a long that totally orders ops across the chain. The
+  //           committing batch stamps upserts at 2·batchId+1 and
+  //           tombstones at 2·batchId, so WITHIN a batch a tombstone
+  //           applies to PRIOR state only (retract-then-reingest in
+  //           one batch leaves the reingested row live), and across
+  //           batches later always wins. Seeds stamp at __seq = -1,
+  //           below every batch.
+  //
+  // Resolution (read-side, and at BASE folds via the fold hook):
+  //   - resolveDeletes — multi-row entities (a doc's band rows): an
+  //     upsert row is live iff no tombstone of its entity has
+  //     __seq ≥ its own;
+  //   - resolveLatest — single-row entities (a vector's posting):
+  //     exactly the max-(__seq, tombstone-wins-ties) row per entity,
+  //     live iff it is an upsert.
+  //
+  // Mid folds stay plain `.distinct()` (a WINDOW cannot safely
+  // resolve: the base below it may hold older upserts its tombstones
+  // must still kill); the base fold resolves — and may DISCARD
+  // tombstones entirely, because it folds ALL visible state (any
+  // upsert a tombstone could kill is in its input), a replayed batch
+  // still sees the un-reaped tombstone deltas below the new base,
+  // and reads never mix sub-base dirs into the state.
+  // ------------------------------------------------------------------
+
+  /** Versioned-chain op column: "u" | "d". */
+  val OpCol: String = "__op"
+
+  /** Versioned-chain sequence column (see the versioning notes). */
+  val SeqCol: String = "__seq"
+
+  /** The upsert / tombstone sequence stamps of batch `batchId`. */
+  def upsertSeq(batchId: Long): Long = 2 * batchId + 1
+  def deleteSeq(batchId: Long): Long = 2 * batchId
+
+  /** Stamp `df`'s rows as versioned ops. */
+  def asOps(df: DataFrame, op: String, seq: Long): DataFrame = {
+    require(op == "u" || op == "d", s"op must be u|d: $op")
+    df.withColumn(OpCol, lit(op))
+      .withColumn(SeqCol, lit(seq))
+  }
+
+  /** Live rows of a versioned multiset under MULTI-ROW-entity
+    * semantics (meta columns retained — [[resolveDeletes]] is the
+    * consumer form): an upsert row survives iff no tombstone of its
+    * entity carries `__seq` ≥ the row's own. */
+  def resolveDeletesOps(state: DataFrame, entityKey: Seq[String])
+      : DataFrame = {
+    val d = state.where(col(OpCol) === "d")
+      .groupBy(entityKey.map(col): _*)
+      .agg(org.apache.spark.sql.functions.max(col(SeqCol)).as("__dseq"))
+    state.where(col(OpCol) === "u")
+      .join(d, entityKey, "left")
+      .where(col("__dseq").isNull || col(SeqCol) > col("__dseq"))
+      .drop("__dseq")
+  }
+
+  /** [[resolveDeletesOps]] with the meta columns stripped — what a
+    * consumer probes/joins against. */
+  def resolveDeletes(state: DataFrame, entityKey: Seq[String])
+      : DataFrame =
+    resolveDeletesOps(state, entityKey).drop(OpCol, SeqCol)
+
+  /** Live rows of a versioned multiset under SINGLE-ROW-entity
+    * semantics (meta retained): exactly the latest op per entity —
+    * max by (`__seq`, tombstone-wins-ties) — kept iff it is an
+    * upsert. Unlike [[resolveDeletesOps]] this also collapses
+    * repeated upserts of one entity to the newest (an UPDATE, not a
+    * duplicate). */
+  def resolveLatestOps(state: DataFrame, entityKey: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{max_by, struct}
+    val others = state.columns.filterNot(entityKey.contains).toSeq
+    state.groupBy(entityKey.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(SeqCol), (col(OpCol) === "d").cast("int")))
+        .as("__r"))
+      .select(entityKey.map(col) ++
+        others.map(c => col(s"__r.`$c`").as(c)): _*)
+      .where(col(OpCol) === "u")
+  }
+
+  /** [[resolveLatestOps]] with the meta columns stripped. */
+  def resolveLatest(state: DataFrame, entityKey: Seq[String])
+      : DataFrame =
+    resolveLatestOps(state, entityKey).drop(OpCol, SeqCol)
+
   private def fs(indexDir: String, spark: SparkSession): FileSystem =
     new Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -161,10 +257,9 @@ private[streaming] object DeltaIndex {
     * itself. Reading leaves directly means the partition column never
     * materializes (it is derivable from the key) and an all-empty
     * path set can never fail schema inference. */
-  private def readDirs(dirs: Seq[Path], schema: org.apache.spark.sql
-      .types.StructType, buckets: Option[Set[Int]],
-      spark: SparkSession, f: FileSystem): Option[DataFrame] = {
-    val leaves = dirs.flatMap { dir =>
+  private def leafDirs(dirs: Seq[Path], buckets: Option[Set[Int]],
+      f: FileSystem): Seq[Path] =
+    dirs.flatMap { dir =>
       val subs = f.listStatus(dir).toIndexedSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(s"$BucketCol="))
@@ -176,9 +271,37 @@ private[streaming] object DeltaIndex {
         keep.map(_.getPath)
       }
     }
+
+  private def readDirs(dirs: Seq[Path], schema: org.apache.spark.sql
+      .types.StructType, buckets: Option[Set[Int]],
+      spark: SparkSession, f: FileSystem): Option[DataFrame] = {
+    val leaves = leafDirs(dirs, buckets, f)
     if (leaves.isEmpty) None
     else Some(spark.read.schema(schema)
       .parquet(leaves.map(_.toString): _*))
+  }
+
+  /** The full committed visible state read with an INFERRED schema —
+    * for consumers that own no schema donor (an index MIGRATION
+    * reading a chain it did not write). None when the chain has no
+    * committed dir or no data files at all. Same multiset semantics
+    * and concurrent-reader contract as [[readAll]]; run against a
+    * quiesced stream (a migration's whole point is a consistent
+    * snapshot). */
+  def readCommitted(indexDir: String, spark: SparkSession)
+      : Option[DataFrame] = {
+    val ch = chain(indexDir, Long.MaxValue, spark)
+    val f = fs(indexDir, spark)
+    val leaves = leafDirs(
+      ch.bases.lastOption.map(_._2).toSeq ++ ch.aboveBase, None, f)
+    if (leaves.isEmpty) None
+    else try Some(spark.read.parquet(leaves.map(_.toString): _*))
+    catch {
+      // every committed dir is empty (e.g. an empty seed): no files
+      // to infer from IS "no data", not an error
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("infer schema") => None
+    }
   }
 
   /** The FULL state visible to batch `beforeBatch`: newest committed
@@ -232,6 +355,45 @@ private[streaming] object DeltaIndex {
     if (eager) df.localCheckpoint() else df
   }
 
+  /** Commit `df` as the chain's INITIAL state: a committed (and,
+    * when `bucketing` is given, hash-bucketed) `base_-1` — below
+    * every real batch id, so batch 0 already sees it as its base.
+    * This makes the chain storage-backed FROM BIRTH (r16 verdict):
+    * `readPruned`'s fallback branch — a bucket-expression FILTER over
+    * the caller's seed frame, i.e. a full seed scan per probe until
+    * the first base fold — never runs, and `commit`'s base fold
+    * reads the seed back from its own bucketed parquet instead of
+    * recomputing the caller's lineage.
+    *
+    * Idempotent and ONCE-EVER: any committed dir at the root
+    * (including a previous seed) makes this a no-op — the initial
+    * state binds at first construction, and a later caller's
+    * differing seed frame is deliberately ignored (the durable
+    * index, not the constructing run, owns accumulated state; a
+    * crashed seed write has no `_SUCCESS` and is invisible, so the
+    * next construction simply rewrites it). Returns true when this
+    * call wrote the seed. */
+  def seed(df: DataFrame, indexDir: String,
+      bucketing: Option[Bucketing] = None): Boolean = {
+    val spark = df.sparkSession
+    if (hasChain(indexDir, spark)) false
+    else {
+      bucketing.foreach(checkLayout(indexDir, _, spark, record = true))
+      write(df, s"$indexDir/base_-1", bucketing)
+      true
+    }
+  }
+
+  /** Whether the chain root holds ANY committed dir (a seed
+    * included) — the multi-chain streams use this to materialize
+    * their shared seed snapshot only when some chain still needs
+    * seeding, so a restart's construction executes no seed lineage
+    * at all. */
+  def hasChain(indexDir: String, spark: SparkSession): Boolean = {
+    val ch = chain(indexDir, Long.MaxValue, spark)
+    ch.bases.nonEmpty || ch.mids.nonEmpty || ch.deltas.nonEmpty
+  }
+
   private def write(df: DataFrame, dir: String,
       bucketing: Option[Bucketing]): Unit = bucketing match {
     case Some(b) =>
@@ -262,10 +424,41 @@ private[streaming] object DeltaIndex {
         val out = f.create(mark, false)
         try out.write(bucketing.numBuckets.toString
           .getBytes("UTF-8")) finally out.close()
-      } catch { case _: java.io.IOException =>
+      } catch { case e: java.io.IOException =>
+        // verify the race story rather than assuming it: if the
+        // marker is STILL absent this was a real FS failure, and an
+        // unmarked chain would let a later mismatched-bucket probe
+        // pass the layout check silently — exactly what the marker
+        // exists to prevent. Fail loudly instead (r16 advice).
+        if (!f.exists(mark)) throw e
         checkLayout(indexDir, bucketing, spark)
       }
     }
+  }
+
+  /** Fail loudly when `root` holds a LEGACY single-chain layout
+    * (committed `delta_`/`mid_`/`base_` dirs directly at the root)
+    * where the current layout expects NAMED SUB-CHAINS: a stream
+    * restarted from an existing checkpoint against such an index
+    * would find the new chain roots empty, silently fall back to its
+    * initial state, and stop deduplicating against accumulated
+    * history — with the vacuously-passing max-id check hiding it
+    * (r16 advice). A legacy index must be rebuilt (re-ingested)
+    * before the stream runs. */
+  private[streaming] def requireSubChainLayout(root: String,
+      expected: String, spark: SparkSession): Unit = {
+    val f = fs(root, spark)
+    val legacy = Option(f.globStatus(new Path(root, "*/_SUCCESS")))
+      .getOrElse(Array.empty).toIndexedSeq
+      .map(_.getPath.getParent.getName)
+      .filter(n => n.startsWith("delta_") || n.startsWith("mid_") ||
+        n.startsWith("base_"))
+    require(legacy.isEmpty,
+      s"legacy single-chain index layout at $root (found " +
+        s"${legacy.sorted.take(3).mkString(", ")} at the root): this " +
+        s"index now stores sub-chains ($expected) and a restart " +
+        "against the old layout would silently forget accumulated " +
+        "history — rebuild the index (re-ingest) first")
   }
 
   /** Persist batch `batchId`'s contribution and run the TIERED
@@ -280,10 +473,22 @@ private[streaming] object DeltaIndex {
     * inputs are read back from their own committed parquet, so folds
     * are disk unions, not recomputes; chain lengths are derived from
     * committed dirs strictly below `batchId`, so a replayed batch
-    * decides identically. */
+    * decides identically.
+    *
+    * `inlineBase = false` (r17) caps the committing batch's fold
+    * work at the WINDOW fold: the base cadence degrades to another
+    * mid, the hot micro-batch NEVER pays an O(index) fold, and the
+    * base tier is owned by an out-of-band [[compactBase]] job (the
+    * r16 verdict's remaining latency seam — a periodic multi-minute
+    * stream stall at production index sizes). Until that job runs,
+    * mids accumulate and read width grows by one dir per
+    * compactEvery batches — bounded by the compactor's cadence, not
+    * the stream's. */
   def commit(delta: DataFrame, indexDir: String, batchId: Long,
       fallback: => DataFrame, bucketing: Option[Bucketing] = None,
-      compactEvery: Int = CompactEvery): Unit = {
+      compactEvery: Int = CompactEvery,
+      inlineBase: Boolean = true,
+      baseFold: DataFrame => DataFrame = _.distinct()): Unit = {
     val spark = delta.sparkSession
     bucketing.foreach(checkLayout(indexDir, _, spark, record = true))
     write(delta, s"$indexDir/delta_$batchId", bucketing)
@@ -293,10 +498,13 @@ private[streaming] object DeltaIndex {
       val own = readDirs(Seq(new Path(s"$indexDir/delta_$batchId")),
         delta.schema, None, spark, f)
         .getOrElse(delta.limit(0))
-      if (ch.midsAbove.size + 1 >= compactEvery) {
-        // FULL fold: the only O(index) write, every ~compactEvery²
-        write(read(indexDir, batchId, fallback, spark).unionAll(own)
-          .distinct(), s"$indexDir/base_$batchId", bucketing)
+      if (inlineBase && ch.midsAbove.size + 1 >= compactEvery) {
+        // FULL fold: the only O(index) write, every ~compactEvery².
+        // baseFold defaults to distinct; a VERSIONED chain passes a
+        // resolve (the full fold is the one place tombstones may
+        // safely discard — see the versioning notes)
+        write(baseFold(read(indexDir, batchId, fallback, spark)
+          .unionAll(own)), s"$indexDir/base_$batchId", bucketing)
         // ids below the PREVIOUS base are unreachable from any
         // replay (a replay of THIS batch reads that base + the chain
         // above it) — reap them so disk stays O(index)
@@ -320,6 +528,67 @@ private[streaming] object DeltaIndex {
             .foreach { case (_, dir) => f.delete(dir, true) }
         }
       }
+    }
+  }
+
+  /** The OUT-OF-BAND base compaction (r17 — verdict task 1): fold
+    * the newest committed base (or `fallback`, a schema donor on
+    * seeded chains) with every committed mid above it into
+    * `base_<m>`, where the watermark `m` is the newest committed
+    * mid's id, then reap dirs strictly below the PREVIOUS base (the
+    * same replay-reachability rule as the inline fold — a replayed
+    * batch j reads the newest base below j plus the chain above it,
+    * and ids below the previous base are unreachable from any
+    * replay). Returns the watermark, or None when no mid has
+    * accumulated above the newest base (nothing to compact).
+    *
+    * SAFE CONCURRENTLY with a live `inlineBase = false` stream — the
+    * single-folder discipline, provable from what each side touches:
+    *
+    *   - DISJOINT FOLDS: this job folds only dirs ≤ m (base ∪ mids —
+    *     deltas ≤ m are already covered by mids by the window-fold
+    *     induction: every mid's window is the deltas above the
+    *     previous mid, own delta included), while a concurrent
+    *     stream mid fold only ever touches deltas ABOVE the newest
+    *     committed mid it lists (≥ m) — so `base_<m>` and any
+    *     concurrently-written mid never overlap, and even a
+    *     duplicate-SENSITIVE consumer (the IVF postings chain) sees
+    *     each row once;
+    *   - SINGLE DELETER of mids/bases: stream-side reaps with
+    *     `inlineBase = false` remove DELTAS only, so the mids this
+    *     job reads cannot vanish mid-fold; two racing compactors
+    *     idempotently overwrite the same `base_<m>` content;
+    *   - VISIBILITY: `base_<m>` appears atomically via `_SUCCESS`; a
+    *     stream batch that listed before it keeps reading the
+    *     equivalent mid chain (set-equal state), and later batches
+    *     adopt the base.
+    *
+    * `bucketing` must match the chain's recorded layout (the
+    * `_buckets` marker fails a mismatch loudly). With `inlineBase =
+    * true` streams this job is redundant, not unsafe — but run it
+    * only with `inlineBase = false` streams so mid reaps stay
+    * delta-only. */
+  def compactBase(indexDir: String, fallback: => DataFrame,
+      bucketing: Option[Bucketing], spark: SparkSession,
+      baseFold: DataFrame => DataFrame = _.distinct())
+      : Option[Long] = {
+    val ch = chain(indexDir, Long.MaxValue, spark)
+    ch.midsAbove.lastOption.map { case (m, _) =>
+      bucketing.foreach(checkLayout(indexDir, _, spark, record = true))
+      val f = fs(indexDir, spark)
+      val fb = fallback
+      val baseDf = ch.bases.lastOption
+        .flatMap(b => readDirs(Seq(b._2), fb.schema, None, spark, f))
+        .getOrElse(fb)
+      val folded = readDirs(ch.midsAbove.map(_._2), fb.schema, None,
+        spark, f).fold(baseDf)(baseDf.unionAll)
+      write(baseFold(folded), s"$indexDir/base_$m", bucketing)
+      ch.bases.lastOption.foreach { case (p, _) =>
+        (ch.bases ++ ch.mids ++ ch.deltas)
+          .filter(_._1 < p)
+          .foreach { case (_, dir) => f.delete(dir, true) }
+      }
+      m
     }
   }
 }

@@ -495,6 +495,28 @@ object StreamOps {
       eager: Boolean = false): DataFrame =
     DeltaIndex.readAll(indexDir, fallback, spark, eager)
 
+  /** The OUT-OF-BAND base compactor (r17) — run this as a separate
+    * periodic batch job against a durable index whose stream was
+    * started with `inlineBaseFold = false`: folds the newest base
+    * plus every committed mid above it into a new base at the newest
+    * mid's watermark and reaps unreachable dirs, so the one O(index)
+    * fold happens HERE, on the compactor's schedule, instead of
+    * stalling a hot micro-batch every ~compactEvery² batches. Safe
+    * while the stream keeps committing — see [[DeltaIndex
+    * .compactBase]] for the disjointness/single-deleter argument.
+    * `keyCols` empty = an unbucketed chain (e.g. a `maxid/` marker
+    * chain); otherwise it must be the chain's recorded bucketing.
+    * `fallback` is a schema donor (seeded chains never execute it).
+    * Returns the folded watermark, or None when nothing has
+    * accumulated. */
+  def compactIndexState(indexDir: String, fallback: => DataFrame,
+      keyCols: Seq[String],
+      spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int = DeltaIndex.NumBuckets): Option[Long] =
+    DeltaIndex.compactBase(indexDir, fallback,
+      if (keyCols.isEmpty) None
+      else Some(Bucketing(numBuckets, keyCols)), spark)
+
   /** Loud enforcement of the id-ordering contract for DURABLE
     * streams, against the persisted one-row-per-batch max-id marker
     * chain (reading a max from the full index would be the exact
@@ -567,12 +589,20 @@ object StreamOps {
       checkpointDir: String,
       minLen: Int = graft.operators.Dedup.ExactSubstrMinLen,
       compactEvery: Int = DeltaIndex.CompactEvery,
-      numBuckets: Int = DeltaIndex.NumBuckets)(
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newDocs.sparkSession
     val bkt = Bucketing(numBuckets, Seq("h"))
-    val init = initialIndex.select("h").distinct().localCheckpoint()
+    // SEED-AS-BASE (r17): the initial index commits as a bucketed
+    // base_-1 at FIRST construction (no-op ever after — the chain,
+    // not the constructing run, owns accumulated state), so probes
+    // are storage-pruned from batch 0 and the seed lineage never
+    // re-executes; the fallback below is a schema donor only
+    DeltaIndex.seed(initialIndex.select("h").distinct(), indexDir,
+      Some(bkt))
+    val init = initialIndex.select("h").distinct().limit(0)
     newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -587,7 +617,7 @@ object StreamOps {
           .exactSubstrAgainstIndex(batch, prev, minLen)
           .localCheckpoint(), batchId)
         DeltaIndex.commit(digests, indexDir, batchId, init,
-          Some(bkt), compactEvery)
+          Some(bkt), compactEvery, inlineBaseFold)
         ()
       }
       .start()
@@ -615,7 +645,8 @@ object StreamOps {
       indexDir: String, initialIndex: DataFrame,
       checkpointDir: String, maxHamming: Int = 3,
       compactEvery: Int = DeltaIndex.CompactEvery,
-      numBuckets: Int = DeltaIndex.NumBuckets)(
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newSigs.sparkSession
@@ -630,10 +661,28 @@ object StreamOps {
     //           contract check never scans the index either.
     val sigBkt = Bucketing(numBuckets, Seq("doc_id"))
     val chunkBkt = Bucketing(numBuckets, Seq("ci", "cv"))
-    val init = initialIndex.select("doc_id", "lo", "hi").localCheckpoint()
-    val initChunks = graft.operators.Multimodal
-      .hammingChunkRows(init).localCheckpoint()
-    val initMax = maxIdDelta(init).localCheckpoint()
+    // an r15-layout index (flat sig chain at the root) must fail
+    // loudly, not silently restart from the initial state
+    DeltaIndex.requireSubChainLayout(indexDir,
+      "sigs/ chunks/ maxid/", spark)
+    // SEED-AS-BASE (r17): all three chains commit the initial state
+    // as base_-1 at first construction; the shared snapshot is
+    // materialized only when SOME chain still needs its seed (each
+    // seed is independently idempotent, so a crash between them just
+    // fills the missing ones next construction), and a restart's
+    // construction executes no seed lineage at all
+    if (Seq(s"$indexDir/sigs", s"$indexDir/chunks", s"$indexDir/maxid")
+        .exists(!DeltaIndex.hasChain(_, spark))) {
+      val m = initialIndex.select("doc_id", "lo", "hi").localCheckpoint()
+      DeltaIndex.seed(m, s"$indexDir/sigs", Some(sigBkt))
+      DeltaIndex.seed(graft.operators.Multimodal.hammingChunkRows(m),
+        s"$indexDir/chunks", Some(chunkBkt))
+      DeltaIndex.seed(maxIdDelta(m), s"$indexDir/maxid")
+    }
+    // schema donors only — never executed once the chains are seeded
+    val init = initialIndex.select("doc_id", "lo", "hi").limit(0)
+    val initChunks = graft.operators.Multimodal.hammingChunkRows(init)
+    val initMax = maxIdDelta(init)
     newSigs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -652,11 +701,11 @@ object StreamOps {
             idxChunks.unionAll(bChunks), bChunks, maxHamming)
           .localCheckpoint(), batchId)
         DeltaIndex.commit(b, s"$indexDir/sigs", batchId, init,
-          Some(sigBkt), compactEvery)
+          Some(sigBkt), compactEvery, inlineBaseFold)
         DeltaIndex.commit(bChunks, s"$indexDir/chunks", batchId,
-          initChunks, Some(chunkBkt), compactEvery)
+          initChunks, Some(chunkBkt), compactEvery, inlineBaseFold)
         DeltaIndex.commit(maxIdDelta(b), s"$indexDir/maxid", batchId,
-          initMax, None, compactEvery)
+          initMax, None, compactEvery, inlineBaseFold)
         ()
       }
       .start()
@@ -817,12 +866,16 @@ object StreamOps {
       segmentDir: String, indexDir: String, initialSeen: DataFrame,
       wetDir: String, checkpointDir: String,
       compactEvery: Int = DeltaIndex.CompactEvery,
-      numBuckets: Int = DeltaIndex.NumBuckets)
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wetDir))
     val bkt = Bucketing(numBuckets, Seq("canon_url"))
-    val init = initialSeen.select("canon_url").distinct().localCheckpoint()
+    // seed-as-base (r17): see incrementalSubstrStreamDurable
+    DeltaIndex.seed(initialSeen.select("canon_url").distinct(),
+      indexDir, Some(bkt))
+    val init = initialSeen.select("canon_url").distinct().limit(0)
     val recs = graft.operators.Crawl.extractFromSegments(
       segmentStream(s, segmentDir, Some("*.garc")))
     recs.writeStream
@@ -847,7 +900,7 @@ object StreamOps {
             .select("doc_id", "url", "text"),
           wetDir, batchId)
         DeltaIndex.commit(fresh.select("canon_url"), indexDir,
-          batchId, init, Some(bkt), compactEvery)
+          batchId, init, Some(bkt), compactEvery, inlineBaseFold)
         ()
       }
       .start()
@@ -952,7 +1005,8 @@ object StreamOps {
       initialIndex: DataFrame,
       checkpointDir: String,
       compactEvery: Int = DeltaIndex.CompactEvery,
-      numBuckets: Int = DeltaIndex.NumBuckets)(
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
@@ -973,13 +1027,33 @@ object StreamOps {
     val sigsDir = s"$sigIndexDir/sigs"
     val bandsDir = s"$sigIndexDir/bands"
     val maxDir = s"$sigIndexDir/maxid"
-    val initUrl = initialSeen.select("canon_url").distinct()
-      .localCheckpoint()
-    val initSig = initialSigs.select("doc_id", "sig").localCheckpoint()
+    // an r15-layout near-dup index (flat sig chain at the root) must
+    // fail loudly, not silently restart from the initial state
+    DeltaIndex.requireSubChainLayout(sigIndexDir,
+      "sigs/ bands/ maxid/", s)
+    // SEED-AS-BASE (r17): all five chains commit their initial state
+    // as base_-1 at first construction (each independently
+    // idempotent); the signature snapshot is materialized only when
+    // some chain still needs its seed, and a restart's construction
+    // executes no seed lineage at all — the fallbacks below are
+    // schema donors only
+    if (Seq(urlIndexDir, sigsDir, bandsDir, maxDir, substrIndexDir)
+        .exists(!DeltaIndex.hasChain(_, s))) {
+      val sig0 = initialSigs.select("doc_id", "sig").localCheckpoint()
+      DeltaIndex.seed(initialSeen.select("canon_url").distinct(),
+        urlIndexDir, Some(urlBkt))
+      DeltaIndex.seed(sig0, sigsDir, Some(sigBkt))
+      DeltaIndex.seed(graft.operators.Dedup.bandedSignatures(sig0),
+        bandsDir, Some(bandBkt))
+      DeltaIndex.seed(maxIdDelta(sig0), maxDir)
+      DeltaIndex.seed(initialIndex.select("h").distinct(),
+        substrIndexDir, Some(subBkt))
+    }
+    val initUrl = initialSeen.select("canon_url").distinct().limit(0)
+    val initSig = initialSigs.select("doc_id", "sig").limit(0)
     val initBand = graft.operators.Dedup.bandedSignatures(initSig)
-      .localCheckpoint()
-    val initMax = maxIdDelta(initSig).localCheckpoint()
-    val initSub = initialIndex.select("h").distinct().localCheckpoint()
+    val initMax = maxIdDelta(initSig)
+    val initSub = initialIndex.select("h").distinct().limit(0)
     // the static per-stream artifacts, built ONCE (eager checkpointed
     // planes — the broadcast-artifact shape a production stream
     // ships): the router weights and the decontamination plane; every
@@ -1032,8 +1106,12 @@ object StreamOps {
           minIdOf(sigB), batchId)
         val bandIdx = DeltaIndex.readPruned(bandsDir, batchId,
           initBand, bandBkt, bandBkt.bucketsOf(bandB), s)
+        // skew-GUARDED candidates (r17): boilerplate-heavy batches
+        // concentrate docs onto hot (band, bh) values — hot groups
+        // salt across reducers, pair output unchanged
         val cand = graft.operators.Dedup
-          .minhashCandidatesBanded(bandIdx.unionAll(bandB), bandB)
+          .minhashCandidatesBandedGuarded(bandIdx.unionAll(bandB),
+            bandB)
           .localCheckpoint()
         // second-phase prune: the est-Jaccard re-attach reads only
         // the sig buckets the CANDIDATE doc_olds hash to (usually a
@@ -1066,15 +1144,15 @@ object StreamOps {
           .join(cleaned.hint("shuffle_hash"), Seq("doc_id"))
           .localCheckpoint(), batchId)
         DeltaIndex.commit(fresh.select("canon_url"), urlIndexDir,
-          batchId, initUrl, Some(urlBkt), compactEvery)
+          batchId, initUrl, Some(urlBkt), compactEvery, inlineBaseFold)
         DeltaIndex.commit(sigB, sigsDir, batchId, initSig,
-          Some(sigBkt), compactEvery)
+          Some(sigBkt), compactEvery, inlineBaseFold)
         DeltaIndex.commit(bandB, bandsDir, batchId, initBand,
-          Some(bandBkt), compactEvery)
+          Some(bandBkt), compactEvery, inlineBaseFold)
         DeltaIndex.commit(maxIdDelta(sigB), maxDir, batchId, initMax,
-          None, compactEvery)
+          None, compactEvery, inlineBaseFold)
         DeltaIndex.commit(digests, substrIndexDir, batchId, initSub,
-          Some(subBkt), compactEvery)
+          Some(subBkt), compactEvery, inlineBaseFold)
         ()
       }
       .start()
@@ -1107,14 +1185,30 @@ object StreamOps {
       cents: Seq[Seq[Double]], initialVecs: DataFrame,
       checkpointDir: String,
       compactEvery: Int = DeltaIndex.CompactEvery,
-      numBuckets: Int = DeltaIndex.NumBuckets)(
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newVecs.sparkSession
     val bkt = Bucketing(numBuckets, Seq("cell"))
+    // a chain at the root (any legacy or foreign layout) must fail
+    // loudly, not be silently shadowed by empty sub-chains
+    DeltaIndex.requireSubChainLayout(indexDir,
+      "postings/ maxid/", spark)
+    // SEED-AS-BASE (r17): the seed corpus is cell-assigned and
+    // committed as a bucketed base_-1 at first construction, so
+    // [[ivfQueryIndex]] never recomputes the seed postings and a
+    // probe against a never-folded chain is already storage-pruned
+    if (Seq(s"$indexDir/postings", s"$indexDir/maxid")
+        .exists(!DeltaIndex.hasChain(_, spark))) {
+      val p0 = graft.operators.Similarity
+        .ivfPostings(cents, initialVecs).localCheckpoint()
+      DeltaIndex.seed(p0, s"$indexDir/postings", Some(bkt))
+      DeltaIndex.seed(maxIdDelta(p0, "vec_id"), s"$indexDir/maxid")
+    }
     val initPost = graft.operators.Similarity
-      .ivfPostings(cents, initialVecs).localCheckpoint()
-    val initMax = maxIdDelta(initPost, "vec_id").localCheckpoint()
+      .ivfPostings(cents, initialVecs.limit(0))
+    val initMax = maxIdDelta(initPost, "vec_id")
     newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -1126,9 +1220,10 @@ object StreamOps {
           minIdOf(postings, "vec_id"), batchId)
         sink(postings, batchId)
         DeltaIndex.commit(postings, s"$indexDir/postings", batchId,
-          initPost, Some(bkt), compactEvery)
+          initPost, Some(bkt), compactEvery, inlineBaseFold)
         DeltaIndex.commit(maxIdDelta(postings, "vec_id"),
-          s"$indexDir/maxid", batchId, initMax, None, compactEvery)
+          s"$indexDir/maxid", batchId, initMax, None, compactEvery,
+          inlineBaseFold)
         ()
       }
       .start()
@@ -1143,9 +1238,13 @@ object StreamOps {
     * result equals the batch IVF over the full accumulated corpus
     * (cell pruning is the IVF equijoin's own semantics; storage
     * pruning just stops paying for cells the join could never match).
-    * `initialVecs` must be the same seed frame the ingest stream was
-    * given. Subject to the [[readIndexState]] concurrent-reader
-    * contract when the stream is live. */
+    * `initialVecs` is a SCHEMA DONOR only (r17): the seed's postings
+    * live in the chain itself — [[ivfIngestStreamDurable]] commits
+    * them as a bucketed `base_-1` at construction — so this query
+    * never recomputes the seed assignment it used to pay per call
+    * (the r16 verdict's seed-rescan seam). Subject to the
+    * [[readIndexState]] concurrent-reader contract when the stream
+    * is live. */
   def ivfQueryIndex(indexDir: String, cents: Seq[Seq[Double]],
       queries: DataFrame, k: Int, nprobe: Int,
       initialVecs: DataFrame,
@@ -1153,7 +1252,7 @@ object StreamOps {
       numBuckets: Int = DeltaIndex.NumBuckets): DataFrame = {
     val bkt = Bucketing(numBuckets, Seq("cell"))
     val initPost = graft.operators.Similarity
-      .ivfPostings(cents, initialVecs)
+      .ivfPostings(cents, initialVecs.limit(0))
     val cells = graft.operators.Similarity
       .ivfQueryCells(cents, queries, nprobe)
     val postings = DeltaIndex.readPruned(s"$indexDir/postings",
@@ -1162,15 +1261,229 @@ object StreamOps {
       .ivfTopKFromPostings(cents, queries, postings, k, nprobe)
   }
 
-  def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
+  /** DURABLE streaming URL dedup WITH RETRACTION (r17 — tombstones,
+    * verdict task 3): [[incrementalUrlDedupStreamDurable]] over a
+    * VERSIONED seen-set chain, for the production reality the
+    * append-only form cannot express — takedowns, licence
+    * revocations, re-crawl invalidation. Input rows carry an `op`
+    * column: `"crawl"` rows are full (doc_id, url, …) records;
+    * `"retract"` rows need only a `url`. Per batch:
+    *
+    *   1. retractions canonicalize and become TOMBSTONES of their
+    *      canonical URL (what a deletion MEANS here: the page is
+    *      un-seen — a later crawl of any spelling is fresh again);
+    *   2. crawls collapse to one keeper per canonical URL, then
+    *      anti-join the RESOLVED live seen-set ([[DeltaIndex
+    *      .resolveDeletes]] over the bucket-pruned state ∪ this
+    *      batch's own tombstones — so a retract-and-recrawl in ONE
+    *      batch already sees the page as unseen);
+    *   3. the committed delta = fresh upserts (seq 2·batchId+1) ∪
+    *      tombstones (seq 2·batchId): within a batch a tombstone
+    *      applies to prior state only, across batches later wins.
+    *
+    * Base folds resolve (dead upserts and tombstones leave the
+    * index); spec drives pin retract → recrawl = first sight, the
+    * same across a fold cycle, and replay idempotence via the usual
+    * batch-id keying. `sink(freshKeepers, batchId)` as in the
+    * unversioned form. */
+  def incrementalUrlDedupStreamVersioned(newRecs: DataFrame,
       indexDir: String, initialSeen: DataFrame, checkpointDir: String,
       compactEvery: Int = DeltaIndex.CompactEvery,
-      numBuckets: Int = DeltaIndex.NumBuckets)(
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newRecs.sparkSession
     val bkt = Bucketing(numBuckets, Seq("canon_url"))
-    val init = initialSeen.select("canon_url").distinct().localCheckpoint()
+    val entity = Seq("canon_url")
+    def baseFold(st: DataFrame): DataFrame =
+      DeltaIndex.resolveDeletesOps(st, entity).distinct()
+    DeltaIndex.seed(DeltaIndex.asOps(
+      initialSeen.select("canon_url").distinct(), "u", -1L),
+      indexDir, Some(bkt))
+    val init = DeltaIndex.asOps(
+      initialSeen.select("canon_url").distinct(), "u", -1L).limit(0)
+    newRecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val tombs = batch.toDF().where(col("op") === "retract")
+          .select(graft.operators.Crawl.canonicalizeUrl(col("url"))
+            .as("canon_url")).distinct().localCheckpoint()
+        val keepers = graft.operators.Crawl
+          .urlKeeperRecords(batch.toDF().where(col("op") === "crawl"))
+          .withColumn("canon_url", graft.operators.Crawl
+            .canonicalizeUrl(col("url")))
+          .localCheckpoint()
+        val probeKeys = keepers.select("canon_url")
+          .unionAll(tombs).distinct()
+        val state = DeltaIndex.readPruned(indexDir, batchId, init,
+          bkt, bkt.bucketsOf(probeKeys), spark)
+        // resolve live URLs with THIS batch's tombstones applied, so
+        // a same-batch retract+recrawl treats the page as unseen
+        val live = DeltaIndex.resolveDeletes(
+          state.unionAll(DeltaIndex.asOps(tombs, "d",
+            DeltaIndex.deleteSeq(batchId))), entity)
+          .localCheckpoint()
+        val fresh = keepers.join(live.hint("shuffle_hash"),
+          Seq("canon_url"), "left_anti").localCheckpoint()
+        sink(fresh, batchId)
+        DeltaIndex.commit(
+          DeltaIndex.asOps(fresh.select("canon_url"), "u",
+            DeltaIndex.upsertSeq(batchId))
+            .unionAll(DeltaIndex.asOps(tombs, "d",
+              DeltaIndex.deleteSeq(batchId))),
+          indexDir, batchId, init, Some(bkt), compactEvery,
+          inlineBaseFold, baseFold)
+        ()
+      }
+      .start()
+  }
+
+  /** DURABLE streaming IVF ingestion WITH RETRACTION (r17 —
+    * tombstones over the [[ivfIngestStreamDurable]] postings chain):
+    * input rows (vec_id, embedding, op) with op `"u"` (ingest) or
+    * `"d"` (takedown). What a deletion MEANS here: the vector leaves
+    * the index — it can never appear in an ANN result — and its
+    * vec_id may be re-ingested later (an UPDATE is delete + upsert).
+    * Both ops are cell-assigned under the static centroids, so a
+    * tombstone lands in the SAME bucket as the posting it kills and
+    * every probe that could rank the vector also sees its tombstone.
+    *
+    * THE UPDATE CONTRACT (stated loudly because cell-bucketed
+    * pruning makes it structural): a tombstone must carry the
+    * embedding the index currently holds (the takedown record — its
+    * cell is where the live posting sits). Re-ingesting a vec_id
+    * with a CHANGED embedding without first tombstoning the old one
+    * leaves both versions live in different cells (a query probing
+    * only the old cell cannot know about the newer row; base folds
+    * — which see all cells — repair folded history via
+    * [[DeltaIndex.resolveLatest]], but the read side must not rely
+    * on fold timing). Same-cell re-upserts resolve to the newest
+    * unconditionally.
+    *
+    * No monotone-id contract here — id reuse is the point; the
+    * duplicate-protection the maxid marker provided comes from
+    * latest-wins resolution instead ([[ivfQueryIndexVersioned]]).
+    * `sink(versionedPostings, batchId)` observes each batch's
+    * stamped rows. */
+  def ivfIngestStreamVersioned(newVecs: DataFrame, indexDir: String,
+      cents: Seq[Seq[Double]], initialVecs: DataFrame,
+      checkpointDir: String,
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newVecs.sparkSession
+    val bkt = Bucketing(numBuckets, Seq("cell"))
+    def baseFold(st: DataFrame): DataFrame =
+      DeltaIndex.resolveLatestOps(st, Seq("vec_id"))
+    DeltaIndex.requireSubChainLayout(indexDir, "postings/", spark)
+    DeltaIndex.seed(DeltaIndex.asOps(graft.operators.Similarity
+        .ivfPostings(cents, initialVecs), "u", -1L),
+      s"$indexDir/postings", Some(bkt))
+    val initPost = DeltaIndex.asOps(graft.operators.Similarity
+      .ivfPostings(cents, initialVecs.limit(0)), "u", -1L)
+    newVecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: java.lang.Long) =>
+        val b = batch.toDF().localCheckpoint()
+        val delta = DeltaIndex.asOps(graft.operators.Similarity
+            .ivfPostings(cents, b.where(col("op") === "u")), "u",
+            DeltaIndex.upsertSeq(batchId))
+          .unionAll(DeltaIndex.asOps(graft.operators.Similarity
+            .ivfPostings(cents, b.where(col("op") === "d")), "d",
+            DeltaIndex.deleteSeq(batchId)))
+          .localCheckpoint()
+        sink(delta, batchId)
+        DeltaIndex.commit(delta, s"$indexDir/postings", batchId,
+          initPost, Some(bkt), compactEvery, inlineBaseFold, baseFold)
+        ()
+      }
+      .start()
+  }
+
+  /** ANN query against a VERSIONED postings chain
+    * ([[ivfIngestStreamVersioned]]): the bucket-pruned read resolves
+    * latest-wins per vec_id BEFORE ranking, so a tombstoned vector
+    * never occupies a result slot and a re-ingested one ranks with
+    * its newest embedding. Otherwise [[ivfQueryIndex]]. */
+  def ivfQueryIndexVersioned(indexDir: String,
+      cents: Seq[Seq[Double]], queries: DataFrame, k: Int,
+      nprobe: Int, initialVecs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int = DeltaIndex.NumBuckets): DataFrame = {
+    val bkt = Bucketing(numBuckets, Seq("cell"))
+    val initPost = DeltaIndex.asOps(graft.operators.Similarity
+      .ivfPostings(cents, initialVecs.limit(0)), "u", -1L)
+    val cells = graft.operators.Similarity
+      .ivfQueryCells(cents, queries, nprobe)
+    val postings = DeltaIndex.resolveLatest(
+      DeltaIndex.readPruned(s"$indexDir/postings", Long.MaxValue,
+        initPost, bkt, bkt.bucketsOf(cells), spark), Seq("vec_id"))
+    graft.operators.Similarity
+      .ivfTopKFromPostings(cents, queries, postings, k, nprobe)
+  }
+
+  /** CENTROID-EPOCH MIGRATION for the durable IVF index (r17): "a
+    * retrained quantizer is a NEW index"
+    * ([[ivfIngestStreamDurable]]) now has its operator. One batch
+    * job, run against a QUIESCED old stream:
+    *
+    *   1. reads the accumulated postings chain (the raw embeddings
+    *      ride in the postings, so no corpus re-read is needed);
+    *   2. re-assigns every vector's cell under the NEW centroid
+    *      matrix — the one O(index) pass a retrain inherently costs;
+    *   3. SEEDS the new chain: re-assigned postings as a
+    *      cell-bucketed `base_-1` plus the carried-over max-ingest-id
+    *      marker, so continued ingestion under the new epoch keeps
+    *      the monotone-id contract exactly where the old epoch left
+    *      it.
+    *
+    * The OLD chain is untouched and stays queryable under its own
+    * centroids until cutover; afterwards point
+    * [[ivfIngestStreamDurable]]/[[ivfQueryIndex]] at `newIndexDir`
+    * with `newCents` (a fresh checkpoint dir — the new chain is a
+    * new stream). Fails loudly when the old chain holds no postings
+    * or the target already has one (a migration never overwrites an
+    * index). */
+  def ivfMigrateIndex(oldIndexDir: String, newCents: Seq[Seq[Double]],
+      newIndexDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      numBuckets: Int = DeltaIndex.NumBuckets): Unit = {
+    require(!DeltaIndex.hasChain(s"$newIndexDir/postings", spark) &&
+      !DeltaIndex.hasChain(s"$newIndexDir/maxid", spark),
+      s"target $newIndexDir already holds an index — a migration " +
+        "seeds a NEW chain, it never overwrites one")
+    val old = DeltaIndex
+      .readCommitted(s"$oldIndexDir/postings", spark)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed postings under $oldIndexDir — nothing to " +
+          "migrate"))
+    val re = graft.operators.Similarity
+      .ivfPostings(newCents, old.select("vec_id", "embedding"))
+      .localCheckpoint()
+    DeltaIndex.seed(re, s"$newIndexDir/postings",
+      Some(Bucketing(numBuckets, Seq("cell"))))
+    DeltaIndex.seed(maxIdDelta(re, "vec_id"), s"$newIndexDir/maxid")
+    ()
+  }
+
+  def incrementalUrlDedupStreamDurable(newRecs: DataFrame,
+      indexDir: String, initialSeen: DataFrame, checkpointDir: String,
+      compactEvery: Int = DeltaIndex.CompactEvery,
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      inlineBaseFold: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newRecs.sparkSession
+    val bkt = Bucketing(numBuckets, Seq("canon_url"))
+    // seed-as-base (r17): see incrementalSubstrStreamDurable
+    DeltaIndex.seed(initialSeen.select("canon_url").distinct(),
+      indexDir, Some(bkt))
+    val init = initialSeen.select("canon_url").distinct().limit(0)
     newRecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
@@ -1188,7 +1501,7 @@ object StreamOps {
           Seq("canon_url"), "left_anti").localCheckpoint()
         sink(fresh, batchId)
         DeltaIndex.commit(fresh.select("canon_url"), indexDir,
-          batchId, init, Some(bkt), compactEvery)
+          batchId, init, Some(bkt), compactEvery, inlineBaseFold)
         ()
       }
       .start()

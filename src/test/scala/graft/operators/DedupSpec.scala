@@ -749,4 +749,50 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.NearDupNumHashes %
       graft.operators.Dedup.NearDupBands == 0)
   }
+
+  test("SKEW GUARD (r17): on an engineered boilerplate corpus — one " +
+      "(band, bh) shared by thousands of docs — the guarded candidate " +
+      "join produces EXACTLY the unguarded pairs while the largest " +
+      "post-salt group shrinks to ~hotGroup/salts, and cold keys " +
+      "bypass the salted path untouched") {
+    // synthetic banded tables (the guard operates on (doc_id, band,
+    // bh) rows directly): 2000 index docs share ONE hot band hash —
+    // the boilerplate cluster — plus scattered cold keys
+    val hotOld = (0L until 2000L).map(i => (i, 0, 777L))
+    val coldOld = (0L until 200L).map(i => (i, 1, 1000L + i % 50))
+    val bandedOld = (hotOld ++ coldOld).toDF("doc_id", "band", "bh")
+    val hotNew = (2000L until 2040L).map(i => (i, 0, 777L))
+    val coldNew = (2000L until 2040L).map(i => (i, 1, 1000L + i % 50))
+    val bandedNew = (hotNew ++ coldNew).toDF("doc_id", "band", "bh")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val threshold = 100
+    val salts = 8
+    val want = pairs(graft.operators.Dedup
+      .minhashCandidatesBanded(bandedOld, bandedNew))
+    val got = pairs(graft.operators.Dedup
+      .minhashCandidatesBandedGuarded(bandedOld, bandedNew,
+        hotThreshold = threshold, salts = salts))
+    assert(got == want,
+      s"the guard must never change pair output: ${got.size} vs " +
+        s"${want.size}")
+    assert(want.size >= 2000 * 40,
+      "the fixture must actually be quadratic on the hot key")
+    // THE skew pin: the hot key's post-salt groups are bounded by
+    // ~hotGroup/salts (2× slack for hash non-uniformity), vs the
+    // single 2000-row group the unguarded shuffle would build
+    val groupSizes = bandedOld
+      .where(col("band") === 0 && col("bh") === 777L)
+      .withColumn("__salt",
+        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+      .groupBy("__salt").count().as[(Int, Long)].collect().toMap
+    assert(groupSizes.size == salts,
+      s"every salt must receive work: $groupSizes")
+    assert(groupSizes.values.max <= 2L * 2000L / salts,
+      s"max post-salt group must shrink to ~1/salts: $groupSizes")
+    // default threshold (4096) classifies this fixture as cold — the
+    // guarded join still equals the unguarded one (pure passthrough)
+    assert(pairs(graft.operators.Dedup
+      .minhashCandidatesBandedGuarded(bandedOld, bandedNew)) == want)
+  }
 }

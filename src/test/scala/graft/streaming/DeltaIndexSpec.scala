@@ -57,7 +57,9 @@ class DeltaIndexSpec extends SparkSpec {
     // window folds on the compactEvery cadence; the 3rd fold (batch
     // 8, finding 2 committed mids) escalates to the base fold
     assert(mids.keySet == Set(2L, 5L), s"mids: ${mids.keySet}")
-    assert(bases.keySet == Set(8L), s"bases: ${bases.keySet}")
+    // base_-1 is the SEED (r17: initial state commits at stream
+    // construction); base_8 is the cadence escalation
+    assert(bases.keySet == Set(-1L, 8L), s"bases: ${bases.keySet}")
     // mid_5's reap removed exactly the deltas folded into the
     // PREVIOUS mid (0,1,2); the replay window {3..8} survives
     assert(deltas.keySet == Set(3L, 4L, 5L, 6L, 7L, 8L),
@@ -162,6 +164,188 @@ class DeltaIndexSpec extends SparkSpec {
       Seq.empty, spark).count() == 0L)
   }
 
+  test("OUT-OF-BAND compaction, direct drive (r17): inlineBase=false " +
+      "never escalates to a base (the cadence degrades to mids), " +
+      "compactBase folds base ∪ mids at the newest mid watermark, " +
+      "reaps below the previous base, and returns None when nothing " +
+      "has accumulated") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltaoob").toString
+    val dir = s"$root/idx"
+    val bkt = Bucketing(8, Seq("k"))
+    def empty = Seq.empty[String].toDF("k")
+    for (b <- 0 to 7)
+      DeltaIndex.commit(Seq(s"key$b").toDF("k"), dir, b.toLong,
+        empty, Some(bkt), compactEvery = 2, inlineBase = false)
+    // inline would have escalated at batch 3 (second mid); with the
+    // fold capped at the window, mids just accumulate
+    assert(committedDirs(dir, "base_").isEmpty,
+      s"no batch may fold a base inline: " +
+        s"${committedDirs(dir, "base_").keySet}")
+    assert(committedDirs(dir, "mid_").keySet == Set(1L, 3L, 5L, 7L))
+    // the out-of-band fold lands at the newest mid watermark
+    assert(DeltaIndex.compactBase(dir, empty, Some(bkt), spark)
+      .contains(7L))
+    assert(DeltaIndex.readAll(dir, empty, spark)
+      .as[String].collect().toSet == (0 to 7).map(b => s"key$b").toSet)
+    // idempotent no-op when no mid accumulated above the new base
+    assert(DeltaIndex.compactBase(dir, empty, Some(bkt), spark).isEmpty)
+    for (b <- 8 to 11)
+      DeltaIndex.commit(Seq(s"key$b").toDF("k"), dir, b.toLong,
+        empty, Some(bkt), compactEvery = 2, inlineBase = false)
+    assert(DeltaIndex.compactBase(dir, empty, Some(bkt), spark)
+      .contains(11L))
+    // the second fold's reap removes everything below the PREVIOUS
+    // base (7) — replay-reachability, one fold cycle behind
+    assert(committedDirs(dir, "base_").keySet == Set(7L, 11L))
+    assert(committedDirs(dir, "mid_").keySet == Set(7L, 9L, 11L),
+      s"mids below base_7 must reap: ${committedDirs(dir, "mid_").keySet}")
+    assert(DeltaIndex.readAll(dir, empty, spark)
+      .as[String].collect().toSet ==
+      (0 to 11).map(b => s"key$b").toSet)
+  }
+
+  test("OUT-OF-BAND compaction, CONCURRENT drive (r17): a live " +
+      "inlineBaseFold=false stream keeps committing while a racing " +
+      "compactor thread folds — every base on disk is a compactor " +
+      "watermark (no batch ever folded one), the accumulated state " +
+      "is exactly the union, and post-compaction pruned probes still " +
+      "dedup URLs first seen before any fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_oobconc")
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    def empty = Seq.empty[String].toDF("canon_url")
+    val src = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val query = StreamOps.incrementalUrlDedupStreamDurable(
+      src.toDF().toDF("doc_id", "url", "html"), idxDir, empty, ckpt,
+      compactEvery = 2, inlineBaseFold = false) {
+      (batch, id) => got(id) = batch.count()
+    }
+    val folded =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compactor = new Thread(() =>
+      try {
+        while (!stop.get()) {
+          StreamOps.compactIndexState(idxDir, empty,
+            Seq("canon_url"), spark).foreach(w => folded.add(w))
+          Thread.sleep(20)
+        }
+      } catch { case t: Throwable => failed.set(t) })
+    compactor.start()
+    try {
+      for (b <- 0 until 10) {
+        src.addData(recs(b, 40): _*)
+        query.processAllAvailable()
+      }
+    } finally {
+      query.stop()
+      stop.set(true)
+      compactor.join()
+    }
+    assert(failed.get() == null,
+      s"compactor thread must not race the stream: ${failed.get()}")
+    // drain the tail deterministically
+    StreamOps.compactIndexState(idxDir, empty, Seq("canon_url"), spark)
+      .foreach(w => folded.add(w))
+    assert((0L until 10L).forall(got(_) == 40L), s"$got")
+    val watermarks = {
+      import scala.jdk.CollectionConverters._
+      folded.asScala.map(_.toLong).toSet
+    }
+    assert(watermarks.nonEmpty, "the compactor must have folded")
+    val bases = committedDirs(idxDir, "base_").keySet
+    assert(bases.subsetOf(watermarks + -1L),
+      s"every base must be a compactor watermark (or the seed), " +
+        s"never an inline batch fold: bases=$bases folded=$watermarks")
+    // the accumulated state is exactly the union of all batches
+    val seen = StreamOps.readIndexState(idxDir, empty, spark)
+      .distinct().count()
+    assert(seen == 400L, s"accumulated seen-set: $seen")
+    // and a pruned probe against the compacted chain still finds a
+    // batch-0 URL (the canonical respelling-drops contract)
+    val bkt = Bucketing(DeltaIndex.NumBuckets, Seq("canon_url"))
+    val probe = Seq("https://h0.example.org/p7").toDF("canon_url")
+    val hit = DeltaIndex.readPruned(idxDir, Long.MaxValue, empty, bkt,
+      bkt.bucketsOf(probe), spark)
+      .join(probe, Seq("canon_url"), "left_semi").count()
+    assert(hit == 1L,
+      "a URL first seen before any fold must survive compaction")
+  }
+
+  test("SEED-AS-BASE (r17): a probe against a seeded-but-NEVER-" +
+      "folded chain is storage-pruned — every scanned file lives in " +
+      "a wanted bucket subdir of base_-1, the fallback frame's scan " +
+      "never runs, and seeding is once-ever (a second construction's " +
+      "differing seed is ignored)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltaseed").toString
+    val dir = s"$root/idx"
+    val bkt = Bucketing(8, Seq("k"))
+    def empty = Seq.empty[String].toDF("k")
+    val seeded = DeltaIndex.seed(
+      (0 until 64).map(j => s"seed_$j").toDF("k"), dir, Some(bkt))
+    assert(seeded)
+    // no deltas, no folds — the chain is JUST the seed
+    assert(committedDirs(dir, "base_").keySet == Set(-1L))
+    val probe = Seq("seed_7", "seed_40").toDF("k")
+    val buckets = bkt.bucketsOf(probe)
+    // the fallback is a POISONED frame: evaluating its rows throws
+    // (assert_true is wired INTO the k column, so pruning can't drop
+    // it) — this read succeeding proves the fallback branch never runs
+    def poisoned = spark.range(1).selectExpr(
+      "if(isnull(assert_true(id < 0)), cast(id as string), null) as k")
+    val pruned = DeltaIndex.readPruned(dir, Long.MaxValue, poisoned,
+      bkt, buckets, spark)
+    assert(pruned.join(probe, Seq("k"), "left_semi")
+      .as[String].collect().toSet == Set("seed_7", "seed_40"))
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(f =>
+      buckets.exists(b => f.contains(s"__bucket=$b"))),
+      s"every scanned file must be a wanted seed bucket: " +
+        s"${pruned.inputFiles.toSeq}")
+    // once-ever: re-seeding (a restart, or a differing caller) no-ops
+    assert(!DeltaIndex.seed(Seq("other").toDF("k"), dir, Some(bkt)))
+    assert(DeltaIndex.readAll(dir, empty, spark).count() == 64L)
+    // and the first delta commit composes with the seed normally
+    DeltaIndex.commit(Seq("d0").toDF("k"), dir, 0L, empty, Some(bkt))
+    assert(DeltaIndex.readAll(dir, empty, spark).count() == 65L)
+  }
+
+  test("LEGACY-LAYOUT guard (r16 advice): a sub-chain index root " +
+      "holding a committed flat chain fails loudly at stream " +
+      "construction instead of silently restarting from initial state") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltalegacy").toString
+    val legacyDir = s"$root/idx"
+    def empty = Seq.empty[String].toDF("k")
+    // an r15-era flat chain: committed delta_0 directly at the root
+    DeltaIndex.commit(Seq("key0").toDF("k"), legacyDir, 0L, empty)
+    val err = intercept[IllegalArgumentException] {
+      DeltaIndex.requireSubChainLayout(legacyDir,
+        "sigs/ chunks/ maxid/", spark)
+    }
+    assert(err.getMessage.contains("legacy single-chain"))
+    // a fresh root (not yet created) and a sub-chain root both pass
+    DeltaIndex.requireSubChainLayout(s"$root/fresh", "a/ b/", spark)
+    DeltaIndex.commit(Seq("key0").toDF("k"), s"$root/sub/sigs", 0L,
+      empty)
+    DeltaIndex.requireSubChainLayout(s"$root/sub", "sigs/", spark)
+    // and the guard is WIRED: the image-dedup stream refuses the
+    // legacy root at construction (before any batch runs)
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long)]
+    val err2 = intercept[IllegalArgumentException] {
+      StreamOps.incrementalImageDedupStreamDurable(
+        src.toDF().toDF("doc_id", "lo", "hi"), legacyDir,
+        Seq.empty[(Long, Long, Long)].toDF("doc_id", "lo", "hi"),
+        s"$root/ckpt") { (_, _) => () }
+    }
+    assert(err2.getMessage.contains("legacy single-chain"))
+  }
+
   test("a respelling of a URL whose first sighting was FOLDED through " +
       "a mid INTO A BASE still drops — tiered compaction preserves " +
       "the dedup contract across hard restarts") {
@@ -198,8 +382,9 @@ class DeltaIndexSpec extends SparkSpec {
       val q = startQ()
       try q.processAllAvailable() finally q.stop()
     }
-    assert(committedDirs(idxDir, "base_").keySet == Set(3L),
-      s"compactEvery=2 escalates to a base at batch 3: " +
+    assert(committedDirs(idxDir, "base_").keySet == Set(-1L, 3L),
+      s"compactEvery=2 escalates to a base at batch 3 (base_-1 is " +
+        s"the r17 construction seed): " +
         s"${committedDirs(idxDir, "base_").keySet}")
     // restart AGAIN and respell the base-folded URL
     writeRecs("b4", Seq(

@@ -1186,6 +1186,249 @@ class StreamOpsSpec extends SparkSpec {
       s"re-ingesting ids below the index max must fail loudly: $err")
   }
 
+  test("VERSIONED URL dedup (r17 tombstones): a retracted URL's " +
+      "recrawl is FIRST SIGHT — including a same-batch " +
+      "retract+recrawl and a retraction whose upsert was folded " +
+      "through a base — respellings of live URLs keep dropping, and " +
+      "the base fold DISCARDS resolved tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_urlvers")
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val src = MemoryStream[(String, Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val query = StreamOps.incrementalUrlDedupStreamVersioned(
+      src.toDF().toDF("op", "doc_id", "url", "html"), idxDir,
+      Seq("https://old.example.org/seeded").toDF("canon_url"), ckpt,
+      compactEvery = 2) { (batch, id) =>
+      got(id) = batch.select("doc_id").as[Long].collect().toSet
+    }
+    def drive(rows: (String, Long, String, String)*): Unit = {
+      src.addData(rows: _*)
+      query.processAllAvailable()
+    }
+    val P = "https://a.example.org/p"
+    val Q = "https://a.example.org/q"
+    try {
+      drive(("crawl", 10L, P, "<p>p</p>"), ("crawl", 11L, Q, "<p>q</p>"))
+      drive(("crawl", 20L, s"$P?utm_source=x", "<p>p again</p>"),
+        ("crawl", 21L, "https://old.example.org/seeded", "<p>s</p>"))
+      // same-batch retract + recrawl: the page is unseen to its own batch
+      drive(("retract", 0L, P, ""), ("crawl", 30L, P, "<p>p v2</p>"))
+      // p is live again (30): a respelling drops; filler keeps folds coming
+      drive(("crawl", 40L, s"HTTPS://A.EXAMPLE.ORG:443/p", "<p>x</p>"),
+        ("crawl", 41L, "https://f3.example.org/f", "<p>f</p>"))
+      drive(("retract", 0L, Q, ""))
+      drive(("crawl", 51L, "https://f5.example.org/f", "<p>f</p>"))
+      drive(("crawl", 61L, "https://f6.example.org/f", "<p>f</p>"))
+      // q's original upsert was folded into base_3; its tombstone (b4)
+      // must still kill it — and the recrawl is first sight
+      drive(("crawl", 70L, Q, "<p>q v2</p>"),
+        ("crawl", 71L, "https://f7.example.org/f", "<p>f</p>"))
+      // q live again from 70: the respelling drops
+      drive(("crawl", 80L, s"$Q#frag", "<p>y</p>"))
+    } finally query.stop()
+    assert(got(0L) == Set(10L, 11L), s"${got(0L)}")
+    assert(got(1L) == Set.empty[Long],
+      s"respelling + seeded URL must both drop: ${got(1L)}")
+    assert(got(2L) == Set(30L),
+      s"same-batch retract+recrawl is first sight: ${got(2L)}")
+    assert(got(3L) == Set(41L),
+      s"p is live again — its respelling drops: ${got(3L)}")
+    assert(got(4L) == Set.empty[Long])
+    assert(got(7L) == Set(70L, 71L),
+      s"the base-folded-then-retracted URL must be first sight: " +
+        s"${got(7L)}")
+    assert(got(8L) == Set.empty[Long],
+      s"q is live again — its respelling drops: ${got(8L)}")
+    // folds actually happened (compactEvery=2 → bases at 3 and 7;
+    // base_7's reap removed the seed base_-1 — one fold cycle behind)
+    val bases = StreamOpsSpecHelpers.committedDirs(idxDir, "base_")
+    assert(bases.keySet == Set(3L, 7L), s"${bases.keySet}")
+    // ...and the newest base discarded every resolved tombstone while
+    // keeping live history (tombstones leave the index at full folds)
+    val base7 = spark.read.parquet(bases(7L).getAbsolutePath)
+    assert(base7.where(org.apache.spark.sql.functions
+      .col(DeltaIndex.OpCol) === "d").count() == 0L,
+      "the base fold must discard resolved tombstones")
+    assert(base7.where(org.apache.spark.sql.functions
+      .col("canon_url") === P).count() == 1L,
+      "exactly one live version of a retracted-then-recrawled URL")
+  }
+
+  test("VERSIONED IVF (r17 tombstones): a tombstoned vector never " +
+      "ranks — before and after base folds — a re-ingested vec_id " +
+      "ranks with its NEWEST embedding (update = delete + upsert, " +
+      "same-batch included), and every query equals the batch IVF " +
+      "over the live corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfvers")
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val dim = 8
+    val cents: Seq[Seq[Double]] = (0 until 4).map(c =>
+      (0 until dim).map(d => if (d == c) 1.0 else 0.0))
+    def vecIn(cluster: Int, wobble: Int): Array[Float] = {
+      val arr = Array.fill(dim)(0.0f)
+      arr(cluster) = 1.0f
+      arr(cluster + 4) = 0.01f * wobble
+      arr
+    }
+    def vec(id: Long): Array[Float] = vecIn((id % 4).toInt, (id % 7).toInt)
+    val emptyInit = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val src = MemoryStream[(String, Long, Array[Float])]
+    val query = StreamOps.ivfIngestStreamVersioned(
+      src.toDF().toDF("op", "vec_id", "embedding"), idx, cents,
+      emptyInit, ckpt, compactEvery = 2) { (_, _) => () }
+    def drive(rows: (String, Long, Array[Float])*): Unit = {
+      src.addData(rows: _*)
+      query.processAllAvailable()
+    }
+    val queries = Seq((1000L, vec(1000L)), (1001L, vec(1001L)),
+      (1002L, vec(1002L)), (1003L, vec(1003L)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    def assertLive(live: Map[Long, Array[Float]], hint: String): Unit = {
+      val corpus = live.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+      assert(rows(StreamOps.ivfQueryIndexVersioned(idx, cents,
+          queries, k = 3, nprobe = 2, emptyInit, spark)) ==
+        rows(graft.operators.Similarity.ivfTopKTrained(cents, queries,
+          corpus, k = 3, nprobe = 2)), hint)
+    }
+    val live = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    try {
+      drive((0L until 10L).map(i =>
+        ("u", i, { live(i) = vec(i); vec(i) })): _*)
+      // takedown of vec 3 (tombstone carries the indexed embedding)
+      drive(("d", 3L, vec(3L)))
+      live.remove(3L)
+      assertLive(live.toMap, "a tombstoned vector must never rank")
+      // re-ingest vec 3 in a DIFFERENT cluster (old version already
+      // tombstoned — the update contract)
+      drive(("u", 3L, vecIn(1, 5)))
+      live(3L) = vecIn(1, 5)
+      assertLive(live.toMap,
+        "a re-ingested vec_id must rank with its newest embedding")
+      // same-batch update of vec 5: delete old + upsert new
+      drive(("d", 5L, vec(5L)), ("u", 5L, vecIn(2, 6)))
+      live(5L) = vecIn(2, 6)
+      assertLive(live.toMap, "same-batch delete+upsert = update")
+      // push the chain through base folds (compactEvery=2) and
+      // re-assert — resolution must survive fold + reap cycles
+      for (b <- 0 until 5) {
+        val ids = (100L + b * 10L) until (100L + b * 10L + 3L)
+        drive(ids.map(i => ("u", i, { live(i) = vec(i); vec(i) })): _*)
+      }
+      assertLive(live.toMap,
+        "tombstone semantics must survive base folds and reaps")
+      assert(StreamOpsSpecHelpers
+        .committedDirs(s"$idx/postings", "base_").keySet.size >= 2,
+        "the drive must actually have crossed a base fold")
+    } finally query.stop()
+  }
+
+  test("ivfMigrateIndex (r17): ingest under epoch-1 centroids, " +
+      "migrate, and the epoch-2 query equals the batch IVF with " +
+      "epoch-2 centroids over the same corpus; the old chain stays " +
+      "queryable under its own centroids, continued ingestion under " +
+      "the new epoch carries the monotone-id contract, and a second " +
+      "migration into the same target fails loudly") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_mig")
+    val in = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val in2 = java.nio.file.Files.createDirectory(root.resolve("in2"))
+    val idx1 = root.resolve("idx1").toString
+    val idx2 = root.resolve("idx2").toString
+    val dim = 8
+    val cents1: Seq[Seq[Double]] = (0 until 4).map(c =>
+      (0 until dim).map(d => if (d == c) 1.0 else 0.0))
+    // epoch 2: the SAME directions in reversed order — every vector's
+    // cell id changes, so a migration that failed to re-assign would
+    // join queries against the wrong cells and diverge from batch IVF
+    val cents2 = cents1.reverse
+    def vec(id: Long): Array[Float] = {
+      val c = (id % 4).toInt
+      val arr = Array.fill(dim)(0.0f)
+      arr(c) = 1.0f
+      arr(c + 4) = 0.01f * (id % 7)
+      arr
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def writeBatch(dir: java.nio.file.Path, name: String,
+        ids: Range): Unit =
+      ids.map(i => (i.toLong, vec(i.toLong)))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve(name).toString)
+    val emptyInit = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    def startIngest(dir: java.nio.file.Path, idx: String,
+        cents: Seq[Seq[Double]], ckpt: String) =
+      StreamOps.ivfIngestStreamDurable(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(dir.toString),
+        idx, cents, emptyInit, ckpt, compactEvery = 2) { (_, _) => () }
+    writeBatch(in, "b0", 0 until 10)
+    writeBatch(in, "b1", 10 until 20)
+    val q1 = startIngest(in, idx1, cents1, root.resolve("c1").toString)
+    try q1.processAllAvailable() finally q1.stop()
+    // MIGRATE: epoch-1 postings re-assigned under epoch-2 centroids
+    StreamOps.ivfMigrateIndex(idx1, cents2, idx2, spark)
+    val queries = Seq((1000L, vec(1000L)), (1001L, vec(1001L)))
+      .toDF("vec_id", "embedding")
+    val corpus20 = (0 until 20).map(i => (i.toLong, vec(i.toLong)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(rows(StreamOps.ivfQueryIndex(idx2, cents2, queries, k = 3,
+        nprobe = 2, emptyInit, spark)) ==
+      rows(graft.operators.Similarity.ivfTopKTrained(cents2, queries,
+        corpus20, k = 3, nprobe = 2)),
+      "the migrated index must equal the batch IVF under epoch-2 " +
+        "centroids")
+    // the old chain is untouched and queryable under ITS centroids
+    assert(rows(StreamOps.ivfQueryIndex(idx1, cents1, queries, k = 3,
+        nprobe = 2, emptyInit, spark)) ==
+      rows(graft.operators.Similarity.ivfTopKTrained(cents1, queries,
+        corpus20, k = 3, nprobe = 2)),
+      "the old epoch must stay queryable until cutover")
+    // continued ingestion under the NEW epoch: fresh ids pass and
+    // become queryable...
+    writeBatch(in2, "b2", 20 until 30)
+    val q2 = startIngest(in2, idx2, cents2,
+      root.resolve("c2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val corpus30 = (0 until 30).map(i => (i.toLong, vec(i.toLong)))
+      .toDF("vec_id", "embedding")
+    assert(rows(StreamOps.ivfQueryIndex(idx2, cents2, queries, k = 3,
+        nprobe = 2, emptyInit, spark)) ==
+      rows(graft.operators.Similarity.ivfTopKTrained(cents2, queries,
+        corpus30, k = 3, nprobe = 2)))
+    // ...and a re-ingest BELOW the carried-over max id trips the
+    // monotone contract the migration seeded
+    writeBatch(in2, "b3", 25 until 35)
+    val q3 = startIngest(in2, idx2, cents2,
+      root.resolve("c2").toString)
+    val err = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(err.getMessage.contains("ordering contract") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("ordering contract")), s"$err")
+    // a migration never overwrites an existing index
+    val err2 = intercept[IllegalArgumentException] {
+      StreamOps.ivfMigrateIndex(idx1, cents2, idx2, spark)
+    }
+    assert(err2.getMessage.contains("never overwrites"))
+  }
+
   test("incrementalUrlDedupStreamDurable: respellings of URLs seen in " +
       "EARLIER batches drop (first-crawled-wins across batches), " +
       "within-batch spellings collapse to one keeper, fresh pages " +
