@@ -18,7 +18,7 @@ object SparkEntry {
       Packing.queries ++ Layout.queries ++ TextRank.queries ++
       Sources.queries ++ UnigramLm.queries ++ NbLangid.queries ++
       Prepare.queries ++ QualityTrained.queries ++ Crawl.queries ++
-      KnLm.queries
+      KnLm.queries ++ graft.streaming.StreamQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The 6-way broadcast-dim join — exercises scan, join, agg, sort.) */

@@ -508,14 +508,30 @@ object StreamOps {
     * chain); otherwise it must be the chain's recorded bucketing.
     * `fallback` is a schema donor (seeded chains never execute it).
     * Returns the folded watermark, or None when nothing has
-    * accumulated. */
+    * accumulated.
+    *
+    * For a VERSIONED chain pass `resolveKey` (the entity key) so the
+    * fold resolves — dead upserts and tombstones leave the index at
+    * the base fold, exactly as the inline versioned fold does;
+    * `latest = true` selects single-row-entity semantics
+    * ([[DeltaIndex.resolveLatestOps]], the IVF postings shape) over
+    * the delete-filter default. Omitting `resolveKey` on a versioned
+    * chain is CORRECT but not compact: reads still resolve, the base
+    * just keeps carrying resolved-away rows. */
   def compactIndexState(indexDir: String, fallback: => DataFrame,
       keyCols: Seq[String],
       spark: org.apache.spark.sql.SparkSession,
-      numBuckets: Int = DeltaIndex.NumBuckets): Option[Long] =
+      numBuckets: Int = DeltaIndex.NumBuckets,
+      resolveKey: Seq[String] = Nil,
+      latest: Boolean = false): Option[Long] =
     DeltaIndex.compactBase(indexDir, fallback,
       if (keyCols.isEmpty) None
-      else Some(Bucketing(numBuckets, keyCols)), spark)
+      else Some(Bucketing(numBuckets, keyCols)), spark,
+      baseFold =
+        if (resolveKey.isEmpty) _.distinct()
+        else if (latest) DeltaIndex.resolveLatestOps(_, resolveKey)
+        else st => DeltaIndex.resolveDeletesOps(st, resolveKey)
+          .distinct())
 
   /** Loud enforcement of the id-ordering contract for DURABLE
     * streams, against the persisted one-row-per-batch max-id marker

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registered (oracle-checked) queries for the VERSIONED-chain
+  * resolution algebra ([[DeltaIndex]] tombstones, r17): the durable
+  * streams exercise resolution against live state under folds and
+  * restarts (StreamOpsSpec/DeltaIndexSpec), and THESE twins pin the
+  * same algebra cross-engine against DuckDB over a deterministic
+  * versioned-op fixture built from `documents` — upsert generation 1
+  * for every doc, a second upsert generation for doc_id % 5 = 0
+  * (seq 3), tombstones for doc_id % 7 = 0 (seq 4), and a re-ingest
+  * for doc_id % 14 = 0 (seq 5, above its tombstone). The fixture
+  * hits every resolution case: plain live rows, multi-generation
+  * upserts, dead-by-tombstone rows, and delete-then-reingest.
+  */
+object StreamQueries {
+
+  /** The deterministic versioned-op multiset over `documents`:
+    * (doc_id, v, __op, __seq) with v = byte length of the text (cast
+    * long to match DuckDB's length()). Tombstones carry a null v —
+    * exactly the shape a takedown record has. */
+  private def ops(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    DeltaIndex.asOps(d, "u", 1L)
+      .unionAll(DeltaIndex.asOps(
+        d.where(col("doc_id") % 5 === 0)
+          .withColumn("v", col("v") + 500L), "u", 3L))
+      .unionAll(DeltaIndex.asOps(
+        d.where(col("doc_id") % 7 === 0)
+          .withColumn("v", lit(null).cast("long")), "d", 4L))
+      .unionAll(DeltaIndex.asOps(
+        d.where(col("doc_id") % 14 === 0)
+          .withColumn("v", col("v") + 1000L), "u", 5L))
+  }
+
+  private val opsSql: String =
+    """WITH ops AS (
+      |  SELECT doc_id, length(text)::BIGINT AS v, 'u' AS op, 1 AS seq
+      |    FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, length(text)::BIGINT + 500, 'u', 3
+      |    FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL::BIGINT, 'd', 4
+      |    FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, length(text)::BIGINT + 1000, 'u', 5
+      |    FROM documents WHERE doc_id % 14 = 0
+      |)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- single-row-entity resolution (the IVF postings shape):
+    //      exactly the latest op per key — max by (seq, delete-wins-
+    //      ties) — live iff it is an upsert. The DuckDB mirror
+    //      replays the identical tie-break via row_number.
+    Q("stream_resolve_latest", Some(
+      s"""$opsSql
+         |SELECT doc_id, v FROM (
+         |  SELECT doc_id, v, op, row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY seq DESC, (op = 'd') DESC) AS rn
+         |  FROM ops) ranked
+         |WHERE rn = 1 AND op = 'u'
+         |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      DeltaIndex.resolveLatest(ops(s, dir), Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multi-row-entity resolution (the URL seen-set / band-rows
+    //      shape): an upsert row is live iff no tombstone of its
+    //      entity carries seq >= its own — BOTH generations of a
+    //      never-deleted doc survive.
+    Q("stream_resolve_deletes", Some(
+      s"""$opsSql
+         |SELECT o.doc_id, o.v FROM ops o
+         |LEFT JOIN (
+         |  SELECT doc_id, max(seq) AS dseq FROM ops
+         |  WHERE op = 'd' GROUP BY doc_id) t USING (doc_id)
+         |WHERE o.op = 'u' AND (t.dseq IS NULL OR o.seq > t.dseq)
+         |ORDER BY doc_id, v""".stripMargin)) { (s, dir) =>
+      DeltaIndex.resolveDeletes(ops(s, dir), Seq("doc_id"))
+        .orderBy("doc_id", "v")
+    }
+  )
+}

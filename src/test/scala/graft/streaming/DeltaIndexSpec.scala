@@ -276,6 +276,46 @@ class DeltaIndexSpec extends SparkSpec {
       "a URL first seen before any fold must survive compaction")
   }
 
+  test("VERSIONED chain + OUT-OF-BAND compaction (r17): with inline " +
+      "bases off, compactIndexState(resolveKey) discards dead " +
+      "upserts and tombstones at the fold, reads resolve identically " +
+      "before and after, and a post-fold re-ingest of the deleted " +
+      "key is first sight") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltaversoob").toString
+    val dir = s"$root/idx"
+    val bkt = Bucketing(8, Seq("k"))
+    def empty = DeltaIndex.asOps(Seq.empty[String].toDF("k"), "u", -1L)
+    def commitOp(op: String, key: String, b: Long): Unit =
+      DeltaIndex.commit(DeltaIndex.asOps(Seq(key).toDF("k"), op,
+        if (op == "u") DeltaIndex.upsertSeq(b)
+        else DeltaIndex.deleteSeq(b)),
+        dir, b, empty, Some(bkt), compactEvery = 2,
+        inlineBase = false)
+    def liveSet: Set[String] = DeltaIndex.resolveDeletes(
+      DeltaIndex.readAll(dir, empty, spark), Seq("k"))
+      .as[String].collect().toSet
+    commitOp("u", "a", 0L)
+    commitOp("u", "b", 1L)
+    commitOp("d", "a", 2L)
+    commitOp("u", "c", 3L)
+    assert(liveSet == Set("b", "c"))
+    assert(StreamOps.compactIndexState(dir, empty, Seq("k"), spark,
+      numBuckets = 8, resolveKey = Seq("k")).contains(3L))
+    assert(liveSet == Set("b", "c"),
+      "resolution must be identical across the out-of-band fold")
+    // the fold DISCARDED the dead upsert and its tombstone
+    val base3 = spark.read
+      .parquet(committedDirs(dir, "base_")(3L).getAbsolutePath)
+    assert(base3.where(org.apache.spark.sql.functions
+      .col(DeltaIndex.OpCol) === "d").count() == 0L)
+    assert(base3.where(org.apache.spark.sql.functions
+      .col("k") === "a").count() == 0L)
+    // re-ingest of the deleted key after the fold: first sight
+    commitOp("u", "a", 4L)
+    assert(liveSet == Set("a", "b", "c"))
+  }
+
   test("SEED-AS-BASE (r17): a probe against a seeded-but-NEVER-" +
       "folded chain is storage-pruned — every scanned file lives in " +
       "a wanted bucket subdir of base_-1, the fallback frame's scan " +
