@@ -31,6 +31,12 @@ class PlanBudgetSpec extends SparkSpec {
     "ann_ivf_postings_int" -> 3,        // the persisted-postings twin
                                         // must keep the same shape:
                                         // cell join + rank + sort (r16)
+    "stream_resolve_latest" -> 2,       // ONE groupBy (max_by over the
+                                        // versioned multiset) + output
+                                        // sort — resolution must stay a
+                                        // single-shuffle aggregate (r17)
+    "stream_resolve_deletes" -> 3,      // tombstone max-seq agg + its
+                                        // join back + output sort (r17)
     "dedup_simhash_md5" -> 2,           // fp agg + chunk join
     "pipeline_strip_stopwords" -> 4,    // spread + docfreq (2: distinct
                                         // pre-agg + count) + sort; the

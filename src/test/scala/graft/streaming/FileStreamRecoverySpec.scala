@@ -220,6 +220,55 @@ class FileStreamRecoverySpec extends SparkSpec {
         s"the PERSISTED seen-set: ${got(1L)}")
   }
 
+  test("incrementalUrlDedupStreamVersioned: HARD STOP + restart — a " +
+      "retraction committed BEFORE the stop makes the post-restart " +
+      "recrawl FIRST SIGHT, while a non-retracted pre-restart URL " +
+      "still drops its respelling (tombstones survive the restart)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_urlvers_recover")
+    val in = Files.createDirectory(root.resolve("in"))
+    val idxDir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("html", StringType)))
+    def writeRecs(name: String,
+        recs: Seq[(String, Long, String, String)]): Unit =
+      recs.toDF("op", "doc_id", "url", "html").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(name).toString)
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def startQ() = StreamOps.incrementalUrlDedupStreamVersioned(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(in.toString),
+      idxDir,
+      Seq.empty[String].toDF("canon_url"), ckpt) { (batch, id) =>
+      got(id) = batch.select("doc_id").as[Long].collect().toSet
+    }
+    writeRecs("b0", Seq(
+      ("crawl", 10L, "https://a.example.org/p", "<p>p</p>"),
+      ("crawl", 11L, "https://a.example.org/q", "<p>q</p>")))
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    writeRecs("b1", Seq(("retract", 0L, "https://a.example.org/p", "")))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    // HARD RESTART; recrawl + respelling arrive only after the stop
+    writeRecs("b2", Seq(
+      ("crawl", 30L, "https://a.example.org/p", "<p>p v2</p>"),
+      ("crawl", 40L, "HTTPS://A.EXAMPLE.ORG:443/q", "<p>same q</p>"),
+      ("crawl", 41L, "https://a.example.org/r", "<p>fresh</p>")))
+    val q3 = startQ()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(got(0L) == Set(10L, 11L))
+    assert(got(1L) == Set.empty[Long])
+    assert(got(2L) == Set(30L, 41L),
+      "the pre-restart retraction must make the recrawl first sight " +
+        "via the PERSISTED tombstone, while the live URL still drops " +
+        s"its respelling: ${got(2L)}")
+  }
+
   test("crawlPrepareStream: HARD STOP + restart — ALL THREE durable " +
       "indexes (URL seen-set, MinHash signatures, substr digests) and " +
       "the source offsets survive: a post-restart respelling of a " +
