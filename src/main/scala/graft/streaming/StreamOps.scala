@@ -1266,6 +1266,13 @@ object StreamOps {
       initialVecs: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       numBuckets: Int = DeltaIndex.NumBuckets): DataFrame = {
+    // a mistyped or never-ingested index dir must fail loudly, not
+    // return silently-empty ANN results (the chain is ALWAYS seeded
+    // at ingest-stream construction, so absence means caller error)
+    require(DeltaIndex.hasChain(s"$indexDir/postings", spark),
+      s"no committed postings chain under $indexDir — the durable " +
+        "IVF index is seeded at ingest-stream construction; check " +
+        "the index dir or start the ingest stream first")
     val bkt = Bucketing(numBuckets, Seq("cell"))
     val initPost = graft.operators.Similarity
       .ivfPostings(cents, initialVecs.limit(0))
@@ -1431,6 +1438,10 @@ object StreamOps {
       nprobe: Int, initialVecs: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       numBuckets: Int = DeltaIndex.NumBuckets): DataFrame = {
+    require(DeltaIndex.hasChain(s"$indexDir/postings", spark),
+      s"no committed postings chain under $indexDir — the durable " +
+        "IVF index is seeded at ingest-stream construction; check " +
+        "the index dir or start the ingest stream first")
     val bkt = Bucketing(numBuckets, Seq("cell"))
     val initPost = DeltaIndex.asOps(graft.operators.Similarity
       .ivfPostings(cents, initialVecs.limit(0)), "u", -1L)

@@ -1427,6 +1427,13 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.ivfMigrateIndex(idx1, cents2, idx2, spark)
     }
     assert(err2.getMessage.contains("never overwrites"))
+    // and a query against a missing/never-ingested index dir fails
+    // loudly instead of returning silently-empty results (r17)
+    val err3 = intercept[IllegalArgumentException] {
+      StreamOps.ivfQueryIndex(root.resolve("nope").toString, cents2,
+        queries, k = 3, nprobe = 2, emptyInit, spark)
+    }
+    assert(err3.getMessage.contains("no committed postings chain"))
   }
 
   test("incrementalUrlDedupStreamDurable: respellings of URLs seen in " +
