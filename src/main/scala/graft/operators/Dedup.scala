@@ -218,6 +218,19 @@ object Dedup {
       minLen: Int = ExactSubstrMinLen): DataFrame =
     substrWindows(d, minLen).select("h").distinct()
 
+  /** Per-DOC distinct window digests (doc_id, h) — the ATTRIBUTION
+    * rows the VERSIONED substr chain persists ([[graft.streaming
+    * .StreamOps.incrementalSubstrStreamVersioned]]): a digest is
+    * shared across every doc that carries the span, so a retraction
+    * must remove exactly ITS doc's claim on each digest — digests
+    * other docs also contributed stay live through those docs — and
+    * the one-column [[substrWindowDigests]] set cannot express that.
+    * ~|per-doc distinct windows| rows instead of |global distinct
+    * digests| — the honest storage cost of retractability. */
+  def substrDocDigests(d: DataFrame,
+      minLen: Int = ExactSubstrMinLen): DataFrame =
+    substrWindows(d, minLen).select("doc_id", "h").distinct()
+
   private def substrWindows(d: DataFrame, minLen: Int): DataFrame =
     spread(d)
       .select(col("doc_id"), tokensCol.as("ts"))
@@ -472,17 +485,14 @@ object Dedup {
       .dropDuplicates("doc_new", "doc_old")
   }
 
-  /** Hot-bucket threshold for [[minhashCandidatesBandedGuarded]]: a
-    * (band, bh) group on the index side larger than this is treated
-    * as skewed. 4096 slim rows is far above anything a non-pathological
-    * shingle distribution produces and far below where a single
-    * reducer starts to hurt. */
-  val NearDupHotThreshold: Int = 1 << 12
+  /** Hot-bucket threshold for [[minhashCandidatesBandedGuarded]] —
+    * the generic [[Skew.HotGroupThreshold]] (the constant moved there
+    * in r18 when the guard generalized; this alias keeps the near-dup
+    * call sites and specs stable). */
+  val NearDupHotThreshold: Int = Skew.HotGroupThreshold
 
-  /** Salt fan-out for hot (band, bh) groups — bounds the largest
-    * post-shuffle group at ~hotGroup/salts while multiplying ONLY the
-    * hot probe rows by `salts`. */
-  val NearDupHotSalts: Int = 16
+  /** Salt fan-out for hot (band, bh) groups — [[Skew.HotGroupSalts]]. */
+  val NearDupHotSalts: Int = Skew.HotGroupSalts
 
   /** [[minhashCandidatesBanded]] with a SKEW GUARD (r17 — the r16
     * verdict's bands-chain risk): the (band, bh) equijoin inherits
@@ -504,32 +514,20 @@ object Dedup {
     * side is already bucket-pruned, so the aggregate is batch-share
     * sized); DedupSpec pins output identity against the unguarded
     * join and the max post-salt group bound on an engineered
-    * boilerplate corpus. */
+    * boilerplate corpus. The guard core is the generic
+    * [[Skew.guardedKeyJoin]] (r18 — shared with the image-dedup
+    * chunk join, which has the same skew exposure). */
   def minhashCandidatesBandedGuarded(bandedOld: DataFrame,
       bandedNew: DataFrame, hotThreshold: Int = NearDupHotThreshold,
       salts: Int = NearDupHotSalts): DataFrame = {
-    require(hotThreshold > 0 && salts > 0)
     val ba = bandedOld.select(col("doc_id").as("doc_old"),
       col("band"), col("bh"))
     val bn = bandedNew.select(col("doc_id").as("doc_new"),
       col("band"), col("bh"))
-    val hot = ba.groupBy("band", "bh")
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > hotThreshold)
-      .select("band", "bh")
-    val cold = bn.join(broadcast(hot), Seq("band", "bh"), "left_anti")
-      .join(ba.join(broadcast(hot), Seq("band", "bh"), "left_anti"),
-        Seq("band", "bh"))
-    val salted = bn.join(broadcast(hot), Seq("band", "bh"), "left_semi")
-      .withColumn("__salt",
-        explode(array((0 until salts).map(lit): _*)))
-      .join(ba.join(broadcast(hot), Seq("band", "bh"), "left_semi")
-        .withColumn("__salt",
-          pmod(xxhash64(col("doc_old")), lit(salts)).cast("int")),
-        Seq("band", "bh", "__salt"))
-    cold.select("doc_new", "doc_old")
-      .unionAll(salted.select("doc_new", "doc_old"))
+    Skew.guardedKeyJoin(ba, bn, Seq("band", "bh"), col("doc_old"),
+        hotThreshold, salts)
       .where(col("doc_old") < col("doc_new"))
+      .select("doc_new", "doc_old")
       .dropDuplicates("doc_new", "doc_old")
   }
 

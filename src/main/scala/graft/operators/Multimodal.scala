@@ -897,6 +897,49 @@ object Multimodal {
     keeperReport(
       hammingDedupPairsFromChunks(refChunks, probeChunks, maxHamming))
 
+  /** [[hammingDedupPairsFromChunks]] with the generic hot-key skew
+    * guard ([[Skew.guardedKeyJoin]]) on the (ci, cv) equijoin (r18 —
+    * the r17 verdict's third seam): NEAR-UNIFORM images — solid
+    * fills, letterboxes, test cards — concentrate thousands of docs
+    * onto one 16-bit chunk value exactly as boilerplate shingles do
+    * on a band hash, and the quadratic candidate block for that
+    * chunk lands on ONE reducer while the rest idle. Hot (ci, cv)
+    * groups (> `hotThreshold` index rows) salt across `salts`
+    * reducers by the index row's doc id; PAIR OUTPUT IS IDENTICAL to
+    * the unguarded join (MultimodalSpec pins set-equality plus the
+    * post-salt group bound on an engineered solid-fill cluster). The
+    * durable image-dedup stream probes through this by default. */
+  def hammingDedupPairsFromChunksGuarded(refChunks: DataFrame,
+      probeChunks: DataFrame, maxHamming: Int = 3,
+      hotThreshold: Int = Skew.HotGroupThreshold,
+      salts: Int = Skew.HotGroupSalts): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only for hamming <= 3")
+    val a = refChunks.select(col("ci"), col("cv"),
+      col("doc_id").as("doc_a"), col("lo").as("la"), col("hi").as("ha"))
+    val b = probeChunks.select(col("ci"), col("cv"),
+      col("doc_id").as("doc_b"), col("lo").as("lb"), col("hi").as("hb"))
+    Skew.guardedKeyJoin(a, b, Seq("ci", "cv"), col("doc_a"),
+        hotThreshold, salts)
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** [[hammingDedupSurvivorsFromChunks]] through the guarded pair
+    * join — what [[graft.streaming.StreamOps
+    * .incrementalImageDedupStreamDurable]] probes with. */
+  def hammingDedupSurvivorsFromChunksGuarded(refChunks: DataFrame,
+      probeChunks: DataFrame, maxHamming: Int = 3,
+      hotThreshold: Int = Skew.HotGroupThreshold,
+      salts: Int = Skew.HotGroupSalts): DataFrame =
+    keeperReport(hammingDedupPairsFromChunksGuarded(refChunks,
+      probeChunks, maxHamming, hotThreshold, salts))
+
   /** The keep-min survivor window over a verified pair list. */
   private def keeperReport(pairs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

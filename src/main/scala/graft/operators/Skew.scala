@@ -160,4 +160,57 @@ object Skew {
         .otherwise(array(lit(0)))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Hot-group threshold for [[guardedKeyJoin]] callers: a key group
+    * on the index side larger than this is treated as skewed. 4096
+    * slim rows is far above anything a non-pathological key
+    * distribution produces and far below where a single reducer
+    * starts to hurt. (The r17 near-dup bands guard's constant,
+    * hoisted here when the guard generalized in r18.) */
+  val HotGroupThreshold: Int = 1 << 12
+
+  /** Salt fan-out for [[guardedKeyJoin]]'s hot groups — bounds the
+    * largest post-shuffle group at ~hotGroup/salts while multiplying
+    * ONLY the hot probe rows by `salts`. */
+  val HotGroupSalts: Int = 16
+
+  /** Generic skew-GUARDED candidate equijoin (r18 — the r17 near-dup
+    * bands guard generalized over (key, payload) frames, so the
+    * image-dedup chunk join can reuse it): joins `newSide` against
+    * `oldSide` on `keys` with OUTPUT IDENTICAL to the plain
+    * `newSide.join(oldSide, keys)` — the guard repartitions work,
+    * never semantics. Key groups above `hotThreshold` on the OLD
+    * (index) side route to a salted join — old rows salt by
+    * `pmod(xxhash64(saltSrc), salts)` (`saltSrc` must be an old-side
+    * column that varies within a hot key, e.g. its id), new rows fan
+    * out to all salts, each new·old pair meets exactly once (on the
+    * old row's salt) — so a hot key's quadratic candidate block
+    * spreads over `salts` reducers instead of one; everything else
+    * takes the plain equijoin untouched. Cost: one count-aggregate
+    * over the old side's keys (map-side combined, one row per
+    * distinct key), a broadcast of the hot-key set (≤
+    * |old|/hotThreshold rows by pigeonhole), and ×salts new-row
+    * fan-out on hot keys only. Non-key column names of the two
+    * sides must be disjoint. */
+  def guardedKeyJoin(oldSide: DataFrame, newSide: DataFrame,
+      keys: Seq[String], saltSrc: Column,
+      hotThreshold: Int = HotGroupThreshold,
+      salts: Int = HotGroupSalts): DataFrame = {
+    require(hotThreshold > 0 && salts > 0)
+    val hot = oldSide.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotThreshold)
+      .select(keys.map(col): _*)
+    val cold = newSide.join(broadcast(hot), keys, "left_anti")
+      .join(oldSide.join(broadcast(hot), keys, "left_anti"), keys)
+    val salted = newSide.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__salt",
+        explode(array((0 until salts).map(lit): _*)))
+      .join(oldSide.join(broadcast(hot), keys, "left_semi")
+        .withColumn("__salt",
+          pmod(xxhash64(saltSrc), lit(salts)).cast("int")),
+        keys :+ "__salt")
+      .drop("__salt")
+    cold.unionAll(salted)
+  }
 }

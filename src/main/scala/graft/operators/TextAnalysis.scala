@@ -255,25 +255,26 @@ object TextAnalysis {
     * `.maxNumItems` (defaults 2²⁶ bits / 4M items — below this
     * sizing's own 2²⁷-bit / unbounded-item geometry), which would
     * quietly re-degrade the prune at exactly the large-suite scale
-    * the r16 sizing targets (r17 advice) — so the build raises both
-    * caps for the one aggregate and restores them after. */
-  private def gramBloom(grams: DataFrame): Array[Byte] = {
+    * the r16 sizing targets (r17 advice) — so the one aggregate runs
+    * in a FORKED session with the caps raised THERE (r18 advice: the
+    * r17 raise-and-restore on the caller's session left a window
+    * where a concurrent query could observe the raised caps, and two
+    * concurrent gramBloom calls could interleave set/restore). The
+    * fork shares the SparkContext; the grams frame — already
+    * `localCheckpoint`'d by both callers — re-binds to it through
+    * its materialized RDD, so nothing recomputes and the calling
+    * session's conf is never touched. */
+  private[operators] def gramBloom(grams: DataFrame): Array[Byte] = {
     val n = math.max(1L << 10, grams.count())
     val bits = math.min(1L << 27, math.max(1L << 20, n * 16))
-    val conf = grams.sparkSession.conf
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val saved = Seq(bitsKey, itemsKey).map(k => k -> conf.getOption(k))
-    try {
-      conf.set(bitsKey, bits)
-      conf.set(itemsKey, n)
-      grams.agg(expr(
-        s"bloom_filter_agg(xxhash64(g), ${n}L, ${bits}L)")
+    val s2 = grams.sparkSession.newSession()
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n)
+    s2.createDataFrame(grams.rdd, grams.schema)
+      .agg(expr(s"bloom_filter_agg(xxhash64(g), ${n}L, ${bits}L)")
         .as("bf")).collect()(0).getAs[Array[Byte]](0)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
   }
 
   /** doc_ids of `batchDocs` (doc_id, text) sharing ≥ 3 distinct rare

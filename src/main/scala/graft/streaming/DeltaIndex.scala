@@ -192,7 +192,19 @@ private[streaming] object DeltaIndex {
     * max by (`__seq`, tombstone-wins-ties) — kept iff it is an
     * upsert. Unlike [[resolveDeletesOps]] this also collapses
     * repeated upserts of one entity to the newest (an UPDATE, not a
-    * duplicate). */
+    * duplicate).
+    *
+    * SEQ-UNIQUENESS INVARIANT (r18 — the resolution is only
+    * deterministic under it): at most ONE upsert row per (entity,
+    * `__seq`). The stamping discipline gives every batch one upsert
+    * seq (2·batchId+1), so the invariant reduces to "no duplicate
+    * entity among one batch's upserts" — two same-entity upserts in
+    * one batch would tie on (`__seq`, op) and `max_by` would keep an
+    * arbitrary one, and a read before vs after a base fold (or
+    * across replays) could disagree. Versioned consumers enforce it
+    * loudly at commit time ([[graft.streaming.StreamOps
+    * .ivfIngestStreamVersioned]]); a new consumer must either dedup
+    * its batch per entity before stamping or add its own check. */
   def resolveLatestOps(state: DataFrame, entityKey: Seq[String])
       : DataFrame = {
     import org.apache.spark.sql.functions.{max_by, struct}
@@ -372,11 +384,33 @@ private[streaming] object DeltaIndex {
     * index, not the constructing run, owns accumulated state; a
     * crashed seed write has no `_SUCCESS` and is invisible, so the
     * next construction simply rewrites it). Returns true when this
-    * call wrote the seed. */
+    * call wrote the seed.
+    *
+    * LEGACY-CHAIN GUARD (r18 advice): an existing chain is only a
+    * valid reason to skip seeding when it holds a committed `base_*`
+    * — the seed itself, or a fold that inlined the old fallback
+    * frame. A chain written by PRE-seed-layout code can hold deltas
+    * and mids with NO base (its initial state rode the caller's
+    * fallback, which the current streams pass as a `limit(0)` schema
+    * donor): silently skipping the seed there would make the seed
+    * corpus vanish from every probe and fold, and the next base fold
+    * would bake the loss in permanently — the exact silent-forget
+    * failure [[requireSubChainLayout]] exists to prevent. Fail
+    * loudly instead; every chain the r17+ streams write has a base
+    * from birth, so only a genuine legacy index trips this. */
   def seed(df: DataFrame, indexDir: String,
       bucketing: Option[Bucketing] = None): Boolean = {
     val spark = df.sparkSession
-    if (hasChain(indexDir, spark)) false
+    val ch = chain(indexDir, Long.MaxValue, spark)
+    if (ch.bases.nonEmpty || ch.mids.nonEmpty || ch.deltas.nonEmpty) {
+      require(ch.bases.nonEmpty,
+        s"committed chain at $indexDir has deltas/mids but NO base: " +
+          "a pre-seed-layout index whose initial state was never " +
+          "folded in — restarting against it would silently drop " +
+          "the seed corpus from probes and folds; rebuild the index " +
+          "(re-ingest) or fold its state into a base first")
+      false
+    }
     else {
       bucketing.foreach(checkLayout(indexDir, _, spark, record = true))
       write(df, s"$indexDir/base_-1", bucketing)
@@ -393,6 +427,37 @@ private[streaming] object DeltaIndex {
     val ch = chain(indexDir, Long.MaxValue, spark)
     ch.bases.nonEmpty || ch.mids.nonEmpty || ch.deltas.nonEmpty
   }
+
+  /** The bucket count recorded in the chain's `_buckets` layout
+    * marker, if any — lets an operational job ([[graft.streaming
+    * .StreamOps]]' per-stream compaction sweeps) derive a chain's
+    * bucketing from the chain itself instead of requiring the
+    * operator to re-state (and possibly mis-state) it. */
+  def recordedBuckets(indexDir: String, spark: SparkSession)
+      : Option[Int] = {
+    val f = fs(indexDir, spark)
+    val mark = new Path(indexDir, "_buckets")
+    if (!f.exists(mark)) None
+    else {
+      val in = f.open(mark)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      Some(got.toInt)
+    }
+  }
+
+  /** Whether the chain's committed rows carry the versioned meta
+    * columns — None when the chain holds no committed data at all.
+    * One schema inference over the committed leaves (footer reads,
+    * not a data scan); the entry-point guards use this so a
+    * versioned chain handed to an unversioned consumer (or vice
+    * versa) fails LOUDLY instead of silently mis-reading tombstones
+    * as live rows ([[graft.streaming.StreamOps.ivfMigrateIndex]]'s
+    * r17 hole). */
+  def isVersionedChain(indexDir: String, spark: SparkSession)
+      : Option[Boolean] =
+    readCommitted(indexDir, spark)
+      .map(_.columns.contains(OpCol))
 
   private def write(df: DataFrame, dir: String,
       bucketing: Option[Bucketing]): Unit = bucketing match {

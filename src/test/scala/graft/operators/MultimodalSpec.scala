@@ -577,4 +577,72 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.videoFingerprint64(shortAvi))
     assert(e2.getMessage.contains("65 frames"))
   }
+
+  test("CHUNK-JOIN SKEW GUARD (r18): on an engineered solid-fill " +
+      "cluster — thousands of near-uniform images sharing every " +
+      "16-bit chunk value — the guarded pair join produces EXACTLY " +
+      "the unguarded pairs while the hot chunk's post-salt groups " +
+      "shrink to ~hot/salts, and cold chunk values bypass the salted " +
+      "path untouched") {
+    import spark.implicits._
+    // 2000 index docs with the all-zero signature (a solid fill —
+    // every chunk is (ci, 0)), plus scattered cold signatures
+    val hotOld = (0L until 2000L).map(i => (i, 0L, 0L))
+    val coldOld = (3000L until 3200L).map(i =>
+      (i, 0x1111L * (i % 37) + 1L, 0x0101L * (i % 53) + 1L))
+    val oldSigs = (hotOld ++ coldOld).toDF("doc_id", "lo", "hi")
+    // probe batch: 40 more solid fills (ids above the index — the
+    // stream contract) + 40 cold ones, some near the cold index sigs
+    val hotNew = (5000L until 5040L).map(i => (i, 0L, 0L))
+    val coldNew = (5100L until 5140L).map(i =>
+      (i, 0x1111L * (i % 37) + 1L, 0x0101L * (i % 53) + 1L))
+    val newSigs = (hotNew ++ coldNew).toDF("doc_id", "lo", "hi")
+    val refChunks = Multimodal.hammingChunkRows(
+      oldSigs.unionAll(newSigs))
+    val probeChunks = Multimodal.hammingChunkRows(newSigs)
+    def pairs(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val threshold = 100
+    val salts = 8
+    val want = pairs(Multimodal.hammingDedupPairsFromChunks(
+      refChunks, probeChunks))
+    val got = pairs(Multimodal.hammingDedupPairsFromChunksGuarded(
+      refChunks, probeChunks, maxHamming = 3,
+      hotThreshold = threshold, salts = salts))
+    assert(got == want,
+      s"the guard must never change pair output: ${got.size} vs " +
+        s"${want.size}")
+    // the fixture is actually quadratic on the hot chunk values:
+    // every solid-fill probe pairs with every earlier solid fill
+    assert(want.size >= 2000 * 40,
+      s"fixture not quadratic: ${want.size}")
+    // THE skew pin: the hot chunk's post-salt groups are bounded by
+    // ~hot/salts (2× slack for hash non-uniformity) vs the single
+    // 2040-row group the unguarded shuffle would build
+    val groupSizes = refChunks
+      .where(col("ci") === 0 && col("cv") === 0L)
+      .withColumn("__salt",
+        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+      .groupBy("__salt").count().as[(Int, Long)].collect().toMap
+    assert(groupSizes.size == salts,
+      s"every salt must receive work: $groupSizes")
+    assert(groupSizes.values.max <= 2L * 2040L / salts,
+      s"max post-salt group must shrink to ~1/salts: $groupSizes")
+    // default threshold (4096) classifies this fixture as cold —
+    // pure passthrough, still equal
+    assert(pairs(Multimodal.hammingDedupPairsFromChunksGuarded(
+      refChunks, probeChunks)) == want)
+    // and the survivor report through the guard equals the plain one
+    def report(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(report(Multimodal.hammingDedupSurvivorsFromChunksGuarded(
+        refChunks, probeChunks, maxHamming = 3,
+        hotThreshold = threshold, salts = salts)) ==
+      report(Multimodal.hammingDedupSurvivorsFromChunks(
+        refChunks, probeChunks)))
+  }
 }

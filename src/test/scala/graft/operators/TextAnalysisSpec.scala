@@ -631,4 +631,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaSuites == viaSingle && viaSingle == Set(3L, 9L),
       s"suites=$viaSuites single=$viaSingle")
   }
+
+  test("gramBloom (r18 advice): the sized geometry builds in a " +
+      "FORKED session — the calling session's bloom caps are " +
+      "neither consulted nor mutated, so a concurrent query can " +
+      "never observe raised caps or interleave a set/restore") {
+    import spark.implicits._
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = spark.conf.getOption(bitsKey)
+    try {
+      // a cap that would clamp the build to ~4 KB IF consulted
+      spark.conf.set(bitsKey, (1L << 15).toString)
+      val grams = (0 until 2000).map(i => s"gram_$i").toDF("g")
+        .localCheckpoint()
+      val bf = TextAnalysis.gramBloom(grams)
+      // sized geometry: 2000 grams floor at 2^20 bits = 128 KB
+      assert(bf.length > 100000,
+        s"bloom clamped to ${bf.length} bytes — the build consulted " +
+          "the calling session's caps")
+      assert(spark.conf.get(bitsKey) == (1L << 15).toString,
+        "the calling session's conf must never be touched")
+    } finally saved match {
+      case Some(v) => spark.conf.set(bitsKey, v)
+      case None => spark.conf.unset(bitsKey)
+    }
+  }
 }

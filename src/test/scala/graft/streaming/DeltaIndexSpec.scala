@@ -437,4 +437,28 @@ class DeltaIndexSpec extends SparkSpec {
     assert(got(4L) == Set(51L),
       s"the respelling of the base-folded URL must drop: ${got(4L)}")
   }
+
+  test("seed (r18 advice): a chain with committed deltas/mids but NO " +
+      "base — the pre-seed layout, whose initial state rode the " +
+      "caller's fallback — fails LOUDLY at seeding instead of " +
+      "silently dropping the seed corpus; a properly seeded chain's " +
+      "restart stays a silent no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seedg")
+    val legacy = root.resolve("legacy").toString
+    val fine = root.resolve("fine").toString
+    val seedDf = Seq("a", "b").toDF("k")
+    // simulate the pre-seed layout: a committed delta, no base ever
+    DeltaIndex.commit(Seq("c").toDF("k"), legacy, 0L, seedDf)
+    val err = intercept[IllegalArgumentException] {
+      DeltaIndex.seed(seedDf, legacy)
+    }
+    assert(err.getMessage.contains("NO base"), s"$err")
+    // first construction seeds; a restart (chain now has base_-1 +
+    // deltas) no-ops without complaint and loses nothing
+    assert(DeltaIndex.seed(seedDf, fine))
+    DeltaIndex.commit(Seq("c").toDF("k"), fine, 0L, seedDf)
+    assert(!DeltaIndex.seed(seedDf, fine))
+    assert(DeltaIndex.readAll(fine, seedDf.limit(0), spark)
+      .as[String].collect().toSet == Set("a", "b", "c"))
+  }
 }

@@ -1485,6 +1485,116 @@ class StreamOpsSpec extends SparkSpec {
         "https://a.example.org/p", "https://a.example.org/q"))
     } finally query.stop()
   }
+
+  test("ivfMigrateIndex on a VERSIONED chain (r18): live rows " +
+      "resolve latest-wins before re-assignment — a tombstoned " +
+      "vector stays gone across the epoch migration, a superseded " +
+      "generation does not resurrect, the new chain seeds VERSIONED " +
+      "so continued ingest keeps retraction, a same-batch duplicate " +
+      "upsert trips the seq-uniqueness check, and version-mismatched " +
+      "consumers fail loudly at the door") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_migv")
+    val idx1 = root.resolve("idx1").toString
+    val idx2 = root.resolve("idx2").toString
+    val dim = 8
+    val cents1: Seq[Seq[Double]] = (0 until 4).map(c =>
+      (0 until dim).map(d => if (d == c) 1.0 else 0.0))
+    val cents2 = cents1.reverse
+    def vecIn(cluster: Int, wobble: Int): Array[Float] = {
+      val arr = Array.fill(dim)(0.0f)
+      arr(cluster) = 1.0f
+      arr(cluster + 4) = 0.01f * wobble
+      arr
+    }
+    def vec(id: Long): Array[Float] =
+      vecIn((id % 4).toInt, (id % 7).toInt)
+    val emptyInit = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val live = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    val src = MemoryStream[(String, Long, Array[Float])]
+    val q1 = StreamOps.ivfIngestStreamVersioned(
+      src.toDF().toDF("op", "vec_id", "embedding"), idx1, cents1,
+      emptyInit, root.resolve("c1").toString) { (_, _) => () }
+    try {
+      src.addData((0L until 10L).map(i =>
+        ("u", i, { live(i) = vec(i); vec(i) })): _*)
+      q1.processAllAvailable()
+      src.addData(("d", 3L, vec(3L))) // takedown
+      q1.processAllAvailable()
+      live.remove(3L)
+      src.addData(("d", 5L, vec(5L)), ("u", 5L, vecIn(2, 6))) // update
+      q1.processAllAvailable()
+      live(5L) = vecIn(2, 6)
+    } finally q1.stop()
+    StreamOps.ivfMigrateIndex(idx1, cents2, idx2, spark)
+    val queries = Seq((1000L, vec(1000L)), (1001L, vec(1001L)),
+      (1002L, vec(1002L)), (1003L, vec(1003L)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    def assertLive(hint: String): Unit = {
+      val corpus = live.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+      val got = rows(StreamOps.ivfQueryIndexVersioned(idx2, cents2,
+        queries, k = 3, nprobe = 2, emptyInit, spark))
+      assert(got == rows(graft.operators.Similarity.ivfTopKTrained(
+        cents2, queries, corpus, k = 3, nprobe = 2)), hint)
+      assert(!got.exists(_._2 == 3L),
+        s"the tombstoned vector must never rank after migration: $got")
+    }
+    assertLive("the migrated epoch must equal the batch IVF over " +
+      "the LIVE corpus only")
+    // continued VERSIONED ingest into the migrated chain: a takedown
+    // of a MIGRATED vector and fresh rows both work
+    val src2 = MemoryStream[(String, Long, Array[Float])]
+    val q2 = StreamOps.ivfIngestStreamVersioned(
+      src2.toDF().toDF("op", "vec_id", "embedding"), idx2, cents2,
+      emptyInit, root.resolve("c2").toString) { (_, _) => () }
+    try {
+      src2.addData(("u", 100L, { live(100L) = vec(100L); vec(100L) }),
+        ("d", 7L, vec(7L)))
+      q2.processAllAvailable()
+      live.remove(7L)
+      assertLive("retraction must keep working in the migrated epoch")
+      // seq-uniqueness (r18): duplicate same-batch upserts of one
+      // vec_id would share a __seq stamp — loud failure, not
+      // nondeterministic resolution
+      src2.addData(("u", 200L, vec(200L)), ("u", 200L, vecIn(1, 2)))
+      val err = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(err.getMessage.contains("duplicate upserts") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("duplicate upserts")), s"$err")
+    } finally q2.stop()
+    // version-mismatch guards: unversioned consumers refuse the
+    // versioned chain at the door...
+    val errQ = intercept[IllegalArgumentException] {
+      StreamOps.ivfQueryIndex(idx2, cents2, queries, k = 3,
+        nprobe = 2, emptyInit, spark)
+    }
+    assert(errQ.getMessage.contains("VERSIONED"), s"$errQ")
+    val src3 = MemoryStream[(Long, Array[Float])]
+    val errI = intercept[IllegalArgumentException] {
+      StreamOps.ivfIngestStreamDurable(
+        src3.toDF().toDF("vec_id", "embedding"), idx2, cents2,
+        emptyInit, root.resolve("c3").toString) { (_, _) => () }
+    }
+    assert(errI.getMessage.contains("VERSIONED"), s"$errI")
+    // ...and the versioned query refuses an UNVERSIONED chain
+    val idx3 = root.resolve("idx3").toString
+    DeltaIndex.seed(graft.operators.Similarity.ivfPostings(cents2,
+        live.toSeq.sortBy(_._1).toDF("vec_id", "embedding")),
+      s"$idx3/postings",
+      Some(Bucketing(DeltaIndex.NumBuckets, Seq("cell"))))
+    val errV = intercept[IllegalArgumentException] {
+      StreamOps.ivfQueryIndexVersioned(idx3, cents2, queries, k = 3,
+        nprobe = 2, emptyInit, spark)
+    }
+    assert(errV.getMessage.contains("UNVERSIONED"), s"$errV")
+  }
 }
 
 /** File helpers for the durable-index assertions. */
