@@ -1595,6 +1595,222 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(errV.getMessage.contains("UNVERSIONED"), s"$errV")
   }
+
+  test("VERSIONED image dedup (r18 tombstones): a retracted image " +
+      "stops witnessing — its near-copy is FIRST SIGHT — a " +
+      "same-batch retract+reingest is first sight, live signatures " +
+      "keep suppressing with the LIVE witness as keeper, semantics " +
+      "survive base folds, and the base parquet discards resolved " +
+      "tombstones and dead docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_imgv")
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    // well-separated signature families (pairwise hamming >> 3)
+    val A = 0L
+    val B = 0x00FF00FF00FF00FFL
+    val C = 0x0F0F0F0F0F0F0F0FL
+    val emptyInit = Seq.empty[(Long, Long, Long)]
+      .toDF("doc_id", "lo", "hi")
+    val src = MemoryStream[(String, Long, Long, Long)]
+    val got = scala.collection.mutable
+      .Map.empty[Long, Set[(Long, Long, Int)]]
+    val query = StreamOps.incrementalImageDedupStreamVersioned(
+      src.toDF().toDF("op", "doc_id", "lo", "hi"), idx, emptyInit,
+      ckpt, compactEvery = 2) { (batch, id) =>
+      got(id) = batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    def drive(rows: (String, Long, Long, Long)*): Unit = {
+      src.addData(rows: _*)
+      query.processAllAvailable()
+    }
+    try {
+      drive(("u", 10L, A, 0L), ("u", 11L, B, 0L), ("u", 12L, C, 0L))
+      // near-copy of C drops while C lives (keeper = 12)
+      drive(("u", 20L, C ^ 1L, 0L))
+      // takedown of image 10 (tombstone carries the indexed sig)
+      drive(("d", 10L, A, 0L))
+      // near-copy of the RETRACTED image is first sight
+      drive(("u", 30L, A ^ 1L, 0L))
+      // same-batch retract(11) + near-copy of B under a fresh id:
+      // first sight within its own batch
+      drive(("d", 11L, B, 0L), ("u", 40L, B ^ 1L, 0L))
+      // filler pushes the chain through folds
+      drive(("u", 50L, 0x5555555555555555L, 0L))
+      // post-retraction probe across the fold: A'' matches the LIVE
+      // first-sighted 30, B''' matches the LIVE 40 — never the dead
+      // 10/11
+      drive(("u", 60L, A ^ 2L, 0L), ("u", 61L, B ^ 2L, 0L))
+    } finally query.stop()
+    assert(got(0L) == Set.empty[(Long, Long, Int)])
+    assert(got(1L) == Set((20L, 12L, 1)),
+      s"live sig must suppress its near-copy: ${got(1L)}")
+    assert(got(2L) == Set.empty[(Long, Long, Int)])
+    assert(got(3L) == Set.empty[(Long, Long, Int)],
+      s"a near-copy of the RETRACTED image must be first sight: " +
+        s"${got(3L)}")
+    assert(got(4L) == Set.empty[(Long, Long, Int)],
+      s"same-batch retract+reingest must be first sight: ${got(4L)}")
+    assert(got(5L) == Set.empty[(Long, Long, Int)])
+    assert(got(6L) == Set((60L, 30L, 2), (61L, 40L, 2)),
+      s"the LIVE witnesses (30, 40) must be the keepers — the " +
+        s"retracted 10/11 must not suppress: ${got(6L)}")
+    // base folds actually happened, and the newest sigs base is
+    // tombstone-free with the dead docs physically gone
+    val bases = StreamOpsSpecHelpers
+      .committedDirs(s"$idx/sigs", "base_")
+    val real = bases.keySet.filter(_ >= 0)
+    assert(real.nonEmpty, s"the drive must cross a base fold: " +
+      s"${bases.keySet}")
+    val newest = spark.read.parquet(bases(real.max).getAbsolutePath)
+    assert(newest.where(col(DeltaIndex.OpCol) === "d").count() == 0L,
+      "the base fold must discard resolved tombstones")
+    assert(newest.where(col("doc_id") === 10L).count() == 0L,
+      "the retracted doc's sig rows must leave the index at the fold")
+  }
+
+  test("VERSIONED near-dup dedup (r18 tombstones): a retracted " +
+      "text's MinHash state leaves the index — its near-copy is " +
+      "FIRST SIGHT, a same-batch retract(all contributors)+reingest " +
+      "is first sight, live texts keep suppressing with the live " +
+      "witness as keeper, and the base folds discard dead sig and " +
+      "band rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ndv")
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    def toks(p: String, n: Int): String =
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    val textA = toks("aa", 60)
+    val textB = toks("bb", 60)
+    def near(t: String, tag: String): String =
+      t.split(" ").dropRight(1).mkString(" ") + s" $tag"
+    val emptySigs = graft.operators.Dedup.minhashSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val src = MemoryStream[(String, Long, String)]
+    val got = scala.collection.mutable
+      .Map.empty[Long, Set[(Long, Long)]]
+    val query = StreamOps.incrementalNearDupStreamVersioned(
+      src.toDF().toDF("op", "doc_id", "text"), idx, emptySigs,
+      ckpt, compactEvery = 2) { (batch, id) =>
+      got(id) = batch.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def drive(rows: (String, Long, String)*): Unit = {
+      src.addData(rows: _*)
+      query.processAllAvailable()
+    }
+    try {
+      drive(("ingest", 10L, textA), ("ingest", 11L, textB))
+      // near-copy of B while B lives: suppressed, keeper 11
+      drive(("ingest", 20L, near(textB, "zz")))
+      // takedown of A (the retraction carries the indexed text)
+      drive(("retract", 10L, textA))
+      // near-copy of the RETRACTED text: first sight
+      drive(("ingest", 30L, near(textA, "yy")))
+      // same-batch retract of BOTH B-family contributors (11 and the
+      // accumulated 20) + a fresh near-copy: first sight in-batch
+      drive(("retract", 11L, textB),
+        ("retract", 20L, near(textB, "zz")),
+        ("ingest", 40L, near(textB, "ww")))
+      // filler pushes folds
+      drive(("ingest", 50L, toks("cc", 60)))
+      // post-retraction probe: A-near matches the LIVE 30, not 10
+      drive(("ingest", 60L, near(textA, "xx")))
+    } finally query.stop()
+    assert(got(0L) == Set.empty[(Long, Long)])
+    assert(got(1L) == Set((20L, 11L)),
+      s"live text must suppress its near-copy: ${got(1L)}")
+    assert(got(2L) == Set.empty[(Long, Long)])
+    assert(got(3L) == Set.empty[(Long, Long)],
+      s"a near-copy of the RETRACTED text must be first sight: " +
+        s"${got(3L)}")
+    assert(got(4L) == Set.empty[(Long, Long)],
+      s"same-batch retract-all+reingest must be first sight: " +
+        s"${got(4L)}")
+    assert(got(5L) == Set.empty[(Long, Long)])
+    assert(got(6L) == Set((60L, 30L)),
+      s"the LIVE witness (30) must be the keeper — not the " +
+        s"retracted 10: ${got(6L)}")
+    // base folds happened; the newest bands base is tombstone-free
+    // and the retracted doc's band rows are physically gone
+    val bases = StreamOpsSpecHelpers
+      .committedDirs(s"$idx/bands", "base_")
+    val real = bases.keySet.filter(_ >= 0)
+    assert(real.nonEmpty, s"${bases.keySet}")
+    val newest = spark.read.parquet(bases(real.max).getAbsolutePath)
+    assert(newest.where(col(DeltaIndex.OpCol) === "d").count() == 0L)
+    assert(newest.where(col("doc_id") === 10L).count() == 0L,
+      "the retracted doc's band rows must leave the index at the fold")
+  }
+
+  test("VERSIONED substr dedup (r18 tombstones, attribution rows): " +
+      "a span keeps cleaning while ANY contributing doc lives — " +
+      "retracting the origin alone does not un-suppress — and once " +
+      "the LAST contributor is retracted (same-batch included) the " +
+      "next copy is first sight; the base fold discards dead " +
+      "attribution rows; the seeded corpus cleans from batch 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_subv")
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    def toks(p: String, n: Int): String =
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    val spanS = toks("s", 50)
+    val spanX = toks("x", 55)
+    val text10 = s"${toks("a", 10)} $spanS"
+    val text20 = s"$spanS ${toks("b", 10)}"
+    val text30 = s"$spanS ${toks("c", 5)}"
+    val seedDocs = Seq((5L, spanX)).toDF("doc_id", "text")
+    val src = MemoryStream[(String, Long, String)]
+    val got = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val query = StreamOps.incrementalSubstrStreamVersioned(
+      src.toDF().toDF("op", "doc_id", "text"), idx, seedDocs,
+      ckpt, compactEvery = 2) { (batch, id) =>
+      batch.collect().foreach(r =>
+        got((id, r.getLong(0))) = r.getLong(2)) // n_removed
+    }
+    def drive(rows: (String, Long, String)*): Unit = {
+      src.addData(rows: _*)
+      query.processAllAvailable()
+    }
+    try {
+      // the SEEDED corpus cleans from batch 0: doc 6 copies spanX
+      drive(("ingest", 6L, s"$spanX y1"),
+        ("ingest", 10L, text10))
+      drive(("ingest", 20L, text20))      // spanS cleaned (10 lives)
+      drive(("retract", 10L, text10))     // retract the ORIGIN only
+      // 20 still carries the span: a new copy is STILL cleaned (the
+      // per-contributor semantics — 30's raw digests also commit)
+      drive(("ingest", 30L, text30))
+      drive(("retract", 20L, text20))
+      // LAST contributor retracted in the same batch as the next
+      // copy: first sight
+      drive(("retract", 30L, text30),
+        ("ingest", 40L, s"$spanS ${toks("d", 5)}"))
+    } finally query.stop()
+    assert(got((0L, 6L)) == 55L,
+      s"the seeded corpus must clean batch 0: ${got((0L, 6L))}")
+    assert(got((0L, 10L)) == 0L)
+    assert(got((1L, 20L)) == 50L,
+      s"spanS must clean while its origin lives: ${got((1L, 20L))}")
+    assert(got((3L, 30L)) == 50L,
+      "retracting the origin alone must NOT un-suppress while " +
+        s"another contributor lives: ${got((3L, 30L))}")
+    assert(got((5L, 40L)) == 0L,
+      "once every contributor is retracted the next copy is first " +
+        s"sight: ${got((5L, 40L))}")
+    // the base fold discarded tombstones and doc 10's attribution
+    val bases = StreamOpsSpecHelpers.committedDirs(idx, "base_")
+    val real = bases.keySet.filter(_ >= 0)
+    assert(real.nonEmpty, s"${bases.keySet}")
+    val newest = spark.read.parquet(bases(real.max).getAbsolutePath)
+    assert(newest.where(col(DeltaIndex.OpCol) === "d").count() == 0L)
+    assert(newest.where(col("doc_id") === 10L).count() == 0L,
+      "the retracted doc's attribution rows must leave the index " +
+        "at the fold")
+  }
 }
 
 /** File helpers for the durable-index assertions. */
