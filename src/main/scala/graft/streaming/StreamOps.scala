@@ -533,6 +533,119 @@ object StreamOps {
         else st => DeltaIndex.resolveDeletesOps(st, resolveKey)
           .distinct())
 
+  /** One chain of a per-stream compaction sweep, fully self-derived
+    * (r18 — r17 verdict task 3): schema comes from the chain's own
+    * committed data, the bucket count from its `_buckets` layout
+    * marker, and versioned-resolution kicks in only when the
+    * committed rows actually carry `__op` — so an operator compacts a
+    * stream's whole index with ONE call to the stream's sweep below
+    * instead of re-deriving five `compactIndexState` argument lists
+    * by hand (the maxid chains have no marker to check a mistake
+    * against, which is exactly how a wrong manual sweep slips
+    * through). None when the chain holds no committed data. */
+  private def compactChainAuto(dir: String, keyCols: Seq[String],
+      spark: org.apache.spark.sql.SparkSession,
+      resolveKey: Seq[String] = Nil, latest: Boolean = false)
+      : Option[Long] =
+    DeltaIndex.readCommitted(dir, spark).flatMap { committed =>
+      val versioned = committed.columns.contains(DeltaIndex.OpCol)
+      val donor = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        committed.schema)
+      val bucketing =
+        if (keyCols.isEmpty) None
+        else Some(Bucketing(
+          DeltaIndex.recordedBuckets(dir, spark).getOrElse(
+            throw new IllegalArgumentException(
+              s"no _buckets layout marker at $dir — cannot derive " +
+                "the chain's bucketing; compact it explicitly via " +
+                "compactIndexState")), keyCols))
+      DeltaIndex.compactBase(dir, donor, bucketing, spark,
+        baseFold =
+          if (!versioned || resolveKey.isEmpty) _.distinct()
+          else if (latest) DeltaIndex.resolveLatestOps(_, resolveKey)
+          else st => DeltaIndex.resolveDeletesOps(st, resolveKey)
+            .distinct())
+    }
+
+  /** ONE-CALL compaction sweep for a URL seen-set chain
+    * ([[crawlTriangleStream]] / [[incrementalUrlDedupStreamDurable]]
+    * / the versioned form — auto-detected). Run as a periodic batch
+    * job against streams started with `inlineBaseFold = false`; safe
+    * while the stream commits (see [[DeltaIndex.compactBase]]).
+    * Returns chain name → folded watermark (None = nothing
+    * accumulated). Recommended cadence: often enough that mids stay
+    * ≲ compactEvery (SCALE.md §compaction). */
+  def compactUrlIndex(indexDir: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Option[Long]] =
+    Map("seen" -> compactChainAuto(indexDir, Seq("canon_url"), spark,
+      resolveKey = Seq("canon_url")))
+
+  /** ONE-CALL compaction sweep for a substr digest chain
+    * ([[incrementalSubstrStreamDurable]] or the versioned
+    * attribution-row form — auto-detected via the committed
+    * schema). */
+  def compactSubstrIndex(indexDir: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Option[Long]] =
+    Map("digests" -> compactChainAuto(indexDir, Seq("h"), spark,
+      resolveKey = Seq("h", "doc_id")))
+
+  /** ONE-CALL compaction sweep for an image-dedup index
+    * ([[incrementalImageDedupStreamDurable]] / the versioned form):
+    * sigs + chunks + maxid, each with its own bucketing and resolve
+    * semantics (sigs latest-wins per doc, chunks delete-filtered per
+    * doc, maxid plain). */
+  def compactImageDedupIndexes(indexDir: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Option[Long]] = Map(
+    "sigs" -> compactChainAuto(s"$indexDir/sigs", Seq("doc_id"),
+      spark, resolveKey = Seq("doc_id"), latest = true),
+    "chunks" -> compactChainAuto(s"$indexDir/chunks",
+      Seq("ci", "cv"), spark, resolveKey = Seq("doc_id")),
+    "maxid" -> compactChainAuto(s"$indexDir/maxid", Nil, spark))
+
+  /** ONE-CALL compaction sweep for a near-dup MinHash index
+    * ([[crawlPrepareStream]]'s sigs/bands/maxid layout or
+    * [[incrementalNearDupStreamVersioned]]'s): sigs latest-wins per
+    * doc, bands delete-filtered per doc, maxid plain. */
+  def compactNearDupIndexes(indexDir: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Option[Long]] = Map(
+    "sigs" -> compactChainAuto(s"$indexDir/sigs", Seq("doc_id"),
+      spark, resolveKey = Seq("doc_id"), latest = true),
+    "bands" -> compactChainAuto(s"$indexDir/bands",
+      Seq("band", "bh"), spark, resolveKey = Seq("doc_id")),
+    "maxid" -> compactChainAuto(s"$indexDir/maxid", Nil, spark))
+
+  /** ONE-CALL compaction sweep for a durable IVF index
+    * ([[ivfIngestStreamDurable]] / [[ivfIngestStreamVersioned]] —
+    * auto-detected): postings latest-wins per vec_id (versioned) or
+    * plain distinct, plus the maxid marker when present. */
+  def compactIvfIndex(indexDir: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Option[Long]] = Map(
+    "postings" -> compactChainAuto(s"$indexDir/postings",
+      Seq("cell"), spark, resolveKey = Seq("vec_id"), latest = true),
+    "maxid" -> compactChainAuto(s"$indexDir/maxid", Nil, spark))
+
+  /** THE continuous prepare's whole-index compaction sweep
+    * ([[crawlPrepareStream]] owns FIVE chains across three
+    * bucketings plus an unbucketed marker — the sweep an operator
+    * had to hand-assemble before r18): url seen-set + near-dup
+    * sigs/bands/maxid + substr digests, one call. */
+  def compactCrawlPrepareIndexes(urlIndexDir: String,
+      sigIndexDir: String, substrIndexDir: String,
+      spark: org.apache.spark.sql.SparkSession)
+      : Map[String, Option[Long]] =
+    compactUrlIndex(urlIndexDir, spark)
+      .map { case (k, v) => s"url/$k" -> v } ++
+    compactNearDupIndexes(sigIndexDir, spark)
+      .map { case (k, v) => s"neardup/$k" -> v } ++
+    compactSubstrIndex(substrIndexDir, spark)
+      .map { case (k, v) => s"substr/$k" -> v }
+
   /** Loud versioned/unversioned mismatch guard for the durable-chain
     * entry points (r18 — the r17 verdict's migration hole,
     * generalized): a VERSIONED chain read by an unversioned consumer

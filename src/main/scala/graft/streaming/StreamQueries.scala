@@ -85,6 +85,92 @@ object StreamQueries {
          |ORDER BY doc_id, v""".stripMargin)) { (s, dir) =>
       DeltaIndex.resolveDeletes(ops(s, dir), Seq("doc_id"))
         .orderBy("doc_id", "v")
+    },
+
+    // ---- the PRODUCTION read path (r18 — r17 verdict task 5): the
+    //      two twins above pin the resolution algebra on a flat
+    //      frame; THIS one pins resolve-over-readPruned-state on a
+    //      real on-disk versioned chain — seed base_-1, delta
+    //      commits, a window fold, a RESOLVING base fold, and a
+    //      post-base tombstone delta — read bucket-PRUNED to a probe
+    //      subset (doc_id % 3) and resolved latest-wins, against a
+    //      DuckDB mirror of the same op multiset. The chain is
+    //      rebuilt in a fresh temp dir per invocation (deterministic
+    //      by construction; ~4 tiny commits at oracle scale).
+    Q("stream_resolve_pruned", Some(
+      s"""WITH ops AS (
+         |  SELECT doc_id, length(text)::BIGINT AS v, 'u' AS op,
+         |    -1 AS seq FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, length(text)::BIGINT + 500, 'u', 1
+         |    FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, NULL::BIGINT, 'd', 2
+         |    FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, length(text)::BIGINT + 1000, 'u', 5
+         |    FROM documents WHERE doc_id % 14 = 0
+         |  UNION ALL
+         |  SELECT doc_id, length(text)::BIGINT + 2000, 'u', 7
+         |    FROM documents WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT doc_id, NULL::BIGINT, 'd', 8
+         |    FROM documents WHERE doc_id % 13 = 0
+         |)
+         |SELECT doc_id, v FROM (
+         |  SELECT doc_id, v, op, row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY seq DESC, (op = 'd') DESC) AS rn
+         |  FROM ops) ranked
+         |WHERE rn = 1 AND op = 'u' AND doc_id % 3 = 0
+         |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vchain").toString
+      val idx = s"$root/chain"
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("v"))
+      val bkt = Bucketing(DeltaIndex.NumBuckets, Seq("doc_id"))
+      val init = DeltaIndex.asOps(d.limit(0), "u", -1L)
+      def fold(st: DataFrame): DataFrame =
+        DeltaIndex.resolveLatestOps(st, Seq("doc_id"))
+      def commit(batchId: Long, delta: DataFrame): Unit =
+        DeltaIndex.commit(delta, idx, batchId, init, Some(bkt),
+          compactEvery = 2, inlineBase = true, baseFold = fold)
+      // seed: generation-1 upserts ride base_-1
+      DeltaIndex.seed(DeltaIndex.asOps(d, "u", -1L), idx, Some(bkt))
+      // b0: a second upsert generation
+      commit(0L, DeltaIndex.asOps(d.where(col("doc_id") % 5 === 0)
+        .withColumn("v", col("v") + 500L), "u",
+        DeltaIndex.upsertSeq(0)))
+      // b1: tombstones (null payload — the takedown-record shape);
+      // triggers the WINDOW fold (mid_1)
+      commit(1L, DeltaIndex.asOps(d.where(col("doc_id") % 7 === 0)
+        .withColumn("v", lit(null).cast("long")), "d",
+        DeltaIndex.deleteSeq(1)))
+      // b2: delete-then-reingest above the tombstone
+      commit(2L, DeltaIndex.asOps(d.where(col("doc_id") % 14 === 0)
+        .withColumn("v", col("v") + 1000L), "u",
+        DeltaIndex.upsertSeq(2)))
+      // b3: a third generation; triggers the RESOLVING base fold
+      // (base_3 — dead rows and tombstones below it leave the chain)
+      commit(3L, DeltaIndex.asOps(d.where(col("doc_id") % 11 === 0)
+        .withColumn("v", col("v") + 2000L), "u",
+        DeltaIndex.upsertSeq(3)))
+      // b4: tombstones ABOVE the base, so the read itself must
+      // resolve across tiers (base survivors vs fresh deltas)
+      commit(4L, DeltaIndex.asOps(d.where(col("doc_id") % 13 === 0)
+        .withColumn("v", lit(null).cast("long")), "d",
+        DeltaIndex.deleteSeq(4)))
+      // the pruned probe read: only the buckets the probe keys
+      // (doc_id % 3) hash to are listed/scanned
+      val probe = d.where(col("doc_id") % 3 === 0).select("doc_id")
+      DeltaIndex.resolveLatest(
+        DeltaIndex.readPruned(idx, Long.MaxValue, init, bkt,
+          bkt.bucketsOf(probe), s), Seq("doc_id"))
+        .where(col("doc_id") % 3 === 0)
+        .select("doc_id", "v")
+        .orderBy("doc_id")
     }
   )
 }

@@ -37,6 +37,11 @@ class PlanBudgetSpec extends SparkSpec {
                                         // single-shuffle aggregate (r17)
     "stream_resolve_deletes" -> 3,      // tombstone max-seq agg + its
                                         // join back + output sort (r17)
+    "stream_resolve_pruned" -> 2,       // the on-disk versioned-chain
+                                        // read (bucket-pruned parquet
+                                        // union — no shuffle) + ONE
+                                        // max_by resolution agg +
+                                        // output sort (r18)
     "dedup_simhash_md5" -> 2,           // fp agg + chunk join
     "pipeline_strip_stopwords" -> 4,    // spread + docfreq (2: distinct
                                         // pre-agg + count) + sort; the

@@ -1811,6 +1811,101 @@ class StreamOpsSpec extends SparkSpec {
       "the retracted doc's attribution rows must leave the index " +
         "at the fold")
   }
+
+  test("compactCrawlPrepareIndexes (r18): ONE call compacts all FIVE " +
+      "of a LIVE inlineBaseFold=false prepare stream's chains — every " +
+      "chain folds at the newest-mid watermark, accumulated state is " +
+      "bit-identical before and after, and the stream keeps " +
+      "deduplicating (URL + near-dup) against the compacted state") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_cmpall")
+    val in = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val urlIdx = root.resolve("uidx").toString
+    val sigIdx = root.resolve("gidx").toString
+    val subIdx = root.resolve("sidx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val labeled = (0L until 20L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val t = if (lang == "aa") "red green blue red green blue"
+        else "eins zwei drei eins zwei drei"
+      (i, lang, t)
+    }.toDF("doc_id", "lang", "text")
+    def uniq(p: String, n: Int) = (0 until n).map(i =>
+      s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    def aa(n: Int) = Seq.fill(n / 3 + 1)("red green blue")
+      .mkString(" ").split(" ").take(n).mkString(" ")
+    val evalDocs = Seq((9000L, uniq("ev", 40))).toDF("doc_id", "text")
+    val policy = graft.operators.Crawl.defaultPolicy(spark)
+    val gate: DataFrame => DataFrame = d => d
+    def page(id: Long, url: String, body: String) =
+      (id, url, graft.operators.Crawl.wrapHtml(id, body))
+    // ≥ 50 post-scrub tokens so the substr chain gets real digests
+    // (the default window length is 50)
+    def body(b: Int) = s"${aa(6)} ${uniq(s"w${('a' + b).toChar}", 60)}"
+    def writeSeg(name: String,
+        pages: Seq[(Long, String, String)]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        graft.operators.Crawl.encodeArchive(pages))
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val query = StreamOps.crawlPrepareStream(spark, in.toString,
+      labeled, gate, policy, evalDocs, urlIdx, sigIdx, subIdx,
+      Seq.empty[String].toDF("canon_url"),
+      Seq.empty[(Long, Array[Long])].toDF("doc_id", "sig"),
+      Seq.empty[String].toDF("h"), ckpt, compactEvery = 2,
+      inlineBaseFold = false) { (batch, id) =>
+      got(id) = batch.select("doc_id").as[Long].collect().toSet
+    }
+    try {
+      for (b <- 0 until 6) {
+        writeSeg(s"part$b.garc", Seq(
+          page(100L + 10 * b, s"https://h$b.example.org/p", body(b))))
+        query.processAllAvailable()
+      }
+      assert((0 until 6).forall(b => got(b.toLong) ==
+        Set(100L + 10 * b)), s"$got")
+      // inlineBaseFold=false: every chain holds mids {1,3,5}, no
+      // real base — the sweep below owns the base tier
+      val chains = Seq(urlIdx, s"$sigIdx/sigs", s"$sigIdx/bands",
+        s"$sigIdx/maxid", subIdx)
+      chains.foreach { c =>
+        assert(StreamOpsSpecHelpers.committedDirs(c, "mid_")
+          .keySet == Set(1L, 3L, 5L), s"$c mids")
+        assert(StreamOpsSpecHelpers.committedDirs(c, "base_")
+          .keySet.filter(_ >= 0).isEmpty, s"$c bases before sweep")
+      }
+      def state(c: String): Set[String] =
+        DeltaIndex.readCommitted(c, spark).get.distinct()
+          .collect().map(_.toString).toSet
+      val before = chains.map(c => c -> state(c)).toMap
+      // THE one call, against the LIVE stream
+      assert(query.isActive)
+      val swept = StreamOps.compactCrawlPrepareIndexes(urlIdx,
+        sigIdx, subIdx, spark)
+      assert(swept.keySet == Set("url/seen", "neardup/sigs",
+        "neardup/bands", "neardup/maxid", "substr/digests"))
+      assert(swept.values.forall(_ == Some(5L)),
+        s"every chain folds at the newest-mid watermark: $swept")
+      chains.foreach { c =>
+        assert(StreamOpsSpecHelpers.committedDirs(c, "base_")
+          .keySet.contains(5L), s"$c must hold base_5 after sweep")
+        assert(state(c) == before(c),
+          s"accumulated state must not change at $c")
+      }
+      // the stream keeps deduplicating against the compacted state:
+      // a respelling of the batch-0 URL and a near-copy of the
+      // batch-0 body both drop; the fresh page passes
+      writeSeg("part6.garc", Seq(
+        page(200L, "HTTPS://H0.EXAMPLE.ORG:443/p#frag", body(0)),
+        page(201L, "https://h6.example.org/near",
+          s"${body(0).split(" ").dropRight(1).mkString(" ")} zz"),
+        page(202L, "https://h6.example.org/fresh", body(6))))
+      query.processAllAvailable()
+      assert(got(6L) == Set(202L),
+        s"post-compact: URL respelling + near-copy must drop, the " +
+          s"fresh page passes: ${got(6L)}")
+    } finally query.stop()
+  }
 }
 
 /** File helpers for the durable-index assertions. */
