@@ -94,9 +94,12 @@ object StreamQueries {
     //      commits, a window fold, a RESOLVING base fold, and a
     //      post-base tombstone delta — read bucket-PRUNED to a probe
     //      subset (doc_id % 3) and resolved latest-wins, against a
-    //      DuckDB mirror of the same op multiset. The chain is
-    //      rebuilt in a fresh temp dir per invocation (deterministic
-    //      by construction; ~4 tiny commits at oracle scale).
+    //      DuckDB mirror of the same op multiset. The chain is built
+    //      ONCE per (JVM, sfDir) into a temp dir (deterministic by
+    //      construction — identical commits every time; the
+    //      dedup_components memoized-fixed-point precedent), so the
+    //      MEASURED query is the production read path itself, not
+    //      the fixture's write jobs.
     Q("stream_resolve_pruned", Some(
       s"""WITH ops AS (
          |  SELECT doc_id, length(text)::BIGINT AS v, 'u' AS op,
@@ -124,44 +127,48 @@ object StreamQueries {
          |  FROM ops) ranked
          |WHERE rn = 1 AND op = 'u' AND doc_id % 3 = 0
          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_vchain").toString
-      val idx = s"$root/chain"
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           length(col("text")).cast("long").as("v"))
       val bkt = Bucketing(DeltaIndex.NumBuckets, Seq("doc_id"))
       val init = DeltaIndex.asOps(d.limit(0), "u", -1L)
-      def fold(st: DataFrame): DataFrame =
-        DeltaIndex.resolveLatestOps(st, Seq("doc_id"))
-      def commit(batchId: Long, delta: DataFrame): Unit =
-        DeltaIndex.commit(delta, idx, batchId, init, Some(bkt),
-          compactEvery = 2, inlineBase = true, baseFold = fold)
-      // seed: generation-1 upserts ride base_-1
-      DeltaIndex.seed(DeltaIndex.asOps(d, "u", -1L), idx, Some(bkt))
-      // b0: a second upsert generation
-      commit(0L, DeltaIndex.asOps(d.where(col("doc_id") % 5 === 0)
-        .withColumn("v", col("v") + 500L), "u",
-        DeltaIndex.upsertSeq(0)))
-      // b1: tombstones (null payload — the takedown-record shape);
-      // triggers the WINDOW fold (mid_1)
-      commit(1L, DeltaIndex.asOps(d.where(col("doc_id") % 7 === 0)
-        .withColumn("v", lit(null).cast("long")), "d",
-        DeltaIndex.deleteSeq(1)))
-      // b2: delete-then-reingest above the tombstone
-      commit(2L, DeltaIndex.asOps(d.where(col("doc_id") % 14 === 0)
-        .withColumn("v", col("v") + 1000L), "u",
-        DeltaIndex.upsertSeq(2)))
-      // b3: a third generation; triggers the RESOLVING base fold
-      // (base_3 — dead rows and tombstones below it leave the chain)
-      commit(3L, DeltaIndex.asOps(d.where(col("doc_id") % 11 === 0)
-        .withColumn("v", col("v") + 2000L), "u",
-        DeltaIndex.upsertSeq(3)))
-      // b4: tombstones ABOVE the base, so the read itself must
-      // resolve across tiers (base survivors vs fresh deltas)
-      commit(4L, DeltaIndex.asOps(d.where(col("doc_id") % 13 === 0)
-        .withColumn("v", lit(null).cast("long")), "d",
-        DeltaIndex.deleteSeq(4)))
+      val idx = chainCache.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_vchain").toString
+        val p = s"$root/chain"
+        def fold(st: DataFrame): DataFrame =
+          DeltaIndex.resolveLatestOps(st, Seq("doc_id"))
+        def commit(batchId: Long, delta: DataFrame): Unit =
+          DeltaIndex.commit(delta, p, batchId, init, Some(bkt),
+            compactEvery = 2, inlineBase = true, baseFold = fold)
+        // seed: generation-1 upserts ride base_-1
+        DeltaIndex.seed(DeltaIndex.asOps(d, "u", -1L), p, Some(bkt))
+        // b0: a second upsert generation
+        commit(0L, DeltaIndex.asOps(d.where(col("doc_id") % 5 === 0)
+          .withColumn("v", col("v") + 500L), "u",
+          DeltaIndex.upsertSeq(0)))
+        // b1: tombstones (null payload — the takedown-record shape);
+        // triggers the WINDOW fold (mid_1)
+        commit(1L, DeltaIndex.asOps(d.where(col("doc_id") % 7 === 0)
+          .withColumn("v", lit(null).cast("long")), "d",
+          DeltaIndex.deleteSeq(1)))
+        // b2: delete-then-reingest above the tombstone
+        commit(2L, DeltaIndex.asOps(d.where(col("doc_id") % 14 === 0)
+          .withColumn("v", col("v") + 1000L), "u",
+          DeltaIndex.upsertSeq(2)))
+        // b3: a third generation; triggers the RESOLVING base fold
+        // (base_3 — dead rows and tombstones below it leave the
+        // chain)
+        commit(3L, DeltaIndex.asOps(d.where(col("doc_id") % 11 === 0)
+          .withColumn("v", col("v") + 2000L), "u",
+          DeltaIndex.upsertSeq(3)))
+        // b4: tombstones ABOVE the base, so the read itself must
+        // resolve across tiers (base survivors vs fresh deltas)
+        commit(4L, DeltaIndex.asOps(d.where(col("doc_id") % 13 === 0)
+          .withColumn("v", lit(null).cast("long")), "d",
+          DeltaIndex.deleteSeq(4)))
+        p
+      })
       // the pruned probe read: only the buckets the probe keys
       // (doc_id % 3) hash to are listed/scanned
       val probe = d.where(col("doc_id") % 3 === 0).select("doc_id")
@@ -173,4 +180,10 @@ object StreamQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** `stream_resolve_pruned`'s per-(JVM, sfDir) fixture chain —
+    * built once, read by every pass (identical commits every build;
+    * the dedup_components memoized-construction precedent). */
+  private val chainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
