@@ -122,10 +122,38 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${okQ.size},"n_failed":${failedQ.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get(sys.env.getOrElse(
       "SPARK_GRAFT_METRIC_OUT", "bench_metric.json")), json + "\n")
+    // Per-query [min, median, max] re-emitted as SELF-CONTAINED chunk
+    // lines of ≤ ~2 KB AFTER the headline lines (r18 verdict item 2):
+    // the driver's log-tail capture truncates the single ~20 KB
+    // per-query line mid-JSON, so PERF_r1x.json compared nothing two
+    // rounds running. Additive only — the full line, the compact line
+    // and bench_metric.json are byte-identical to before.
+    val chunkEntries = okQ.toSeq.sortBy(_._1).map { case (k, _) =>
+      val ts = passes.map(_(k)).sorted
+      s"""\"$k\":[${ts.head},${ts(ts.size / 2)},${ts.last}]"""
+    }
+    val chunks = {
+      val b = Seq.newBuilder[String]
+      var cur = List.empty[String]
+      var len = 0
+      chunkEntries.foreach { e =>
+        if (len + e.length > 1800 && cur.nonEmpty) {
+          b += cur.reverse.mkString(","); cur = Nil; len = 0
+        }
+        cur = e :: cur; len += e.length + 1
+      }
+      if (cur.nonEmpty) b += cur.reverse.mkString(",")
+      b.result()
+    }
+    val chunkLines = chunks.zipWithIndex.map { case (body, i) =>
+      s"""{"metric":"per_query_chunk","part":${i + 1},"of":${chunks.size},"queries":{$body}}"""
+    }
     println(json)
     println(compact)
+    chunkLines.foreach(println)
     System.err.println(json)
     System.err.println(compact)
+    chunkLines.foreach(System.err.println)
     spark.stop()
     if (failedQ.nonEmpty) sys.exit(1)
   }
