@@ -64,14 +64,8 @@ object Dedup {
   def exactSubstrSpans(d: DataFrame,
       minLen: Int = ExactSubstrMinLen): DataFrame = {
     val L = minLen
-    val ww = spread(d)
-      .select(col("doc_id"), tokensCol.as("ts"))
-      .where(size(col("ts")) >= L)
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
-          .as("p"))
-      .select(col("doc_id"), col("p"),
-        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("h"))
+    val ww = windowDigests(spread(d)
+      .select(col("doc_id"), tokensCol.as("ts")), L)
     // occurrence counts: one keyed aggregate; cached — referenced by
     // the grand total, the hot set, and the join's small side
     // (clear-between-queries policy)
@@ -150,13 +144,7 @@ object Dedup {
   private def exactSubstrKept(d: DataFrame, minLen: Int): DataFrame = {
     val L = minLen
     val toks = spread(d).select(col("doc_id"), tokensCol.as("ts"))
-    val ww = toks
-      .where(size(col("ts")) >= L)
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
-          .as("p"))
-      .select(col("doc_id"), col("p"),
-        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("h"))
+    val ww = windowDigests(toks, L)
     // winners + counts in one keyed aggregate; cached — referenced by
     // the grand total, the hot set, and the join's small side
     val win = ww.groupBy("h")
@@ -172,22 +160,81 @@ object Dedup {
     val rem = Skew.hotSaltedJoin(ww, win, "h", hot, col("doc_id"))
       .where(col("n") > 1 &&
         !(col("w.doc_id") === col("doc_id") && col("w.p") === col("p")))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (L - 1))).as("pos"))
-      .distinct()
-    toks
-      .select(col("doc_id"),
-        posexplode(col("ts")).as(Seq("pos", "tok")))
-      .withColumn("pos", col("pos").cast("long"))
-      .join(rem.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
-        expr("""array_join(transform(
-          |  array_sort(collect_list(
-          |    case when __rm is null then struct(pos, tok) end)),
-          |  s -> s.tok), ' ')""".stripMargin).as("__kept"))
+      .select(col("doc_id"), col("p"))
+    reassembleKept(toks, removalIntervals(rem, L))
   }
+
+  /** All window start positions of `toks` (doc_id, ts) as slim
+    * (doc_id, p, h) rows, `h` a 2×64-bit xxhash64 struct of the
+    * L-token window — 16 fixed bytes in place of the r1–r18
+    * md5-of-joined-string digest (a ~300-byte string build + crypto
+    * hash per window, and a 32-char shuffle key). The digest is only
+    * ever an EQUALITY key (winner rule and occurrence counts are
+    * hash-agnostic), so any deterministic injective-enough function
+    * preserves the output; the two differently-seeded lanes (the
+    * second prepends a constant, giving an independent initial state)
+    * keep the collision budget at md5's effective class. The
+    * streaming/incremental index digests ([[substrWindowDigests]])
+    * deliberately KEEP md5 — they persist across commits and feed the
+    * DuckDB-mirrored incremental queries. */
+  private def windowDigests(toks: DataFrame, L: Int): DataFrame =
+    toks
+      .where(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
+          .as("p"))
+      .select(col("doc_id"), col("p"),
+        struct(
+          xxhash64(expr(s"slice(ts, p + 1, $L)")).as("h1"),
+          xxhash64(lit(1L), expr(s"slice(ts, p + 1, $L)")).as("h2"))
+          .as("h"))
+
+  /** Merge removable window starts (doc_id, p) — each covering
+    * [p, p+L−1] — into per-doc sorted disjoint intervals
+    * (doc_id, iv: array<struct<a,b>>): the [[exactSubstrSpans]] island
+    * rule (overlapping or touching windows coalesce) collapsed to ONE
+    * slim row per doc, so reassembly never explodes spans to positions
+    * (r1–r18 shipped one row per REMOVED TOKEN POSITION through a
+    * distinct and a (doc_id, pos) join against the full token plane —
+    * ×L rows, two extra exchanges). */
+  private def removalIntervals(rem: DataFrame, L: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    rem
+      .withColumn("__pp", lag(col("p"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__pp").isNull || col("p") > col("__pp") + L, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(run))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min("p").as("a"), (max("p") + (L - 1)).as("b"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("a"), col("b")))).as("iv"))
+  }
+
+  /** Rebuild each doc's surviving text from its token array and its
+    * removal intervals IN-ROW: the kept tokens are the gap slices
+    * between consecutive intervals (plus the head/tail gaps), so the
+    * token plane is never exploded, joined per-position, or re-sorted
+    * — output (doc_id, n_tokens, n_removed, __kept) exactly as the
+    * r1–r18 posexplode/join/collect_list reassembly produced. */
+  private def reassembleKept(toks: DataFrame, iv: DataFrame): DataFrame =
+    toks.join(iv, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"),
+        expr("cast(array() as array<struct<a:bigint,b:bigint>>)")))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        expr("aggregate(iv, cast(0 as bigint)," +
+          " (acc, s) -> acc + s.b - s.a + 1)").as("n_removed"),
+        expr("""array_join(flatten(transform(sequence(0, size(iv)),
+          |  i -> slice(ts,
+          |    cast((case when i = 0 then 0
+          |          else iv[i-1].b + 1 end) + 1 as int),
+          |    cast(greatest((case when i = size(iv)
+          |            then size(ts) - 1 else iv[i].a - 1 end)
+          |      - (case when i = 0 then 0 else iv[i-1].b + 1 end)
+          |      + 1, 0) as int)))), ' ')""".stripMargin).as("__kept"))
 
   /** INCREMENTAL ExactSubstr removal — the continuous-ingestion shape
     * (pairing [[crossCorpusPairs]]' near-dup variant): clean a NEW
@@ -267,23 +314,11 @@ object Dedup {
       .where(col("__old").isNotNull ||
         (col("n") > 1 &&
           !(col("w.doc_id") === col("doc_id") && col("w.p") === col("p"))))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (L - 1))).as("pos"))
-      .distinct()
-    spread(fresh).select(col("doc_id"), tokensCol.as("ts"))
-      .select(col("doc_id"),
-        posexplode(col("ts")).as(Seq("pos", "tok")))
-      .withColumn("pos", col("pos").cast("long"))
-      .join(rem.withColumn("__rm", lit(true)), Seq("doc_id", "pos"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
-        expr("""md5(array_join(transform(
-          |  array_sort(collect_list(
-          |    case when __rm is null then struct(pos, tok) end)),
-          |  s -> s.tok), ' '))""".stripMargin).as("__md5"))
+      .select(col("doc_id"), col("p"))
+    reassembleKept(spread(fresh).select(col("doc_id"), tokensCol.as("ts")),
+        removalIntervals(rem, L))
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        when(col("n_tokens") > col("n_removed"), col("__md5"))
+        when(col("n_tokens") > col("n_removed"), md5(col("__kept")))
           .as("kept_md5"))
   }
 
@@ -1057,11 +1092,29 @@ object Dedup {
     * the measured plan). */
   def prefixJaccardPairs(d: DataFrame, tNum: Int = 9, tDen: Int = 10,
       shingleWidth: Int = 2, pinAttach: Boolean = false): DataFrame = {
+    // shingle strings leave the CANDIDATE plane here (guide §2.3 —
+    // shuffle keys, not payloads): the df aggregate, the rank attach,
+    // the prefix window and the candidate self-join only ever test
+    // shingles for EQUALITY and a consistent total order, so a
+    // 2×64-bit hash pair carries the same information at 16 fixed
+    // bytes instead of a ~15–25 char string. The prefix/positional
+    // filters stay sound under ANY corpus-consistent total order
+    // ((df, hash) here vs the oracle's (df, string) — candidate sets
+    // may differ, exact verification makes the OUTPUT identical).
+    // The VERIFY plane (`sets` below) deliberately keeps the RAW
+    // shingle strings: array_intersect's hash-set fast path covers
+    // atomic element types only — struct elements drop it to an
+    // O(|A|·|B|) ordering scan per candidate pair, measured 5× on the
+    // dense bigram plane (454k candidates at sf0.1) — and raw strings
+    // also keep the exact-Jaccard verification collision-free.
     val tk = shingles(d, shingleWidth)
+    val tkH = tk.select(col("doc_id"),
+      struct(xxhash64(col("g")).as("h1"),
+        xxhash64(lit(1L), col("g")).as("h2")).as("g"))
     // per-shingle document frequency: one map-side-combinable
     // aggregate; cached — referenced by the grand total, the hot set,
     // and the join's small side (clear-between-queries policy)
-    val dfreq0 = tk.groupBy("g").agg(count(lit(1)).as("df"))
+    val dfreq0 = tkH.groupBy("g").agg(count(lit(1)).as("df"))
     val dfreq = if (pinAttach) dfreq0.localCheckpoint()
       else dfreq0.cache()
     val tot = dfreq.agg(sum("df").cast("long").as("__t"))
@@ -1073,7 +1126,7 @@ object Dedup {
     // rarest-first rank and the set size off ONE doc_id exchange
     val wd = Window.partitionBy("doc_id")
     val wr = wd.orderBy(col("df"), col("g"))
-    val pref = Skew.hotSaltedJoin(tk, dfreq, "g", hot, col("doc_id"))
+    val pref = Skew.hotSaltedJoin(tkH, dfreq, "g", hot, col("doc_id"))
       .withColumn("n", count(lit(1)).over(wd))
       .withColumn("rk", row_number().over(wr))
       .where(col("rk") <=
@@ -1138,7 +1191,14 @@ object Dedup {
         explode(sequence(lit(0L), (size(col("ts")) - L).cast("long")))
           .as("p"))
       .select(col("doc_id"),
-        md5(array_join(expr(s"slice(ts, p + 1, $L)"), " ")).as("g"))
+        // equality-only digest: same 2×64-bit xxhash64 pair as
+        // [[windowDigests]] (the md5-of-joined-string build was the
+        // window plane's hot expression; candidates/intersections are
+        // hash-agnostic and verification is exact over the same sets)
+        struct(
+          xxhash64(expr(s"slice(ts, p + 1, $L)")).as("h1"),
+          xxhash64(lit(1L), expr(s"slice(ts, p + 1, $L)")).as("h2"))
+          .as("g"))
       .distinct()
       // slim fixed-width digest rows referenced by FOUR consumers
       // (df build, prefix attach, B-side index, set build) — cached
@@ -1166,8 +1226,15 @@ object Dedup {
       .join(tk.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // verify sets as fixed-width HEX STRINGS of the digest pair:
+    // array_intersect's hash-set fast path covers atomic element
+    // types only — struct elements drop to an O(|A|·|B|) ordering
+    // scan per candidate pair (the dedup_jaccard_prefix lesson);
+    // lpad keeps the two lanes' concatenation injective
+    val ghex = concat(lpad(hex(col("g.h1")), 16, "0"),
+      lpad(hex(col("g.h2")), 16, "0"))
     val sets = tk.groupBy("doc_id")
-      .agg(collect_list("g").as("gs"), count(lit(1)).as("n"))
+      .agg(collect_list(ghex).as("gs"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
         col("n").as("na")), "doc_a")

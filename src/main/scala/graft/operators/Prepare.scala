@@ -117,6 +117,15 @@ object Prepare {
     // once — the materialized boundary is canon below
     val scrub = TextAnalysis
       .scrubbed(graft.Tables.spread(d, col("doc_id")))
+      // carry the scrub plane's report metrics THROUGH the canon
+      // checkpoint (r19): canonicalized is a row-preserving
+      // withColumn, so scrub's row count is canon's and its token
+      // total rides along as one long column — the 1_scrub report row
+      // then aggregates the checkpointed canon instead of re-running
+      // the whole regex scrub chain a second time (one full stage-1
+      // recompute per composed-prepare query, measured ~0.5 s warm at
+      // sf0.1; at 100 TB a full extra pass over the raw corpus)
+      .withColumn("__scrub_ws", wsTokens)
     // stage 2: the canonical plane — a narrow per-row projection (the
     // native nfc_normalize expression + two regex folds); everything
     // downstream shingles/windows canonical text. CHECKPOINTED since
@@ -165,7 +174,7 @@ object Prepare {
       .select(lit("7_pack").as("stage"), col("n"), col("tokens"),
         col("digest"))
     stageRow("0_input", d, wsTokens)
-      .unionByName(stageRow("1_scrub", scrub, wsTokens))
+      .unionByName(stageRow("1_scrub", canon, col("__scrub_ws")))
       .unionByName(stageRow("2_canonicalize", canon, wsTokens))
       .unionByName(stageRow("3_quality_gate", gated, wsTokens))
       .unionByName(stageRow("4_exact_substr", cleaned, col("n_kept")))

@@ -38,7 +38,17 @@ object TextAnalysis {
     * reusable stage (the composed corpus-prep pipeline consumes it on
     * CLEANED text). Scale notes at the query registration. */
   def decontaminatePairs(d: DataFrame): DataFrame = {
+    // the 5-gram strings (~30–40 bytes each) leave the plan here —
+    // every downstream step (docfreq, rare filter, the rare attach,
+    // the per-gram eval×train fold) uses grams only as EQUALITY keys,
+    // so the 2×64-bit xxhash64 pair (16 fixed bytes; two
+    // differently-seeded lanes ≈ md5's collision class) shuffles in
+    // their place (guide §2.3); output (train_doc, eval_doc, n_shared)
+    // is hash-agnostic and stays oracle-exact
     val bg = ngramRows(d, 5, distinctPerDoc = true)
+      .select(col("doc_id"),
+        struct(xxhash64(col("g")).as("h1"),
+          xxhash64(lit(1L), col("g")).as("h2")).as("g"))
     // cached: the docfreq aggregate feeds the rare set, the grand
     // total, and the hot set (clear-between-queries policy)
     val dfreq = bg.groupBy("g").agg(count(lit(1)).as("dfreq")).cache()
