@@ -201,16 +201,27 @@ object Skew {
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") > hotThreshold)
       .select(keys.map(col): _*)
-    val cold = newSide.join(broadcast(hot), keys, "left_anti")
-      .join(oldSide.join(broadcast(hot), keys, "left_anti"), keys)
-    val salted = newSide.join(broadcast(hot), keys, "left_semi")
+    // ONE equijoin on (keys, salt) instead of the r18 anti/anti +
+    // semi/semi two-join union (which read the old side three times
+    // and the new side twice, and planned four exchanges): every row
+    // gets a salt — old hot rows scatter by hash(saltSrc), old cold
+    // rows sit in bucket 0, new hot rows fan out to all buckets, new
+    // cold rows probe bucket 0 — so hot and cold pairs meet exactly
+    // once each, identically to the plain join ([[hotSaltedJoin]]'s
+    // shape, generalized to multi-column keys). Old side is now read
+    // twice total (count aggregate + join), the new side once.
+    val hk = broadcast(hot.withColumn("__hot", lit(true)))
+    val oldS = oldSide.join(hk, keys, "left")
       .withColumn("__salt",
-        explode(array((0 until salts).map(lit): _*)))
-      .join(oldSide.join(broadcast(hot), keys, "left_semi")
-        .withColumn("__salt",
-          pmod(xxhash64(saltSrc), lit(salts)).cast("int")),
-        keys :+ "__salt")
-      .drop("__salt")
-    cold.unionAll(salted)
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(saltSrc), lit(salts)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val newS = newSide.join(hk, keys, "left")
+      .withColumn("__salt", explode(
+        when(col("__hot").isNotNull, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    newS.join(oldS, keys :+ "__salt").drop("__salt")
   }
 }
