@@ -38,9 +38,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional args filter for single-query iteration (driver passes none).
+    // benchOnly entries (write-path measurements with no oracle) time
+    // alongside the declared queries — additions to the metric's
+    // queries map, never removals or renames.
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      if (args.isEmpty) all
+      else all.filter { case (n, _) => args.contains(n) }
     // Parsed defensively BEFORE the warmup pass: a garbage or
     // non-positive value would otherwise surface only after the full
     // warmup has already run (as a NumberFormatException or a bogus

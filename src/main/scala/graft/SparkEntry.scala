@@ -34,4 +34,15 @@ object SparkEntry {
     * (xxhash64-based LSH/SimHash, stubbed decoders) → rows-only check. */
   def oracleSql: Map[String, String] =
     inventory.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** BENCH-ONLY timed measurements — additions to the bench metric's
+    * `queries` map (additive per the driver contract), never dumped by
+    * Verify and never oracle-compared: write-path costs the declared
+    * read queries deliberately exclude (r18 verdict task 7 — the
+    * versioned-chain seed/commit/fold sequence had no benchmark once
+    * `stream_resolve_pruned`'s fixture memoized). */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Map("stream_ingest_commit" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.StreamQueries.ingestCommitBench(s, dir)))
 }

@@ -186,4 +186,64 @@ object StreamQueries {
     * the dedup_components memoized-construction precedent). */
   private val chainCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BENCH-ONLY timed measurement of the versioned-chain WRITE path
+    * (r19 — r18 verdict task 7: memoizing `stream_resolve_pruned`'s
+    * fixture left commit/fold/compaction cost with no benchmark
+    * anywhere). Every invocation pays the FULL production write
+    * sequence into a FRESH temp dir — seed (bucketed base_-1) + 5
+    * delta commits over `documents` (the stream_resolve_pruned op
+    * multiset: upserts, tombstones, delete-then-reingest), including
+    * the window fold at b1 and the RESOLVING base fold at b3 — then
+    * one resolved read-back, reduced to a single (n_live, sum_v) row
+    * that is eagerly checkpointed so the on-disk chain can be deleted
+    * before the frame is returned. Deliberately NOT registered in
+    * [[queries]]: it measures writes (nondeterministic temp paths, no
+    * DuckDB mirror of a filesystem protocol); Bench picks it up via
+    * [[graft.SparkEntry.benchOnly]]. */
+  def ingestCommitBench(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    val bkt = Bucketing(DeltaIndex.NumBuckets, Seq("doc_id"))
+    val init = DeltaIndex.asOps(d.limit(0), "u", -1L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vchain_bench")
+    val p = s"$root/chain"
+    def fold(st: DataFrame): DataFrame =
+      DeltaIndex.resolveLatestOps(st, Seq("doc_id"))
+    def commit(batchId: Long, delta: DataFrame): Unit =
+      DeltaIndex.commit(delta, p, batchId, init, Some(bkt),
+        compactEvery = 2, inlineBase = true, baseFold = fold)
+    DeltaIndex.seed(DeltaIndex.asOps(d, "u", -1L), p, Some(bkt))
+    commit(0L, DeltaIndex.asOps(d.where(col("doc_id") % 5 === 0)
+      .withColumn("v", col("v") + 500L), "u", DeltaIndex.upsertSeq(0)))
+    commit(1L, DeltaIndex.asOps(d.where(col("doc_id") % 7 === 0)
+      .withColumn("v", lit(null).cast("long")), "d",
+      DeltaIndex.deleteSeq(1)))
+    commit(2L, DeltaIndex.asOps(d.where(col("doc_id") % 14 === 0)
+      .withColumn("v", col("v") + 1000L), "u", DeltaIndex.upsertSeq(2)))
+    commit(3L, DeltaIndex.asOps(d.where(col("doc_id") % 11 === 0)
+      .withColumn("v", col("v") + 2000L), "u", DeltaIndex.upsertSeq(3)))
+    commit(4L, DeltaIndex.asOps(d.where(col("doc_id") % 13 === 0)
+      .withColumn("v", lit(null).cast("long")), "d",
+      DeltaIndex.deleteSeq(4)))
+    val out = DeltaIndex.resolveLatest(
+        DeltaIndex.readAll(p, init, s), Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_live"),
+        sum("v").cast("long").as("sum_v"))
+      .localCheckpoint()
+    deleteRecursively(root)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
 }
