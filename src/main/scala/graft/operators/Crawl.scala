@@ -731,7 +731,17 @@ object Crawl {
   /** Absolute fixture root, embedded verbatim in the oracle SQL (the
     * [[Sources.FixtureRoot]] static-path discipline). */
   val FixtureRoot: String = s"${Sources.FixtureRoot}/crawl_garc"
-  private val FixtureFiles = 4
+  /** Archive segments per fixture root. One segment = one parse task
+    * ([[parseArchives]] is file-parallel, like every real WARC
+    * reader), so this bounds the walk/demux parallelism of every
+    * archive-fed query: 4 serialized the gunzip + grammar walk + media
+    * decode on a 32-core box (measured: the r18 suite's archive
+    * queries showed zero 8→32-core scaling). 32 matches production
+    * shape — crawlers rotate thousands of small segments, never 4
+    * giant ones. Record→segment assignment (doc_id % n) is invisible
+    * to every output: no reader exposes file names, the oracle reads
+    * the same bytes by glob, and record sets are compared sorted. */
+  private val FixtureFiles = 32
 
   /** Deterministic HTML page around a document's text: head noise
     * (title/style/script), nav + heading + footer boilerplate, a
