@@ -48,11 +48,21 @@ object Profile {
       var cleaned: DataFrame = null
       var deduped: DataFrame = null
       var train: DataFrame = null
+      // this chain MIRRORS Prepare.fullPrepare stage for stage (same
+      // gate, same shingleWidth, same eval split, same __scrub_ws
+      // carry) — when fullPrepare's chain changes, change this too
+      // (advice: the profile must time what Bench actually measures)
       timed(spark, "1_scrub (noop)") {
         scrub = TextAnalysis.scrubbed(Tables.spread(d, col("doc_id")))
+          .withColumn("__scrub_ws",
+            size(split(col("text"), "\\s+")).cast("long"))
         noop(scrub)
       }
-      timed(spark, "2_canon checkpoint") {
+      // NOTE (r19, advice): scrub is lazy — this stage's time INCLUDES
+      // one full scrub recompute (stage 1 is the plan shape, not a
+      // materialized boundary), exactly as in the production chain;
+      // read stages 1+2 together for attribution.
+      timed(spark, "2_canon checkpoint (incl scrub)") {
         canon = TextAnalysis.canonicalized(scrub).localCheckpoint()
       }
       timed(spark, "3_gate (noop)") {
@@ -80,16 +90,30 @@ object Profile {
       timed(spark, "8_report rows (count)") {
         // the stage-summary rows of the registered query recompute the
         // token splits over d/scrub/canon + the checkpointed leaves
+        // collect() the single agg row (advice): .count() on a global
+        // aggregate references none of its columns, so Catalyst prunes
+        // the sum expressions and the stage under-measures
         val wsTokens = size(split(col("text"), "\\s+")).cast("long")
-        Seq(d, scrub, canon, gated).foreach(df =>
-          df.agg(count(lit(1)), sum(wsTokens)).count())
+        d.agg(count(lit(1)), sum(wsTokens)).collect()
+        // 1_scrub's row reads the carried __scrub_ws column off the
+        // CHECKPOINTED canon (no scrub recompute) since r19
+        canon.agg(count(lit(1)), sum(col("__scrub_ws"))).collect()
+        Seq(canon, gated).foreach(df =>
+          df.agg(count(lit(1)), sum(wsTokens)).collect())
         Seq(cleaned, deduped, train).foreach(df =>
-          df.agg(count(lit(1)), sum(col("n_kept"))).count())
+          df.agg(count(lit(1)), sum(col("n_kept"))).collect())
       }
       timed(spark, "full fullPrepare (count)") {
         Prepare.fullPrepare(d).count()
       }
+      // clearCache() covers .cache() frames only; localCheckpoint RDD
+      // blocks linger until GC-driven cleanup (advice) — explicitly
+      // unpersist every persisted RDD (the checkpointed leaves of this
+      // pass, both the profiler's and fullPrepare's own) so later
+      // passes run under the same memory pressure as pass 1
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }
