@@ -262,15 +262,18 @@ class PlanBudgetSpec extends SparkSpec {
                                         // corpus scan + rank + sort;
                                         // the signature build is a
                                         // narrow fold (measured 2)
-    "pipeline_incremental_substr" -> 9, // new-window spread + winner
+    "pipeline_incremental_substr" -> 7, // new-window spread + winner
                                         // agg (cached) + old-index
                                         // distinct (2) + digest-plane
                                         // index join + salted attach +
-                                        // removal distinct (2) +
-                                        // (doc,pos) flag join + doc
-                                        // reassembly agg + sort; the
-                                        // old side contributes ONE
-                                        // distinct-digest pass
+                                        // the per-doc interval islands
+                                        // window/agg + in-row
+                                        // reassembly join + sort
+                                        // (r19: was 9 — the interval
+                                        // rebuild dropped the removal-
+                                        // position distinct and the
+                                        // (doc,pos) flag join;
+                                        // measured 7)
     "ann_hamming_mih" -> 3,             // chunk equijoin + candidate
                                         // dedup agg + rank/sort; the
                                         // signature build is a narrow
@@ -289,14 +292,17 @@ class PlanBudgetSpec extends SparkSpec {
                                         // reusing the spread + sort;
                                         // the DP never touches corpus
                                         // rows
-    "pipeline_exact_substr_removal" -> 8, // window spread + winner agg
+    "pipeline_exact_substr_removal" -> 6, // window spread + winner agg
                                         // (cached) + salted winner
-                                        // attach + removal-position
-                                        // distinct (2) + the (doc,pos)
-                                        // flag join + doc reassembly
-                                        // agg + sort; only the spread,
-                                        // attach and flag join carry
-                                        // corpus-scale rows
+                                        // attach + the per-doc interval
+                                        // islands window/agg + in-row
+                                        // reassembly join + sort
+                                        // (r19: was 8 — the interval
+                                        // rebuild dropped the removal-
+                                        // position distinct and the
+                                        // (doc,pos) flag join; only the
+                                        // spread and attach carry
+                                        // corpus-scale rows; measured 6)
     "text_unigram_lm" -> 1,             // the returned plan is the
                                         // final piece table + output
                                         // sort; training is ONE corpus

@@ -645,4 +645,33 @@ class MultimodalSpec extends SparkSpec {
       report(Multimodal.hammingDedupSurvivorsFromChunks(
         refChunks, probeChunks)))
   }
+
+  test("CHUNK-JOIN SKEW GUARD exchange budget (r19): the single-" +
+      "equijoin guard plans at most 4 exchanges on an engaged hot " +
+      "set — the r18 anti/anti + semi/semi union planned the index " +
+      "side three reads and four join exchanges; the rewrite must " +
+      "never regress back") {
+    import spark.implicits._
+    val oldSigs = ((0L until 300L).map(i => (i, 0L, 0L)) ++
+      (3000L until 3100L).map(i =>
+        (i, 0x1111L * (i % 37) + 1L, 0x0101L * (i % 53) + 1L)))
+      .toDF("doc_id", "lo", "hi")
+    val newSigs = (5000L until 5040L).map(i => (i, 0L, 0L))
+      .toDF("doc_id", "lo", "hi")
+    val refChunks = Multimodal.hammingChunkRows(
+      oldSigs.unionAll(newSigs))
+    val probeChunks = Multimodal.hammingChunkRows(newSigs)
+    // threshold 100 < the 340-row hot chunk groups: the guard engages
+    val df = Multimodal.hammingDedupPairsFromChunksGuarded(
+      refChunks, probeChunks, maxHamming = 3,
+      hotThreshold = 100, salts = 8)
+    df.collect()
+    val m = graft.Metrics.shuffleSummary(df)
+    info(s"guarded pair join: $m")
+    // hot-set count agg + the one (keys, salt) equijoin's two sides +
+    // the pair dedup agg; broadcasts (the hot set, and AQE flips of
+    // the join at spec scale) only ever LOWER the count
+    assert(m.exchanges <= 4,
+      s"guardedKeyJoin grew a shuffle: ${m.exchanges} exchanges > 4")
+  }
 }
